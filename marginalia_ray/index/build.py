@@ -1,0 +1,189 @@
+"""Ray-Data-native inverted + forward index construction.
+
+Replaces the reference's three sequential single-threaded converter passes
+(/root/reference/code/services-core/index-service/.../IndexServicesFactory.java:102-158,
+ ReverseIndexFullConverter.java:52-135, ForwardIndexConverter.java:43-105)
+with ONE Dataset shuffle:
+
+    journal (doc_id, doc_meta, term_hashes, kw_metas)
+      └─ map_batches: rank-encode doc ids (broadcast DomainRankings, J2),
+         explode to flat postings, key by (term shard, doc-range bucket)
+      └─ groupby(key).map_groups: lexsort (term, doc) and write one
+         posting run per group — full index (with meta) and the priority
+         subset (HIGH_PRIORITY_FLAGS filter, ReverseIndexPriorityParameters
+         .java:14-28) in the same pass, halving the shuffle volume
+      └─ forward index written directly from the journal (no shuffle)
+
+Skew: a Zipf-head term's postings split across `n_buckets` doc-range groups
+(the "salt"); because buckets are monotone in doc id the final per-term lists
+are the concatenation of the runs — no merge pass, byte-deterministic for any
+bucket count (tested).
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from marginalia_ray.model.codecs import (
+    DEFAULT_DOMAIN_RANK,
+    HIGH_PRIORITY_FLAGS,
+    U64,
+    doc_meta_encode_rank,
+    domain_id_of,
+    rank_encode_id,
+    url_id_of,
+)
+from marginalia_ray.index.segment import bucket_of, write_manifest, write_run
+
+JOURNAL_MAX_KEYWORDS = 1000  # IndexJournalEntryData.MAX_LENGTH — entry chunking cap
+
+
+def _rank_lookup(domain_ids: np.ndarray, rankings: dict[int, int] | None) -> np.ndarray:
+    if not rankings:
+        return np.full(len(domain_ids), DEFAULT_DOMAIN_RANK, dtype=U64)
+    keys = np.fromiter(rankings.keys(), dtype=np.int64)
+    vals = np.fromiter(rankings.values(), dtype=np.int64)
+    order = np.argsort(keys)
+    keys, vals = keys[order], vals[order]
+    idx = np.searchsorted(keys, domain_ids.astype(np.int64))
+    idx = np.minimum(idx, len(keys) - 1)
+    hit = keys[idx] == domain_ids.astype(np.int64)
+    return np.where(hit, vals[idx], DEFAULT_DOMAIN_RANK).astype(U64)
+
+
+def make_explode_fn(rankings_ref, n_shards: int, n_buckets: int):
+    """Stateless map_batches fn: journal rows -> flat keyed postings."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        rankings = ray.get(rankings_ref) if rankings_ref is not None else None
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(U64)
+        kw_col = batch["term_hashes"].combine_chunks() if isinstance(batch["term_hashes"], pa.ChunkedArray) else batch["term_hashes"]
+        meta_col = batch["kw_metas"].combine_chunks() if isinstance(batch["kw_metas"], pa.ChunkedArray) else batch["kw_metas"]
+
+        parents = pc.list_parent_indices(kw_col).to_numpy()
+        terms = pc.list_flatten(kw_col).to_numpy().astype(U64)
+        metas = pc.list_flatten(meta_col).to_numpy().astype(U64)
+
+        domains = domain_id_of(doc_ids)
+        ranks = _rank_lookup(domains, rankings)
+        enc_ids = rank_encode_id(doc_ids, ranks)[parents]
+
+        shard = (terms % U64(n_shards)).astype(np.int64)
+        bucket = bucket_of(enc_ids, n_buckets)
+        key = shard * n_buckets + bucket
+        return pa.table(
+            {
+                "key": pa.array(key),
+                "term_hash": pa.array(terms, type=pa.uint64()),
+                "enc_doc_id": pa.array(enc_ids, type=pa.uint64()),
+                "kw_meta": pa.array(metas, type=pa.uint64()),
+            }
+        )
+
+    return explode
+
+
+def make_run_writer(build_dir: str, n_buckets: int):
+    """map_groups fn: one (shard,bucket) group -> segment run files on disk,
+    returns lineage rows."""
+
+    def write_group(group: pa.Table) -> pa.Table:
+        key = int(group["key"][0].as_py())
+        shard, bucket = divmod(key, n_buckets)
+        terms = group["term_hash"].to_numpy().astype(U64)
+        ids = group["enc_doc_id"].to_numpy().astype(U64)
+        metas = group["kw_meta"].to_numpy().astype(U64)
+
+        order = np.lexsort((ids, terms))
+        terms, ids, metas = terms[order], ids[order], metas[order]
+
+        # dedup (term, doc) pairs — the reference journal may carry a doc's
+        # keyword twice only via chunked entries; keep the first meta.
+        if len(terms):
+            keep = np.empty(len(terms), dtype=bool)
+            keep[0] = True
+            keep[1:] = (terms[1:] != terms[:-1]) | (ids[1:] != ids[:-1])
+            terms, ids, metas = terms[keep], ids[keep], metas[keep]
+
+        rows = [write_run(build_dir, "full", shard, bucket, terms, ids, metas)]
+
+        prio_mask = (metas & U64(HIGH_PRIORITY_FLAGS)) != 0
+        rows.append(
+            write_run(
+                build_dir, "prio", shard, bucket, terms[prio_mask], ids[prio_mask], None
+            )
+        )
+        return pa.Table.from_pylist(rows)
+
+    return write_group
+
+
+def build_index(
+    journal: "ray.data.Dataset",
+    build_dir: str | Path,
+    *,
+    n_shards: int = 32,
+    n_buckets: int = 1,
+    domain_rankings: dict[int, int] | None = None,
+) -> dict:
+    """journal columns: doc_id(uint64), doc_meta(uint64),
+    term_hashes(list<uint64>), kw_metas(list<uint64>).
+
+    Returns the build manifest (also written to MANIFEST.json)."""
+    build_dir = str(build_dir)
+    Path(build_dir).mkdir(parents=True, exist_ok=True)
+    t0 = time.time()
+
+    rankings_ref = ray.put(domain_rankings) if domain_rankings else None
+
+    # --- forward index (ForwardIndexConverter semantics: rank folded into
+    # doc_meta, domain id alongside; no shuffle, streaming write) ---
+    def forward_batch(batch: pa.Table) -> pa.Table:
+        rankings = ray.get(rankings_ref) if rankings_ref is not None else None
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(U64)
+        doc_metas = batch["doc_meta"].to_numpy(zero_copy_only=False).astype(U64)
+        domains = domain_id_of(doc_ids)
+        ranks = _rank_lookup(domains, rankings)
+        metas = doc_meta_encode_rank(doc_metas, ranks)
+        return pa.table(
+            {
+                "url_id": pa.array(url_id_of(doc_ids).astype(np.int64)),
+                "doc_meta": pa.array(metas, type=pa.uint64()),
+                "domain_id": pa.array(domains.astype(np.int64)),
+            }
+        )
+
+    fwd_dir = Path(build_dir) / "forward"
+    fwd_dir.mkdir(parents=True, exist_ok=True)
+    journal.map_batches(forward_batch, batch_format="pyarrow").write_parquet(str(fwd_dir))
+    doc_count = sum(
+        pa.parquet.ParquetFile(f).metadata.num_rows for f in fwd_dir.glob("*.parquet")
+    )
+
+    # --- posting runs: the one shuffle ---
+    exploded = journal.select_columns(["doc_id", "term_hashes", "kw_metas"]).map_batches(
+        make_explode_fn(rankings_ref, n_shards, n_buckets), batch_format="pyarrow"
+    )
+    lineage_ds = exploded.groupby("key").map_groups(
+        make_run_writer(build_dir, n_buckets), batch_format="pyarrow"
+    )
+    lineage = lineage_ds.to_pandas()  # small: 2 rows per (shard,bucket)
+
+    manifest = {
+        "build_id": str(uuid.uuid4()),
+        "doc_count": int(doc_count),
+        "n_shards": n_shards,
+        "n_buckets": n_buckets,
+        "elapsed_sec": round(time.time() - t0, 3),
+        "runs": lineage.to_dict(orient="records"),
+    }
+    write_manifest(build_dir, manifest)
+    return manifest

@@ -1,0 +1,238 @@
+"""Immutable index segments: the on-disk replacement for the reference's
+mmap'd B-tree reverse index + forward index
+(/root/reference/code/features-index/index-reverse/.../ReverseIndexFullReader.java:20-118,
+ .../index-forward/.../ForwardIndexReader.java:27-95,
+ .../index-service/.../IndexServicesFactory.java:60-209).
+
+Layout of a build directory (one per index build; atomically "switched live"
+by pointing a `CURRENT` file at it, mirroring switchFilesJob):
+
+    build_dir/
+      MANIFEST.json                 # doc_count, n_shards, n_buckets, lineage
+      forward/part-*.parquet        # (url_id, doc_meta, domain_id), rank applied
+      full/shard=S/bucket=B.terms.parquet   # term_hash, doc_freq, offset, nbytes
+      full/shard=S/bucket=B.postings.bin    # concatenated encoded posting lists
+      prio/shard=S/...                      # same, ENTRY_SIZE=1 (no metas)
+
+Scale notes (the design constraint is a 256-node cluster / 100 TB corpus):
+  * shard = term_hash % n_shards — the unit of query-side ownership.
+  * bucket = high bits of the rank-encoded doc id — a *doc-range* split of
+    each shard so the build shuffle's groups stay bounded under Zipfian term
+    skew (a hot term's postings land in many (shard,bucket) groups).
+    Because bucket boundaries are monotone in doc id, per-term posting lists
+    across buckets concatenate in sorted order — salted runs merge by pure
+    concatenation, no k-way merge pass (merge determinism is trivially
+    byte-stable).
+  * Readers mmap postings.bin (np.memmap) and decode one term on demand.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from marginalia_ray.index.postings import PostingList, encode_posting_list
+
+U64 = np.uint64
+
+TERMS_SCHEMA = pa.schema(
+    [
+        ("term_hash", pa.uint64()),
+        ("doc_freq", pa.int64()),
+        ("offset", pa.int64()),
+        ("nbytes", pa.int64()),
+    ]
+)
+
+
+def bucket_of(enc_doc_ids: np.ndarray, n_buckets: int) -> np.ndarray:
+    """Monotone doc-range bucket: top bits of the rank-encoded id."""
+    if n_buckets <= 1:
+        return np.zeros(len(enc_doc_ids), dtype=np.int64)
+    bits = max(1, int(n_buckets - 1).bit_length())
+    return (enc_doc_ids >> U64(64 - bits)).astype(np.int64) % n_buckets
+
+
+def write_run(
+    out_dir: str | Path,
+    kind: str,  # "full" | "prio"
+    shard: int,
+    bucket: int,
+    term_hashes: np.ndarray,  # sorted-by-(term,doc) flat postings
+    doc_ids: np.ndarray,
+    metas: np.ndarray | None,  # None for prio
+) -> dict:
+    """Write one (shard, bucket) posting run.  Input arrays must already be
+    lexsorted by (term_hash, doc_id).  Returns a lineage/manifest row.
+    Writes are atomic (tmp + rename) so re-runs are idempotent."""
+    d = Path(out_dir) / kind / f"shard={shard:05d}"
+    d.mkdir(parents=True, exist_ok=True)
+
+    # term boundaries on the sorted stream
+    uniq, starts = np.unique(term_hashes, return_index=True)
+    ends = np.append(starts[1:], len(term_hashes))
+
+    offsets = np.zeros(len(uniq), dtype=np.int64)
+    nbytes = np.zeros(len(uniq), dtype=np.int64)
+    parts = []
+    pos = 0
+    for i in range(len(uniq)):
+        ids = doc_ids[starts[i] : ends[i]]
+        mt = metas[starts[i] : ends[i]] if metas is not None else None
+        buf = encode_posting_list(ids, mt)
+        offsets[i] = pos
+        nbytes[i] = len(buf)
+        pos += len(buf)
+        parts.append(buf)
+
+    terms = pa.table(
+        {
+            "term_hash": pa.array(uniq, type=pa.uint64()),
+            "doc_freq": pa.array((ends - starts).astype(np.int64)),
+            "offset": pa.array(offsets),
+            "nbytes": pa.array(nbytes),
+        }
+    )
+
+    post_path = d / f"bucket={bucket:04d}.postings.bin"
+    terms_path = d / f"bucket={bucket:04d}.terms.parquet"
+    tmp = str(post_path) + ".tmp"
+    with open(tmp, "wb") as f:
+        for p in parts:
+            f.write(p)
+    os.replace(tmp, post_path)
+    tmp = str(terms_path) + ".tmp"
+    pq.write_table(terms, tmp)
+    os.replace(tmp, terms_path)
+
+    return {
+        "kind": kind,
+        "shard": shard,
+        "bucket": bucket,
+        "n_terms": len(uniq),
+        "n_postings": int(len(term_hashes)),
+        "bytes": int(pos),
+    }
+
+
+class SegmentShardReader:
+    """Query-side reader for one shard of one kind (full/prio).
+
+    Loads the (small) term directories of every bucket eagerly, memory-maps
+    the posting bins, decodes per-term lists on demand, and concatenates
+    across buckets in bucket order (which is doc-id order by construction)."""
+
+    def __init__(self, build_dir: str | Path, kind: str, shard: int):
+        self.kind = kind
+        self.has_meta = kind == "full"
+        d = Path(build_dir) / kind / f"shard={shard:05d}"
+        self._buckets = []  # [(terms dict, memmap)]
+        if not d.exists():
+            return
+        for terms_path in sorted(d.glob("bucket=*.terms.parquet")):
+            bin_path = terms_path.with_name(terms_path.name.replace(".terms.parquet", ".postings.bin"))
+            t = pq.read_table(terms_path)
+            th = t["term_hash"].to_numpy()
+            directory = {
+                "hash": th,
+                "doc_freq": t["doc_freq"].to_numpy(),
+                "offset": t["offset"].to_numpy(),
+                "nbytes": t["nbytes"].to_numpy(),
+            }
+            mm = np.memmap(bin_path, dtype=np.uint8, mode="r") if bin_path.stat().st_size else np.zeros(0, dtype=np.uint8)
+            self._buckets.append((directory, mm))
+
+    def doc_freq(self, term_hash: int) -> int:
+        total = 0
+        for directory, _ in self._buckets:
+            i = np.searchsorted(directory["hash"], U64(term_hash))
+            if i < len(directory["hash"]) and directory["hash"][i] == U64(term_hash):
+                total += int(directory["doc_freq"][i])
+        return total
+
+    def postings(self, term_hash: int) -> tuple[np.ndarray, np.ndarray | None]:
+        """(sorted doc_ids, metas or None) for a term, concatenated over buckets."""
+        ids_parts, meta_parts = [], []
+        for directory, mm in self._buckets:
+            i = np.searchsorted(directory["hash"], U64(term_hash))
+            if i < len(directory["hash"]) and directory["hash"][i] == U64(term_hash):
+                o = int(directory["offset"][i])
+                n = int(directory["nbytes"][i])
+                pl = PostingList(memoryview(mm[o : o + n]), has_meta=self.has_meta)
+                ids_parts.append(pl.doc_ids())
+                if self.has_meta:
+                    meta_parts.append(pl.metas())
+        if not ids_parts:
+            return np.zeros(0, dtype=U64), (np.zeros(0, dtype=U64) if self.has_meta else None)
+        ids = np.concatenate(ids_parts)
+        metas = np.concatenate(meta_parts) if self.has_meta else None
+        return ids, metas
+
+
+class ForwardIndex:
+    """In-memory forward index: url_id -> (doc_meta, domain_id) via sorted
+    arrays + searchsorted (ForwardIndexReader.java:27-95 semantics; missing
+    ids return meta 0 / domain -1)."""
+
+    def __init__(self, build_dir: str | Path):
+        files = sorted((Path(build_dir) / "forward").glob("*.parquet"))
+        if files:
+            t = pa.concat_tables([pq.read_table(f) for f in files])
+            url = t["url_id"].to_numpy()
+            order = np.argsort(url, kind="stable")
+            self.url_ids = url[order]
+            self.doc_metas = t["doc_meta"].to_numpy()[order]
+            self.domain_ids = t["domain_id"].to_numpy()[order]
+        else:
+            self.url_ids = np.zeros(0, dtype=np.int64)
+            self.doc_metas = np.zeros(0, dtype=U64)
+            self.domain_ids = np.zeros(0, dtype=np.int64)
+
+    def lookup(self, url_ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(doc_meta, domain_id) arrays aligned with url_ids."""
+        idx = np.searchsorted(self.url_ids, url_ids)
+        idx = np.minimum(idx, max(0, len(self.url_ids) - 1))
+        if len(self.url_ids) == 0:
+            return (
+                np.zeros(len(url_ids), dtype=U64),
+                np.full(len(url_ids), -1, dtype=np.int64),
+            )
+        hit = self.url_ids[idx] == url_ids
+        metas = np.where(hit, self.doc_metas[idx], U64(0))
+        domains = np.where(hit, self.domain_ids[idx], -1)
+        return metas, domains
+
+
+def write_manifest(build_dir: str | Path, manifest: dict) -> None:
+    p = Path(build_dir) / "MANIFEST.json"
+    tmp = str(p) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1, default=int)
+    os.replace(tmp, p)
+
+
+def read_manifest(build_dir: str | Path) -> dict | None:
+    p = Path(build_dir) / "MANIFEST.json"
+    if not p.exists():
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def set_current(root: str | Path, build_id: str) -> None:
+    """Atomic live-pointer swap (SearchIndex.switchIndex equivalent)."""
+    p = Path(root) / "CURRENT"
+    tmp = str(p) + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(build_id)
+    os.replace(tmp, p)
+
+
+def get_current(root: str | Path) -> str | None:
+    p = Path(root) / "CURRENT"
+    return p.read_text().strip() if p.exists() else None

@@ -1,0 +1,170 @@
+"""Rank-parity gate: the reference query set over the factors corpus.
+
+Port of IndexQueryServiceIntegrationTest
+(/root/reference/code/services-core/index-service/src/test/java/nu/marginalia/index/svc/IndexQueryServiceIntegrationTest.java:71-199):
+doc i (1..511) contains keywords = decimal factors of i with
+WordMetadata(positions=factor_index, {Title}); docMeta year=i%5, sets=i,
+quality=i%20.  Expected results are exact urlId arrays in exact order.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from marginalia_ray.functions.hashing import term_hash
+from marginalia_ray.index.build import build_index
+from marginalia_ray.model.codecs import encode_doc_meta, encode_word_meta, WordFlags
+from marginalia_ray.query.engine import IndexSearcher, SearchSpec, SpecLimit, Subquery
+
+
+def factors(i):
+    return [v for v in range(1, i + 1) if i % v == 0]
+
+
+def make_journal(with_domain=False):
+    doc_ids, doc_metas, term_lists, meta_lists = [], [], [], []
+    for i in range(1, 512):
+        fs = factors(i)
+        if with_domain:
+            # loadDataWithDomain: domain = i/100, docMeta default (0)
+            doc_ids.append(i | ((i // 100) << 32))
+            doc_metas.append(0)
+        else:
+            # loadData: fullId = id | (32 - (id % 32)) << 32
+            doc_ids.append(i | ((32 - (i % 32)) << 32))
+            doc_metas.append(encode_doc_meta(year=i % 5, sets=i, quality=i % 20))
+        term_lists.append([term_hash(str(f)) for f in fs])
+        meta_lists.append(
+            [encode_word_meta(idx, WordFlags.Title.bit) for idx in range(len(fs))]
+        )
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids, type=pa.uint64()),
+            "doc_meta": pa.array(doc_metas, type=pa.uint64()),
+            "term_hashes": pa.array(term_lists, type=pa.list_(pa.uint64())),
+            "kw_metas": pa.array(meta_lists, type=pa.list_(pa.uint64())),
+        }
+    )
+
+
+@pytest.fixture(scope="module")
+def built_index(ray_session, tmp_path_factory):
+    d = tmp_path_factory.mktemp("idx")
+    journal = ray.data.from_arrow(make_journal())
+    build_index(journal, d, n_shards=8, n_buckets=1)
+    return d
+
+
+@pytest.fixture(scope="module")
+def built_domain_index(ray_session, tmp_path_factory):
+    d = tmp_path_factory.mktemp("idx_domain")
+    journal = ray.data.from_arrow(make_journal(with_domain=True))
+    build_index(journal, d, n_shards=8, n_buckets=1)
+    return d
+
+
+class TestFactorsCorpusParity:
+    def test_will_it_blend(self, built_index):
+        """include {3,5,2} exclude {4} => exactly [30,90,...,510] in order."""
+        s = IndexSearcher(built_index)
+        res = s.search(
+            SearchSpec(
+                subqueries=[Subquery(include=["3", "5", "2"], exclude=["4"])],
+                limit_by_domain=10,
+                limit_total=10,
+                fetch_size=4000,
+            )
+        )
+        assert [r.url_id for r in res] == [30, 90, 150, 210, 270, 330, 390, 450, 510]
+
+    def test_domain_query(self, built_domain_index):
+        s = IndexSearcher(built_domain_index)
+        res = s.search(
+            SearchSpec(
+                subqueries=[Subquery(include=["3", "5", "2"], exclude=["4"])],
+                limit_by_domain=10,
+                limit_total=10,
+                fetch_size=4000,
+                domains=[2],
+            )
+        )
+        assert [r.url_id for r in res] == [210, 270]
+
+    def test_year_query(self, built_index):
+        s = IndexSearcher(built_index)
+        res = s.search(
+            SearchSpec(
+                subqueries=[Subquery(include=["4"])],
+                limit_by_domain=10,
+                limit_total=10,
+                fetch_size=4000,
+                year=SpecLimit.eq(1998),
+            )
+        )
+        assert len(res) == 10
+        from marginalia_ray.model.codecs import doc_meta_year
+
+        metas, _ = s.forward.lookup(np.array([r.url_id for r in res], dtype=np.int64))
+        assert set(int(y) for y in doc_meta_year(metas)) == {1998}
+
+    def test_doc_freq_matches_groupby(self, built_index):
+        """G5: per-term doc_freq == number of docs containing the term."""
+        s = IndexSearcher(built_index)
+        # term "2" appears in every even doc: 255 of 1..511
+        assert s.num_hits(term_hash("2")) == 255
+        assert s.num_hits(term_hash("3")) == 170
+        assert s.num_hits(term_hash("5")) == 102
+        assert s.num_hits(term_hash("511")) == 1
+        assert s.num_hits(term_hash("512")) == 0
+
+    def test_postings_sorted_and_rank_encoded(self, built_index):
+        s = IndexSearcher(built_index)
+        ids, metas = s.postings("full", term_hash("7"))
+        assert len(ids) == 73  # multiples of 7 in 1..511
+        assert (np.diff(ids.astype(np.int64)) > 0).all()
+        # rank defaults to 255 (empty DomainRankings) -> top 32 bits == 255
+        assert set(int(i) >> 32 for i in ids) == {255}
+
+    def test_priority_index_subset(self, built_index):
+        # every posting has Title flag -> prio df == full df
+        s = IndexSearcher(built_index)
+        assert s.num_hits_prio(term_hash("3")) == s.num_hits(term_hash("3"))
+
+
+class TestBuildDeterminism:
+    def test_bucketed_build_identical(self, ray_session, tmp_path_factory):
+        """Salted (bucketed) build produces identical per-term posting lists
+        and identical query results vs the single-bucket build (the merge-
+        determinism gate of FIXTURES.md F3)."""
+        d1 = tmp_path_factory.mktemp("det1")
+        d4 = tmp_path_factory.mktemp("det4")
+        journal = ray.data.from_arrow(make_journal())
+        build_index(journal, d1, n_shards=4, n_buckets=1)
+        journal2 = ray.data.from_arrow(make_journal())
+        build_index(journal2, d4, n_shards=4, n_buckets=4)
+
+        s1, s4 = IndexSearcher(d1), IndexSearcher(d4)
+        for t in ["1", "2", "3", "17", "100", "509"]:
+            ids1, m1 = s1.postings("full", term_hash(t))
+            ids4, m4 = s4.postings("full", term_hash(t))
+            np.testing.assert_array_equal(ids1, ids4)
+            np.testing.assert_array_equal(m1, m4)
+
+        spec = SearchSpec(subqueries=[Subquery(include=["3", "5", "2"], exclude=["4"])])
+        assert [r.url_id for r in s1.search(spec)] == [r.url_id for r in s4.search(spec)]
+
+    def test_partitioning_invariance(self, ray_session, tmp_path_factory):
+        """Build with different input block structure => identical segments."""
+        da = tmp_path_factory.mktemp("parta")
+        db = tmp_path_factory.mktemp("partb")
+        t = make_journal()
+        build_index(ray.data.from_arrow(t), da, n_shards=4)
+        build_index(ray.data.from_arrow(t).repartition(7), db, n_shards=4)
+        sa, sb = IndexSearcher(da), IndexSearcher(db)
+        for term in ["2", "3", "251"]:
+            ia, ma = sa.postings("full", term_hash(term))
+            ib, mb = sb.postings("full", term_hash(term))
+            np.testing.assert_array_equal(ia, ib)
+            np.testing.assert_array_equal(ma, mb)

@@ -141,8 +141,16 @@ class IndexSearcher:
     actor holding a subset of shards (queries fan out and merge top-k)."""
 
     def __init__(self, build_dir: str | Path):
-        self.build_dir = Path(build_dir)
+        build_dir = Path(build_dir)
         m = read_manifest(build_dir)
+        if m is None:
+            # given an index root: follow the CURRENT pointer (hot-swap
+            # equivalent of SearchIndex.switchIndex)
+            cur = build_dir / "CURRENT"
+            if cur.exists():
+                build_dir = build_dir / cur.read_text().strip()
+                m = read_manifest(build_dir)
+        self.build_dir = build_dir
         if m is None:
             raise FileNotFoundError(f"no MANIFEST.json in {build_dir}")
         self.doc_count = int(m["doc_count"])
@@ -179,6 +187,22 @@ class IndexSearcher:
             return []
         results = self._score(spec, candidates)
         return self._select_best(spec, results)
+
+    def search_words(
+        self,
+        include: list[str],
+        exclude: list[str] | None = None,
+        priority: list[str] | None = None,
+        **spec_kwargs,
+    ) -> list[SearchResult]:
+        """Convenience: single-subquery keyword search over lowercased words
+        (the form DocumentKeywordsBuilder stores)."""
+        sq = Subquery(
+            include=[w.lower() for w in include],
+            exclude=[w.lower() for w in (exclude or [])],
+            priority=[w.lower() for w in (priority or [])],
+        )
+        return self.search(SearchSpec(subqueries=[sq], **spec_kwargs))
 
     # evaluateSubqueries + createQueries + executeQuery
     def _evaluate_subqueries(self, spec: SearchSpec) -> np.ndarray:

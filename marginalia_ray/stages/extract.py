@@ -1,0 +1,389 @@
+"""HTML -> clean text extraction (M2-M4, M13, M14, M22 in SURVEY.md §2).
+
+Reference semantics:
+  - DomPruningFilter (signal-rate pruning, nav/footer/header/aria purge,
+    <a> text counts as noise):
+      /root/reference/code/processes/converting-process/src/main/java/nu/marginalia/converting/processor/logic/dom/DomPruningFilter.java:17-126
+  - SentenceExtractorHtmlTagCleaner (code-tag handling, ". " sentence aids):
+      /root/reference/code/libraries/language-processing/src/main/java/nu/marginalia/language/sentence/SentenceExtractorHtmlTagCleaner.java:12-40
+  - SentenceExtractor.asText (body text, 95% truncation):
+      .../sentence/SentenceExtractor.java:210-214
+  - SentenceExtractor.getTitle: .../sentence/SentenceExtractor.java:85-105
+  - MetaRobotsTag noindex: .../processor/MetaRobotsTag.java
+  - DocumentValuator quality: .../processor/logic/DocumentValuator.java:16-86
+
+The DOM is a minimal tree built on Python's stdlib html.parser (no Jsoup /
+bs4 in this environment).  The synthetic-pages generator
+(marginalia_ray.sources.pages) renders well-formed HTML through the same
+element model, so per-url byte-identity between generated `text` and
+extracted text is exact and asserted in tests (the BASELINE.json invariant).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from dataclasses import dataclass, field
+from html.parser import HTMLParser
+
+VOID_ELEMENTS = frozenset(
+    "area base br col embed hr img input link meta param source track wbr".split()
+)
+
+PRUNE_THRESHOLD = 0.5  # HtmlDocumentProcessorPlugin passes 0.5
+
+_BAD_CLASSES = {
+    "cookie-banner", "cookie", "cookie-notice", "cookie-policy", "nav",
+    "navigation", "footer", "header", "menu", "toolbar", "tooltip", "alert",
+    "alertdialog", "banner", "onetrust-consent-sdk",
+}
+_BAD_ROLES = {"alert", "alertdialog", "navigation", "banner", "dialog", "menu", "toolbar", "tooltip"}
+
+_BLOCKY = {"li", "h1", "h2", "h3", "h4", "h5", "h6", "td", "th", "p", "div", "title"}
+
+_CODE_JUNK = re.compile(r"(\.|&lt;|&gt;|<|>|\([^)]*\)[;]?$)")
+
+_WS = re.compile(r"\s+")
+
+
+@dataclass
+class Node:
+    tag: str | None  # None = text node
+    attrs: dict = field(default_factory=dict)
+    children: list = field(default_factory=list)
+    text: str = ""
+
+    def is_text(self) -> bool:
+        return self.tag is None
+
+    def classes(self) -> set[str]:
+        return set(self.attrs.get("class", "").lower().split())
+
+    def find_all(self, *tags: str):
+        out = []
+        stack = [self]
+        while stack:
+            n = stack.pop()
+            if n.tag in tags:
+                out.append(n)
+            stack.extend(reversed(n.children))
+        return out
+
+    def first(self, tag: str):
+        for n in self.find_all(tag):
+            return n
+        return None
+
+    def get_text(self) -> str:
+        """Jsoup Element.text() equivalent: whitespace-normalized."""
+        parts: list[str] = []
+
+        def walk(n: Node):
+            if n.is_text():
+                parts.append(n.text)
+                return
+            if n.tag in ("script", "style"):
+                return
+            for c in n.children:
+                walk(c)
+
+        walk(self)
+        return _WS.sub(" ", "".join(parts)).strip()
+
+
+class _TreeBuilder(HTMLParser):
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.root = Node("#root")
+        self.stack = [self.root]
+
+    def handle_starttag(self, tag, attrs):
+        node = Node(tag, dict(attrs))
+        self.stack[-1].children.append(node)
+        if tag not in VOID_ELEMENTS:
+            self.stack.append(node)
+
+    def handle_startendtag(self, tag, attrs):
+        self.stack[-1].children.append(Node(tag, dict(attrs)))
+
+    def handle_endtag(self, tag):
+        for i in range(len(self.stack) - 1, 0, -1):
+            if self.stack[i].tag == tag:
+                del self.stack[i:]
+                return
+        # mismatched end tag: ignore
+
+    def handle_data(self, data):
+        if data:
+            self.stack[-1].children.append(Node(None, text=data))
+
+
+def parse_html(html: str) -> Node:
+    b = _TreeBuilder()
+    b.feed(html)
+    b.close()
+    return b.root
+
+
+# ---- meta robots (M22) -------------------------------------------------
+
+
+def is_noindex(root: Node) -> bool:
+    for m in root.find_all("meta"):
+        if m.attrs.get("name", "").lower() == "robots":
+            content = m.attrs.get("content", "").lower()
+            if "noindex" in content or "none" in content:
+                return True
+    return False
+
+
+# ---- DomPruningFilter (M3) --------------------------------------------
+
+
+@dataclass
+class _NodeData:
+    depth: int
+    signal: int
+    noise: int
+    tree_size: int = 1
+
+
+def prune_dom(root: Node, threshold: float = PRUNE_THRESHOLD) -> None:
+    """Bottom-up signal-rate pruning, in place.  Reproduces DomPruningFilter:
+    <a> subtree text counts as noise; remove subtrees (depth>1) with zero
+    signal, or signal rate below threshold with tree size > 3; plus the
+    always-purge tag/class/role rules."""
+
+    def should_remove(node: Node, d: _NodeData) -> bool:
+        if d.depth <= 1:
+            return False
+        if d.signal == 0:
+            return True
+        if d.noise > 0 and d.tree_size > 3 and d.signal / (d.signal + d.noise) < threshold:
+            return True
+        if node.tag is not None and _always_purge(node):
+            return True
+        return False
+
+    # single bottom-up pass with removal on the way up (equivalent to the
+    # reference's NodeFilter tail() REMOVE results)
+    def walk(node: Node, depth: int) -> _NodeData | None:
+        if node.is_text():
+            return _NodeData(depth, len(node.text.strip()), 0)
+        d = _NodeData(depth, 0, 0)
+        keep = []
+        for child in node.children:
+            cd = walk(child, depth + 1)
+            if cd is None:
+                continue
+            keep.append(child)
+            if _is_signal(child):
+                d.signal += cd.signal
+                d.noise += cd.noise
+            else:
+                d.noise += cd.noise + cd.signal
+            d.tree_size += cd.tree_size
+        node.children = keep
+        if should_remove(node, d):
+            return None
+        return d
+
+    kept = []
+    for child in root.children:
+        if walk(child, 1) is not None:
+            kept.append(child)
+    root.children = kept
+
+
+def _is_signal(node: Node) -> bool:
+    return node.tag != "a"
+
+
+def _always_purge(el: Node) -> bool:
+    if el.tag in ("nav", "footer", "header"):
+        return True
+    if el.classes() & _BAD_CLASSES:
+        return True
+    if el.attrs.get("role", "").lower() in _BAD_ROLES:
+        return True
+    if el.attrs.get("aria-hidden", "").lower() == "true":
+        return True
+    return False
+
+
+# ---- tag cleaner (M4) --------------------------------------------------
+
+
+def clean_tags(root: Node) -> None:
+    """SentenceExtractorHtmlTagCleaner.clean, in place."""
+    # code tags: inline if short (junk-trimmed), else remove
+    def clean_code(node: Node):
+        new_children = []
+        for c in node.children:
+            if c.tag == "code":
+                text = c.get_text()
+                if len(text) <= 32:
+                    new_children.append(Node(None, text=_CODE_JUNK.sub(" ", text)))
+                # else: drop
+            else:
+                if not c.is_text():
+                    clean_code(c)
+                new_children.append(c)
+        node.children = new_children
+
+    clean_code(root)
+
+    # remove nav, form, input and body>title
+    def remove_tags(node: Node, inside_body: bool):
+        kept = []
+        for c in node.children:
+            if c.tag in ("nav", "form", "input"):
+                continue
+            if c.tag == "title" and inside_body and node.tag == "body":
+                continue
+            if not c.is_text():
+                remove_tags(c, inside_body or c.tag == "body")
+            kept.append(c)
+        node.children = kept
+
+    remove_tags(root, False)
+
+    # append ". " to block elements; prepend to br/hr
+    def sentence_aids(node: Node):
+        for c in node.children:
+            if c.is_text():
+                continue
+            sentence_aids(c)
+            if c.tag in _BLOCKY:
+                c.children.append(Node(None, text=". "))
+            elif c.tag in ("br", "hr"):
+                c.children.insert(0, Node(None, text=". "))
+
+    sentence_aids(root)
+
+
+# ---- text + title ------------------------------------------------------
+
+
+def body_text(root: Node) -> str:
+    """SentenceExtractor.asText: body().text() truncated to 95%."""
+    body = root.first("body") or root
+    text = body.get_text()
+    return text[: int(len(text) * 0.95)]
+
+
+def extract_title(root: Node, sentences_first: str | None = None) -> str:
+    """SentenceExtractor.getTitle: <title> + first h1, else h2, else first
+    sentence."""
+    title_el = root.first("title")
+    h1 = root.first("h1")
+    title = (title_el.get_text() if title_el else "") + " . " + (h1.get_text() if h1 else "")
+    if len(title.strip()) < 3:
+        h2s = root.find_all("h2")
+        title = " ".join(h.get_text() for h in h2s)
+    if len(title.strip()) < 3 and sentences_first:
+        title = sentences_first.lower()
+    return title
+
+
+# ---- quality (M14) -----------------------------------------------------
+
+# HtmlStandard scale/offset (converting-process model/HtmlStandard.java)
+HTML_STANDARD_PARAMS = {
+    "PLAIN": (1.0, 1.0),
+    "UNKNOWN": (1.0, -1.0),
+    "HTML123": (1.0, 1.0),
+    "HTML4": (1.0, -0.1),
+    "XHTML": (1.0, -0.1),
+    "HTML5": (1.0, -0.15),
+}
+
+
+def script_penalty(root: Node) -> int:
+    """DocumentValuator.getScriptPenalty."""
+    penalty = 0.0
+    script_len = 0
+    has_bad = False
+    for s in root.find_all("script"):
+        src = s.attrs.get("src", "")
+        if "wp-content" in src or "wp-includes" in src or "jquery" in src:
+            penalty += 0.49
+        elif src.strip():
+            penalty += 1
+        text = "".join(c.text for c in s.children if c.is_text())
+        script_len += len(text)
+        if ".createElement(" in text:
+            has_bad = True
+    head = root.first("head")
+    if head is not None:
+        for link in head.find_all("link"):
+            if "onerror" in link.attrs or "onload" in link.attrs:
+                penalty += 1
+    return int(penalty + (1 if has_bad else 0) + script_len / 1000.0)
+
+
+def quality(text_length: int, raw_length: int, standard: str, script_pen: int) -> float:
+    """DocumentValuator.getQuality."""
+    scale, offset = HTML_STANDARD_PARAMS.get(standard, (1.0, -1.0))
+    if text_length == 0:
+        return -100.0
+    return math.log(text_length / (1 + raw_length)) * scale + offset - script_pen
+
+
+def detect_standard(html: str) -> str:
+    """HtmlStandardExtractor (doctype sniff, simplified)."""
+    head = html[:512].lower()
+    if "<!doctype html>" in head:
+        return "HTML5"
+    if "xhtml" in head:
+        return "XHTML"
+    if "html 4" in head or "html4" in head:
+        return "HTML4"
+    if "<!doctype" in head:
+        return "HTML123"
+    return "UNKNOWN"
+
+
+# ---- the whole extraction (M2, condensed) ------------------------------
+
+
+@dataclass
+class ExtractedDocument:
+    text: str
+    title: str
+    standard: str
+    quality: float
+    noindex: bool
+    raw_length: int
+    features: set[str]
+
+
+def extract_document(html: str) -> ExtractedDocument:
+    """The HtmlDocumentProcessorPlugin.createDetails core path:
+    parse -> robots check -> prune -> tag-clean -> text + title + quality."""
+    root = parse_html(html)
+    noindex = is_noindex(root)
+    standard = detect_standard(html)
+    s_pen = script_penalty(root)
+    has_js = len(root.find_all("script")) > 0
+
+    prune_dom(root)
+    clean_tags(root)
+
+    text = body_text(root)
+    title = extract_title(root)
+    q = quality(len(text), len(html), standard, s_pen)
+
+    features = set()
+    if has_js:
+        features.add("special:scripts")
+
+    return ExtractedDocument(
+        text=text,
+        title=title,
+        standard=standard,
+        quality=q,
+        noindex=noindex,
+        raw_length=len(html),
+        features=features,
+    )

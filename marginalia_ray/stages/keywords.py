@@ -1,0 +1,642 @@
+"""Document keyword extraction (M10, K1-K9, M11 in SURVEY.md §2).
+
+Ports of:
+  - KeywordExtractor span assembly (proper names / nouns / keywords / words):
+      /root/reference/code/features-convert/keyword-extraction/src/main/java/nu/marginalia/keyword/KeywordExtractor.java:14-246
+  - KeywordPositionBitmask: .../extractors/KeywordPositionBitmask.java:9-86
+  - WordsTfIdfCounts: .../extractors/WordsTfIdfCounts.java:27-137
+  - TitleKeywords: .../extractors/TitleKeywords.java:18-26
+  - NameLikeKeywords: .../extractors/NameLikeKeywords.java:20-49
+  - SubjectLikeKeywords: .../extractors/SubjectLikeKeywords.java:27-69
+  - ArtifactKeywords: .../extractors/ArtifactKeywords.java:8-49
+  - UrlKeywords: .../extractors/UrlKeywords.java:12-40
+  - KeywordMetadata.getMetadataForWord: .../KeywordMetadata.java:36-62
+  - DocumentKeywordExtractor.extractKeywords + matchesWordPattern:
+      .../DocumentKeywordExtractor.java:27-164
+  - DocumentKeywordsBuilder (1600-cap insertion-ordered map, 64-char cap):
+      .../model/DocumentKeywordsBuilder.java
+  - MetaTagsBuilder synthetic terms:
+      /root/reference/code/processes/converting-process/src/main/java/nu/marginalia/converting/processor/plugin/AbstractDocumentProcessorPlugin.java:32-97
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from marginalia_ray.functions.word_patterns import is_not_junk_word
+from marginalia_ray.functions.stemmer import stem
+from marginalia_ray.model.codecs import WordFlags, encode_word_meta
+from marginalia_ray.stages.sentences import (
+    COMMA,
+    DocumentLanguageData,
+    DocumentSentence,
+)
+
+Span = tuple[int, int]
+
+
+# ---- span assembly (KeywordExtractor) ---------------------------------
+
+
+def _is_proper(sent: DocumentSentence, i: int) -> bool:
+    return sent.pos_tags[i] in ("NNP", "NNPS")
+
+
+def _is_noun(sent: DocumentSentence, i: int) -> bool:
+    return sent.pos_tags[i].startswith("NN")
+
+
+def _is_joiner(sent: DocumentSentence, i: int) -> bool:
+    t = sent.pos_tags[i]
+    if t == "IN" or t == "TO":
+        return True
+    if t == "CC":
+        return sent.words_lc[i] == "and"
+    return False
+
+
+def _is_name(sent: DocumentSentence, i: int) -> bool:
+    t = sent.pos_tags[i]
+    return (t.startswith("N") or t in ("VBG", "VBN")) and not sent.stop[i]
+
+
+def _is_top_adj(sent: DocumentSentence, i: int) -> bool:
+    t = sent.pos_tags[i]
+    return t.startswith("JJ") or t.startswith("R") or t.startswith("VBG")
+
+
+def get_proper_names(sent: DocumentSentence) -> list[Span]:
+    """KeywordExtractor.getProperNames — 1..4-gram NNP spans with
+    comma-break and joiner rules."""
+    spans: list[Span] = []
+    n = len(sent)
+    for i in range(n):
+        if _is_proper(sent, i):
+            spans.append((i, i + 1))
+    for i in range(1, n):
+        if sent.separators[i - 1] == COMMA:
+            continue
+        if _is_proper(sent, i) and _is_proper(sent, i - 1):
+            spans.append((i - 1, i + 1))
+    i = 2
+    while i < n:
+        if sent.separators[i - 2] == COMMA:
+            i += 1
+            continue
+        if sent.separators[i - 1] == COMMA:
+            i += 2
+            continue
+        if (
+            _is_proper(sent, i)
+            and (_is_joiner(sent, i - 1) or _is_proper(sent, i - 1))
+            and _is_proper(sent, i - 2)
+        ):
+            spans.append((i - 2, i + 1))
+        i += 1
+    i = 3
+    while i < n:
+        if sent.separators[i - 3] == COMMA:
+            i += 1
+            continue
+        if sent.separators[i - 2] == COMMA:
+            i += 2
+            continue
+        if sent.separators[i - 1] == COMMA:
+            i += 3
+            continue
+        if _is_proper(sent, i) and _is_proper(sent, i - 3):
+            if _is_proper(sent, i - 1) and _is_proper(sent, i - 2):
+                spans.append((i - 3, i + 1))
+            elif _is_joiner(sent, i - 2) and sent.pos_tags[i - 1] == "DT":
+                spans.append((i - 3, i + 1))
+            elif (_is_joiner(sent, i - 1) or _is_proper(sent, i - 1)) and (
+                _is_joiner(sent, i - 2) or _is_proper(sent, i - 2)
+            ):
+                spans.append((i - 3, i + 1))
+        i += 1
+    return spans
+
+
+def get_nouns(sent: DocumentSentence) -> list[Span]:
+    """KeywordExtractor.getNouns (including the reference's odd operator
+    precedence in the 2- and 3-gram conditions, reproduced faithfully)."""
+    spans: list[Span] = []
+    n = len(sent)
+    for i in range(n):
+        if _is_noun(sent, i):
+            spans.append((i, i + 1))
+    for i in range(1, n):
+        if sent.separators[i - 1] == COMMA:
+            continue
+        # java: isNoun(i) && (isNoun(i-1)) || "JJ".equals(tag[i-1])
+        if (_is_noun(sent, i) and _is_noun(sent, i - 1)) or sent.pos_tags[i - 1] == "JJ":
+            spans.append((i - 1, i + 1))
+    i = 2
+    while i < n:
+        if sent.separators[i - 2] == COMMA:
+            i += 1
+            continue
+        if sent.separators[i - 1] == COMMA:
+            i += 2
+            continue
+        if (
+            _is_noun(sent, i)
+            and (_is_joiner(sent, i - 1) or _is_noun(sent, i - 1))
+            and _is_noun(sent, i - 2)
+        ) or sent.pos_tags[i - 2] == "JJ":
+            spans.append((i - 2, i + 1))
+        i += 1
+    i = 3
+    while i < n:
+        if sent.separators[i - 3] == COMMA:
+            i += 1
+            continue
+        if sent.separators[i - 2] == COMMA:
+            i += 2
+            continue
+        if sent.separators[i - 1] == COMMA:
+            i += 3
+            continue
+        if _is_noun(sent, i) and (_is_noun(sent, i - 3) or sent.pos_tags[i - 3] == "JJ"):
+            if _is_noun(sent, i - 1) and _is_noun(sent, i - 2):
+                spans.append((i - 3, i + 1))
+            elif _is_joiner(sent, i - 2) and sent.pos_tags[i - 1] == "DT":
+                spans.append((i - 3, i + 1))
+            elif (_is_joiner(sent, i - 1) or _is_noun(sent, i - 1)) and (
+                _is_joiner(sent, i - 2) or _is_noun(sent, i - 2)
+            ):
+                spans.append((i - 3, i + 1))
+        i += 1
+    return spans
+
+
+def get_keywords_from_sentence(sent: DocumentSentence) -> list[Span]:
+    """KeywordExtractor.getKeywordsFromSentence."""
+    spans: list[Span] = []
+    n = len(sent)
+    for i in range(n):
+        if _is_name(sent, i) or _is_top_adj(sent, i):
+            spans.append((i, i + 1))
+    for i in range(1, n):
+        if sent.separators[i - 1] == COMMA:
+            continue
+        if _is_name(sent, i):
+            if _is_name(sent, i - 1) or _is_top_adj(sent, i - 1):
+                spans.append((i - 1, i + 1))
+        if sent.pos_tags[i] == "CD" and _is_name(sent, i - 1):
+            spans.append((i - 1, i + 1))
+    i = 2
+    while i < n:
+        if sent.separators[i - 1] == COMMA:
+            i += 2
+            continue
+        if sent.separators[i - 2] == COMMA:
+            i += 1
+            continue
+        if _is_name(sent, i):
+            if (_is_name(sent, i - 1) or _is_top_adj(sent, i - 1)) and (
+                _is_name(sent, i - 2) or _is_top_adj(sent, i - 2)
+            ):
+                spans.append((i - 2, i + 1))
+            elif (_is_proper(sent, i - 1) or _is_joiner(sent, i - 1)) and _is_proper(sent, i - 2):
+                spans.append((i - 2, i + 1))
+        elif sent.pos_tags[i] == "CD" and _is_name(sent, i - 1) and _is_name(sent, i - 2):
+            spans.append((i - 2, i + 1))
+        i += 1
+    i = 3
+    while i < n:
+        if sent.separators[i - 1] == COMMA:
+            i += 3
+            continue
+        if sent.separators[i - 2] == COMMA:
+            i += 2
+            continue
+        if sent.separators[i - 3] == COMMA:
+            i += 1
+            continue
+        if (
+            _is_name(sent, i)
+            and (_is_name(sent, i - 1) or _is_top_adj(sent, i - 1))
+            and (_is_name(sent, i - 2) or _is_top_adj(sent, i - 2))
+            and (_is_name(sent, i - 3) or _is_top_adj(sent, i - 3))
+        ):
+            spans.append((i - 3, i + 1))
+        elif _is_proper(sent, i) and _is_proper(sent, i - 3):
+            if _is_proper(sent, i - 1) and _is_proper(sent, i - 2):
+                spans.append((i - 3, i + 1))
+            elif _is_joiner(sent, i - 1) and sent.pos_tags[i - 2] == "DT":
+                spans.append((i - 3, i + 1))
+            elif (_is_proper(sent, i - 1) or _is_joiner(sent, i - 1)) and (
+                _is_proper(sent, i - 2) or _is_joiner(sent, i - 2)
+            ):
+                spans.append((i - 3, i + 1))
+        i += 1
+    return spans
+
+
+def get_words_from_sentence(sent: DocumentSentence) -> list[Span]:
+    """KeywordExtractor.getWordsFromSentence — all viable 1..4-gram spans."""
+    spans: list[Span] = []
+    n = len(sent)
+    for k in range(4):
+        for i in range(k, n):
+            w = (i - k, i + 1)
+            if _viable_span(sent, w):
+                spans.append(w)
+    return spans
+
+
+def _viable_span(sent: DocumentSentence, span: Span) -> bool:
+    start, end = span
+    for i in range(start, end - 1):
+        if sent.separators[i] == COMMA:
+            return False
+    word = sent.word_from_span(start, end)
+    if not word or word.isspace() or not is_not_junk_word(word):
+        return False
+    if sent.pos_tags[start] == "CC":
+        return False
+    if sent.pos_tags[end - 1] in ("IN", "DT", "CC", "TO"):
+        return False
+    return True
+
+
+# ---- per-word metadata builders ---------------------------------------
+
+POSITION_WIDTH = 56
+UNMODULATED = 16
+
+
+def position_bitmask(dld: DocumentLanguageData) -> dict[str, int]:
+    """KeywordPositionBitmask — 56-bit coarse position mask per stem."""
+    mask: dict[str, int] = {}
+    full = (1 << POSITION_WIDTH) - 1
+
+    def merge(stemmed: str, bit: int):
+        mask[stemmed] = mask.get(stemmed, 0) | bit
+
+    for sent in dld.title_sentences:
+        for i in range(len(sent)):
+            merge(sent.stemmed[i], 1)
+        for s, e in get_proper_names(sent):
+            merge(sent.stemmed_from_span(s, e), 1)
+
+    line_length_ctr = 0
+    bitmask_pos = 1
+
+    def pos() -> int:
+        if bitmask_pos < UNMODULATED:
+            return bitmask_pos
+        return UNMODULATED + (bitmask_pos - UNMODULATED) % (POSITION_WIDTH - UNMODULATED)
+
+    for sent in dld.sentences:
+        bit = (1 << pos()) & full
+        for i in range(len(sent)):
+            merge(sent.stemmed[i], bit)
+        for s, e in get_proper_names(sent):
+            merge(sent.stemmed_from_span(s, e), bit)
+        # LinePosition.next
+        if len(sent) > 10:
+            line_length_ctr = 0
+            bitmask_pos += 1
+        line_length_ctr += len(sent)
+        if line_length_ctr > 15:
+            line_length_ctr = 0
+            bitmask_pos += 1
+    return mask
+
+
+class TfIdfCounts:
+    """WordsTfIdfCounts — span counts and tf-idf values.
+
+    `dict_freqs` maps stemmed term -> corpus doc frequency (the
+    TermFrequencyDict, A2); `doc_count` is the corpus document count."""
+
+    def __init__(self, dld: DocumentLanguageData, dict_freqs, doc_count: int):
+        self.dict_freqs = dict_freqs
+        self.doc_count = max(1, doc_count)
+        counts: dict[str, int] = {}
+        for sent in dld.sentences:
+            for s, e in get_keywords_from_sentence(sent):
+                key = sent.stemmed_from_span(s, e)
+                counts[key] = counts.get(key, 0) + 1
+        self.counts = counts
+        max_val = max(counts.values(), default=0)
+
+        self.tfidf: dict[str, int] = {}
+        high_instances = set()
+        for key, cnt in counts.items():
+            v = self._term_value(key, cnt, max_val)
+            self.tfidf[key] = v
+            if cnt > 1 and v > 100:
+                high_instances.add(key)
+
+        # reps: (word, stemmed) pairs whose stemmed span is high-tfidf
+        self.high_reps: list[tuple[str, str]] = []
+        seen = set()
+        for sent in dld.sentences:
+            for s, e in get_keywords_from_sentence(sent):
+                st = sent.stemmed_from_span(s, e)
+                if st in high_instances:
+                    w = sent.word_from_span(s, e)
+                    if (w, st) not in seen:
+                        seen.add((w, st))
+                        self.high_reps.append((w, st))
+
+    def dict_freq(self, stemmed: str) -> int:
+        return int(self.dict_freqs.get(stemmed, 0)) if self.dict_freqs else 0
+
+    def _value(self, key: str, count: float, max_value: float) -> float:
+        import math
+
+        freq = self.dict_freq(key)
+        if freq < 1:
+            freq = 1
+        return (0.1 + 0.9 * count / max_value) * math.log(freq / self.doc_count)
+
+    def _term_value(self, key: str, count: int, max_value: int) -> int:
+        if max_value <= 0:
+            return 0
+        if "_" in key:
+            parts = [p for p in key.split("_") if p]
+            if not parts:
+                return 0
+            total = sum(self._value(p, count, max_value) for p in parts)
+            return int(-(total / len(parts)) * 75)
+        return int(-self._value(key, count, max_value) * 75)
+
+    def get_tfidf(self, stemmed: str) -> int:
+        return self.tfidf.get(stemmed, 0)
+
+
+def title_keywords(dld: DocumentLanguageData) -> tuple[list[tuple[str, str]], set[str]]:
+    """TitleKeywords — all word spans from title sentences, limit 100."""
+    reps = []
+    seen = set()
+    for sent in dld.title_sentences:
+        for s, e in sorted(set(get_words_from_sentence(sent))):
+            w = sent.word_from_span(s, e)
+            st = sent.stemmed_from_span(s, e)
+            if (w, st) not in seen:
+                seen.add((w, st))
+                reps.append((w, st))
+            if len(reps) >= 100:
+                break
+        if len(reps) >= 100:
+            break
+    return reps, {st for _, st in reps}
+
+
+def name_like_keywords(dld: DocumentLanguageData, min_count: int = 2):
+    """NameLikeKeywords — proper-noun spans occurring often enough, top 150."""
+    counts: dict[str, int] = {}
+    instances: dict[str, set[tuple[str, str]]] = {}
+    order: dict[str, int] = {}
+    for sent in dld.sentences:
+        for s, e in get_proper_names(sent):
+            if e - s <= 1 and sent.words[s].isupper():
+                continue
+            st = sent.stemmed_from_span(s, e)
+            counts[st] = counts.get(st, 0) + 1
+            order.setdefault(st, len(order))
+            instances.setdefault(st, set()).add((sent.word_from_span(s, e), st))
+
+    def has_enough(st: str) -> bool:
+        c = counts[st]
+        return c >= min_count if "_" in st else c >= min_count + 1
+
+    chosen = sorted(
+        (st for st in counts if has_enough(st)),
+        key=lambda st: (-counts[st], order[st]),
+    )[:150]
+    reps = [rep for st in chosen for rep in sorted(instances[st])]
+    return reps, {st for _, st in reps}
+
+
+def subject_like_keywords(dld: DocumentLanguageData, tfidf: TfIdfCounts):
+    """SubjectLikeKeywords — noun spans followed by verb + DT/RB/VB/JJ/P/NN."""
+    instances: dict[str, set[tuple[str, str]]] = {}
+    for sent in dld.sentences:
+        for s, e in get_nouns(sent):
+            if e + 2 >= len(sent):
+                continue
+            if sent.separators[e] == COMMA or sent.separators[e + 1] == COMMA:
+                continue
+            nt = sent.pos_tags[e]
+            nnt = sent.pos_tags[e + 1]
+            if _is_verb(nt) and _is_det_adv_verb_noun(nnt):
+                st = sent.stemmed_from_span(s, e)
+                instances.setdefault(st, set()).add((sent.word_from_span(s, e), st))
+
+    def score(st: str) -> int:
+        if "_" in st:
+            parts = [p for p in st.split("_") if p]
+            if not parts:
+                return 0
+            return sum(tfidf.get_tfidf(p) for p in parts) // len(parts)
+        return tfidf.get_tfidf(st)
+
+    reps = [rep for st in sorted(instances) if score(st) >= 100 for rep in sorted(instances[st])]
+    return reps, {st for _, st in reps}
+
+
+def _is_verb(tag: str) -> bool:
+    return tag.startswith("VB") and tag != "VB"
+
+
+def _is_det_adv_verb_noun(tag: str) -> bool:
+    return (
+        tag == "DT"
+        or tag.startswith("RB")
+        or tag.startswith("VB")
+        or tag.startswith("JJ")
+        or tag.startswith("P")
+        or tag.startswith("NN")
+    )
+
+
+_MAIL_LIKE = re.compile(r"[a-zA-Z0-9._\-]+@[a-zA-Z0-9]+(\.[a-zA-Z0-9]+)+$")
+_IGNORED_DOMAINS = {"@hotmail.com", "@gmail.com", "@paypal.com"}
+_IGNORED_USERS = {"info", "legal", "contact", "press", "donotreply", "noreply", "no-reply", "admin", "root"}
+
+
+def artifact_keywords(dld: DocumentLanguageData) -> set[str]:
+    """ArtifactKeywords — e-mail-like tokens -> user/domain keywords."""
+    words: set[str] = set()
+    for sent in dld.sentences:
+        for lc in sent.words_lc:
+            at = lc.find("@")
+            if len(lc) < 6 or at < 0 or not _MAIL_LIKE.fullmatch(lc):
+                continue
+            words.add(lc)
+            domain = lc[at:]
+            user = lc[:at]
+            if domain not in _IGNORED_DOMAINS:
+                words.add(domain[1:])
+                words.add(domain)
+            if user not in _IGNORED_USERS:
+                words.add(user)
+    return words
+
+
+_URL_SPLIT = re.compile(r"[^a-z0-9A-Z]+")
+
+
+def url_keywords(path: str, domain: str) -> tuple[set[str], set[str]]:
+    """UrlKeywords — stemmed path segments / domain segments (>3 chars)."""
+    url_kw = {stem(p) for p in _URL_SPLIT.split(path) if p}
+    dom_kw = {stem(p) for p in _URL_SPLIT.split(domain) if len(p) > 3}
+    return url_kw, dom_kw
+
+
+# ---- matchesWordPattern ------------------------------------------------
+
+_WORD_PATTERN = re.compile(r"[\da-zA-Z]{1,15}([.\-_/:+*][\da-zA-Z]{1,10}){0,4}")
+
+
+def matches_word_pattern(s: str) -> bool:
+    """DocumentKeywordExtractor.matchesWordPattern (full-match of the
+    documented regex the unrolled Java loop implements)."""
+    m = _WORD_PATTERN.match(s)
+    return m is not None and m.end() == len(s)
+
+
+# ---- orchestration -----------------------------------------------------
+
+MAX_WORD_LEN = 64
+
+
+@dataclass
+class DocumentKeywords:
+    words: list[str]
+    metas: list[int]
+
+
+class KeywordsBuilder:
+    """DocumentKeywordsBuilder: insertion-ordered word -> meta map."""
+
+    def __init__(self):
+        self.words: dict[str, int] = {}
+        self.important: set[str] = set()
+
+    def add(self, word: str, meta: int):
+        if len(word) > MAX_WORD_LEN:
+            return
+        self.words[word] = meta
+
+    def add_synthetic(self, word: str):
+        if len(word) > MAX_WORD_LEN:
+            return
+        self.words.setdefault(word, WordFlags.Synthetic.bit)
+
+    def size(self) -> int:
+        return len(self.words)
+
+    def build(self) -> DocumentKeywords:
+        return DocumentKeywords(list(self.words.keys()), list(self.words.values()))
+
+
+def extract_keywords(
+    dld: DocumentLanguageData,
+    url_path: str,
+    url_domain: str,
+    dict_freqs=None,
+    doc_count: int = 11_820_118,  # TermFrequencyDict legacy default
+) -> KeywordsBuilder:
+    """DocumentKeywordExtractor.extractKeywords."""
+    bitmask = position_bitmask(dld)
+    tfidf = TfIdfCounts(dld, dict_freqs, doc_count)
+    t_reps, t_set = title_keywords(dld)
+    n_reps, n_set = name_like_keywords(dld)
+    s_reps, s_set = subject_like_keywords(dld, tfidf)
+    artifacts = artifact_keywords(dld)
+    u_kw, d_kw = url_keywords(url_path, url_domain)
+
+    def meta_for(stemmed: str) -> int:
+        flags = 0
+        if tfidf.get_tfidf(stemmed) > 100:
+            flags |= WordFlags.TfIdfHigh.bit
+        if stemmed in s_set:
+            flags |= WordFlags.Subjects.bit
+        if stemmed in n_set:
+            flags |= WordFlags.NamesWords.bit
+        if stemmed in t_set:
+            flags |= WordFlags.Title.bit
+        if stemmed in u_kw:
+            flags |= WordFlags.UrlPath.bit
+        if stemmed in d_kw:
+            flags |= WordFlags.UrlDomain.bit
+        return encode_word_meta(bitmask.get(stemmed, 0), flags)
+
+    b = KeywordsBuilder()
+
+    # createSimpleWords
+    for sent in dld.sentences:
+        if b.size() > 1500:
+            break
+        for i in range(len(sent)):
+            if sent.stop[i]:
+                continue
+            w = sent.words_lc[i]
+            if matches_word_pattern(w):
+                b.add(w, meta_for(sent.stemmed[i]))
+        for s, e in get_proper_names(sent):
+            b.add(sent.word_from_span(s, e), meta_for(sent.stemmed_from_span(s, e)))
+
+    # createWordsFromSet for tfidf-high, title, subject-like, name-like
+    for reps in (tfidf.high_reps, t_reps, s_reps, n_reps):
+        for word, stemmed in reps:
+            if word and not word.isspace():
+                b.add(word, meta_for(stemmed))
+
+    # importantWords (top-16 by tfidf then 6 rarest with dict freq > 100)
+    all_reps = list(tfidf.high_reps) + list(n_reps) + list(s_reps)
+    cands = [(w, st) for w, st in all_reps if len(w) >= 3 and "_" not in w]
+    cands.sort(key=lambda ws: -tfidf.get_tfidf(ws[1]))
+    cands = cands[:16]
+    cands = [(w, st) for w, st in cands if tfidf.dict_freq(st) > 100]
+    cands.sort(key=lambda ws: tfidf.dict_freq(ws[1]))
+    b.important.update(w for w, _ in cands[:6])
+
+    for a in sorted(artifacts):
+        b.add_synthetic(a)
+
+    return b
+
+
+def meta_tags(
+    url_proto: str,
+    url_fqdn: str,
+    url_top_domain: str,
+    tld: str,
+    *,
+    generators: list[str] = (),
+    fmt: str | None = None,
+    features: set[str] = frozenset(),
+    has_js: bool = False,
+    year: int | None = None,
+    pub_iso: str | None = None,
+    ip: str | None = None,
+) -> set[str]:
+    """MetaTagsBuilder — synthetic `key:value` discovery terms."""
+    tags: set[str] = set()
+
+    def add(k, v):
+        if v is not None and v != "":
+            tags.add(f"{k}:{str(v).lower()}")
+
+    add("ip", ip)
+    add("proto", url_proto)
+    add("site", url_fqdn)
+    add("site", url_top_domain)
+    add("tld", tld)
+    for g in generators:
+        add("generator", g)
+    add("format", fmt)
+    tags.update(features)
+    add("js", "true" if has_js else "false")
+    if year is not None and year > 1900:
+        add("year", year)
+    add("pub", pub_iso)
+    return tags

@@ -1,0 +1,249 @@
+"""Sentence extraction and tokenization (the converter's NLP front half).
+
+Ports (semantics + regexes verbatim) of:
+  - SentenceSegmentSplitter.splitSegment:
+      /root/reference/code/libraries/language-processing/src/main/java/nu/marginalia/language/sentence/SentenceSegmentSplitter.java:26-92
+  - SentenceExtractorStringUtils (sanitize / normalize / possessive):
+      .../sentence/SentenceExtractorStringUtils.java
+  - SentencePreCleaner: .../sentence/SentencePreCleaner.java:12-40
+  - SentenceExtractor.extractSentencesFromString / calculateWordCounts:
+      .../sentence/SentenceExtractor.java:63-214
+    (OpenNLP sentence model unavailable here -> we use the reference's own
+     documented fallback: split on '.'  (SentenceExtractor.java:137-141))
+
+DocumentSentence mirrors the reference's parallel-array model
+(.../model/DocumentSentence.java:14-130) including span construction,
+junk-char trimming, joiner normalization and IN/TO/CC/DT stemming exclusion.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from marginalia_ray.functions.ascii_flatten import flatten_unicode
+from marginalia_ray.functions.stemmer import stem
+from marginalia_ray.functions.word_patterns import MAX_WORD_LENGTH, is_stop_word
+from marginalia_ray.stages.postag import tag_sentence
+
+SPACE = 0  # WordSeparator.SPACE
+COMMA = 1  # WordSeparator.COMMA
+
+MAX_SENTENCE_LENGTH = 250  # SentenceExtractor.MAX_SENTENCE_LENGTH
+
+# SentenceSegmentSplitter.wordBreakPattern, ported verbatim
+_WORD_BREAK = re.compile(
+    r"([^/_#@.a-zA-Z'+\-0-9À-ÖØ-öø-ÿ]+)|[|]|(\.(\s+|$))"
+)
+_NOISE = set("/*-")
+
+# SentencePreCleaner.splitPattern
+_PRECLEAN_SPLIT = re.compile(r"( -|- |\|)")
+
+
+def sanitize_string(s: str) -> str:
+    """SentenceExtractorStringUtils.sanitizeString: replace disallowed chars
+    with space, strip one leading '.'."""
+    out = []
+    for c in s:
+        o = ord(c)
+        ok = (
+            ("a" <= c <= "z")
+            or ("A" <= c <= "Z")
+            or ("0" <= c <= "9")
+            or c in "_#@."
+            or 0xC0 <= o <= 0xD6
+            or 0xD8 <= o <= 0xF6
+            or 0xF8 <= o <= 0xFF
+        )
+        out.append(c if ok else " ")
+    r = "".join(out)
+    if r.startswith("."):
+        r = r[1:]
+    return "" if not r.strip() else r
+
+
+def normalize_spaces(s: str) -> str:
+    return s.replace("\t", " ").replace("\n", " ")
+
+
+def strip_possessive(s: str) -> str:
+    if s.endswith("'"):
+        return s[:-1]
+    if s.endswith("'s") or s.endswith("'S"):
+        return s[:-2]
+    return s
+
+
+def to_lower_strip_possessive(s: str) -> str:
+    return strip_possessive(s).lower()
+
+
+def split_segment(segment: str) -> tuple[list[str], list[int]]:
+    """SentenceSegmentSplitter.splitSegment — word/separator arrays."""
+    flat = flatten_unicode(segment)
+    words: list[str] = []
+    seps: list[int] = []
+
+    pos = 0
+    n = len(flat)
+    while pos <= n:
+        m = _WORD_BREAK.search(flat, pos)
+        if not m:
+            words.append(flat[pos:])
+            seps.append(SPACE)
+            break
+        if pos != m.start():
+            word = flat[pos : m.start()]
+            space = flat[m.start() : m.end()]
+            words.append(word)
+            seps.append(SPACE if space.strip() == "" else COMMA)
+        pos = m.end()
+
+    ret_w: list[str] = []
+    ret_s: list[int] = []
+    for w, s in zip(words, seps):
+        if not w or w.isspace():
+            continue
+        if len(w) >= MAX_WORD_LENGTH:
+            continue
+        if all(c in _NOISE for c in w):
+            continue
+        ret_w.append(w)
+        ret_s.append(s)
+
+    for i, w in enumerate(ret_w):
+        if w.startswith("'") and len(w) > 1:
+            w = w[1:]
+            ret_w[i] = w
+        if w.endswith("'") and len(w) > 1:
+            ret_w[i] = w[:-1]
+
+    return ret_w, ret_s
+
+
+def preclean(sentences: list[str]) -> list[str]:
+    """SentencePreCleaner.clean."""
+    max_count = 250
+    max_total = 20 * max_count
+    total = 0
+    count = 0
+    out: list[str] = []
+    for s in sentences:
+        if not s.strip():
+            continue
+        total += len(s)
+        count += 1
+        if total > max_total and count > max_count:
+            break
+        if "-" in s or "|" in s:
+            out.extend(_PRECLEAN_SPLIT.split(s))
+        else:
+            out.append(s)
+    return out
+
+
+@dataclass
+class DocumentSentence:
+    original: str
+    words: list[str]
+    separators: list[int]
+    words_lc: list[str]
+    pos_tags: list[str]
+    stemmed: list[str]
+    stop: list[bool] = field(default_factory=list)
+
+    def __post_init__(self):
+        if not self.stop:
+            self.stop = [is_stop_word(w) for w in self.words]
+
+    def __len__(self):
+        return len(self.words)
+
+    # DocumentSentence.constructWordFromSpan
+    def word_from_span(self, start: int, end: int) -> str:
+        if end - start == 1:
+            return _trim_junk(self.words_lc[start])
+        return _trim_junk("_".join(self.words_lc[start:end]))
+
+    # DocumentSentence.constructStemmedWordFromSpan
+    def stemmed_from_span(self, start: int, end: int) -> str:
+        if end - start > 1:
+            parts = [
+                _normalize_joiner(self.stemmed[i])
+                for i in range(start, end)
+                if self._include_in_stemming(i)
+            ]
+            return "_".join(parts)
+        if self._include_in_stemming(start):
+            return _normalize_joiner(self.stemmed[start])
+        return ""
+
+    def _include_in_stemming(self, i: int) -> bool:
+        return self.pos_tags[i] not in ("IN", "TO", "CC", "DT")
+
+
+def _trim_junk(s: str) -> str:
+    return s.strip("\"'_*")
+
+
+def _normalize_joiner(s: str) -> str:
+    return s.replace("+", "_").replace(".", "_").replace("-", "_")
+
+
+def make_sentence(raw: str, keep_original: bool) -> DocumentSentence:
+    words, seps = split_segment(raw)
+    if len(words) > MAX_SENTENCE_LENGTH:
+        words = words[:MAX_SENTENCE_LENGTH]
+        seps = seps[:MAX_SENTENCE_LENGTH]
+    # strip trailing dots (SentenceExtractor.java:166-169)
+    words = [w.rstrip(".") if w.endswith(".") else w for w in words]
+    tags = tag_sentence(words)
+    lc = [to_lower_strip_possessive(w) for w in words]
+    stems = [stem(strip_possessive(w)) or "NN" for w in lc]
+    return DocumentSentence(
+        original=sanitize_string(raw) if keep_original else "",
+        words=words,
+        separators=seps,
+        words_lc=lc,
+        pos_tags=tags,
+        stemmed=stems,
+    )
+
+
+def extract_sentences_from_string(text: str) -> list[DocumentSentence]:
+    """SentenceExtractor.extractSentencesFromString with the '.'-split
+    fallback sentence detector."""
+    normalized = normalize_spaces(text)
+    raw = [s for s in normalized.split(".") if s]
+    raw = preclean(raw)
+    return [make_sentence(s, keep_original=(i == 0)) for i, s in enumerate(raw)]
+
+
+def calculate_word_counts(sentences: list[DocumentSentence]) -> dict[str, int]:
+    counts: dict[str, int] = {}
+    for sent in sentences:
+        for w in sent.stemmed:
+            counts[w] = counts.get(w, 0) + 1
+    return counts
+
+
+@dataclass
+class DocumentLanguageData:
+    """DocumentLanguageData.java:15-18."""
+
+    sentences: list[DocumentSentence]
+    title_sentences: list[DocumentSentence]
+    word_counts: dict[str, int]
+
+    @property
+    def total_num_words(self) -> int:
+        return sum(len(s) for s in self.sentences)
+
+
+def extract_dld(text: str, title: str) -> DocumentLanguageData:
+    """SentenceExtractor.extractSentences(String text, String title)."""
+    sents = extract_sentences_from_string(text)
+    counts = calculate_word_counts(sents)
+    title_sents = extract_sentences_from_string(title.lower())
+    return DocumentLanguageData(sents, title_sents, counts)

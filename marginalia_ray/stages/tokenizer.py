@@ -1,0 +1,191 @@
+"""Tokenizer / converter actor stage: pages -> index-journal rows.
+
+The Ray-native equivalent of DocumentProcessor.process +
+HtmlDocumentProcessorPlugin.createDetails + DocumentKeywordExtractor
+(/root/reference/code/processes/converting-process/src/main/java/nu/marginalia/converting/processor/DocumentProcessor.java:41-136,
+ .../plugin/HtmlDocumentProcessorPlugin.java:97-179).
+
+This is a CALLABLE CLASS for `map_batches(TokenizerStage, concurrency=N)`:
+model-ish state (term-frequency dict ref, compiled regexes, stopword set) is
+created once per actor in __init__ (A1/A2 in SURVEY.md §2.3), per-batch work
+is __call__.  Output schema is the journal table consumed by
+marginalia_ray.index.build.build_index:
+    (doc_id u64, doc_meta u64, term_hashes list<u64>, kw_metas list<u64>,
+     url str, state str, lsh u64, length i64, title str, quality f64)
+
+Doc identity: doc_id = domain_id<<32 | url_id with domain_id/url_id = 31-bit
+murmur3 of the (lower-cased) strings — deterministic and shuffle-free, the
+hash-as-identity design the reference already applies to terms (lexicon
+readme).  At 10^12-doc scale the 32-bit url space must be partitioned per
+index shard exactly as the reference partitions per index service.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import ray
+
+from marginalia_ray.functions.hashing import murmur3_64, term_hash
+from marginalia_ray.functions.lsh import lsh_of_words
+from marginalia_ray.functions.urls import parse_url
+from marginalia_ray.model.codecs import encode_doc_meta, year_to_byte
+from marginalia_ray.stages.extract import extract_document
+from marginalia_ray.stages.keywords import extract_keywords, meta_tags
+from marginalia_ray.stages.sentences import extract_dld
+
+DISQUALIFIED_STATES = ("LANGUAGE", "ROBOTS_NOINDEX", "LENGTH", "EMPTY")
+MIN_DOCUMENT_LENGTH = 250  # DocumentLengthLogic minimum (default specialization)
+
+
+def _id31(s: str) -> int:
+    return murmur3_64(s.encode("utf-8")) & 0x7FFF_FFFF
+
+
+class TokenizerStage:
+    """pages batch (url, html|text, lang, warc_ts) -> journal batch."""
+
+    def __init__(self, dict_freqs_ref=None, doc_count: int = 11_820_118, use_html: bool = True):
+        # per-actor state: broadcast TermFrequencyDict (A2) fetched once
+        self.dict_freqs = ray.get(dict_freqs_ref) if dict_freqs_ref is not None else None
+        self.doc_count = doc_count
+        self.use_html = use_html
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        langs = batch["lang"].to_pylist() if "lang" in batch.column_names else ["en"] * len(urls)
+        htmls = batch["html"].to_pylist() if self.use_html and "html" in batch.column_names else None
+        texts = batch["text"].to_pylist() if "text" in batch.column_names else None
+
+        out = {
+            "doc_id": [], "doc_meta": [], "term_hashes": [], "kw_metas": [],
+            "url": [], "state": [], "lsh": [], "length": [], "title": [],
+            "quality": [],
+        }
+
+        for i, url in enumerate(urls):
+            row = self._process_one(
+                url,
+                htmls[i] if htmls is not None else None,
+                texts[i] if texts is not None else None,
+                langs[i],
+            )
+            for k, v in row.items():
+                out[k].append(v)
+
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"], pa.uint64()),
+                "doc_meta": pa.array(out["doc_meta"], pa.uint64()),
+                "term_hashes": pa.array(out["term_hashes"], pa.list_(pa.uint64())),
+                "kw_metas": pa.array(out["kw_metas"], pa.list_(pa.uint64())),
+                "url": pa.array(out["url"], pa.string()),
+                "state": pa.array(out["state"], pa.string()),
+                "lsh": pa.array(out["lsh"], pa.uint64()),
+                "length": pa.array(out["length"], pa.int64()),
+                "title": pa.array(out["title"], pa.string()),
+                "quality": pa.array(out["quality"], pa.float64()),
+            }
+        )
+
+    def _process_one(self, url: str, html, text: str | None, lang: str) -> dict:
+        pu = parse_url(url)
+        doc_id = (_id31(pu.fqdn) << 32) | (murmur3_64(url.encode("utf-8")) & 0xFFFF_FFFF)
+
+        def disqualified(state: str) -> dict:
+            return dict(
+                doc_id=doc_id, doc_meta=0, term_hashes=[], kw_metas=[], url=url,
+                state=state, lsh=0, length=0, title="", quality=0.0,
+            )
+
+        # M9 / LanguageFilter: the input table's lang column stands in for
+        # dictionary agreement
+        if lang not in ("en",):
+            return disqualified("LANGUAGE")
+
+        year = None
+        q = 0.0
+        if html is not None:
+            h = html.decode("utf-8", "replace") if isinstance(html, (bytes, bytearray)) else html
+            doc = extract_document(h)
+            if doc.noindex:
+                return disqualified("ROBOTS_NOINDEX")
+            text = doc.text
+            title = doc.title
+            q = doc.quality
+            features = doc.features
+            fmt = doc.standard
+            year = _sniff_year(h, url)
+        else:
+            title = (text or "").split(".")[0][:128]
+            features = set()
+            fmt = "PLAIN"
+
+        if not text:
+            return disqualified("EMPTY")
+        if len(text) < MIN_DOCUMENT_LENGTH:
+            return disqualified("LENGTH")
+
+        dld = extract_dld(text, title)
+        builder = extract_keywords(
+            dld, pu.path, pu.fqdn, dict_freqs=self.dict_freqs, doc_count=self.doc_count
+        )
+
+        # synthetic meta terms (M11)
+        tags = meta_tags(
+            pu.proto, pu.fqdn, pu.top_domain, pu.tld,
+            fmt=fmt, features=features,
+            has_js="special:scripts" in features,
+            year=year,
+        )
+        for t in sorted(tags):
+            builder.add_synthetic(t)
+
+        kws = builder.build()
+        hashes, metas = [], []
+        for w, m in zip(kws.words, kws.metas):
+            th = term_hash(w)
+            if th is not None:
+                hashes.append(th)
+                metas.append(m)
+
+        # DocumentMetadata: asl ~ totalNumWords/sentences, quality clamped 0..15
+        n_sent = max(1, len(dld.sentences))
+        asl = dld.total_num_words // n_sent
+        doc_meta = encode_doc_meta(
+            avg_sent_length=min(3, asl // 4),  # coarse 2-bit field
+            year=year_to_byte(year) if year else 0,
+            quality=int(-q) if q < 0 else 0,
+        )
+
+        lsh = lsh_of_words(w for s in dld.sentences for w in s.words)
+
+        return dict(
+            doc_id=doc_id,
+            doc_meta=doc_meta,
+            term_hashes=hashes,
+            kw_metas=metas,
+            url=url,
+            state="OK",
+            lsh=lsh,
+            length=dld.total_num_words,
+            title=title,
+            quality=q,
+        )
+
+
+import re as _re
+
+_YEAR_META = _re.compile(r'article:published_time"\s+content="(\d{4})')
+_YEAR_PATH = _re.compile(r"/((?:19|20)\d{2})/")
+
+
+def _sniff_year(html: str, url: str) -> int | None:
+    """PubDateSniffer, abbreviated heuristic chain (M18): OpenGraph-ish meta
+    tag, then URL path pattern."""
+    m = _YEAR_META.search(html)
+    if m:
+        return int(m.group(1))
+    m = _YEAR_PATH.search(url)
+    if m:
+        return int(m.group(1))
+    return None

@@ -1,16 +1,15 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in the library code) calls ``ray.init()`` / ``ray.shutdown()``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``entry()`` runs the flagship Marginalia-style pipeline (plain-text docs
+-> tokenizer actor pool -> journal -> one-shuffle inverted-index build ->
+BM25 search) on sf0.001.  ``queries()`` exposes each implemented operator
+over the sf tables; ``oracle_sql()`` holds the DuckDB equivalents (ops
+whose semantics are not SQL-expressible — LSH candidates, the full
+Marginalia tokenizer — are listed without an oracle and get the weaker
+rows-only check).
 """
 
 from __future__ import annotations
@@ -18,27 +17,229 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+# the SQL-replicable simple tokenizer, shared by every oracle below
+_TOK = "list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), x->x<>'')"
+
+KNN_QUERY_IDS = list(range(8))
+KNN_K = 5
+BM25_TERMS = ["spark", "join", "window"]
+JACCARD_THRESHOLD = 0.5
+
+
+def _docs(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+
+def _emb(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+
+def _query_vectors(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from marginalia_ray.ops.similarity import _stack
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_pylist()
+    order = sorted(range(len(ids)), key=lambda i: ids[i])
+    take = [order[i] for i in KNN_QUERY_IDS]
+    return _stack(t["embedding"]).take(take, axis=0), [ids[i] for i in take]
+
+
+# ---- flagship: documents-as-pages -> inverted index -> search ----------
+
+
+def build_docs_index(sf_dir: str, out_root: str, n_shards: int = 8):
+    """Marginalia pipeline with the plain-text branch (documents table has
+    no html): tokenizer actor pool -> journal -> index build."""
+    import ray.data
+
+    from marginalia_ray.pipelines.index_pipeline import run_index_pipeline
+
+    # adapt documents to the pages shape: synthesize a url per doc and
+    # stage the pages parquet under out_root (driver-visible scratch)
+    import os
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    pages_dir = f"{out_root}/pages"
+    os.makedirs(pages_dir, exist_ok=True)
+
+    def _to_pages(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"]
+        url = pc.binary_join_element_wise(
+            "https://", pc.cast(batch["source"], pa.string()),
+            ".example/doc/", pc.cast(ids, pa.string()), "",
+        )
+        return pa.table(
+            {"url": url, "text": batch["text"], "lang": batch["lang"]}
+        )
+
+    ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "source"]
+    ).map_batches(_to_pages, batch_format="pyarrow").write_parquet(pages_dir)
+
+    return run_index_pipeline(pages_dir, out_root, n_shards=n_shards)
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on sf0.001; returns the search results table."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from marginalia_ray.query.engine import IndexSearcher
+
+    out_root = tempfile.mkdtemp(prefix="marginalia_ray_entry_")
+    try:
+        build_docs_index("/root/testdata/sf0.001", out_root)
+        s = IndexSearcher(out_root)
+        rows = []
+        for q in (["spark", "join"], ["window", "batch"], ["customer"]):
+            for r in s.search_words(q):
+                rows.append(
+                    {
+                        "query": " ".join(q),
+                        "url_id": r.url_id,
+                        "domain_id": r.domain_id,
+                        "score": r.score,
+                    }
+                )
+        return pd.DataFrame(rows, columns=["query", "url_id", "domain_id", "score"])
+    finally:
+        shutil.rmtree(out_root, ignore_errors=True)
+
+
+# ---- queries ----------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from marginalia_ray.ops.bm25 import bm25_topk
+    from marginalia_ray.ops.dedup import (
+        exact_dedup,
+        jaccard_pairs,
+        minhash_lsh_pairs,
+        simhash_pairs,
+    )
+    from marginalia_ray.ops.similarity import knn_cosine, knn_cosine_lsh
+    from marginalia_ray.ops.text_ops import (
+        doc_quality,
+        stopword_ratio,
+        term_doc_freq,
+        token_count,
+    )
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def q_knn(sf_dir: str):
+        qm, qids = _query_vectors(sf_dir)
+        return knn_cosine(_emb(sf_dir), qm, qids, k=KNN_K)
+
+    def q_knn_lsh(sf_dir: str):
+        qm, qids = _query_vectors(sf_dir)
+        return knn_cosine_lsh(_emb(sf_dir), qm, qids, k=KNN_K, n_planes=6)
+
+    def q_index_search(sf_dir: str):
+        import shutil
+        import tempfile
+
+        import pandas as pd
+
+        from marginalia_ray.query.engine import IndexSearcher
+
+        out_root = tempfile.mkdtemp(prefix="marginalia_ray_q_")
+        try:
+            build_docs_index(sf_dir, out_root)
+            s = IndexSearcher(out_root)
+            rows = []
+            for q in (["spark", "join"], ["window", "batch"], ["customer"]):
+                for rank, r in enumerate(s.search_words(q)):
+                    rows.append(
+                        {
+                            "query": " ".join(q),
+                            "rank": rank,
+                            "url_id": r.url_id,
+                            "score": round(r.score, 6),
+                        }
+                    )
+            return pd.DataFrame(rows, columns=["query", "rank", "url_id", "score"])
+        finally:
+            shutil.rmtree(out_root, ignore_errors=True)
+
+    return {
+        "token_count": lambda sf: token_count(_docs(sf)),
+        "term_doc_freq": lambda sf: term_doc_freq(_docs(sf)),
+        "stopword_ratio": lambda sf: stopword_ratio(_docs(sf)),
+        "doc_quality": lambda sf: doc_quality(_docs(sf)),
+        "exact_dedup": lambda sf: exact_dedup(_docs(sf)),
+        "jaccard_pairs": lambda sf: jaccard_pairs(_docs(sf), threshold=JACCARD_THRESHOLD),
+        "minhash_dedup": lambda sf: minhash_lsh_pairs(_docs(sf), threshold=JACCARD_THRESHOLD),
+        "simhash_pairs": lambda sf: simhash_pairs(_docs(sf)),
+        "knn_cosine": q_knn,
+        "knn_cosine_lsh": q_knn_lsh,
+        "bm25_topk": lambda sf: bm25_topk(_docs(sf), BM25_TERMS, k=10),
+        "marginalia_search": q_index_search,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sw = ",".join(f"'{w}'" for w in __import__("marginalia_ray.ops.text_ops", fromlist=["STOPWORDS"]).STOPWORDS)
+    tl = ",".join(f"'{t}'" for t in BM25_TERMS)
+    qid = ",".join(str(i) for i in KNN_QUERY_IDS)
+    jaccard = f"""
+ WITH tok AS (SELECT doc_id, {_TOK} AS ts FROM documents),
+ idx AS (SELECT doc_id, ts, unnest(generate_series(1, len(ts)-2)) AS i FROM tok),
+ sh AS (SELECT DISTINCT doc_id, ts[i]||' '||ts[i+1]||' '||ts[i+2] AS shingle FROM idx),
+ sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+ inter AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) i
+           FROM sh a JOIN sh b ON a.shingle=b.shingle AND a.doc_id<b.doc_id GROUP BY 1,2)
+ SELECT doc_a, doc_b, round(i::DOUBLE/(x.n+y.n-i),6) AS jaccard
+ FROM inter JOIN sz x ON doc_a=x.doc_id JOIN sz y ON doc_b=y.doc_id
+ WHERE i::DOUBLE/(x.n+y.n-i) >= {JACCARD_THRESHOLD}"""
+    return {
+        "token_count": f"SELECT doc_id, len({_TOK})::BIGINT AS n_tokens FROM documents",
+        "term_doc_freq": f"""
+ SELECT term, count(*)::BIGINT AS doc_freq FROM (
+   SELECT DISTINCT doc_id, unnest({_TOK}) AS term FROM documents) GROUP BY term""",
+        "stopword_ratio": f"""
+ WITH tok AS (SELECT doc_id, {_TOK} AS ts FROM documents)
+ SELECT doc_id, len(ts)::BIGINT AS n_tokens,
+        round(len(list_filter(ts, x -> x IN ({sw})))::DOUBLE / greatest(len(ts),1), 6) AS stop_ratio
+ FROM tok""",
+        "doc_quality": f"""
+ WITH tok AS (SELECT doc_id, greatest(len({_TOK}),1) AS n, length(text) AS c FROM documents)
+ SELECT doc_id, round(ln(n::DOUBLE/(1+c)),6) AS quality FROM tok""",
+        "exact_dedup": """
+ SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id, count(*)::BIGINT AS n_dups
+ FROM documents GROUP BY 1""",
+        "jaccard_pairs": jaccard,
+        # minhash+LSH is verified-exact; at this scale its fixed-seed recall
+        # over the planted near-dups is 1.0, so the exact-Jaccard SQL is the
+        # oracle (probabilistic completeness documented in ops/dedup.py)
+        "minhash_dedup": jaccard,
+        "knn_cosine": f"""
+ WITH q AS (SELECT vec_id qid, CAST(embedding AS DOUBLE[]) qe FROM embeddings WHERE vec_id IN ({qid})),
+ s AS (SELECT q.qid query_id, e.vec_id neighbor_id,
+              list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) score
+       FROM q, embeddings e WHERE e.vec_id != q.qid),
+ r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) rn FROM s)
+ SELECT query_id, neighbor_id, round(score,6) AS score FROM r WHERE rn <= {KNN_K}""",
+        "bm25_topk": f"""
+ WITH tok AS (SELECT doc_id, {_TOK} AS ts FROM documents),
+ stats AS (SELECT count(*) AS n_docs, avg(len(ts)) AS avgdl FROM tok),
+ tf AS (SELECT doc_id, len(ts) AS dl, t AS term, len(list_filter(ts, x->x=t)) AS tf
+        FROM tok, (SELECT unnest([{tl}]) AS t)),
+ df AS (SELECT term, sum(CASE WHEN tf>0 THEN 1 ELSE 0 END) AS df FROM tf GROUP BY term),
+ scored AS (SELECT tf.doc_id,
+        sum(CASE WHEN tf.tf>0 THEN ln(1+(stats.n_docs-df.df+0.5)/(df.df+0.5))
+                 * tf.tf/(tf.tf+1.2*(1-0.75+0.75*tf.dl/stats.avgdl)) ELSE 0 END) AS s
+   FROM tf, stats, df WHERE tf.term=df.term GROUP BY tf.doc_id)
+ SELECT doc_id, round(s,6) AS score FROM scored WHERE s>0 ORDER BY s DESC, doc_id LIMIT 10""",
+        # simhash_pairs, knn_cosine_lsh, marginalia_search: no SQL oracle
+        # (LSH candidate generation / full Marginalia tokenizer + BM25-with-
+        # position-bitmask semantics are not SQL-expressible) -> rows-only.
+    }

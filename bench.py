@@ -1,0 +1,177 @@
+"""Benchmark driver: headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on a fresh local Ray session.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec}, "sf": ..., "num_cpus": N}
+
+--scaling: runs the headline index-build pipeline twice in fresh
+subprocesses (num_cpus = N/4 and N) on the same input and reports both
+throughputs + scaling efficiency (the sandbox stand-in for the
+north_rule's N vs 4N cluster sizes).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# pages corpus size for the index-build headline (rows); sized so the
+# tokenizer stage dominates and the run finishes in tens of seconds
+PAGES_ROWS = int(os.environ.get("GRAFT_PAGES_ROWS", "20000"))
+
+
+def _run_queries() -> dict[str, float]:
+    import __ray_entry__ as e
+
+    out: dict[str, float] = {}
+    for name, fn in e.queries().items():
+        t0 = time.time()
+        import ray.data
+
+        res = fn(SF_DIR)
+        # consume lazily-evaluated datasets
+        n = res.count() if isinstance(res, ray.data.Dataset) else len(res)
+        out[name] = round(time.time() - t0, 3)
+        assert n >= 0
+    return out
+
+
+def _index_build_bench(num_cpus: int) -> dict:
+    """The headline: synthetic pages -> tokenizer pool -> index build."""
+    from marginalia_ray.pipelines.index_pipeline import run_index_pipeline
+    from marginalia_ray.sources.pages import pages_parquet
+
+    pages = pages_parquet(PAGES_ROWS)  # cached across runs; built under Ray
+    out_root = tempfile.mkdtemp(prefix="marginalia_bench_")
+    t0 = time.time()
+    manifest = run_index_pipeline(pages, out_root, n_shards=32, resume=False)
+    elapsed = time.time() - t0
+    import shutil
+
+    shutil.rmtree(out_root, ignore_errors=True)
+    return {
+        "docs": manifest["doc_count"],
+        "sec": round(elapsed, 3),
+        "docs_per_sec": round(manifest["doc_count"] / elapsed, 1),
+        "num_cpus": num_cpus,
+    }
+
+
+def _query_latency_bench(n_queries: int = 100) -> dict:
+    """p50/p99 over repeated keyword searches on a built index."""
+    import numpy as np
+
+    from marginalia_ray.pipelines.index_pipeline import run_index_pipeline
+    from marginalia_ray.query.engine import IndexSearcher
+    from marginalia_ray.sources.pages import pages_parquet
+
+    pages = pages_parquet(5000)
+    out_root = tempfile.mkdtemp(prefix="marginalia_qbench_")
+    run_index_pipeline(pages, out_root, n_shards=8)
+    s = IndexSearcher(out_root)
+    words = ["search", "index", "page", "site", "data", "time", "year", "work",
+             "world", "system", "file", "link"]
+    lat = []
+    for i in range(n_queries):
+        q = [words[i % len(words)], words[(i * 7 + 3) % len(words)]]
+        t0 = time.time()
+        s.search_words(q)
+        lat.append(time.time() - t0)
+    import shutil
+
+    shutil.rmtree(out_root, ignore_errors=True)
+    return {
+        "p50_ms": round(float(np.percentile(lat, 50)) * 1000, 2),
+        "p99_ms": round(float(np.percentile(lat, 99)) * 1000, 2),
+        "n": n_queries,
+    }
+
+
+def main() -> None:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        logging_level="ERROR",
+    )
+    try:
+        t0 = time.time()
+        queries = _run_queries()
+        build = _index_build_bench(NUM_CPUS)
+        qlat = _query_latency_bench()
+        total = round(time.time() - t0, 3)
+        print(
+            json.dumps(
+                {
+                    "metric": "index-build docs/sec + query latency + operator suite (sec)",
+                    "value": total,
+                    "unit": "sec",
+                    "queries": queries,
+                    "index_build": build,
+                    "query_latency": qlat,
+                    "sf": SF_DIR,
+                    "num_cpus": NUM_CPUS,
+                }
+            )
+        )
+    finally:
+        ray.shutdown()
+
+
+def _scaling_child(num_cpus: int) -> dict:
+    """Run the index-build bench alone in this process (fresh Ray)."""
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             logging_level="ERROR")
+    try:
+        return _index_build_bench(num_cpus)
+    finally:
+        ray.shutdown()
+
+
+def scaling() -> None:
+    lo, hi = max(2, NUM_CPUS // 4), NUM_CPUS
+    results = []
+    for n in (lo, hi):
+        out = subprocess.run(
+            [sys.executable, __file__, "--scaling-child", str(n)],
+            capture_output=True, text=True, check=True,
+        )
+        results.append(json.loads(out.stdout.strip().splitlines()[-1]))
+    tp_lo, tp_hi = results[0]["docs_per_sec"], results[1]["docs_per_sec"]
+    eff = (tp_hi / tp_lo) / (hi / lo)
+    print(
+        json.dumps(
+            {
+                "metric": "index-build scaling efficiency",
+                "value": round(eff, 3),
+                "unit": "efficiency",
+                "low": results[0],
+                "high": results[1],
+                "cpus": [lo, hi],
+                "sf": SF_DIR,
+                "num_cpus": NUM_CPUS,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling-child" in sys.argv:
+        n = int(sys.argv[sys.argv.index("--scaling-child") + 1])
+        print(json.dumps(_scaling_child(n)))
+    elif "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

@@ -1,0 +1,162 @@
+"""Similarity search over an embedding column (list<float>).
+
+Brute-force cosine top-k is the exact baseline: the query matrix is
+broadcast once (ray.put), every batch does one float64 matmul, partial
+top-k per batch, and a tiny groupby(query).map_groups merge — the input
+dataset streams, nothing materializes.  The LSH-bucketed variant
+(random-hyperplane signatures) is the scale path: candidates come from
+matching signature buckets only.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+
+def _stack(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """list<float> column -> (n, d) float64 matrix, zero-copy flatten."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(col)
+    return flat.reshape(n, -1)
+
+
+def knn_cosine(
+    ds,
+    query_vectors: np.ndarray,
+    query_ids: list[int],
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    exclude_self: bool = True,
+):
+    """Exact cosine top-k: (query_id, neighbor_id, score) — k rows per query,
+    score rounded to 6 dp, ties broken by ascending neighbor id."""
+    q = np.asarray(query_vectors, dtype=np.float64)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    q_ref = ray.put((qn, np.asarray(query_ids, dtype=np.int64)))
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        qmat, qids = ray.get(q_ref)
+        v = _stack(batch[vec_col])
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        vn = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-30)
+        scores = qmat @ vn.T  # (nq, nb)
+        if exclude_self:
+            mask = qids[:, None] == ids[None, :]
+            scores = np.where(mask, -np.inf, scores)
+        kk = min(k, scores.shape[1])
+        # per-query partial top-k (ties -> lower neighbor id first)
+        order = np.lexsort((ids[None, :].repeat(len(qids), 0), -scores), axis=1)[:, :kk]
+        out_q = np.repeat(qids, kk)
+        out_n = ids[order].ravel()
+        out_s = np.take_along_axis(scores, order, axis=1).ravel()
+        keep = np.isfinite(out_s)
+        return pa.table(
+            {
+                "query_id": pa.array(out_q[keep]),
+                "neighbor_id": pa.array(out_n[keep]),
+                "score": pa.array(out_s[keep], pa.float64()),
+            }
+        )
+
+    def _merge(group: pa.Table) -> pa.Table:
+        qid = group["query_id"][0].as_py()
+        n = group["neighbor_id"].to_numpy(zero_copy_only=False)
+        s = group["score"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((n, -s))[:k]
+        return pa.table(
+            {
+                "query_id": pa.array(np.full(len(order), qid, dtype=np.int64)),
+                "neighbor_id": pa.array(n[order]),
+                "score": pa.array(np.round(s[order], 6), pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(_merge, batch_format="pyarrow")
+    )
+
+
+class HyperplaneLshStage:
+    """Actor-pool stage: embedding batch -> (vec_id, bucket) signature rows.
+    Random hyperplanes drawn once per actor from a fixed seed, so every
+    actor computes identical signatures."""
+
+    def __init__(self, n_planes: int = 16, dim: int = 64, seed: int = 7,
+                 vec_col: str = "embedding", id_col: str = "vec_id"):
+        rng = np.random.RandomState(seed)
+        self.planes = rng.standard_normal((n_planes, dim))
+        self.vec_col, self.id_col = vec_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        v = _stack(batch[self.vec_col])
+        bits = (v @ self.planes.T) > 0
+        buckets = (bits.astype(np.uint64) << np.arange(bits.shape[1], dtype=np.uint64)).sum(axis=1)
+        return pa.table(
+            {
+                self.id_col: batch[self.id_col],
+                "bucket": pa.array(buckets, pa.uint64()),
+            }
+        )
+
+
+def knn_cosine_lsh(
+    ds,
+    query_vectors: np.ndarray,
+    query_ids: list[int],
+    k: int = 5,
+    n_planes: int = 10,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Approximate top-k: only score vectors whose hyperplane signature
+    matches a query signature (single-probe).  Scale path for brute-force;
+    recall < 1 by construction."""
+    stage = HyperplaneLshStage(n_planes=n_planes, dim=dim, vec_col=vec_col, id_col=id_col)
+    q = np.asarray(query_vectors, dtype=np.float64)
+    qbits = (q @ stage.planes.T) > 0
+    qbuckets = set(
+        (qbits.astype(np.uint64) << np.arange(qbits.shape[1], dtype=np.uint64)).sum(axis=1).tolist()
+    )
+
+    ncpu = max(2, int(ray.cluster_resources().get("CPU", 8)) - 1)
+    sig = ds.map_batches(
+        HyperplaneLshStage,
+        fn_constructor_kwargs=dict(n_planes=n_planes, dim=dim, vec_col=vec_col, id_col=id_col),
+        batch_format="pyarrow",
+        concurrency=ncpu,
+    )
+    bucket_list = sorted(qbuckets)
+
+    def _filt(batch: pa.Table) -> pa.Table:
+        b = batch["bucket"].to_numpy(zero_copy_only=False)
+        keep = np.isin(b, np.asarray(bucket_list, dtype=np.uint64))
+        return batch.filter(pa.array(keep))
+
+    cand_ids = sig.map_batches(_filt, batch_format="pyarrow").drop_columns(["bucket"])
+    cand_set_ref = ray.put(
+        set(
+            x
+            for ref in cand_ids.to_arrow_refs()
+            for t in [ray.get(ref)]
+            if t.num_columns
+            for x in t[id_col].to_pylist()
+        )
+    )
+
+    def _restrict(batch: pa.Table) -> pa.Table:
+        cand = ray.get(cand_set_ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        keep = np.fromiter((int(i) in cand for i in ids), count=len(ids), dtype=bool)
+        return batch.filter(pa.array(keep))
+
+    restricted = ds.map_batches(_restrict, batch_format="pyarrow")
+    return knn_cosine(restricted, query_vectors, query_ids, k=k, vec_col=vec_col, id_col=id_col)

@@ -87,7 +87,11 @@ def run_index_pipeline(
     journal_done = journal_dir / "_COMPLETE.json"
     if not (resume and journal_done.exists()):
         journal_dir.mkdir(parents=True, exist_ok=True)
-        pages = ray.data.read_parquet(str(pages_path), columns=["url", "html", "text", "lang"])
+        import pyarrow.dataset as pads
+
+        avail = set(pads.dataset(str(pages_path)).schema.names)
+        cols = [c for c in ("url", "html", "text", "lang") if c in avail]
+        pages = ray.data.read_parquet(str(pages_path), columns=cols)
         journal = convert_pages(pages, concurrency=concurrency)
         # keep only indexed docs in the journal; carry the doc table columns
         journal = journal.filter(expr="state == 'OK'")

@@ -170,7 +170,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         finally:
             shutil.rmtree(out_root, ignore_errors=True)
 
+    from marginalia_ray.ops.relational import domain_stats, sessionize
+
+    def q_domain_stats(sf_dir: str):
+        import ray.data
+
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+        )
+        return domain_stats(ds)
+
+    def q_sessionize(sf_dir: str):
+        import ray.data
+
+        ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+        return sessionize(ev)
+
     return {
+        "domain_stats": q_domain_stats,
+        "sessionize": q_sessionize,
         "token_count": lambda sf: token_count(_docs(sf)),
         "term_doc_freq": lambda sf: term_doc_freq(_docs(sf)),
         "stopword_ratio": lambda sf: stopword_ratio(_docs(sf)),
@@ -201,6 +219,18 @@ def oracle_sql() -> dict[str, str]:
  FROM inter JOIN sz x ON doc_a=x.doc_id JOIN sz y ON doc_b=y.doc_id
  WHERE i::DOUBLE/(x.n+y.n-i) >= {JACCARD_THRESHOLD}"""
     return {
+        "domain_stats": """
+ SELECT source AS domain, count(*)::BIGINT AS n_docs, round(avg(length(text)),6) AS avg_chars
+ FROM documents GROUP BY source""",
+        "sessionize": """
+ WITH o AS (SELECT user_id, epoch_us(ts) AS us,
+            CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 30*60*1000000
+                 OR lag(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+       FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+ s AS (SELECT user_id, us, (sum(new_s) OVER (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING)-1)::BIGINT AS session_no FROM o)
+ SELECT user_id, session_no, count(*)::BIGINT AS n_events,
+        min(us) AS start_us, max(us) AS end_us
+ FROM s GROUP BY user_id, session_no""",
         "token_count": f"SELECT doc_id, len({_TOK})::BIGINT AS n_tokens FROM documents",
         "term_doc_freq": f"""
  SELECT term, count(*)::BIGINT AS doc_freq FROM (

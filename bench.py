@@ -25,7 +25,7 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
 # pages corpus size for the index-build headline (rows); sized so the
 # tokenizer stage dominates and the run finishes in tens of seconds
-PAGES_ROWS = int(os.environ.get("GRAFT_PAGES_ROWS", "20000"))
+PAGES_ROWS = int(os.environ.get("GRAFT_PAGES_ROWS", "60000"))
 
 
 def _run_queries() -> dict[str, float]:
@@ -52,7 +52,7 @@ def _index_build_bench(num_cpus: int) -> dict:
     pages = pages_parquet(PAGES_ROWS)  # cached across runs; built under Ray
     out_root = tempfile.mkdtemp(prefix="marginalia_bench_")
     t0 = time.time()
-    manifest = run_index_pipeline(pages, out_root, n_shards=32, resume=False)
+    manifest = run_index_pipeline(pages, out_root, n_shards=128, resume=False)
     elapsed = time.time() - t0
     import shutil
 
@@ -61,6 +61,8 @@ def _index_build_bench(num_cpus: int) -> dict:
         "docs": manifest["doc_count"],
         "sec": round(elapsed, 3),
         "docs_per_sec": round(manifest["doc_count"] / elapsed, 1),
+        "convert_sec": manifest["convert_sec"],
+        "index_sec": manifest["index_sec"],
         "num_cpus": num_cpus,
     }
 
@@ -141,12 +143,17 @@ def _scaling_child(num_cpus: int) -> dict:
 
 
 def scaling() -> None:
+    # scaling needs a corpus large enough to amortize per-run fixed costs
+    # (ray/actor startup, read/write latency) at the high parallelism level;
+    # same input at both levels, per the north_rule
+    rows = max(PAGES_ROWS, int(os.environ.get("GRAFT_SCALING_ROWS", "200000")))
     lo, hi = max(2, NUM_CPUS // 4), NUM_CPUS
     results = []
     for n in (lo, hi):
+        env = dict(os.environ, GRAFT_PAGES_ROWS=str(rows))
         out = subprocess.run(
             [sys.executable, __file__, "--scaling-child", str(n)],
-            capture_output=True, text=True, check=True,
+            capture_output=True, text=True, check=True, env=env,
         )
         results.append(json.loads(out.stdout.strip().splitlines()[-1]))
     tp_lo, tp_hi = results[0]["docs_per_sec"], results[1]["docs_per_sec"]

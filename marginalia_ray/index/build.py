@@ -172,7 +172,10 @@ def build_index(
     exploded = journal.select_columns(["doc_id", "term_hashes", "kw_metas"]).map_batches(
         make_explode_fn(rankings_ref, n_shards, n_buckets), batch_format="pyarrow"
     )
-    lineage_ds = exploded.groupby("key").map_groups(
+    # hash-based shuffle (num_partitions) beats the default sort shuffle ~2x
+    # here: keys are already dense integers, no order needed across groups
+    n_parts = min(n_shards * max(1, n_buckets), 128)
+    lineage_ds = exploded.groupby("key", num_partitions=n_parts).map_groups(
         make_run_writer(build_dir, n_buckets), batch_format="pyarrow"
     )
     lineage = lineage_ds.to_pandas()  # small: 2 rows per (shard,bucket)

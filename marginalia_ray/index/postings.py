@@ -28,12 +28,13 @@ U64 = np.uint64
 BLOCK_SIZE = 128
 
 
-def varbyte_encode(values: np.ndarray) -> np.ndarray:
-    """Vectorized LEB128-style varbyte: 7 data bits/byte, MSB = continuation."""
+def varbyte_encode_with_sizes(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized LEB128-style varbyte: 7 data bits/byte, MSB = continuation.
+    Returns (byte stream, bytes-per-value)."""
     v = np.asarray(values, dtype=U64)
     n = len(v)
     if n == 0:
-        return np.zeros(0, dtype=np.uint8)
+        return np.zeros(0, dtype=np.uint8), np.zeros(0, dtype=np.int64)
     # bytes needed per value: ceil(bitlen/7), min 1
     nbytes = np.ones(n, dtype=np.int64)
     x = v >> U64(7)
@@ -54,7 +55,11 @@ def varbyte_encode(values: np.ndarray) -> np.ndarray:
         cont = (k + 1 < nbytes[sel]).astype(np.uint8) << 7
         out[idx] = byte | cont
         x = x >> U64(7)
-    return out
+    return out, nbytes
+
+
+def varbyte_encode(values: np.ndarray) -> np.ndarray:
+    return varbyte_encode_with_sizes(values)[0]
 
 
 def varbyte_decode(buf: np.ndarray, n_values: int) -> np.ndarray:
@@ -127,6 +132,84 @@ def encode_posting_list(doc_ids: np.ndarray, metas: np.ndarray | None) -> bytes:
     if metas is not None:
         body += np.asarray(metas, dtype=U64).tobytes()
     return header + body
+
+
+def encode_run(
+    terms: np.ndarray, ids: np.ndarray, metas: np.ndarray | None
+) -> dict:
+    """Vectorized whole-run encoder: input lexsorted by (term, doc id), with
+    (term, doc) pairs unique.  Zero per-term Python — every quantity is a
+    reduceat/cumsum over the flat posting stream.
+
+    Per-term streams use the same convention as encode_posting_list: values
+    at block starts (every BLOCK_SIZE postings within a term) are absolute
+    doc ids, others are deltas — so a term's list is decodable from its byte
+    slice alone and runs concatenate deterministically.
+
+    Returns dict with:
+      term_hash  (n_terms,) u64     doc_freq (n_terms,) i64
+      offset     (n_terms,) i64     nbytes   (n_terms,) i64   (delta stream)
+      deltas     uint8 stream       block_max (n_blocks_total,) u64
+      block_off  (n_blocks_total,) u32 (byte offset relative to term start)
+      metas      aligned u64 array or None
+    """
+    n = len(ids)
+    if n == 0:
+        z64 = np.zeros(0, dtype=U64)
+        zi = np.zeros(0, dtype=np.int64)
+        return dict(
+            term_hash=z64, doc_freq=zi, offset=zi, nbytes=zi,
+            deltas=np.zeros(0, dtype=np.uint8), block_max=z64,
+            block_off=np.zeros(0, dtype=np.uint32),
+            metas=(np.zeros(0, dtype=U64) if metas is not None else None),
+        )
+    terms = np.asarray(terms, dtype=U64)
+    ids = np.asarray(ids, dtype=U64)
+
+    new_term = np.empty(n, dtype=bool)
+    new_term[0] = True
+    new_term[1:] = terms[1:] != terms[:-1]
+    term_start = np.flatnonzero(new_term)
+    df = np.diff(np.append(term_start, n))
+
+    pos_in_term = np.arange(n, dtype=np.int64) - np.repeat(term_start, df)
+    is_block_start = (pos_in_term % BLOCK_SIZE) == 0
+
+    deltas = np.empty(n, dtype=U64)
+    deltas[0] = ids[0]
+    np.subtract(ids[1:], ids[:-1], out=deltas[1:])
+    vals = np.where(is_block_start, ids, deltas)
+
+    enc, sizes = varbyte_encode_with_sizes(vals)
+    val_off = np.cumsum(sizes) - sizes
+    term_nbytes = np.add.reduceat(sizes, term_start)
+    term_off = np.cumsum(term_nbytes) - term_nbytes
+
+    block_start = np.flatnonzero(is_block_start)
+    nblocks_per_term = (df + BLOCK_SIZE - 1) // BLOCK_SIZE
+    block_end = np.append(block_start[1:], n)
+    block_max = ids[block_end - 1]
+    term_of_block = np.repeat(np.arange(len(df)), nblocks_per_term)
+    block_off = (val_off[block_start] - term_off[term_of_block]).astype(np.uint32)
+
+    return dict(
+        term_hash=terms[term_start],
+        doc_freq=df.astype(np.int64),
+        offset=term_off.astype(np.int64),
+        nbytes=term_nbytes.astype(np.int64),
+        deltas=enc,
+        block_max=block_max,
+        block_off=block_off,
+        metas=(np.asarray(metas, dtype=U64) if metas is not None else None),
+    )
+
+
+def decode_term_slice(delta_slice: np.ndarray, n_docs: int) -> np.ndarray:
+    """Decode one term's doc ids from its delta-stream byte slice."""
+    vals = varbyte_decode(delta_slice, n_docs)
+    if n_docs == 0:
+        return vals
+    return PostingList._cumsum_with_block_bases(vals)
 
 
 class PostingList:

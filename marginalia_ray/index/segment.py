@@ -36,7 +36,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from marginalia_ray.index.postings import PostingList, encode_posting_list
+from marginalia_ray.index.postings import decode_term_slice, encode_run
 
 U64 = np.uint64
 
@@ -69,42 +69,41 @@ def write_run(
 ) -> dict:
     """Write one (shard, bucket) posting run.  Input arrays must already be
     lexsorted by (term_hash, doc_id).  Returns a lineage/manifest row.
-    Writes are atomic (tmp + rename) so re-runs are idempotent."""
+    Writes are atomic (tmp + rename) so re-runs are idempotent.
+
+    Layout: terms.parquet (term_hash, doc_freq, offset, nbytes) +
+    postings.bin = 24-byte header (len_deltas, n_blocks, n_metas as u64)
+    then sections [varbyte deltas][block_max u64][block_off u32][metas u64].
+    Fully vectorized (encode_run) — no per-term Python."""
     d = Path(out_dir) / kind / f"shard={shard:05d}"
     d.mkdir(parents=True, exist_ok=True)
 
-    # term boundaries on the sorted stream
-    uniq, starts = np.unique(term_hashes, return_index=True)
-    ends = np.append(starts[1:], len(term_hashes))
-
-    offsets = np.zeros(len(uniq), dtype=np.int64)
-    nbytes = np.zeros(len(uniq), dtype=np.int64)
-    parts = []
-    pos = 0
-    for i in range(len(uniq)):
-        ids = doc_ids[starts[i] : ends[i]]
-        mt = metas[starts[i] : ends[i]] if metas is not None else None
-        buf = encode_posting_list(ids, mt)
-        offsets[i] = pos
-        nbytes[i] = len(buf)
-        pos += len(buf)
-        parts.append(buf)
+    run = encode_run(term_hashes, doc_ids, metas)
 
     terms = pa.table(
         {
-            "term_hash": pa.array(uniq, type=pa.uint64()),
-            "doc_freq": pa.array((ends - starts).astype(np.int64)),
-            "offset": pa.array(offsets),
-            "nbytes": pa.array(nbytes),
+            "term_hash": pa.array(run["term_hash"], type=pa.uint64()),
+            "doc_freq": pa.array(run["doc_freq"]),
+            "offset": pa.array(run["offset"]),
+            "nbytes": pa.array(run["nbytes"]),
         }
     )
 
     post_path = d / f"bucket={bucket:04d}.postings.bin"
     terms_path = d / f"bucket={bucket:04d}.terms.parquet"
+    m = run["metas"]
+    header = np.array(
+        [len(run["deltas"]), len(run["block_max"]), 0 if m is None else len(m)],
+        dtype=np.uint64,
+    )
     tmp = str(post_path) + ".tmp"
     with open(tmp, "wb") as f:
-        for p in parts:
-            f.write(p)
+        f.write(header.tobytes())
+        f.write(run["deltas"].tobytes())
+        f.write(run["block_max"].tobytes())
+        f.write(run["block_off"].tobytes())
+        if m is not None:
+            f.write(m.tobytes())
     os.replace(tmp, post_path)
     tmp = str(terms_path) + ".tmp"
     pq.write_table(terms, tmp)
@@ -114,9 +113,9 @@ def write_run(
         "kind": kind,
         "shard": shard,
         "bucket": bucket,
-        "n_terms": len(uniq),
+        "n_terms": len(run["term_hash"]),
         "n_postings": int(len(term_hashes)),
-        "bytes": int(pos),
+        "bytes": int(len(run["deltas"])),
     }
 
 
@@ -131,21 +130,41 @@ class SegmentShardReader:
         self.kind = kind
         self.has_meta = kind == "full"
         d = Path(build_dir) / kind / f"shard={shard:05d}"
-        self._buckets = []  # [(terms dict, memmap)]
+        self._buckets = []  # [(terms dict, sections dict)]
         if not d.exists():
             return
         for terms_path in sorted(d.glob("bucket=*.terms.parquet")):
             bin_path = terms_path.with_name(terms_path.name.replace(".terms.parquet", ".postings.bin"))
             t = pq.read_table(terms_path)
-            th = t["term_hash"].to_numpy()
+            df = t["doc_freq"].to_numpy()
+            meta_off = np.cumsum(df) - df
             directory = {
-                "hash": th,
-                "doc_freq": t["doc_freq"].to_numpy(),
+                "hash": t["term_hash"].to_numpy(),
+                "doc_freq": df,
                 "offset": t["offset"].to_numpy(),
                 "nbytes": t["nbytes"].to_numpy(),
+                "meta_off": meta_off,
             }
-            mm = np.memmap(bin_path, dtype=np.uint8, mode="r") if bin_path.stat().st_size else np.zeros(0, dtype=np.uint8)
-            self._buckets.append((directory, mm))
+            mm = (
+                np.memmap(bin_path, dtype=np.uint8, mode="r")
+                if bin_path.stat().st_size
+                else np.zeros(24, dtype=np.uint8)
+            )
+            head = np.frombuffer(mm[:24], dtype=np.uint64)
+            ld, nb, nm = int(head[0]), int(head[1]), int(head[2])
+            o = 24
+            sections = {
+                "deltas": mm[o : o + ld],
+                "block_max": np.frombuffer(mm[o + ld : o + ld + 8 * nb], dtype=U64),
+                "metas": (
+                    np.frombuffer(
+                        mm[o + ld + 12 * nb : o + ld + 12 * nb + 8 * nm], dtype=U64
+                    )
+                    if nm
+                    else None
+                ),
+            }
+            self._buckets.append((directory, sections))
 
     def doc_freq(self, term_hash: int) -> int:
         total = 0
@@ -158,15 +177,16 @@ class SegmentShardReader:
     def postings(self, term_hash: int) -> tuple[np.ndarray, np.ndarray | None]:
         """(sorted doc_ids, metas or None) for a term, concatenated over buckets."""
         ids_parts, meta_parts = [], []
-        for directory, mm in self._buckets:
+        for directory, sections in self._buckets:
             i = np.searchsorted(directory["hash"], U64(term_hash))
             if i < len(directory["hash"]) and directory["hash"][i] == U64(term_hash):
                 o = int(directory["offset"][i])
                 n = int(directory["nbytes"][i])
-                pl = PostingList(memoryview(mm[o : o + n]), has_meta=self.has_meta)
-                ids_parts.append(pl.doc_ids())
+                df = int(directory["doc_freq"][i])
+                ids_parts.append(decode_term_slice(sections["deltas"][o : o + n], df))
                 if self.has_meta:
-                    meta_parts.append(pl.metas())
+                    mo = int(directory["meta_off"][i])
+                    meta_parts.append(sections["metas"][mo : mo + df])
         if not ids_parts:
             return np.zeros(0, dtype=U64), (np.zeros(0, dtype=U64) if self.has_meta else None)
         ids = np.concatenate(ids_parts)

@@ -30,13 +30,27 @@ from marginalia_ray.stages.tokenizer import TokenizerStage
 JOURNAL_COLS = ["doc_id", "doc_meta", "term_hashes", "kw_metas"]
 
 
+def _wait_for_cpu_drain(frac: float = 0.9, timeout: float = 15.0) -> None:
+    """Wait for the previous stage's actor pool to release its CPU slots;
+    otherwise the next Dataset's tasks queue behind dying actors."""
+    try:
+        total = ray.cluster_resources().get("CPU", 1)
+    except Exception:
+        return
+    t0 = time.time()
+    while time.time() - t0 < timeout:
+        if ray.available_resources().get("CPU", 0) >= frac * total:
+            return
+        time.sleep(0.25)
+
+
 def convert_pages(
     pages: "ray.data.Dataset",
     *,
     dict_freqs_ref=None,
     doc_count: int = 11_820_118,
     concurrency: int | None = None,
-    batch_size: int = 64,
+    batch_size: int = 256,
 ) -> "ray.data.Dataset":
     """pages -> journal Dataset (tokenizer actor pool).
 
@@ -105,6 +119,7 @@ def run_index_pipeline(
         os.replace(tmp, journal_done)
 
     convert_sec = time.time() - t0
+    _wait_for_cpu_drain()
     t1 = time.time()
 
     journal = ray.data.read_parquet(str(journal_dir), columns=JOURNAL_COLS)

@@ -204,6 +204,12 @@ class IndexSearcher:
         )
         return self.search(SearchSpec(subqueries=[sq], **spec_kwargs))
 
+    def search_query(self, raw: str, **spec_kwargs) -> list[SearchResult]:
+        """Full query-string path: Q1/Q3 parser -> SearchSpec -> search."""
+        from marginalia_ray.query.parser import parse_query
+
+        return self.search(parse_query(raw, **spec_kwargs))
+
     # evaluateSubqueries + createQueries + executeQuery
     def _evaluate_subqueries(self, spec: SearchSpec) -> np.ndarray:
         out: list[np.ndarray] = []

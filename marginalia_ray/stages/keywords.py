@@ -21,6 +21,7 @@ Ports of:
 
 from __future__ import annotations
 
+import math
 import re
 from dataclasses import dataclass
 
@@ -69,6 +70,9 @@ def _is_top_adj(sent: DocumentSentence, i: int) -> bool:
 def get_proper_names(sent: DocumentSentence) -> list[Span]:
     """KeywordExtractor.getProperNames — 1..4-gram NNP spans with
     comma-break and joiner rules."""
+    cached = sent.span_cache.get("proper")
+    if cached is not None:
+        return cached
     spans: list[Span] = []
     n = len(sent)
     for i in range(n):
@@ -115,12 +119,16 @@ def get_proper_names(sent: DocumentSentence) -> list[Span]:
             ):
                 spans.append((i - 3, i + 1))
         i += 1
+    sent.span_cache["proper"] = spans
     return spans
 
 
 def get_nouns(sent: DocumentSentence) -> list[Span]:
     """KeywordExtractor.getNouns (including the reference's odd operator
     precedence in the 2- and 3-gram conditions, reproduced faithfully)."""
+    cached = sent.span_cache.get("nouns")
+    if cached is not None:
+        return cached
     spans: list[Span] = []
     n = len(sent)
     for i in range(n):
@@ -168,11 +176,15 @@ def get_nouns(sent: DocumentSentence) -> list[Span]:
             ):
                 spans.append((i - 3, i + 1))
         i += 1
+    sent.span_cache["nouns"] = spans
     return spans
 
 
 def get_keywords_from_sentence(sent: DocumentSentence) -> list[Span]:
     """KeywordExtractor.getKeywordsFromSentence."""
+    cached = sent.span_cache.get("keywords")
+    if cached is not None:
+        return cached
     spans: list[Span] = []
     n = len(sent)
     for i in range(n):
@@ -232,11 +244,15 @@ def get_keywords_from_sentence(sent: DocumentSentence) -> list[Span]:
             ):
                 spans.append((i - 3, i + 1))
         i += 1
+    sent.span_cache["keywords"] = spans
     return spans
 
 
 def get_words_from_sentence(sent: DocumentSentence) -> list[Span]:
     """KeywordExtractor.getWordsFromSentence — all viable 1..4-gram spans."""
+    cached = sent.span_cache.get("words")
+    if cached is not None:
+        return cached
     spans: list[Span] = []
     n = len(sent)
     for k in range(4):
@@ -244,6 +260,7 @@ def get_words_from_sentence(sent: DocumentSentence) -> list[Span]:
             w = (i - k, i + 1)
             if _viable_span(sent, w):
                 spans.append(w)
+    sent.span_cache["words"] = spans
     return spans
 
 
@@ -348,8 +365,6 @@ class TfIdfCounts:
         return int(self.dict_freqs.get(stemmed, 0)) if self.dict_freqs else 0
 
     def _value(self, key: str, count: float, max_value: float) -> float:
-        import math
-
         freq = self.dict_freq(key)
         if freq < 1:
             freq = 1

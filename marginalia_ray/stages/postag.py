@@ -85,5 +85,20 @@ def tag_word(word: str, is_sentence_start: bool) -> str:
     return "NN"
 
 
+_TAG_CACHE: dict[tuple[str, bool], str] = {}
+
+
 def tag_sentence(words: list[str]) -> list[str]:
-    return [tag_word(w, i == 0) for i, w in enumerate(words)]
+    # word-shape tags repeat heavily (Zipfian corpora): memoize per process
+    cache = _TAG_CACHE
+    if len(cache) > 1_000_000:
+        cache.clear()
+    out = []
+    for i, w in enumerate(words):
+        key = (w, i == 0)
+        t = cache.get(key)
+        if t is None:
+            t = tag_word(w, i == 0)
+            cache[key] = t
+        out.append(t)
+    return out

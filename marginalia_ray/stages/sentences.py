@@ -152,6 +152,12 @@ class DocumentSentence:
     pos_tags: list[str]
     stemmed: list[str]
     stop: list[bool] = field(default_factory=list)
+    # hot-path caches (the reference keeps a per-sentence span cache,
+    # KeywordExtractor.java:108-110; we extend it to span-string assembly)
+    _stemmed_norm: list[str] | None = field(default=None, repr=False, compare=False)
+    _span_words: dict = field(default_factory=dict, repr=False, compare=False)
+    _span_stems: dict = field(default_factory=dict, repr=False, compare=False)
+    span_cache: dict = field(default_factory=dict, repr=False, compare=False)
 
     def __post_init__(self):
         if not self.stop:
@@ -162,22 +168,33 @@ class DocumentSentence:
 
     # DocumentSentence.constructWordFromSpan
     def word_from_span(self, start: int, end: int) -> str:
-        if end - start == 1:
-            return _trim_junk(self.words_lc[start])
-        return _trim_junk("_".join(self.words_lc[start:end]))
+        key = start * 1024 + end
+        w = self._span_words.get(key)
+        if w is None:
+            if end - start == 1:
+                w = _trim_junk(self.words_lc[start])
+            else:
+                w = _trim_junk("_".join(self.words_lc[start:end]))
+            self._span_words[key] = w
+        return w
 
     # DocumentSentence.constructStemmedWordFromSpan
     def stemmed_from_span(self, start: int, end: int) -> str:
-        if end - start > 1:
-            parts = [
-                _normalize_joiner(self.stemmed[i])
-                for i in range(start, end)
-                if self._include_in_stemming(i)
-            ]
-            return "_".join(parts)
-        if self._include_in_stemming(start):
-            return _normalize_joiner(self.stemmed[start])
-        return ""
+        key = start * 1024 + end
+        st = self._span_stems.get(key)
+        if st is None:
+            if self._stemmed_norm is None:
+                self._stemmed_norm = [
+                    _normalize_joiner(s) if self._include_in_stemming(i) else None
+                    for i, s in enumerate(self.stemmed)
+                ]
+            norm = self._stemmed_norm
+            if end - start > 1:
+                st = "_".join(p for p in norm[start:end] if p is not None)
+            else:
+                st = norm[start] if norm[start] is not None else ""
+            self._span_stems[key] = st
+        return st
 
     def _include_in_stemming(self, i: int) -> bool:
         return self.pos_tags[i] not in ("IN", "TO", "CC", "DT")

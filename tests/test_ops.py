@@ -1,0 +1,119 @@
+"""Unit tests for the training-data ops: dedup invariants, similarity
+recall, multimodal plumbing."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    import ray.data
+
+    return ray.data.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+
+
+def test_minhash_matches_exact_jaccard(docs_ds):
+    """LSH-verified pairs == exact jaccard pairs on this corpus (planted
+    near-dups sit far above the threshold, so recall is 1)."""
+    from marginalia_ray.ops.dedup import jaccard_pairs, minhash_lsh_pairs
+
+    exact = jaccard_pairs(docs_ds, threshold=0.5).to_pandas()
+    lsh = minhash_lsh_pairs(docs_ds, threshold=0.5).to_pandas()
+    key = ["doc_a", "doc_b"]
+    assert sorted(map(tuple, exact[key].values.tolist())) == sorted(
+        map(tuple, lsh[key].values.tolist())
+    )
+
+
+def test_simhash_exact_and_near_dups(ray_session):
+    import ray.data
+
+    from marginalia_ray.ops.dedup import simhash_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 12
+    rows = [
+        {"doc_id": 1, "text": base},
+        {"doc_id": 2, "text": base},  # identical -> hamming 0
+        {"doc_id": 3, "text": base.replace("zeta", "zzz", 1)},  # near dup
+        {"doc_id": 4, "text": "totally different words entirely unrelated content here"},
+    ]
+    ds = ray.data.from_items(rows)
+    pairs = simhash_pairs(ds).to_pandas()
+    got = set(map(tuple, pairs[["doc_a", "doc_b"]].values.tolist()))
+    assert (1, 2) in got
+    ident = pairs[(pairs.doc_a == 1) & (pairs.doc_b == 2)]
+    assert ident["hamming"].iloc[0] == 0
+    assert not any(4 in p for p in got)  # unrelated doc pairs with nothing
+
+
+def test_knn_lsh_is_subset_of_exact(ray_session):
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from marginalia_ray.ops.similarity import knn_cosine, knn_cosine_lsh, _stack
+
+    emb = ray.data.read_parquet(
+        "/root/testdata/sf0.001/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    t = pq.read_table("/root/testdata/sf0.001/embeddings.parquet")
+    qm = _stack(t["embedding"])[:4]
+    qids = t["vec_id"].to_pylist()[:4]
+    exact = knn_cosine(emb, qm, qids, k=5).to_pandas()
+    approx = knn_cosine_lsh(emb, qm, qids, k=5, n_planes=4).to_pandas()
+    assert len(exact) == 20
+    assert len(approx) <= 20
+    # scores in the approx result must equal the exact scores for the same pair
+    merged = approx.merge(exact, on=["query_id", "neighbor_id"], suffixes=("_a", "_e"), how="left")
+    hit = merged.dropna()
+    assert (hit["score_a"] == hit["score_e"]).all()
+
+
+def test_multimodal_plumbing(ray_session):
+    import ray.data
+
+    from marginalia_ray.ops.multimodal import audio_features, decode_images, sample_video_frames
+
+    rows = [{"doc_id": i, "image": bytes([i]) * 100, "audio": bytes([i, 1]) * 50,
+             "video": bytes([i, 2]) * 200} for i in range(20)]
+    ds = ray.data.from_items(rows)
+
+    img = decode_images(ds, concurrency=2).to_pandas()
+    assert list(img.columns) == ["doc_id", "width", "height", "channels", "embedding"]
+    assert len(img) == 20
+    assert all(len(e) == 32 for e in img["embedding"])
+    # deterministic: same content -> same decode
+    img2 = decode_images(ds, concurrency=2).to_pandas().sort_values("doc_id")
+    assert (img.sort_values("doc_id")["width"].values == img2["width"].values).all()
+
+    au = audio_features(ds, concurrency=2).to_pandas()
+    assert len(au) == 20 and "mfcc_mean" in au.columns
+
+    vf = sample_video_frames(ds, concurrency=2).to_pandas()
+    assert len(vf) >= 20  # >= 1 frame per video
+    assert set(vf.columns) == {"doc_id", "frame_no", "ts_s", "frame_embedding"}
+
+
+def test_real_decode_path_raises():
+    from marginalia_ray.ops.multimodal import ImageDecodeStage
+
+    t = pa.table({"doc_id": [1], "image": pa.array([b"xx"], pa.binary())})
+    with pytest.raises(NotImplementedError):
+        ImageDecodeStage(fake=False)(t)
+
+
+def test_exact_dedup_counts_duplicates(ray_session):
+    import ray.data
+
+    from marginalia_ray.ops.dedup import exact_dedup
+
+    ds = ray.data.from_items(
+        [{"doc_id": 1, "text": "aa bb"}, {"doc_id": 2, "text": "aa bb"}, {"doc_id": 3, "text": "cc"}]
+    )
+    out = exact_dedup(ds).to_pandas().sort_values("keep_doc_id").reset_index(drop=True)
+    assert out["n_dups"].tolist() == [2, 1]
+    assert out["keep_doc_id"].tolist() == [1, 3]

@@ -1,0 +1,71 @@
+"""Query-parser tests mirroring the reference's QueryParserTest cases
+(ref code/features-search/query-parser/src/test/.../QueryParserTest.java)."""
+
+from marginalia_ray.query.engine import SpecLimit
+from marginalia_ray.query.parser import parse_query, parse_tokens
+
+
+def test_plain_terms():
+    spec = parse_query("hello world")
+    sq = spec.subqueries[0]
+    assert sq.include == ["hello", "world"]
+    assert sq.exclude == [] and sq.priority == []
+
+
+def test_negation_and_priority():
+    sq = parse_query("linux -windows ?bsd").subqueries[0]
+    assert sq.include == ["linux"]
+    assert sq.exclude == ["windows"]
+    assert sq.priority == ["bsd"]
+
+
+def test_quoted_ngram_coherence():
+    sq = parse_query('"free software"').subqueries[0]
+    assert "free_software" in sq.advice
+    assert ["free", "software"] in sq.coherences
+    assert sq.include == ["free", "software"]
+
+
+def test_quoted_with_stopword_falls_back():
+    # "of" is a stop word -> whole joined term becomes a plain include
+    sq = parse_query('"best of breed"').subqueries[0]
+    assert sq.include == ["best_of_breed"]
+    assert sq.coherences == []
+
+
+def test_quality_year_size_rank_limits():
+    spec = parse_query("term q>5 year=1998 size<100 rank>2")
+    assert spec.quality == SpecLimit.ge(5)
+    assert spec.year == SpecLimit.eq(1998)
+    assert spec.size == SpecLimit.le(100)
+    assert spec.rank == SpecLimit.ge(2)
+    assert spec.subqueries[0].include == ["term"]
+
+
+def test_advice_colon_terms():
+    sq = parse_query("kernel site:kernel.org").subqueries[0]
+    assert sq.include == ["kernel"]
+    assert sq.advice == ["site:kernel.org"]
+
+
+def test_paren_advice():
+    sq = parse_query("linux (debian)").subqueries[0]
+    assert sq.include == ["linux"]
+    assert sq.advice == ["debian"]
+
+
+def test_advice_only_becomes_include():
+    sq = parse_query("site:example.com").subqueries[0]
+    assert sq.include == ["site:example.com"]
+    assert sq.advice == []
+
+
+def test_trailing_colon_trim():
+    toks = parse_tokens("search: stuff")
+    assert toks[0].s == "search"
+    assert toks[0].type == "LITERAL_TERM"
+
+
+def test_unterminated_quote():
+    sq = parse_query('"free software').subqueries[0]
+    assert sq.include == ["free", "software"] or sq.include == ["free_software"]

@@ -84,6 +84,9 @@ def run_index_pipeline(
     n_buckets: int = 1,
     concurrency: int | None = None,
     domain_rankings: dict[int, int] | None = None,
+    dedup: bool = False,
+    rank_domains: bool = False,
+    with_term_freq: bool = False,
     resume: bool = True,
 ) -> dict:
     """End-to-end: pages parquet -> journal -> segments.  Returns manifest.
@@ -106,9 +109,30 @@ def run_index_pipeline(
         avail = set(pads.dataset(str(pages_path)).schema.names)
         cols = [c for c in ("url", "html", "text", "lang") if c in avail]
         pages = ray.data.read_parquet(str(pages_path), columns=cols)
-        journal = convert_pages(pages, concurrency=concurrency)
+        dict_freqs_ref = None
+        doc_count = 11_820_118  # TermFrequencyDict legacy default
+        if with_term_freq:
+            # pass 0 (G9/A2): corpus doc-frequency dict, broadcast to the
+            # tokenizer pool; IDF doc_count becomes the actual corpus size
+            from marginalia_ray.pipelines.term_freq import term_freq_dict_ref
+
+            tf_pages = ray.data.read_parquet(str(pages_path), columns=cols)
+            dict_freqs_ref = term_freq_dict_ref(tf_pages, use_html="html" in avail)
+            doc_count = pages.count()
+            _wait_for_cpu_drain()
+        journal = convert_pages(
+            pages,
+            concurrency=concurrency,
+            dict_freqs_ref=dict_freqs_ref,
+            doc_count=doc_count,
+        )
         # keep only indexed docs in the journal; carry the doc table columns
         journal = journal.filter(expr="state == 'OK'")
+        if dedup:
+            # per-domain LSH near-dup removal (D3), then drop the dead rows
+            from marginalia_ray.pipelines.domain_stage import apply_domain_stage
+
+            journal = apply_domain_stage(journal).filter(expr="state == 'OK'")
         journal.write_parquet(str(journal_dir))
         n = sum(
             1 for _ in journal_dir.glob("*.parquet")
@@ -121,6 +145,14 @@ def run_index_pipeline(
     convert_sec = time.time() - t0
     _wait_for_cpu_drain()
     t1 = time.time()
+
+    if rank_domains and domain_rankings is None:
+        # PageRank over the domain link graph (G6) -> rank bytes injected
+        # into doc metadata at index build (J2)
+        from marginalia_ray.pipelines.domain_rank import compute_domain_rankings
+
+        jlinks = ray.data.read_parquet(str(journal_dir), columns=["url", "links"])
+        domain_rankings = compute_domain_rankings(jlinks)
 
     journal = ray.data.read_parquet(str(journal_dir), columns=JOURNAL_COLS)
     manifest = build_index(

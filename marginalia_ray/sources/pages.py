@@ -113,6 +113,13 @@ def make_page(idx: int, n_rows: int, seed: int = SEED) -> dict:
     nav_links = "".join(
         f'<a href="/{_zipf_word(rng, vocab)}">{_zipf_word(rng, vocab)}</a> ' for _ in range(8)
     )
+    # cross-domain links, Zipfian toward low domain ids (drives the domain
+    # link graph: PageRank G6, links: keywords M12)
+    ext_links = "".join(
+        f'<a href="https://d{min(n_domains - 1, int(n_domains ** rng.random()) - 1)}.example/'
+        f'{_zipf_word(rng, vocab)}">{_zipf_word(rng, vocab)}</a> '
+        for _ in range(3)
+    )
     robots = '<meta name="robots" content="noindex">' if noindex else ""
     script = "<script src=\"/jquery.js\"></script>" if idx % 7 == 0 else ""
     meta_year = f'<meta property="article:published_time" content="{year}-01-15">'
@@ -127,7 +134,7 @@ def make_page(idx: int, n_rows: int, seed: int = SEED) -> dict:
         + '\n<div class="cookie-banner">We use cookies. Accept or reject. '
         + nav_links
         + "</div>\n"
-        f'<footer>{nav_links} Copyright {year} {domain}</footer>\n'
+        f'<footer>{nav_links}{ext_links} Copyright {year} {domain}</footer>\n'
         "</body></html>"
     )
 
@@ -160,7 +167,7 @@ def pages_parquet(n_rows: int, cache_dir: str = "/tmp/marginalia_ray_pages", see
     """Generate (once) and cache the pages corpus as partitioned parquet.
     Returns the directory path.  Generation itself runs as a Ray Data map
     over row ranges when Ray is up, else inline."""
-    out = Path(cache_dir) / f"n{n_rows}_s{seed}_v2"
+    out = Path(cache_dir) / f"n{n_rows}_s{seed}_v3"
     done = out / "_SUCCESS"
     if done.exists():
         return str(out)

@@ -356,16 +356,55 @@ class ExtractedDocument:
     noindex: bool
     raw_length: int
     features: set[str]
+    links: list[str] = field(default_factory=list)
 
 
-def extract_document(html: str) -> ExtractedDocument:
+_SKIP_SCHEMES = ("javascript:", "mailto:", "tel:", "data:", "#")
+
+
+def extract_links(root: Node, base_url: str) -> list[str]:
+    """getLinks (HtmlDocumentProcessorPlugin.java:227-262, simplified
+    permissive parse): absolute urls from <a href>, <frame src>,
+    <iframe src>, resolved against the base url; fragments/js/mailto
+    skipped; order preserved, deduplicated."""
+    from urllib.parse import urljoin, urlsplit
+
+    out: list[str] = []
+    seen: set[str] = set()
+
+    def accept(href: str | None):
+        if not href:
+            return
+        href = href.strip()
+        if not href or any(href.lower().startswith(s) for s in _SKIP_SCHEMES):
+            return
+        url = urljoin(base_url, href)
+        parts = urlsplit(url)
+        if parts.scheme not in ("http", "https"):
+            return
+        url = parts._replace(fragment="").geturl()
+        if url not in seen:
+            seen.add(url)
+            out.append(url)
+
+    for a in root.find_all("a"):
+        accept(a.attrs.get("href"))
+    for fr in root.find_all("frame", "iframe"):
+        accept(fr.attrs.get("src"))
+    return out
+
+
+def extract_document(html: str, base_url: str | None = None) -> ExtractedDocument:
     """The HtmlDocumentProcessorPlugin.createDetails core path:
-    parse -> robots check -> prune -> tag-clean -> text + title + quality."""
+    parse -> robots check -> links -> prune -> tag-clean -> text + title +
+    quality.  Links are collected pre-prune (the reference parses them off
+    the full DOM)."""
     root = parse_html(html)
     noindex = is_noindex(root)
     standard = detect_standard(html)
     s_pen = script_penalty(root)
     has_js = len(root.find_all("script")) > 0
+    links = extract_links(root, base_url) if base_url else []
 
     prune_dom(root)
     clean_tags(root)
@@ -386,4 +425,5 @@ def extract_document(html: str) -> ExtractedDocument:
         noindex=noindex,
         raw_length=len(html),
         features=features,
+        links=links,
     )

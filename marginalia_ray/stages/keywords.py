@@ -362,7 +362,14 @@ class TfIdfCounts:
                         self.high_reps.append((w, st))
 
     def dict_freq(self, stemmed: str) -> int:
-        return int(self.dict_freqs.get(stemmed, 0)) if self.dict_freqs else 0
+        """dict_freqs is keyed by the reference's 61-bit polynomial hash of
+        the stemmed term (TermFrequencyDict.getStringHash parity) — no
+        strings retained in the broadcast dict."""
+        if not self.dict_freqs:
+            return 0
+        from marginalia_ray.functions.hashing import term_freq_hash_stemmed
+
+        return int(self.dict_freqs.get(term_freq_hash_stemmed(stemmed), 0))
 
     def _value(self, key: str, count: float, max_value: float) -> float:
         freq = self.dict_freq(key)

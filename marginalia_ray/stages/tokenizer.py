@@ -59,7 +59,7 @@ class TokenizerStage:
         out = {
             "doc_id": [], "doc_meta": [], "term_hashes": [], "kw_metas": [],
             "url": [], "state": [], "lsh": [], "length": [], "title": [],
-            "quality": [],
+            "quality": [], "links": [],
         }
 
         for i, url in enumerate(urls):
@@ -84,6 +84,7 @@ class TokenizerStage:
                 "length": pa.array(out["length"], pa.int64()),
                 "title": pa.array(out["title"], pa.string()),
                 "quality": pa.array(out["quality"], pa.float64()),
+                "links": pa.array(out["links"], pa.list_(pa.string())),
             }
         )
 
@@ -94,7 +95,7 @@ class TokenizerStage:
         def disqualified(state: str) -> dict:
             return dict(
                 doc_id=doc_id, doc_meta=0, term_hashes=[], kw_metas=[], url=url,
-                state=state, lsh=0, length=0, title="", quality=0.0,
+                state=state, lsh=0, length=0, title="", quality=0.0, links=[],
             )
 
         # M9 / LanguageFilter: the input table's lang column stands in for
@@ -104,9 +105,10 @@ class TokenizerStage:
 
         year = None
         q = 0.0
+        links: list[str] = []
         if html is not None:
             h = html.decode("utf-8", "replace") if isinstance(html, (bytes, bytearray)) else html
-            doc = extract_document(h)
+            doc = extract_document(h, base_url=url)
             if doc.noindex:
                 return disqualified("ROBOTS_NOINDEX")
             text = doc.text
@@ -115,6 +117,7 @@ class TokenizerStage:
             features = doc.features
             fmt = doc.standard
             year = _sniff_year(h, url)
+            links = doc.links
         else:
             title = (text or "").split(".")[0][:128]
             features = set()
@@ -137,6 +140,13 @@ class TokenizerStage:
             has_js="special:scripts" in features,
             year=year,
         )
+        # link keywords (M12, createLinkKeywords: links:<fqdn> + links:<domain>
+        # for each foreign domain, HtmlDocumentProcessorPlugin.java:263-274)
+        for link in links:
+            lp = parse_url(link)
+            if lp.fqdn != pu.fqdn:
+                tags.add(f"links:{lp.fqdn.lower()}")
+                tags.add(f"links:{lp.top_domain.lower()}")
         for t in sorted(tags):
             builder.add_synthetic(t)
 
@@ -170,6 +180,7 @@ class TokenizerStage:
             length=dld.total_num_words,
             title=title,
             quality=q,
+            links=links,
         )
 
 

@@ -75,6 +75,80 @@ def convert_pages(
     )
 
 
+def _convert_partitioned(
+    pages_path: str,
+    journal_dir: "Path",
+    cols: list[str],
+    journal_partitions: int | None,
+    resume: bool,
+    **convert_kwargs,
+) -> list[dict]:
+    """Converter with per-partition lineage + resume (the WorkLog pattern,
+    ref WorkLog.java:19-60): input files are grouped into partitions, each
+    written to journal/part=K/ with a _LINEAGE.json (input files, doc
+    counts, wall time).  On re-run, partitions with lineage are skipped —
+    a killed build resumes at the first incomplete partition.
+
+    Partition count trades resume granularity against per-partition actor-
+    pool spin-up (~3-5 s each); the default keeps partitions big.
+    """
+    import shutil
+
+    import pyarrow.dataset as pads
+
+    files = sorted(pads.dataset(str(pages_path)).files)
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {pages_path}")
+    if journal_partitions is None:
+        journal_partitions = max(1, min(8, len(files) // 32))
+    groups = [list(g) for g in np_array_split(files, journal_partitions) if len(g)]
+
+    lineage: list[dict] = []
+    for k, group in enumerate(groups):
+        part_dir = journal_dir / f"part-{k:04d}"
+        lin_path = part_dir / "_LINEAGE.json"
+        if resume and lin_path.exists():
+            with open(lin_path) as f:
+                lineage.append(json.load(f))
+            continue
+        shutil.rmtree(part_dir, ignore_errors=True)
+        part_dir.mkdir(parents=True, exist_ok=True)
+        tp = time.time()
+        ds = ray.data.read_parquet(group, columns=cols)
+        j = convert_pages(ds, **convert_kwargs).filter(expr="state == 'OK'")
+        j.write_parquet(str(part_dir))
+        import pyarrow.parquet as _pq
+
+        docs_ok = sum(
+            _pq.ParquetFile(f).metadata.num_rows for f in part_dir.glob("*.parquet")
+        )
+        row = {
+            "partition": k,
+            "input_files": [str(f) for f in group],
+            "docs_ok": int(docs_ok),
+            "sec": round(time.time() - tp, 3),
+            "finished_at": time.time(),
+        }
+        tmp = str(lin_path) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(row, f, indent=1)
+        os.replace(tmp, lin_path)
+        lineage.append(row)
+    return lineage
+
+
+def np_array_split(seq: list, n: int) -> list[list]:
+    """Even split of a list into n groups (numpy.array_split semantics)."""
+    k, m = divmod(len(seq), n)
+    out = []
+    i = 0
+    for g in range(n):
+        size = k + (1 if g < m else 0)
+        out.append(seq[i : i + size])
+        i += size
+    return out
+
+
 def run_index_pipeline(
     pages_path: str,
     out_root: str,
@@ -87,6 +161,7 @@ def run_index_pipeline(
     dedup: bool = False,
     rank_domains: bool = False,
     with_term_freq: bool = False,
+    journal_partitions: int | None = None,
     resume: bool = True,
 ) -> dict:
     """End-to-end: pages parquet -> journal -> segments.  Returns manifest.
@@ -103,12 +178,10 @@ def run_index_pipeline(
 
     journal_done = journal_dir / "_COMPLETE.json"
     if not (resume and journal_done.exists()):
-        journal_dir.mkdir(parents=True, exist_ok=True)
         import pyarrow.dataset as pads
 
         avail = set(pads.dataset(str(pages_path)).schema.names)
         cols = [c for c in ("url", "html", "text", "lang") if c in avail]
-        pages = ray.data.read_parquet(str(pages_path), columns=cols)
         dict_freqs_ref = None
         doc_count = 11_820_118  # TermFrequencyDict legacy default
         if with_term_freq:
@@ -118,28 +191,25 @@ def run_index_pipeline(
 
             tf_pages = ray.data.read_parquet(str(pages_path), columns=cols)
             dict_freqs_ref = term_freq_dict_ref(tf_pages, use_html="html" in avail)
-            doc_count = pages.count()
+            doc_count = ray.data.read_parquet(str(pages_path)).count()
             _wait_for_cpu_drain()
-        journal = convert_pages(
-            pages,
+        lineage = _convert_partitioned(
+            str(pages_path), journal_dir, cols,
+            journal_partitions, resume,
             concurrency=concurrency,
             dict_freqs_ref=dict_freqs_ref,
             doc_count=doc_count,
         )
-        # keep only indexed docs in the journal; carry the doc table columns
-        journal = journal.filter(expr="state == 'OK'")
-        if dedup:
-            # per-domain LSH near-dup removal (D3), then drop the dead rows
-            from marginalia_ray.pipelines.domain_stage import apply_domain_stage
-
-            journal = apply_domain_stage(journal).filter(expr="state == 'OK'")
-        journal.write_parquet(str(journal_dir))
-        n = sum(
-            1 for _ in journal_dir.glob("*.parquet")
-        )
         tmp = str(journal_done) + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"files": n, "converted_at": time.time()}, f)
+            json.dump(
+                {
+                    "partitions": lineage,
+                    "docs_ok": sum(r["docs_ok"] for r in lineage),
+                    "converted_at": time.time(),
+                },
+                f, indent=1,
+            )
         os.replace(tmp, journal_done)
 
     convert_sec = time.time() - t0
@@ -154,7 +224,19 @@ def run_index_pipeline(
         jlinks = ray.data.read_parquet(str(journal_dir), columns=["url", "links"])
         domain_rankings = compute_domain_rankings(jlinks)
 
-    journal = ray.data.read_parquet(str(journal_dir), columns=JOURNAL_COLS)
+    if dedup:
+        # per-domain LSH near-dup removal (D3) between journal and build:
+        # a domain may span journal partitions, so dedup runs over the
+        # complete journal (deterministic; re-runs with the build on resume)
+        from marginalia_ray.pipelines.domain_stage import apply_domain_stage
+
+        journal = ray.data.read_parquet(
+            str(journal_dir), columns=JOURNAL_COLS + ["url", "lsh", "length", "state"]
+        )
+        journal = apply_domain_stage(journal).filter(expr="state == 'OK'")
+        journal = journal.select_columns(JOURNAL_COLS)
+    else:
+        journal = ray.data.read_parquet(str(journal_dir), columns=JOURNAL_COLS)
     manifest = build_index(
         journal,
         build_dir,

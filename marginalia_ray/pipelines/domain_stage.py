@@ -81,8 +81,134 @@ def dedup_domain_group(group: pa.Table) -> pa.Table:
     return pa.table(cols)
 
 
-def apply_domain_stage(journal_ds):
-    """journal -> journal with per-domain dedup applied.  One groupby
+# ---- SiteWords (J7): common site words + link-adjacent words ----------
+
+MIN_REQUIRED_DOCUMENTS = 25
+REQUIRED_TOTAL_COUNT = 15
+QUALIFYING_PROPORTION = 0.25
+MAX_SITE_KEYWORDS = 5
+ADJACENT_MIN_COUNT = 3  # "> 3" in getAdjacentWords
+
+
+def _common_site_words(flag_words_per_doc: list[list[str]]) -> set[str]:
+    """CommonKeywordExtractor.getCommonSiteWords over one flag class's word
+    lists (ref CommonKeywordExtractor.java:19-70)."""
+    from marginalia_ray.functions.stemmer import stem
+
+    docs = [ws for ws in flag_words_per_doc]
+    if len(docs) < MIN_REQUIRED_DOCUMENTS:
+        return set()
+    counts: dict[str, int] = {}
+    variants: dict[str, set[str]] = {}
+    total = 0
+    for ws in docs:
+        for w in ws:
+            st = stem(w)
+            counts[st] = counts.get(st, 0) + 1
+            variants.setdefault(st, set()).add(w)
+            total += 1
+    if total < REQUIRED_TOTAL_COUNT:
+        return set()
+    qualifying = len(docs) * QUALIFYING_PROPORTION
+    top = sorted(
+        (st for st, c in counts.items() if c > qualifying),
+        key=lambda st: -counts[st],
+    )[:MAX_SITE_KEYWORDS]
+    out: set[str] = set()
+    for st in top:
+        out |= variants[st]
+    return out
+
+
+def _apply_flag_words(
+    th: list[list[int]], km: list[list[int]], doc_idx: int,
+    words: set[str], flag_bit: int,
+) -> None:
+    """DocumentKeywordsBuilder.setFlagOnMetadataForWords: OR the flag into
+    existing entries, insert flag-only entries for missing words (hash is
+    term identity)."""
+    from marginalia_ray.functions.hashing import term_hash
+
+    hashes = th[doc_idx]
+    metas = km[doc_idx]
+    pos = {h: i for i, h in enumerate(hashes)}
+    for w in words:
+        h = term_hash(w)
+        if h is None:
+            continue
+        i = pos.get(h)
+        if i is None:
+            hashes.append(h)
+            metas.append(flag_bit)
+        else:
+            metas[i] = metas[i] | flag_bit
+
+
+def site_words_domain_group(group: pa.Table) -> pa.Table:
+    """SiteWords.flagCommonSiteWords + flagAdjacentWords for one domain
+    (ref SiteWords.java:24-74).  Mutates kw_metas; returns the group."""
+    from marginalia_ray.model.codecs import WordFlags
+
+    states = group["state"].to_pylist()
+    urls = group["url"].to_pylist()
+    links = group["links"].to_pylist() if "links" in group.column_names else [[] for _ in urls]
+    flag_words = (
+        group["flag_words"].to_pylist() if "flag_words" in group.column_names else [[] for _ in urls]
+    )
+    top_words = (
+        group["top_words"].to_pylist() if "top_words" in group.column_names else [[] for _ in urls]
+    )
+    th = group["term_hashes"].to_pylist()
+    km = group["kw_metas"].to_pylist()
+
+    ok = [i for i, s in enumerate(states) if s == "OK"]
+
+    # common site words -> Site flag on every doc
+    common = _common_site_words([flag_words[i] or [] for i in ok])
+    if common:
+        for i in ok:
+            _apply_flag_words(th, km, i, common, WordFlags.Site.bit)
+
+    # adjacent words: inverted intra-domain link graph; keywords of linking
+    # docs seen >3 times that the target itself ranks highly -> SiteAdjacent
+    url_idx = {u: i for i, u in enumerate(urls)}
+    incoming: dict[int, list[int]] = {}
+    for i in ok:
+        for l in links[i] or []:
+            j = url_idx.get(l)
+            if j is not None and j != i:
+                incoming.setdefault(j, []).append(i)
+    for j, srcs in incoming.items():
+        if states[j] != "OK":
+            continue
+        counts: dict[str, int] = {}
+        for i in srcs:
+            for w in top_words[i] or []:
+                counts[w] = counts.get(w, 0) + 1
+        own = set(top_words[j] or [])
+        adj = {w for w, c in counts.items() if c > ADJACENT_MIN_COUNT and w in own}
+        if adj:
+            _apply_flag_words(th, km, j, adj, WordFlags.SiteAdjacent.bit)
+
+    cols = {}
+    for name in group.column_names:
+        if name == "term_hashes":
+            cols[name] = pa.array(th, pa.list_(pa.uint64()))
+        elif name == "kw_metas":
+            cols[name] = pa.array(km, pa.list_(pa.uint64()))
+        else:
+            cols[name] = group[name]
+    return pa.table(cols)
+
+
+def domain_group_ops(group: pa.Table) -> pa.Table:
+    """The full per-domain stage: dedup (D3) then site words (J7) — the
+    DomainProcessor.process order."""
+    return site_words_domain_group(dedup_domain_group(group))
+
+
+def apply_domain_stage(journal_ds, site_words: bool = True):
+    """journal -> journal with per-domain ops applied.  One groupby
     shuffle keyed on the domain part of doc_id."""
     import pyarrow.compute as pc
 
@@ -90,9 +216,10 @@ def apply_domain_stage(journal_ds):
         dom = pc.shift_right(batch["doc_id"], 32)
         return batch.append_column("_domain", pc.cast(dom, pa.int64()))
 
+    fn = domain_group_ops if site_words else dedup_domain_group
     out = (
         journal_ds.map_batches(add_domain, batch_format="pyarrow")
         .groupby("_domain")
-        .map_groups(dedup_domain_group, batch_format="pyarrow")
+        .map_groups(fn, batch_format="pyarrow")
     )
     return out.drop_columns(["_domain"])

@@ -231,7 +231,9 @@ def run_index_pipeline(
         from marginalia_ray.pipelines.domain_stage import apply_domain_stage
 
         journal = ray.data.read_parquet(
-            str(journal_dir), columns=JOURNAL_COLS + ["url", "lsh", "length", "state"]
+            str(journal_dir),
+            columns=JOURNAL_COLS
+            + ["url", "lsh", "length", "state", "links", "flag_words", "top_words"],
         )
         journal = apply_domain_stage(journal).filter(expr="state == 'OK'")
         journal = journal.select_columns(JOURNAL_COLS)

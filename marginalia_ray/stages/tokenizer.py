@@ -28,7 +28,7 @@ import ray
 from marginalia_ray.functions.hashing import murmur3_64, term_hash
 from marginalia_ray.functions.lsh import lsh_of_words
 from marginalia_ray.functions.urls import parse_url
-from marginalia_ray.model.codecs import encode_doc_meta, year_to_byte
+from marginalia_ray.model.codecs import WordFlags, encode_doc_meta, year_to_byte
 from marginalia_ray.stages.extract import extract_document
 from marginalia_ray.stages.keywords import extract_keywords, meta_tags
 from marginalia_ray.stages.sentences import extract_dld
@@ -59,7 +59,7 @@ class TokenizerStage:
         out = {
             "doc_id": [], "doc_meta": [], "term_hashes": [], "kw_metas": [],
             "url": [], "state": [], "lsh": [], "length": [], "title": [],
-            "quality": [], "links": [],
+            "quality": [], "links": [], "flag_words": [], "top_words": [],
         }
 
         for i, url in enumerate(urls):
@@ -85,6 +85,8 @@ class TokenizerStage:
                 "title": pa.array(out["title"], pa.string()),
                 "quality": pa.array(out["quality"], pa.float64()),
                 "links": pa.array(out["links"], pa.list_(pa.string())),
+                "flag_words": pa.array(out["flag_words"], pa.list_(pa.string())),
+                "top_words": pa.array(out["top_words"], pa.list_(pa.string())),
             }
         )
 
@@ -96,6 +98,7 @@ class TokenizerStage:
             return dict(
                 doc_id=doc_id, doc_meta=0, term_hashes=[], kw_metas=[], url=url,
                 state=state, lsh=0, length=0, title="", quality=0.0, links=[],
+                flag_words=[], top_words=[],
             )
 
         # M9 / LanguageFilter: the input table's lang column stands in for
@@ -152,11 +155,15 @@ class TokenizerStage:
 
         kws = builder.build()
         hashes, metas = [], []
+        flag_mask = WordFlags.Subjects.bit | WordFlags.NamesWords.bit
+        flag_words = []
         for w, m in zip(kws.words, kws.metas):
             th = term_hash(w)
             if th is not None:
                 hashes.append(th)
                 metas.append(m)
+                if m & flag_mask:
+                    flag_words.append(w)
 
         # DocumentMetadata: asl ~ totalNumWords/sentences, quality clamped 0..15
         n_sent = max(1, len(dld.sentences))
@@ -181,6 +188,8 @@ class TokenizerStage:
             title=title,
             quality=q,
             links=links,
+            flag_words=flag_words,
+            top_words=sorted(builder.important),
         )
 
 

@@ -87,6 +87,20 @@ def _query_latency_bench(n_queries: int = 100) -> dict:
         t0 = time.time()
         s.search_words(q)
         lat.append(time.time() - t0)
+
+    # distributed batch evaluation (searcher actor pool)
+    import ray.data
+
+    from marginalia_ray.query.batch import evaluate_queries
+
+    qrows = [
+        {"query_id": i, "query": f"{words[i % len(words)]} {words[(i * 5 + 2) % len(words)]}"}
+        for i in range(2000)
+    ]
+    t0 = time.time()
+    n_res = evaluate_queries(ray.data.from_items(qrows), out_root).count()
+    batch_sec = time.time() - t0
+
     import shutil
 
     shutil.rmtree(out_root, ignore_errors=True)
@@ -94,6 +108,8 @@ def _query_latency_bench(n_queries: int = 100) -> dict:
         "p50_ms": round(float(np.percentile(lat, 50)) * 1000, 2),
         "p99_ms": round(float(np.percentile(lat, 99)) * 1000, 2),
         "n": n_queries,
+        "batch_qps": round(len(qrows) / batch_sec, 1),
+        "batch_results": int(n_res),
     }
 
 

@@ -92,6 +92,61 @@ def shingles(ds, n: int = 3, text_col: str = "text", id_col: str = "doc_id"):
     )
 
 
+_TOK_HASH_CACHE: dict[str, int] = {}
+
+
+def _token_hash_array(tokens: list[str]) -> np.ndarray:
+    """Stable 64-bit token hashes with a per-process memo (Zipfian reuse)."""
+    cache = _TOK_HASH_CACHE
+    if len(cache) > 2_000_000:
+        cache.clear()
+    out = np.empty(len(tokens), dtype=U64)
+    for i, t in enumerate(tokens):
+        h = cache.get(t)
+        if h is None:
+            h = int.from_bytes(
+                hashlib.blake2b(t.encode("utf-8"), digest_size=8).digest(), "little"
+            )
+            cache[t] = h
+        out[i] = h
+    return out
+
+
+def _numeric_shingle_batch(
+    batch: pa.Table, n: int, text_col: str, id_col: str
+) -> pa.Table:
+    """Distinct 64-bit word-n-gram shingle hashes per doc: (doc_id, shingle).
+    shingle = mix of the n token hashes — equivalent join key to the string
+    shingle (collision probability 2^-64), fully vectorized."""
+    ids, toks = explode_tokens(batch, text_col, id_col)
+    ids_np = ids.to_numpy(zero_copy_only=False)
+    th = _token_hash_array(toks.to_pylist())
+    out_ids, out_sh = [], []
+    if len(ids_np):
+        bounds = np.flatnonzero(np.r_[True, ids_np[1:] != ids_np[:-1], True])
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            h = th[s:e]
+            if len(h) < n:
+                continue
+            m = len(h) - n + 1
+            sh = h[:m] * _MIX1
+            for k in range(1, n):
+                sh = sh ^ (h[k : m + k] * (_MIX2 if k == 1 else _MIX3))
+            sh = np.unique(sh)
+            out_ids.append(np.full(len(sh), ids_np[s], dtype=np.int64))
+            out_sh.append(sh)
+    if not out_ids:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()), "shingle": pa.array([], pa.uint64())}
+        )
+    return pa.table(
+        {
+            "doc_id": pa.array(np.concatenate(out_ids)),
+            "shingle": pa.array(np.concatenate(out_sh), pa.uint64()),
+        }
+    )
+
+
 def jaccard_pairs(
     ds,
     threshold: float = 0.5,
@@ -108,31 +163,28 @@ def jaccard_pairs(
     (small) per-doc shingle-count table.  At extreme scale the broadcast
     becomes a join on doc id — same plan, wider exchange.
     """
-    sh = shingles(ds, n, text_col, id_col)
+    sh = ds.map_batches(
+        lambda b: _numeric_shingle_batch(b, n, text_col, id_col),
+        batch_format="pyarrow",
+    )
 
     # per-doc shingle counts (small: one row per doc) -> broadcast dict
-    counts = sh.groupby(id_col).count()
+    counts = sh.groupby("doc_id").count()
     counts_t = counts.to_arrow_refs()
     import ray
 
     sizes: dict[int, int] = {}
     for ref in counts_t:
         t = ray.get(ref)
-        ids = t[id_col].to_numpy(zero_copy_only=False)
+        if not t.num_columns:
+            continue
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
         cnt = t["count()"].to_numpy(zero_copy_only=False)
         sizes.update(zip(ids.tolist(), cnt.tolist()))
     sizes_ref = ray.put(sizes)
 
-    def _pairs(group: pa.Table) -> pa.Table:
-        docs = np.unique(group[id_col].to_numpy(zero_copy_only=False))
-        if len(docs) < 2 or len(docs) > max_docs_per_shingle:
-            return pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())})
-        a, b = np.triu_indices(len(docs), k=1)
-        return pa.table({"doc_a": pa.array(docs[a]), "doc_b": pa.array(docs[b])})
-
     inter = (
-        sh.groupby("shingle")
-        .map_groups(_pairs, batch_format="pyarrow")
+        _emit_pairs_per_key(sh, ["shingle"], max_group=max_docs_per_shingle)
         .groupby(["doc_a", "doc_b"])
         .count()
     )
@@ -173,15 +225,35 @@ def _hash_shingles_u64(sh: np.ndarray) -> np.ndarray:
 
 
 def _minhash_params(num_perm: int, seed: int = 1):
+    # a < 2^29 and b < 2^61-1 keep a*h32 + b < 2^62: the affine permutation
+    # over 32-bit shingle hashes is exact in uint64, fully vectorized
     rng = np.random.RandomState(seed)
-    a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+    a = rng.randint(1, 1 << 29, size=num_perm, dtype=np.uint64)
     b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.uint64)
     return a, b
 
 
+_MIX1 = U64(0x9E3779B97F4A7C15)
+_MIX2 = U64(0xC2B2AE3D27D4EB4F)
+_MIX3 = U64(0x165667B19E3779F9)
+
+
+def _fmix64_vec(x: np.ndarray) -> np.ndarray:
+    """murmur3 finalizer, vectorized (stable bucket mixing)."""
+    x = x.astype(U64).copy()
+    x ^= x >> U64(33)
+    x *= U64(0xFF51AFD7ED558CCD)
+    x ^= x >> U64(33)
+    x *= U64(0xC4CEB9FE1A85EC53)
+    x ^= x >> U64(33)
+    return x
+
+
 class MinHashStage:
-    """Actor-pool stage: doc batch -> (doc_id, band, bucket) LSH rows +
-    signature.  Permutation params built once per actor (A-pool pattern)."""
+    """Actor-pool stage: doc batch -> (doc_id, band, bucket) LSH rows.
+    Permutation params + token-hash cache built once per actor (A-pool
+    pattern); shingle hashing, signatures and banding are all vectorized
+    numpy (shingle hash = mix of the n token hashes — no string shingles)."""
 
     def __init__(self, num_perm: int = 128, bands: int = 32, n: int = 3,
                  text_col: str = "text", id_col: str = "doc_id", seed: int = 1):
@@ -191,41 +263,136 @@ class MinHashStage:
         self.a, self.b = _minhash_params(num_perm, seed)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        sh = _shingle_batch(batch, self.n, self.text_col, self.id_col)
-        ids = sh[self.id_col].to_numpy(zero_copy_only=False)
-        shing = sh["shingle"].to_pylist()
-        out_doc, out_band, out_bucket = [], [], []
-        if len(ids):
-            bounds = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1], True])
+        ids, toks = explode_tokens(batch, self.text_col, self.id_col)
+        ids_np = ids.to_numpy(zero_copy_only=False)
+        th = _token_hash_array(toks.to_pylist())
+
+        doc_ids: list[int] = []
+        sigs: list[np.ndarray] = []
+        if len(ids_np):
+            bounds = np.flatnonzero(np.r_[True, ids_np[1:] != ids_np[:-1], True])
             for s, e in zip(bounds[:-1], bounds[1:]):
-                hashes = _hash_shingles_u64(np.asarray(shing[s:e]))
-                sig = _sig_vec(hashes, self.a, self.b)
-                for band in range(self.bands):
-                    chunk = sig[band * self.rows : (band + 1) * self.rows]
-                    bucket = int.from_bytes(
-                        hashlib.blake2b(chunk.tobytes(), digest_size=8).digest(), "little"
-                    )
-                    out_doc.append(int(ids[s]))
-                    out_band.append(band)
-                    out_bucket.append(bucket)
+                h = th[s:e]
+                if len(h) < self.n:
+                    continue
+                m = len(h) - self.n + 1
+                sh = h[:m] * _MIX1
+                for k in range(1, self.n):
+                    sh = sh ^ (h[k : m + k] * (_MIX2 if k == 1 else _MIX3))
+                sh = np.unique(sh)
+                doc_ids.append(int(ids_np[s]))
+                sigs.append(_sig_vec(sh, self.a, self.b))
+
+        if not doc_ids:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "band": pa.array([], pa.int32()),
+                    "bucket": pa.array([], pa.uint64()),
+                }
+            )
+
+        sig = np.stack(sigs)  # (n_docs, num_perm)
+        chunks = sig.reshape(len(doc_ids), self.bands, self.rows)
+        # stable per-band bucket: mix each signature value then combine
+        mixed = _fmix64_vec(chunks.reshape(-1)).reshape(chunks.shape)
+        bucket = mixed[:, :, 0]
+        for r in range(1, self.rows):
+            bucket = _fmix64_vec(bucket ^ mixed[:, :, r])
+        n_docs = len(doc_ids)
         return pa.table(
             {
-                "doc_id": pa.array(out_doc, pa.int64()),
-                "band": pa.array(out_band, pa.int32()),
-                "bucket": pa.array(out_bucket, pa.uint64()),
+                "doc_id": pa.array(np.repeat(np.asarray(doc_ids, dtype=np.int64), self.bands)),
+                "band": pa.array(np.tile(np.arange(self.bands, dtype=np.int32), n_docs)),
+                "bucket": pa.array(bucket.reshape(-1), pa.uint64()),
             }
         )
 
 
 def _sig_vec(hashes: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """Exact (a*h+b) mod 2^61-1 per permutation; arbitrary-precision via
-    numpy object arrays (shingle sets are small, perms=128)."""
-    h_obj = hashes.astype(object)
-    out = np.empty(len(a), dtype=U64)
-    for i in range(len(a)):
-        vals = (int(a[i]) * h_obj + int(b[i])) % _MERSENNE
-        out[i] = int(vals.min())
-    return out
+    """Exact (a*h32+b) mod 2^61-1 per permutation, one vectorized
+    broadcast: h truncated to 32 bits, a < 2^29 => no uint64 overflow."""
+    h32 = (hashes & U64(0xFFFFFFFF)).astype(U64)
+    m = (a[:, None] * h32[None, :] + b[:, None]) % U64(_MERSENNE)
+    return m.min(axis=1).astype(U64)
+
+
+def _emit_pairs_per_key(ds, key_cols: list[str], num_partitions: int | None = None,
+                        max_group: int = 1000, extra_col: str | None = None):
+    """Partition by a salt of the (integer) key columns, then emit
+    co-occurrence (doc_a, doc_b) pairs per key group VECTORIZED within each
+    partition — avoids per-tiny-group map_groups overhead (LSH bucket
+    tables have ~n_docs x bands groups).  Key columns must be integer."""
+    if num_partitions is None:
+        # hash-shuffle aggregators are actors: cap partitions by cluster CPUs
+        import ray
+
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        num_partitions = max(2, min(32, ncpu // 2))
+
+    def _add_pk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("_pk", pa.array([], pa.int64()))
+        acc = np.zeros(batch.num_rows, dtype=U64)
+        for c in key_cols:
+            acc = _fmix64_vec(acc ^ batch[c].to_numpy(zero_copy_only=False).astype(U64))
+        return batch.append_column(
+            "_pk", pa.array((acc % U64(num_partitions)).astype(np.int64))
+        )
+
+    parted = ds.map_batches(_add_pk, batch_format="pyarrow")
+
+    def _pairs_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            cols = {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
+            if extra_col:
+                cols[extra_col] = pa.array([], pa.uint64())
+            return pa.table(cols)
+        import pyarrow.compute as pc
+
+        sort_keys = [(c, "ascending") for c in key_cols] + [("doc_id", "ascending")]
+        block = block.sort_by(sort_keys)
+        ids = block["doc_id"].to_numpy(zero_copy_only=False)
+        keys = [block[c].to_numpy(zero_copy_only=False) for c in key_cols]
+        extra = block[extra_col].to_numpy(zero_copy_only=False) if extra_col else None
+        n = len(ids)
+        new_grp = np.zeros(n, dtype=bool)
+        new_grp[0] = True
+        for k in keys:
+            new_grp[1:] |= k[1:] != k[:-1]
+        starts = np.flatnonzero(new_grp)
+        ends = np.append(starts[1:], n)
+        a_out, b_out, e_out = [], [], []
+        for s, e in zip(starts, ends):
+            g = ids[s:e]
+            keep = np.r_[True, g[1:] != g[:-1]]
+            g = g[keep]
+            if len(g) < 2 or len(g) > max_group:
+                continue
+            ia, ib = np.triu_indices(len(g), k=1)
+            a_out.append(g[ia])
+            b_out.append(g[ib])
+            if extra is not None:
+                ge = extra[s:e][keep]
+                e_out.append((ge[ia], ge[ib]))
+        if not a_out:
+            cols = {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
+            if extra_col:
+                cols[f"{extra_col}_a"] = pa.array([], pa.uint64())
+                cols[f"{extra_col}_b"] = pa.array([], pa.uint64())
+            return pa.table(cols)
+        cols = {
+            "doc_a": pa.array(np.concatenate(a_out)),
+            "doc_b": pa.array(np.concatenate(b_out)),
+        }
+        if extra is not None:
+            cols[f"{extra_col}_a"] = pa.array(np.concatenate([x for x, _ in e_out]), pa.uint64())
+            cols[f"{extra_col}_b"] = pa.array(np.concatenate([y for _, y in e_out]), pa.uint64())
+        return pa.table(cols)
+
+    return parted.groupby("_pk", num_partitions=num_partitions).map_groups(
+        _pairs_block, batch_format="pyarrow"
+    )
 
 
 def minhash_lsh_pairs(
@@ -258,16 +425,8 @@ def minhash_lsh_pairs(
         **kwargs,
     )
 
-    def _pairs(group: pa.Table) -> pa.Table:
-        docs = np.unique(group["doc_id"].to_numpy(zero_copy_only=False))
-        if len(docs) < 2:
-            return pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())})
-        a, b = np.triu_indices(len(docs), k=1)
-        return pa.table({"doc_a": pa.array(docs[a]), "doc_b": pa.array(docs[b])})
-
     cands = (
-        lsh.groupby(["band", "bucket"])
-        .map_groups(_pairs, batch_format="pyarrow")
+        _emit_pairs_per_key(lsh, ["band", "bucket"])
         .groupby(["doc_a", "doc_b"])
         .count()
         .drop_columns(["count()"])
@@ -287,15 +446,25 @@ def minhash_lsh_pairs(
                       "jaccard": pa.array([], pa.float64())})
         )
 
-    sh = shingles(ds, n, text_col, id_col)
+    # candidate docs' string shingle sets, gathered distributed: every batch
+    # filters to candidate rows before shingling (broadcast candidate set)
+    cand_ref = ray.put(cand_docs)
+
+    def _cand_shingles(batch: pa.Table) -> pa.Table:
+        cd = ray.get(cand_ref)
+        ids_np = batch[id_col].to_numpy(zero_copy_only=False)
+        keep = np.fromiter((int(i) in cd for i in ids_np), count=len(ids_np), dtype=bool)
+        return _numeric_shingle_batch(batch.filter(pa.array(keep)), n, text_col, id_col)
+
     sets: dict[int, set] = {}
-    for ref in sh.to_arrow_refs():
+    for ref in ds.map_batches(_cand_shingles, batch_format="pyarrow").to_arrow_refs():
         t = ray.get(ref)
-        ids = t[id_col].to_numpy(zero_copy_only=False)
+        if not t.num_columns:
+            continue
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
         ss = t["shingle"].to_pylist()
         for d, s in zip(ids.tolist(), ss):
-            if d in cand_docs:
-                sets.setdefault(d, set()).add(s)
+            sets.setdefault(d, set()).add(s)
 
     a_np = cand_t["doc_a"].to_numpy(zero_copy_only=False)
     b_np = cand_t["doc_b"].to_numpy(zero_copy_only=False)
@@ -326,7 +495,7 @@ def simhash_batch(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id
     if len(ids_np):
         bounds = np.flatnonzero(np.r_[True, ids_np[1:] != ids_np[:-1], True])
         for s, e in zip(bounds[:-1], bounds[1:]):
-            th = _hash_shingles_u64(np.asarray(toks_l[s:e]))
+            th = _token_hash_array(toks_l[s:e])
             bits = ((th[:, None] >> np.arange(64, dtype=U64)[None, :]) & U64(1)).astype(np.int64)
             v = (2 * bits - 1).sum(axis=0)
             sh = int(((v > 0).astype(np.uint64) << np.arange(64, dtype=U64)).sum())
@@ -360,33 +529,31 @@ def simhash_pairs(ds, max_hamming: int = 3, text_col: str = "text", id_col: str 
             }
         )
 
-    def _pairs(group: pa.Table) -> pa.Table:
-        ids = group["doc_id"].to_numpy(zero_copy_only=False)
-        sh = group["simhash"].to_numpy(zero_copy_only=False)
-        order = np.argsort(ids)
-        ids, sh = ids[order], sh[order]
-        keep = np.r_[True, ids[1:] != ids[:-1]]
-        ids, sh = ids[keep], sh[keep]
-        if len(ids) < 2:
+    def _hamming(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
             return pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
                              "hamming": pa.array([], pa.int32())})
-        a, b = np.triu_indices(len(ids), k=1)
-        x = sh[a] ^ sh[b]
+        x = batch["simhash_a"].to_numpy(zero_copy_only=False) ^ batch[
+            "simhash_b"
+        ].to_numpy(zero_copy_only=False)
         ham = np.zeros(len(x), dtype=np.int64)
         for _ in range(64):
             ham += (x & U64(1)).astype(np.int64)
-            x >>= U64(1)
-        m = ham <= 3
-        return pa.table({"doc_a": pa.array(ids[a][m]), "doc_b": pa.array(ids[b][m]),
-                         "hamming": pa.array(ham[m].astype(np.int32))})
+            x = x >> U64(1)
+        m = ham <= max_hamming
+        return pa.table(
+            {
+                "doc_a": batch["doc_a"].filter(pa.array(m)),
+                "doc_b": batch["doc_b"].filter(pa.array(m)),
+                "hamming": pa.array(ham[m].astype(np.int32)),
+            }
+        )
 
+    chunked = hs.map_batches(_explode_chunks, batch_format="pyarrow")
     pairs = (
-        hs.map_batches(_explode_chunks, batch_format="pyarrow")
-        .groupby(["chunk_no", "chunk"])
-        .map_groups(_pairs, batch_format="pyarrow")
+        _emit_pairs_per_key(chunked, ["chunk_no", "chunk"], extra_col="simhash")
+        .map_batches(_hamming, batch_format="pyarrow")
         .groupby(["doc_a", "doc_b"])
         .min("hamming")
     )
-    return pairs.rename_columns({"min(hamming)": "hamming"}).filter(
-        expr=f"hamming <= {max_hamming}"
-    )
+    return pairs.rename_columns({"min(hamming)": "hamming"})

@@ -46,7 +46,7 @@ _CODE_JUNK = re.compile(r"(\.|&lt;|&gt;|<|>|\([^)]*\)[;]?$)")
 _WS = re.compile(r"\s+")
 
 
-@dataclass
+@dataclass(slots=True)
 class Node:
     tag: str | None  # None = text node
     attrs: dict = field(default_factory=dict)
@@ -140,7 +140,7 @@ def is_noindex(root: Node) -> bool:
 # ---- DomPruningFilter (M3) --------------------------------------------
 
 
-@dataclass
+@dataclass(slots=True)
 class _NodeData:
     depth: int
     signal: int

@@ -85,20 +85,24 @@ def tag_word(word: str, is_sentence_start: bool) -> str:
     return "NN"
 
 
-_TAG_CACHE: dict[tuple[str, bool], str] = {}
+# separate caches for sentence-start vs mid-sentence: plain-string keys are
+# not GC-tracked objects, so a million cached entries add no gen2 scan cost
+# (tuple keys would)
+_TAG_CACHE_START: dict[str, str] = {}
+_TAG_CACHE_MID: dict[str, str] = {}
 
 
 def tag_sentence(words: list[str]) -> list[str]:
     # word-shape tags repeat heavily (Zipfian corpora): memoize per process
-    cache = _TAG_CACHE
-    if len(cache) > 1_000_000:
-        cache.clear()
+    if len(_TAG_CACHE_MID) > 1_000_000:
+        _TAG_CACHE_MID.clear()
+        _TAG_CACHE_START.clear()
     out = []
     for i, w in enumerate(words):
-        key = (w, i == 0)
-        t = cache.get(key)
+        cache = _TAG_CACHE_START if i == 0 else _TAG_CACHE_MID
+        t = cache.get(w)
         if t is None:
             t = tag_word(w, i == 0)
-            cache[key] = t
+            cache[w] = t
         out.append(t)
     return out

@@ -143,7 +143,7 @@ def preclean(sentences: list[str]) -> list[str]:
     return out
 
 
-@dataclass
+@dataclass(slots=True)
 class DocumentSentence:
     original: str
     words: list[str]

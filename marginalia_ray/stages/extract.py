@@ -357,6 +357,7 @@ class ExtractedDocument:
     raw_length: int
     features: set[str]
     links: list[str] = field(default_factory=list)
+    description: str = ""
 
 
 _SKIP_SCHEMES = ("javascript:", "mailto:", "tel:", "data:", "#")
@@ -406,11 +407,26 @@ def extract_document(html: str, base_url: str | None = None) -> ExtractedDocumen
     has_js = len(root.find_all("script")) > 0
     links = extract_links(root, base_url) if base_url else []
 
+    # description (M19): the non-mutating meta heuristics run on the full
+    # tree; the fallback-chain variant runs post-prune on the body text
+    # (prune subsumes the summary chain's nav/link-farm stripping)
+    from marginalia_ray.stages.summary import (
+        _TRUNCATED,
+        MAX_SUMMARY_LENGTH,
+        meta_description,
+        open_graph_description,
+    )
+
+    description = open_graph_description(root, ()) or meta_description(root, ())
+
     prune_dom(root)
     clean_tags(root)
 
     text = body_text(root)
     title = extract_title(root)
+    if not description.strip():
+        description = text
+    description = _TRUNCATED.sub(" ", description)[:MAX_SUMMARY_LENGTH]
     q = quality(len(text), len(html), standard, s_pen)
 
     features = set()
@@ -426,4 +442,5 @@ def extract_document(html: str, base_url: str | None = None) -> ExtractedDocumen
         raw_length=len(html),
         features=features,
         links=links,
+        description=description,
     )

@@ -24,6 +24,7 @@ KNN_QUERY_IDS = list(range(8))
 KNN_K = 5
 BM25_TERMS = ["spark", "join", "window"]
 JACCARD_THRESHOLD = 0.5
+COSINE_THRESHOLD = 0.4
 
 
 def _docs(sf_dir: str):
@@ -127,7 +128,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         minhash_lsh_pairs,
         simhash_pairs,
     )
-    from marginalia_ray.ops.similarity import knn_cosine, knn_cosine_lsh
+    from marginalia_ray.ops.similarity import (
+        embedding_cosine_pairs,
+        knn_cosine,
+        knn_cosine_lsh,
+    )
     from marginalia_ray.ops.text_ops import (
         doc_quality,
         stopword_ratio,
@@ -199,6 +204,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": lambda sf: simhash_pairs(_docs(sf)),
         "knn_cosine": q_knn,
         "knn_cosine_lsh": q_knn_lsh,
+        "embedding_dedup": lambda sf: embedding_cosine_pairs(
+            _emb(sf), threshold=COSINE_THRESHOLD
+        ),
         "bm25_topk": lambda sf: bm25_topk(_docs(sf), BM25_TERMS, k=10),
         "marginalia_search": q_index_search,
     }
@@ -258,6 +266,11 @@ def oracle_sql() -> dict[str, str]:
        FROM q, embeddings e WHERE e.vec_id != q.qid),
  r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) rn FROM s)
  SELECT query_id, neighbor_id, round(score,6) AS score FROM r WHERE rn <= {KNN_K}""",
+        "embedding_dedup": f"""
+ SELECT a.vec_id id_a, b.vec_id id_b,
+        round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])),6) AS score
+ FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= {COSINE_THRESHOLD}""",
         "bm25_topk": f"""
  WITH tok AS (SELECT doc_id, {_TOK} AS ts FROM documents),
  stats AS (SELECT count(*) AS n_docs, avg(len(ts)) AS avgdl FROM tok),

@@ -84,6 +84,66 @@ def knn_cosine(
     )
 
 
+def embedding_cosine_pairs(
+    ds,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    block_rows: int = 4096,
+):
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, score) with
+    id_a < id_b and cosine >= threshold (rounded to 6 dp).
+
+    Plan: normalize per batch, then all-pairs via blocked matmul against a
+    broadcast of the normalized matrix (ray.put once, read per task) —
+    each task computes one row-block x full-matrix product.  Exact; the
+    scale path replaces the broadcast with hyperplane-LSH bucketing
+    (knn_cosine_lsh) exactly as brute-force knn does."""
+    import pyarrow.compute as pc
+
+    # collect the normalized matrix once (embedding tables are the small
+    # side of this op: n x d floats, e.g. 10^7 x 64 = 5 GB at web scale --
+    # above that, bucket with HyperplaneLshStage first)
+    blocks = [ray.get(r) for r in ds.to_arrow_refs()]
+    blocks = [b for b in blocks if b.num_columns]
+    tbl = pa.concat_tables(blocks)
+    ids = tbl[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(ids)
+    ids = ids[order]
+    v = _stack(tbl[vec_col])[order]
+    vn = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-30)
+    mat_ref = ray.put((ids, vn))
+
+    starts = list(range(0, len(ids), block_rows))
+
+    def _block(batch: pa.Table) -> pa.Table:
+        all_ids, m = ray.get(mat_ref)
+        out_a, out_b, out_s = [], [], []
+        for s in batch["start"].to_pylist():
+            e = min(s + block_rows, len(all_ids))
+            scores = m[s:e] @ m.T  # (block, n)
+            ai, bi = np.nonzero(scores >= threshold)
+            keep = (ai + s) < bi  # upper triangle, no self-pairs
+            ai, bi = ai[keep], bi[keep]
+            out_a.append(all_ids[ai + s])
+            out_b.append(all_ids[bi])
+            out_s.append(np.round(scores[ai, bi], 6))
+        if not out_a:
+            return pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
+        return pa.table(
+            {
+                "id_a": pa.array(np.concatenate(out_a)),
+                "id_b": pa.array(np.concatenate(out_b)),
+                "score": pa.array(np.concatenate(out_s), pa.float64()),
+            }
+        )
+
+    return ray.data.from_items([{"start": s} for s in starts]).map_batches(
+        _block, batch_format="pyarrow", batch_size=1
+    )
+
+
 class HyperplaneLshStage:
     """Actor-pool stage: embedding batch -> (vec_id, bucket) signature rows.
     Random hyperplanes drawn once per actor from a fixed seed, so every

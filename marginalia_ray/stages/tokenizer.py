@@ -119,7 +119,7 @@ class TokenizerStage:
             q = doc.quality
             features = doc.features
             fmt = doc.standard
-            year = _sniff_year(h, url)
+            year = _sniff_year(h, url, doc.standard)
             links = doc.links
         else:
             title = (text or "").split(".")[0][:128]
@@ -193,19 +193,8 @@ class TokenizerStage:
         )
 
 
-import re as _re
+def _sniff_year(html: str, url: str, standard: str = "UNKNOWN") -> int | None:
+    """PubDateSniffer heuristic chain (M18) — see stages/pubdate.py."""
+    from marginalia_ray.stages.pubdate import sniff_pub_year
 
-_YEAR_META = _re.compile(r'article:published_time"\s+content="(\d{4})')
-_YEAR_PATH = _re.compile(r"/((?:19|20)\d{2})/")
-
-
-def _sniff_year(html: str, url: str) -> int | None:
-    """PubDateSniffer, abbreviated heuristic chain (M18): OpenGraph-ish meta
-    tag, then URL path pattern."""
-    m = _YEAR_META.search(html)
-    if m:
-        return int(m.group(1))
-    m = _YEAR_PATH.search(url)
-    if m:
-        return int(m.group(1))
-    return None
+    return sniff_pub_year(html, url, standard)

@@ -135,6 +135,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
     from marginalia_ray.ops.text_ops import (
         doc_quality,
+        fingerprint,
+        lang_id,
         stopword_ratio,
         term_doc_freq,
         token_count,
@@ -147,6 +149,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_knn_lsh(sf_dir: str):
         qm, qids = _query_vectors(sf_dir)
         return knn_cosine_lsh(_emb(sf_dir), qm, qids, k=KNN_K, n_planes=6)
+
+    def q_knn_ivf(sf_dir: str):
+        from marginalia_ray.ops.similarity import knn_cosine_ivf
+
+        qm, qids = _query_vectors(sf_dir)
+        return knn_cosine_ivf(_emb(sf_dir), qm, qids, k=KNN_K)
 
     def q_index_search(sf_dir: str):
         import shutil
@@ -204,9 +212,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": lambda sf: simhash_pairs(_docs(sf)),
         "knn_cosine": q_knn,
         "knn_cosine_lsh": q_knn_lsh,
+        "knn_cosine_ivf": q_knn_ivf,
         "embedding_dedup": lambda sf: embedding_cosine_pairs(
             _emb(sf), threshold=COSINE_THRESHOLD
         ),
+        "lang_id": lambda sf: lang_id(_docs(sf)),
+        "doc_fingerprint": lambda sf: fingerprint(_docs(sf)),
         "bm25_topk": lambda sf: bm25_topk(_docs(sf), BM25_TERMS, k=10),
         "marginalia_search": q_index_search,
     }

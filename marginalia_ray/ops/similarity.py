@@ -144,6 +144,64 @@ def embedding_cosine_pairs(
     )
 
 
+def _kmeans_fit(sample: np.ndarray, k: int, iters: int = 10, seed: int = 11) -> np.ndarray:
+    """Plain Lloyd's k-means on a sample (numpy; deterministic seed)."""
+    rng = np.random.RandomState(seed)
+    centroids = sample[rng.choice(len(sample), size=min(k, len(sample)), replace=False)]
+    for _ in range(iters):
+        d = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(len(centroids)):
+            members = sample[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+    return centroids
+
+
+def knn_cosine_ivf(
+    ds,
+    query_vectors: np.ndarray,
+    query_ids: list[int],
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    sample_rows: int = 2048,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """IVF-flat approximate top-k: k-means coarse quantizer fit on a sample,
+    vectors assigned to inverted lists by nearest centroid, queries probe
+    the n_probe nearest lists only.
+
+    Scale path: the centroid table is tiny and broadcast; assignment is one
+    matmul per batch; only ~n_probe/n_lists of the data is scored per
+    query.  Recall < 1 by construction (same contract as knn_cosine_lsh)."""
+    q = np.asarray(query_vectors, dtype=np.float64)
+
+    # fit the coarse quantizer on a limited sample (streaming-friendly)
+    sample_t = ds.limit(sample_rows).to_pandas()
+    sample = np.stack([np.asarray(v, dtype=np.float64) for v in sample_t[vec_col]])
+    sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-30)
+    centroids = _kmeans_fit(sample, n_lists)
+    cn = centroids / np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-30)
+    cent_ref = ray.put(cn)
+
+    qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-30)
+    probe_lists = np.argsort(-(qn @ cn.T), axis=1)[:, :n_probe]  # (nq, n_probe)
+    probed = set(probe_lists.ravel().tolist())
+
+    def _restrict(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        v = _stack(batch[vec_col])
+        vnorm = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-30)
+        assign = (vnorm @ c.T).argmax(axis=1)
+        keep = np.isin(assign, np.asarray(sorted(probed)))
+        return batch.filter(pa.array(keep))
+
+    restricted = ds.map_batches(_restrict, batch_format="pyarrow")
+    return knn_cosine(restricted, query_vectors, query_ids, k=k, vec_col=vec_col, id_col=id_col)
+
+
 class HyperplaneLshStage:
     """Actor-pool stage: embedding batch -> (vec_id, bucket) signature rows.
     Random hyperplanes drawn once per actor from a fixed seed, so every

@@ -92,6 +92,98 @@ def stopword_ratio(ds, text_col: str = "text", id_col: str = "doc_id"):
     return ds.map_batches(_batch, batch_format="pyarrow")
 
 
+# fixed per-language stopword lists (public common-word lists) for the
+# n-gram-free language-ID heuristic: vote by distinct stopword hits
+LANG_STOPWORDS = {
+    "en": ("the", "and", "of", "to", "in", "is", "it", "that", "for", "was"),
+    "es": ("el", "la", "de", "que", "los", "las", "una", "por", "con", "para"),
+    "fr": ("le", "la", "les", "des", "est", "une", "dans", "pour", "qui", "pas"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "den", "von"),
+    "zh": ("de", "shi", "le", "zai", "you", "wo", "ta", "men", "zhe", "bu"),
+}
+
+
+def lang_id(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Heuristic language ID: per-doc stopword-list voting over the fixed
+    LANG_STOPWORDS profiles -> (doc_id, pred_lang, confidence).
+
+    Vectorized: one count_substring_regex per language.  Rows-only check
+    (the heuristic is not SQL-expressible as a deterministic oracle)."""
+    patterns = {
+        lang: r"\b(" + "|".join(words) + r")\b" for lang, words in LANG_STOPWORDS.items()
+    }
+    langs = sorted(patterns)
+
+    def _batch(batch: pa.Table) -> pa.Table:
+        lower = pc.utf8_lower(batch[text_col])
+        n_tok = np.maximum(
+            pc.count_substring_regex(lower, TOKEN_MATCH).to_numpy(zero_copy_only=False), 1
+        ).astype(np.float64)
+        scores = np.stack(
+            [
+                pc.count_substring_regex(lower, patterns[lang])
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64)
+                for lang in langs
+            ]
+        )  # (n_langs, n_docs)
+        best = scores.argmax(axis=0)
+        conf = np.round(scores[best, np.arange(scores.shape[1])] / n_tok, 6)
+        pred = np.where(conf > 0, np.asarray(langs, dtype=object)[best], "und")
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "pred_lang": pa.array(pred.tolist(), pa.string()),
+                "confidence": pa.array(conf, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(_batch, batch_format="pyarrow")
+
+
+_FP_BASE = np.uint64(31)
+_FP_WINDOW = 8  # tokens per rolling window
+
+
+def fingerprint(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Document fingerprint via rolling (Rabin-Karp-style) hash: the MIN of
+    the polynomial hashes over all token windows — a winnowing-style
+    content fingerprint robust to local edits.  (doc_id, fingerprint)."""
+    from marginalia_ray.ops.dedup import _token_hash_array
+
+    def _batch(batch: pa.Table) -> pa.Table:
+        ids, toks = explode_tokens(batch, text_col, id_col)
+        ids_np = ids.to_numpy(zero_copy_only=False)
+        th = _token_hash_array(toks.to_pylist())
+        out_id, out_fp = [], []
+        if len(ids_np):
+            bounds = np.flatnonzero(np.r_[True, ids_np[1:] != ids_np[:-1], True])
+            powers = _FP_BASE ** np.arange(_FP_WINDOW, dtype=np.uint64)
+            for s, e in zip(bounds[:-1], bounds[1:]):
+                h = th[s:e]
+                if len(h) < _FP_WINDOW:
+                    fp = np.uint64(0)
+                    for i, v in enumerate(h):
+                        fp = fp * _FP_BASE + v
+                else:
+                    m = len(h) - _FP_WINDOW + 1
+                    # window hash = sum(h[i+k] * base^(W-1-k)) — vectorized
+                    acc = np.zeros(m, dtype=np.uint64)
+                    for k in range(_FP_WINDOW):
+                        acc += h[k : m + k] * powers[_FP_WINDOW - 1 - k]
+                    fp = acc.min()
+                out_id.append(int(ids_np[s]))
+                out_fp.append(int(fp))
+        return pa.table(
+            {
+                id_col: pa.array(out_id, pa.int64()),
+                "fingerprint": pa.array(out_fp, pa.uint64()),
+            }
+        )
+
+    return ds.map_batches(_batch, batch_format="pyarrow")
+
+
 def doc_quality(ds, text_col: str = "text", id_col: str = "doc_id"):
     """Marginalia-flavored quality score (DocumentValuator.getQuality shape,
     ref DocumentValuator.java:16-86): ln(n_tokens / (1 + n_chars)).

@@ -117,3 +117,50 @@ def test_exact_dedup_counts_duplicates(ray_session):
     out = exact_dedup(ds).to_pandas().sort_values("keep_doc_id").reset_index(drop=True)
     assert out["n_dups"].tolist() == [2, 1]
     assert out["keep_doc_id"].tolist() == [1, 3]
+
+
+def test_lang_id_and_fingerprint(ray_session):
+    import ray.data
+
+    from marginalia_ray.ops.text_ops import fingerprint, lang_id
+
+    rows = [
+        {"doc_id": 1, "text": "the cat and the dog is in the house for fun"},
+        {"doc_id": 2, "text": "el gato y la casa de los perros por una vez"},
+        {"doc_id": 3, "text": "xyzzy qwerty plugh"},
+    ]
+    ds = ray.data.from_items(rows)
+    out = lang_id(ds).to_pandas().sort_values("doc_id")
+    assert out["pred_lang"].tolist()[:2] == ["en", "es"]
+    assert out["pred_lang"].tolist()[2] == "und"
+
+    fp = fingerprint(ds).to_pandas().sort_values("doc_id")
+    assert len(fp) == 3
+    # deterministic across runs
+    fp2 = fingerprint(ray.data.from_items(rows)).to_pandas().sort_values("doc_id")
+    assert fp["fingerprint"].tolist() == fp2["fingerprint"].tolist()
+    # identical prefixes with a local edit keep the same winnowed min-window
+    a = {"doc_id": 10, "text": "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 " * 4}
+    b = {"doc_id": 11, "text": a["text"] + " tail edit here"}
+    fps = fingerprint(ray.data.from_items([a, b])).to_pandas().sort_values("doc_id")
+    assert fps["fingerprint"].iloc[0] == fps["fingerprint"].iloc[1]
+
+
+def test_knn_ivf_subset_of_exact(ray_session):
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from marginalia_ray.ops.similarity import knn_cosine, knn_cosine_ivf, _stack
+
+    emb = ray.data.read_parquet(
+        "/root/testdata/sf0.001/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    t = pq.read_table("/root/testdata/sf0.001/embeddings.parquet")
+    qm = _stack(t["embedding"])[:4]
+    qids = t["vec_id"].to_pylist()[:4]
+    exact = knn_cosine(emb, qm, qids, k=5).to_pandas()
+    approx = knn_cosine_ivf(emb, qm, qids, k=5).to_pandas()
+    assert len(approx) == 20
+    merged = approx.merge(exact, on=["query_id", "neighbor_id"], suffixes=("_a", "_e"))
+    assert (merged["score_a"] == merged["score_e"]).all()
+    assert len(merged) >= 10  # reasonable recall on this data

@@ -204,11 +204,47 @@ class IndexSearcher:
         )
         return self.search(SearchSpec(subqueries=[sq], **spec_kwargs))
 
-    def search_query(self, raw: str, **spec_kwargs) -> list[SearchResult]:
-        """Full query-string path: Q1/Q3 parser -> SearchSpec -> search."""
+    def search_query(
+        self, raw: str, expand_variants: bool = True, **spec_kwargs
+    ) -> list[SearchResult]:
+        """Full query-string path: Q1/Q3 parser -> variant expansion (Q2)
+        -> SearchSpec -> search."""
         from marginalia_ray.query.parser import parse_query
 
-        return self.search(parse_query(raw, **spec_kwargs))
+        spec = parse_query(raw, **spec_kwargs)
+        if expand_variants and spec.subqueries:
+            spec.subqueries = self.expand_variants(spec.subqueries[0])
+        return self.search(spec)
+
+    MAX_VARIANTS = 5  # QueryFactory.trimArray retains the last 5 variants
+
+    def expand_variants(self, sq: Subquery) -> list[Subquery]:
+        """Q2 (QueryVariants/QueryPermutation, simplified): alternative
+        segmentations joining adjacent include terms into an n-gram IF the
+        joined term exists in the index — the index's own term directory
+        replaces the reference's NGramBloomFilter presence test
+        (QueryVariants.java:22-60, QueryFactory.java:63-73,152-167).
+        The original segmentation stays first; at most MAX_VARIANTS total."""
+        variants = [sq]
+        inc = sq.include
+        for i in range(len(inc) - 1):
+            if len(variants) >= self.MAX_VARIANTS:
+                break
+            if "_" in inc[i] or "_" in inc[i + 1] or ":" in inc[i] or ":" in inc[i + 1]:
+                continue
+            ngram = f"{inc[i]}_{inc[i + 1]}"
+            th = term_hash(ngram)
+            if th is not None and self.num_hits(th) > 0:
+                variants.append(
+                    Subquery(
+                        include=inc[:i] + [ngram] + inc[i + 2 :],
+                        exclude=sq.exclude,
+                        advice=sq.advice,
+                        priority=sq.priority,
+                        coherences=sq.coherences,
+                    )
+                )
+        return variants
 
     # evaluateSubqueries + createQueries + executeQuery
     def _evaluate_subqueries(self, spec: SearchSpec) -> np.ndarray:

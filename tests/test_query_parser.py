@@ -69,3 +69,46 @@ def test_trailing_colon_trim():
 def test_unterminated_quote():
     sq = parse_query('"free software').subqueries[0]
     assert sq.include == ["free", "software"] or sq.include == ["free_software"]
+
+
+def test_variant_expansion_uses_index_ngrams(ray_session, tmp_path):
+    """Q2: 'a b' expands to the a_b n-gram variant when the index has it."""
+    from marginalia_ray.pipelines.index_pipeline import run_index_pipeline
+    from marginalia_ray.query.engine import IndexSearcher
+    from marginalia_ray.sources.pages import pages_parquet
+
+    pages = pages_parquet(200, cache_dir=str(tmp_path / "p"))
+    run_index_pipeline(pages, str(tmp_path / "i"), n_shards=4, concurrency=2)
+    s = IndexSearcher(tmp_path / "i")
+
+    # find an n-gram term actually present in the index
+    from marginalia_ray.functions.hashing import term_hash
+    from marginalia_ray.query.engine import Subquery
+
+    # proper-name spans in the synthetic corpus produce joined terms; probe a
+    # few capitalized title bigrams until one resolves
+    import itertools
+
+    from marginalia_ray.sources.pages import make_page
+
+    found = None
+    for i in range(50):
+        p = make_page(i, 200)
+        title_words = [w.lower() for w in p["text"].split(".")[0].split()][:6]
+        for a, b in itertools.pairwise(title_words):
+            ng = f"{a}_{b}"
+            th = term_hash(ng)
+            if th is not None and s.num_hits(th) > 0:
+                found = (a, b, ng)
+                break
+        if found:
+            break
+    assert found, "no ngram term present in the test index"
+    a, b, ng = found
+    variants = s.expand_variants(Subquery(include=[a, b]))
+    assert len(variants) == 2
+    assert variants[1].include == [ng]
+
+    # a query with no known ngram stays single-variant
+    v2 = s.expand_variants(Subquery(include=["zzzz", "qqqq"]))
+    assert len(v2) == 1

@@ -104,12 +104,38 @@ def _query_latency_bench(n_queries: int = 100) -> dict:
     import shutil
 
     shutil.rmtree(out_root, ignore_errors=True)
+
+    # reference query set (factors corpus) latency — the BASELINE.json metric
+    from marginalia_ray.index.build import build_index
+    from marginalia_ray.query.engine import SearchSpec, SpecLimit, Subquery
+    from marginalia_ray.sources.factors import REFERENCE_QUERIES, make_factors_journal
+
+    fdir = tempfile.mkdtemp(prefix="marginalia_factors_")
+    build_index(ray.data.from_arrow(make_factors_journal()), fdir, n_shards=8)
+    fs = None
+    from marginalia_ray.query.engine import IndexSearcher as _IS
+
+    fs = _IS(fdir)
+    ref_lat = []
+    for i in range(n_queries):
+        q = REFERENCE_QUERIES[i % len(REFERENCE_QUERIES)]
+        spec = SearchSpec(
+            subqueries=[Subquery(include=q["include"], exclude=q["exclude"])],
+            year=SpecLimit.eq(q["year"]) if "year" in q else SpecLimit.none(),
+        )
+        t0 = time.time()
+        fs.search(spec)
+        ref_lat.append(time.time() - t0)
+    shutil.rmtree(fdir, ignore_errors=True)
+
     return {
         "p50_ms": round(float(np.percentile(lat, 50)) * 1000, 2),
         "p99_ms": round(float(np.percentile(lat, 99)) * 1000, 2),
         "n": n_queries,
         "batch_qps": round(len(qrows) / batch_sec, 1),
         "batch_results": int(n_res),
+        "ref_queryset_p50_ms": round(float(np.percentile(ref_lat, 50)) * 1000, 2),
+        "ref_queryset_p99_ms": round(float(np.percentile(ref_lat, 99)) * 1000, 2),
     }
 
 

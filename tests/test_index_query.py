@@ -19,34 +19,11 @@ from marginalia_ray.model.codecs import encode_doc_meta, encode_word_meta, WordF
 from marginalia_ray.query.engine import IndexSearcher, SearchSpec, SpecLimit, Subquery
 
 
-def factors(i):
-    return [v for v in range(1, i + 1) if i % v == 0]
+from marginalia_ray.sources.factors import factors, make_factors_journal
 
 
 def make_journal(with_domain=False):
-    doc_ids, doc_metas, term_lists, meta_lists = [], [], [], []
-    for i in range(1, 512):
-        fs = factors(i)
-        if with_domain:
-            # loadDataWithDomain: domain = i/100, docMeta default (0)
-            doc_ids.append(i | ((i // 100) << 32))
-            doc_metas.append(0)
-        else:
-            # loadData: fullId = id | (32 - (id % 32)) << 32
-            doc_ids.append(i | ((32 - (i % 32)) << 32))
-            doc_metas.append(encode_doc_meta(year=i % 5, sets=i, quality=i % 20))
-        term_lists.append([term_hash(str(f)) for f in fs])
-        meta_lists.append(
-            [encode_word_meta(idx, WordFlags.Title.bit) for idx in range(len(fs))]
-        )
-    return pa.table(
-        {
-            "doc_id": pa.array(doc_ids, type=pa.uint64()),
-            "doc_meta": pa.array(doc_metas, type=pa.uint64()),
-            "term_hashes": pa.array(term_lists, type=pa.list_(pa.uint64())),
-            "kw_metas": pa.array(meta_lists, type=pa.list_(pa.uint64())),
-        }
-    )
+    return make_factors_journal(with_domain=with_domain)
 
 
 @pytest.fixture(scope="module")

@@ -411,19 +411,18 @@ def minhash_lsh_pairs(
     complete, hence no SQL oracle."""
     import ray
 
+    # stateless task pool: the permutation params are tiny and deterministic
+    # (seeded), and the token-hash memo is module-level — constructing the
+    # stage per task beats actor-pool spin-up
+    def _lsh_batch(batch: pa.Table) -> pa.Table:
+        return MinHashStage(
+            num_perm=num_perm, bands=bands, n=n, text_col=text_col, id_col=id_col
+        )(batch)
+
     kwargs = {}
     if concurrency:
         kwargs["concurrency"] = concurrency
-    else:
-        kwargs["concurrency"] = max(2, int(ray.cluster_resources().get("CPU", 8)) - 1)
-
-    lsh = ds.map_batches(
-        MinHashStage,
-        fn_constructor_kwargs=dict(num_perm=num_perm, bands=bands, n=n,
-                                   text_col=text_col, id_col=id_col),
-        batch_format="pyarrow",
-        **kwargs,
-    )
+    lsh = ds.map_batches(_lsh_batch, batch_format="pyarrow", **kwargs)
 
     cands = (
         _emit_pairs_per_key(lsh, ["band", "bucket"])

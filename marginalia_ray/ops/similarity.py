@@ -245,13 +245,18 @@ def knn_cosine_lsh(
         (qbits.astype(np.uint64) << np.arange(qbits.shape[1], dtype=np.uint64)).sum(axis=1).tolist()
     )
 
-    ncpu = max(2, int(ray.cluster_resources().get("CPU", 8)) - 1)
-    sig = ds.map_batches(
-        HyperplaneLshStage,
-        fn_constructor_kwargs=dict(n_planes=n_planes, dim=dim, vec_col=vec_col, id_col=id_col),
-        batch_format="pyarrow",
-        concurrency=ncpu,
-    )
+    # stateless task pool: the hyperplane matrix is tiny and deterministic,
+    # so constructing it per task beats paying actor-pool spin-up
+    planes_ref = ray.put(stage.planes)
+
+    def _sig(batch: pa.Table) -> pa.Table:
+        planes = ray.get(planes_ref)
+        v = _stack(batch[vec_col])
+        bits = (v @ planes.T) > 0
+        buckets = (bits.astype(np.uint64) << np.arange(bits.shape[1], dtype=np.uint64)).sum(axis=1)
+        return pa.table({id_col: batch[id_col], "bucket": pa.array(buckets, pa.uint64())})
+
+    sig = ds.map_batches(_sig, batch_format="pyarrow")
     bucket_list = sorted(qbuckets)
 
     def _filt(batch: pa.Table) -> pa.Table:

@@ -126,12 +126,50 @@ def make_run_writer(build_dir: str, n_buckets: int):
     return write_group
 
 
+TARGET_RUN_POSTINGS = 2_000_000  # max postings a single (shard,bucket) group
+# should hold: one group must sort+encode in one task's memory
+
+
+def estimate_max_doc_freq(journal: "ray.data.Dataset", n_shards: int) -> int:
+    """Doc-frequency sketch pass (SURVEY.md §4 skew row): per-batch partial
+    term counts -> groupby(term).sum -> max.  Drives the bucket count so a
+    Zipf-head term's postings split into bounded runs."""
+    import pyarrow.compute as pc
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        kw = batch["term_hashes"]
+        if isinstance(kw, pa.ChunkedArray):
+            kw = kw.combine_chunks()
+        flat = pc.list_flatten(kw)
+        t = pa.table({"term": flat}).group_by("term").aggregate([("term", "count")])
+        return t.rename_columns(["term", "partial"])
+
+    counts = (
+        journal.select_columns(["term_hashes"])
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby("term")
+        .sum("partial")
+    )
+    agg = counts.max("sum(partial)")
+    return int(agg or 0)
+
+
+def choose_buckets(journal: "ray.data.Dataset", n_shards: int,
+                   target: int = TARGET_RUN_POSTINGS) -> int:
+    """Pick the doc-range salt S from the doc-frequency sketch: the hottest
+    term's postings split into ~ceil(max_df / target) monotone runs."""
+    max_df = estimate_max_doc_freq(journal, n_shards)
+    n = max(1, -(-max_df // target))
+    # power of two (bucket_of uses top bits)
+    return 1 << (n - 1).bit_length()
+
+
 def build_index(
     journal: "ray.data.Dataset",
     build_dir: str | Path,
     *,
     n_shards: int = 32,
-    n_buckets: int = 1,
+    n_buckets: int | str = 1,
     domain_rankings: dict[int, int] | None = None,
 ) -> dict:
     """journal columns: doc_id(uint64), doc_meta(uint64),
@@ -141,6 +179,9 @@ def build_index(
     build_dir = str(build_dir)
     Path(build_dir).mkdir(parents=True, exist_ok=True)
     t0 = time.time()
+
+    if n_buckets == "auto":
+        n_buckets = choose_buckets(journal, n_shards)
 
     rankings_ref = ray.put(domain_rankings) if domain_rankings else None
 

@@ -145,3 +145,30 @@ class TestBuildDeterminism:
             ib, mb = sb.postings("full", term_hash(term))
             np.testing.assert_array_equal(ia, ib)
             np.testing.assert_array_equal(ma, mb)
+
+
+class TestAutoBuckets:
+    def test_sketch_and_auto_bucket_choice(self, ray_session):
+        from marginalia_ray.index.build import choose_buckets, estimate_max_doc_freq
+
+        journal = ray.data.from_arrow(make_journal())
+        # term "1" appears in every doc: max df == 511
+        assert estimate_max_doc_freq(journal, 8) == 511
+        # tiny target forces splitting into power-of-two buckets
+        assert choose_buckets(journal, 8, target=100) == 8
+        assert choose_buckets(journal, 8, target=1_000_000) == 1
+
+    def test_auto_bucket_build_matches_single_bucket(self, ray_session, tmp_path):
+        from marginalia_ray.index.build import build_index
+        from marginalia_ray.index.build import TARGET_RUN_POSTINGS
+
+        d1 = tmp_path / "b1"
+        da = tmp_path / "auto"
+        build_index(ray.data.from_arrow(make_journal()), d1, n_shards=4, n_buckets=1)
+        build_index(ray.data.from_arrow(make_journal()), da, n_shards=4, n_buckets="auto")
+        s1, sa = IndexSearcher(d1), IndexSearcher(da)
+        for t in ("2", "3", "17"):
+            i1, m1 = s1.postings("full", term_hash(t))
+            ia, ma = sa.postings("full", term_hash(t))
+            assert (i1 == ia).all()
+            assert (m1 == ma).all()

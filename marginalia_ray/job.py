@@ -23,7 +23,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--out", required=True, help="output index root")
     p.add_argument("--build-id", default="build-0")
     p.add_argument("--shards", type=int, default=32)
-    p.add_argument("--buckets", type=int, default=1)
+    p.add_argument(
+        "--buckets", default=1,
+        type=lambda v: v if v == "auto" else int(v),
+        help="doc-range buckets per shard (int, or 'auto' for the doc-frequency sketch)",
+    )
     p.add_argument("--concurrency", type=int, default=None)
     p.add_argument("--journal-partitions", type=int, default=None)
     p.add_argument("--dedup", action="store_true", help="per-domain LSH dedup (D3)")

@@ -183,7 +183,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         finally:
             shutil.rmtree(out_root, ignore_errors=True)
 
-    from marginalia_ray.ops.relational import domain_stats, sessionize
+    from marginalia_ray.ops.dedup import exact_dedup_apply
+    from marginalia_ray.ops.relational import domain_stats, sample_by_key, sessionize
+
+    def q_dedup_apply(sf_dir: str):
+        import ray.data
+
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "source"]
+        )
+        return exact_dedup_apply(ds)
+
+    def q_sample(sf_dir: str):
+        import ray.data
+
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+        )
+        return sample_by_key(ds, 0.25)
 
     def q_domain_stats(sf_dir: str):
         import ray.data
@@ -202,6 +219,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "domain_stats": q_domain_stats,
         "sessionize": q_sessionize,
+        "exact_dedup_apply": q_dedup_apply,
+        "sample_by_key": q_sample,
         "token_count": lambda sf: token_count(_docs(sf)),
         "term_doc_freq": lambda sf: term_doc_freq(_docs(sf)),
         "stopword_ratio": lambda sf: stopword_ratio(_docs(sf)),
@@ -250,6 +269,12 @@ def oracle_sql() -> dict[str, str]:
  SELECT user_id, session_no, count(*)::BIGINT AS n_events,
         min(us) AS start_us, max(us) AS end_us
  FROM s GROUP BY user_id, session_no""",
+        "exact_dedup_apply": """
+ SELECT d.doc_id, d.text, d.lang, d.source FROM documents d
+ JOIN (SELECT min(doc_id) AS k FROM documents GROUP BY md5(text)) s ON d.doc_id = s.k""",
+        "sample_by_key": """
+ SELECT doc_id, text, lang FROM documents
+ WHERE (doc_id * 2654435761) % 4294967296 % 1000000 < 250000""",
         "token_count": f"SELECT doc_id, len({_TOK})::BIGINT AS n_tokens FROM documents",
         "term_doc_freq": f"""
  SELECT term, count(*)::BIGINT AS doc_freq FROM (

@@ -50,6 +50,27 @@ def _min_count_aggs(id_col: str):
     return [Min(id_col, alias_name="keep_doc_id"), Count(alias_name="n_dups")]
 
 
+def exact_dedup_apply(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Exact dedup, applied: return the surviving rows (lowest id per
+    content hash), all original columns.  One groupby(hash) shuffle; each
+    group emits its winner — the distributed 'keep first' pattern."""
+
+    def _hash(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        hashes = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts]
+        return batch.append_column("_h", pa.array(hashes, pa.string()))
+
+    def _first(group: pa.Table) -> pa.Table:
+        ids = group[id_col].to_numpy(zero_copy_only=False)
+        return group.take([int(np.argmin(ids))]).drop_columns(["_h"])
+
+    return (
+        ds.map_batches(_hash, batch_format="pyarrow")
+        .groupby("_h")
+        .map_groups(_first, batch_format="pyarrow")
+    )
+
+
 # ---- shingling ---------------------------------------------------------
 
 

@@ -49,6 +49,24 @@ def domain_stats(ds, key_col: str = "source", text_col: str = "text"):
     return out.map_batches(_finalize, batch_format="pyarrow")
 
 
+SAMPLE_MOD = 1_000_000
+SAMPLE_MIX = 2_654_435_761  # Knuth multiplicative hash constant
+
+
+def sample_by_key(ds, fraction: float, key_col: str = "doc_id"):
+    """Deterministic fraction sample keyed on an integer column: keep rows
+    where (key * 2654435761) % 2^32 % 1e6 < fraction*1e6.  Reproducible
+    across runs/partitionings and SQL-replicable (unlike random_shuffle)."""
+    cut = int(fraction * SAMPLE_MOD)
+
+    def _batch(batch: pa.Table) -> pa.Table:
+        k = batch[key_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (k * np.uint64(SAMPLE_MIX)) % np.uint64(1 << 32) % np.uint64(SAMPLE_MOD)
+        return batch.filter(pa.array(h < cut))
+
+    return ds.map_batches(_batch, batch_format="pyarrow")
+
+
 def sessionize(ds, gap_minutes: int = 30, user_col: str = "user_id", ts_col: str = "ts"):
     """Gap-based sessionization of an event log: one row per (user, session)
     with (user_id, session_no, n_events, start_ts, end_ts).

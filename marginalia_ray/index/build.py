@@ -59,8 +59,11 @@ def _rank_lookup(domain_ids: np.ndarray, rankings: dict[int, int] | None) -> np.
     return np.where(hit, vals[idx], DEFAULT_DOMAIN_RANK).astype(U64)
 
 
-def make_explode_fn(rankings_ref, n_shards: int, n_buckets: int):
-    """Stateless map_batches fn: journal rows -> flat keyed postings."""
+def make_explode_fn(rankings_ref, n_shards: int, n_buckets: int,
+                    boundaries: np.ndarray | None):
+    """Stateless map_batches fn: journal rows -> flat keyed postings.
+    `boundaries` (n_buckets-1 sorted uint64 split points, or None) is small
+    and captured in the closure — shipped once per task, not per batch."""
 
     def explode(batch: pa.Table) -> pa.Table:
         rankings = ray.get(rankings_ref) if rankings_ref is not None else None
@@ -77,7 +80,7 @@ def make_explode_fn(rankings_ref, n_shards: int, n_buckets: int):
         enc_ids = rank_encode_id(doc_ids, ranks)[parents]
 
         shard = (terms % U64(n_shards)).astype(np.int64)
-        bucket = bucket_of(enc_ids, n_buckets)
+        bucket = bucket_of(enc_ids, boundaries)
         key = shard * n_buckets + bucket
         return pa.table(
             {
@@ -159,9 +162,51 @@ def choose_buckets(journal: "ray.data.Dataset", n_shards: int,
     """Pick the doc-range salt S from the doc-frequency sketch: the hottest
     term's postings split into ~ceil(max_df / target) monotone runs."""
     max_df = estimate_max_doc_freq(journal, n_shards)
-    n = max(1, -(-max_df // target))
-    # power of two (bucket_of uses top bits)
-    return 1 << (n - 1).bit_length()
+    return max(1, -(-max_df // target))
+
+
+BOUNDARY_SAMPLE_TARGET = 65_536  # enc-id sample size for quantile boundaries
+
+
+def sample_bucket_boundaries(
+    journal: "ray.data.Dataset",
+    rankings_ref,
+    n_buckets: int,
+    sample_target: int = BOUNDARY_SAMPLE_TARGET,
+) -> np.ndarray | None:
+    """Quantile split points over the rank-encoded doc-id space.
+
+    One light pass over the doc_id column only: a deterministic hash-mod
+    sample (~sample_target ids regardless of corpus size) comes to the
+    driver; its n_buckets-1 quantiles become the bucket boundaries.  ~50
+    samples per bucket bounds the bucket-size error to a few percent, which
+    is all the TARGET_RUN_POSTINGS memory bound needs."""
+    if n_buckets <= 1:
+        return None
+    n_docs = journal.count()
+    rate = max(1, n_docs // sample_target)
+
+    def _sample(batch: pa.Table) -> pa.Table:
+        rankings = ray.get(rankings_ref) if rankings_ref is not None else None
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(U64)
+        if rate > 1:
+            ids = ids[(ids * U64(0x9E3779B97F4A7C15)) % U64(rate) == 0]
+        domains = domain_id_of(ids)
+        ranks = _rank_lookup(domains, rankings)
+        enc = rank_encode_id(ids, ranks)
+        return pa.table({"enc": pa.array(enc, type=pa.uint64())})
+
+    sampled = journal.select_columns(["doc_id"]).map_batches(
+        _sample, batch_format="pyarrow"
+    )
+    parts = [b["enc"].to_numpy() for b in sampled.iter_batches(batch_format="pyarrow")]
+    enc = np.concatenate(parts) if parts else np.zeros(0, dtype=U64)
+    if len(enc) == 0:
+        return None
+    enc.sort()
+    idx = (np.arange(1, n_buckets) * len(enc)) // n_buckets
+    bounds = np.unique(enc[idx])  # dup quantiles collapse (fewer buckets, fine)
+    return bounds if len(bounds) else None
 
 
 def build_index(
@@ -169,21 +214,35 @@ def build_index(
     build_dir: str | Path,
     *,
     n_shards: int = 32,
-    n_buckets: int | str = 1,
+    n_buckets: int | str = "auto",
     domain_rankings: dict[int, int] | None = None,
 ) -> dict:
     """journal columns: doc_id(uint64), doc_meta(uint64),
     term_hashes(list<uint64>), kw_metas(list<uint64>).
 
+    n_buckets='auto' (the default) sizes the doc-range salt from a
+    doc-frequency sketch pass so no (shard,bucket) group exceeds
+    TARGET_RUN_POSTINGS even under Zipfian term skew.
+
     Returns the build manifest (also written to MANIFEST.json)."""
     build_dir = str(build_dir)
+    # Re-running into an existing build_dir must not accumulate stale
+    # forward parquet / bucket run files (duplicate doc counts, duplicate
+    # postings if the bucket count changed): clear the output subtrees.
+    import shutil
+
+    for sub in ("forward", "full", "prio"):
+        shutil.rmtree(Path(build_dir) / sub, ignore_errors=True)
     Path(build_dir).mkdir(parents=True, exist_ok=True)
     t0 = time.time()
 
     if n_buckets == "auto":
         n_buckets = choose_buckets(journal, n_shards)
+    n_buckets = max(1, int(n_buckets))
 
     rankings_ref = ray.put(domain_rankings) if domain_rankings else None
+    boundaries = sample_bucket_boundaries(journal, rankings_ref, n_buckets)
+    n_buckets = (len(boundaries) + 1) if boundaries is not None else 1
 
     # --- forward index (ForwardIndexConverter semantics: rank folded into
     # doc_meta, domain id alongside; no shuffle, streaming write) ---
@@ -211,7 +270,8 @@ def build_index(
 
     # --- posting runs: the one shuffle ---
     exploded = journal.select_columns(["doc_id", "term_hashes", "kw_metas"]).map_batches(
-        make_explode_fn(rankings_ref, n_shards, n_buckets), batch_format="pyarrow"
+        make_explode_fn(rankings_ref, n_shards, n_buckets, boundaries),
+        batch_format="pyarrow",
     )
     # hash-based shuffle (num_partitions) beats the default sort shuffle ~2x
     # here: keys are already dense integers, no order needed across groups
@@ -226,6 +286,7 @@ def build_index(
         "doc_count": int(doc_count),
         "n_shards": n_shards,
         "n_buckets": n_buckets,
+        "bucket_boundaries": [] if boundaries is None else [int(b) for b in boundaries],
         "elapsed_sec": round(time.time() - t0, 3),
         "runs": lineage.to_dict(orient="records"),
     }

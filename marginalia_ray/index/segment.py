@@ -16,7 +16,8 @@ by pointing a `CURRENT` file at it, mirroring switchFilesJob):
 
 Scale notes (the design constraint is a 256-node cluster / 100 TB corpus):
   * shard = term_hash % n_shards — the unit of query-side ownership.
-  * bucket = high bits of the rank-encoded doc id — a *doc-range* split of
+  * bucket = quantile range of the rank-encoded doc id (boundaries sampled
+    at build time, stored in MANIFEST) — a *doc-range* split of
     each shard so the build shuffle's groups stay bounded under Zipfian term
     skew (a hot term's postings land in many (shard,bucket) groups).
     Because bucket boundaries are monotone in doc id, per-term posting lists
@@ -50,12 +51,21 @@ TERMS_SCHEMA = pa.schema(
 )
 
 
-def bucket_of(enc_doc_ids: np.ndarray, n_buckets: int) -> np.ndarray:
-    """Monotone doc-range bucket: top bits of the rank-encoded id."""
-    if n_buckets <= 1:
+def bucket_of(enc_doc_ids: np.ndarray, boundaries: np.ndarray | None) -> np.ndarray:
+    """Monotone doc-range bucket via sampled quantile split points.
+
+    `boundaries` is a sorted uint64 array of n_buckets-1 split points over the
+    rank-encoded doc-id space (None/empty => single bucket 0); the bucket is
+    the count of boundaries <= enc_id.  searchsorted keeps the map monotone
+    non-decreasing in enc id (so per-term runs concatenate in sorted order
+    across buckets), and quantile boundaries keep buckets balanced even when
+    the 8-bit rank byte is constant (the default-255 case, where any fixed
+    top-bits scheme would put every posting in one bucket — enc ids are
+    rank<<32|url_id, so bits 40..63 are always zero)."""
+    if boundaries is None or len(boundaries) == 0:
         return np.zeros(len(enc_doc_ids), dtype=np.int64)
-    bits = max(1, int(n_buckets - 1).bit_length())
-    return (enc_doc_ids >> U64(64 - bits)).astype(np.int64) % n_buckets
+    b = np.asarray(boundaries, dtype=U64)
+    return np.searchsorted(b, enc_doc_ids, side="right").astype(np.int64)
 
 
 def write_run(
@@ -208,7 +218,23 @@ class ForwardIndex:
             self.url_ids = url[order]
             self.doc_metas = t["doc_meta"].to_numpy()[order]
             self.domain_ids = t["domain_id"].to_numpy()[order]
+            # url_id is a 32-bit hash of the full URL (not a DB-assigned
+            # unique id as in the reference), so cross-domain collisions are
+            # possible (~n^2/2^33).  Detect and report them: lookup() keeps
+            # the first entry per id, so colliding docs share doc_meta.
+            if len(self.url_ids) > 1:
+                self.n_collisions = int((self.url_ids[1:] == self.url_ids[:-1]).sum())
+                if self.n_collisions:
+                    import warnings
+
+                    warnings.warn(
+                        f"forward index: {self.n_collisions} url_id hash "
+                        "collisions; colliding docs share doc_meta/domain_id"
+                    )
+            else:
+                self.n_collisions = 0
         else:
+            self.n_collisions = 0
             self.url_ids = np.zeros(0, dtype=np.int64)
             self.doc_metas = np.zeros(0, dtype=U64)
             self.domain_ids = np.zeros(0, dtype=np.int64)

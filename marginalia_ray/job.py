@@ -24,9 +24,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--build-id", default="build-0")
     p.add_argument("--shards", type=int, default=32)
     p.add_argument(
-        "--buckets", default=1,
+        "--buckets", default="auto",
         type=lambda v: v if v == "auto" else int(v),
-        help="doc-range buckets per shard (int, or 'auto' for the doc-frequency sketch)",
+        help="doc-range buckets per shard (int, or 'auto' [default] for the doc-frequency sketch)",
     )
     p.add_argument("--concurrency", type=int, default=None)
     p.add_argument("--journal-partitions", type=int, default=None)

@@ -155,7 +155,7 @@ def run_index_pipeline(
     *,
     build_id: str = "build-0",
     n_shards: int = 32,
-    n_buckets: int = 1,
+    n_buckets: int | str = "auto",
     concurrency: int | None = None,
     domain_rankings: dict[int, int] | None = None,
     dedup: bool = False,

@@ -38,7 +38,10 @@ _WORD_BREAK = re.compile(
 _NOISE = set("/*-")
 
 # SentencePreCleaner.splitPattern
-_PRECLEAN_SPLIT = re.compile(r"( -|- |\|)")
+# Non-capturing group: Java Pattern.split discards separators, so a
+# capturing group here would inject ' -'/'- '/'|' pseudo-sentences that
+# depress the avg-sentence-length doc-metadata field vs the reference.
+_PRECLEAN_SPLIT = re.compile(r"(?: -|- |\|)")
 
 
 def sanitize_string(s: str) -> str:
@@ -137,7 +140,7 @@ def preclean(sentences: list[str]) -> list[str]:
         if total > max_total and count > max_count:
             break
         if "-" in s or "|" in s:
-            out.extend(_PRECLEAN_SPLIT.split(s))
+            out.extend(p for p in _PRECLEAN_SPLIT.split(s) if p.strip())
         else:
             out.append(s)
     return out

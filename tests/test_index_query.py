@@ -122,6 +122,13 @@ class TestBuildDeterminism:
         journal2 = ray.data.from_arrow(make_journal())
         build_index(journal2, d4, n_shards=4, n_buckets=4)
 
+        # the salt must actually split: multiple bucket=* run files per shard
+        # (guards against the bucket fn silently mapping everything to 0)
+        bucket_files = {
+            p.name for p in (d4 / "full").glob("shard=*/bucket=*.terms.parquet")
+        }
+        assert len(bucket_files) >= 2, bucket_files
+
         s1, s4 = IndexSearcher(d1), IndexSearcher(d4)
         for t in ["1", "2", "3", "17", "100", "509"]:
             ids1, m1 = s1.postings("full", term_hash(t))
@@ -131,6 +138,32 @@ class TestBuildDeterminism:
 
         spec = SearchSpec(subqueries=[Subquery(include=["3", "5", "2"], exclude=["4"])])
         assert [r.url_id for r in s1.search(spec)] == [r.url_id for r in s4.search(spec)]
+
+    def test_non_power_of_two_buckets(self, ray_session, tmp_path_factory):
+        """n_buckets=3 (quantile boundaries need no power-of-two) keeps
+        per-term lists sorted and identical to the single-bucket build."""
+        d1 = tmp_path_factory.mktemp("npt1")
+        d3 = tmp_path_factory.mktemp("npt3")
+        build_index(ray.data.from_arrow(make_journal()), d1, n_shards=4, n_buckets=1)
+        build_index(ray.data.from_arrow(make_journal()), d3, n_shards=4, n_buckets=3)
+        s1, s3 = IndexSearcher(d1), IndexSearcher(d3)
+        for t in ["1", "2", "3", "251"]:
+            ids1, m1 = s1.postings("full", term_hash(t))
+            ids3, m3 = s3.postings("full", term_hash(t))
+            assert (np.diff(ids3.astype(np.int64)) > 0).all()
+            np.testing.assert_array_equal(ids1, ids3)
+            np.testing.assert_array_equal(m1, m3)
+
+    def test_rebuild_into_same_dir_is_clean(self, ray_session, tmp_path_factory):
+        """Re-running build_index into an existing build_dir must not
+        accumulate stale forward/bucket files (doubling doc_count)."""
+        d = tmp_path_factory.mktemp("rebuild")
+        build_index(ray.data.from_arrow(make_journal()), d, n_shards=4, n_buckets=4)
+        m2 = build_index(ray.data.from_arrow(make_journal()), d, n_shards=4, n_buckets=1)
+        assert m2["doc_count"] == 511
+        s = IndexSearcher(d)
+        ids, _ = s.postings("full", term_hash("2"))
+        assert len(ids) == 255  # not doubled, no stale bucket files
 
     def test_partitioning_invariance(self, ray_session, tmp_path_factory):
         """Build with different input block structure => identical segments."""
@@ -154,8 +187,8 @@ class TestAutoBuckets:
         journal = ray.data.from_arrow(make_journal())
         # term "1" appears in every doc: max df == 511
         assert estimate_max_doc_freq(journal, 8) == 511
-        # tiny target forces splitting into power-of-two buckets
-        assert choose_buckets(journal, 8, target=100) == 8
+        # tiny target forces splitting: ceil(511/100) == 6 buckets
+        assert choose_buckets(journal, 8, target=100) == 6
         assert choose_buckets(journal, 8, target=1_000_000) == 1
 
     def test_auto_bucket_build_matches_single_bucket(self, ray_session, tmp_path):

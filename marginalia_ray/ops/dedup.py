@@ -73,75 +73,63 @@ def exact_dedup_apply(ds, text_col: str = "text", id_col: str = "doc_id"):
 
 # ---- shingling ---------------------------------------------------------
 
-
-def _shingle_batch(batch: pa.Table, n: int, text_col: str, id_col: str) -> pa.Table:
-    """Distinct word n-gram shingles per doc: (doc_id, shingle) rows."""
-    ids, toks = explode_tokens(batch, text_col, id_col)
-    ids_np = ids.to_numpy(zero_copy_only=False)
-    toks_np = np.asarray(toks.to_pylist(), dtype=object)
-    out_ids: list = []
-    out_sh: list = []
-    # per-doc loop over boundaries (docs << tokens; the inner join is numpy)
-    if len(ids_np):
-        bounds = np.flatnonzero(np.r_[True, ids_np[1:] != ids_np[:-1], True])
-        for s, e in zip(bounds[:-1], bounds[1:]):
-            words = toks_np[s:e].astype(str)
-            if len(words) < n:
-                continue
-            m = len(words) - n + 1
-            sh = words[:m]
-            for k in range(1, n):
-                sh = np.char.add(np.char.add(sh, " "), words[k : m + k])
-            sh = np.unique(sh)
-            out_ids.append(np.full(len(sh), ids_np[s], dtype=ids_np.dtype))
-            out_sh.append(sh)
-    if not out_ids:
-        return pa.table({id_col: pa.array([], pa.int64()), "shingle": pa.array([], pa.string())})
-    return pa.table(
-        {
-            id_col: pa.array(np.concatenate(out_ids)),
-            "shingle": pa.array(np.concatenate(out_sh).tolist(), pa.string()),
-        }
-    )
+_P = U64(0x100000001B3)  # FNV-64 prime; odd => invertible mod 2^64
+_PINV = U64(pow(0x100000001B3, -1, 1 << 64))
 
 
-def shingles(ds, n: int = 3, text_col: str = "text", id_col: str = "doc_id"):
-    if n not in (2, 3):
-        raise ValueError("word shingles supported for n in (2, 3)")
-    return ds.map_batches(
-        lambda b: _shingle_batch(b, n, text_col, id_col), batch_format="pyarrow"
-    )
+def _token_hash_arrow(tokens) -> np.ndarray:
+    """Stable 64-bit token hashes, fully vectorized over the Arrow buffers.
 
+    hash(t) = fmix64(poly(t) ^ len(t)*MIX) with poly(t) = sum b_i * P^{L-1-i}
+    in wrap-around uint64 arithmetic.  The per-token polynomial is derived
+    from ONE global prefix sum: with w_i = b_i * P^{-i} (P odd, so P^{-1}
+    exists mod 2^64), poly over bytes [s, e) = (S[e]-S[s]) * P^{e-1}.
+    No per-token Python — replaces the old blake2b loop whose first-touch
+    cost was serial Python even with a memo."""
+    import pyarrow.compute as _pc
 
-_TOK_HASH_CACHE: dict[str, int] = {}
-
-
-def _token_hash_array(tokens: list[str]) -> np.ndarray:
-    """Stable 64-bit token hashes with a per-process memo (Zipfian reuse)."""
-    cache = _TOK_HASH_CACHE
-    if len(cache) > 2_000_000:
-        cache.clear()
-    out = np.empty(len(tokens), dtype=U64)
-    for i, t in enumerate(tokens):
-        h = cache.get(t)
-        if h is None:
-            h = int.from_bytes(
-                hashlib.blake2b(t.encode("utf-8"), digest_size=8).digest(), "little"
-            )
-            cache[t] = h
-        out[i] = h
-    return out
+    if isinstance(tokens, pa.ChunkedArray):
+        tokens = tokens.combine_chunks()
+    n = len(tokens)
+    if n == 0:
+        return np.empty(0, dtype=U64)
+    arr = tokens if pa.types.is_large_string(tokens.type) else _pc.cast(tokens, pa.large_string())
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    off = np.frombuffer(arr.buffers()[1], dtype=np.int64)[arr.offset : arr.offset + n + 1]
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    start, end = off[:-1].astype(np.int64), off[1:].astype(np.int64)
+    m = int(off[-1])
+    pw = np.empty(m + 1, dtype=U64)
+    pw[0] = U64(1)
+    if m:
+        np.cumprod(np.full(m, _P, dtype=U64), out=pw[1:])
+    pinv_pw = np.empty(m, dtype=U64)
+    if m:
+        pinv_pw[0] = U64(1)
+        if m > 1:
+            np.cumprod(np.full(m - 1, _PINV, dtype=U64), out=pinv_pw[1:])
+    S = np.zeros(m + 1, dtype=U64)
+    if m:
+        np.cumsum(data[:m].astype(U64) * pinv_pw, out=S[1:])
+    h = (S[end] - S[start]) * pw[np.maximum(end, 1) - 1]
+    h ^= (end - start).astype(U64) * _MIX2
+    return _fmix64_vec(h)
 
 
 def _numeric_shingle_batch(
-    batch: pa.Table, n: int, text_col: str, id_col: str
+    batch: pa.Table, n: int, text_col: str, id_col: str, with_size: bool = False
 ) -> pa.Table:
     """Distinct 64-bit word-n-gram shingle hashes per doc: (doc_id, shingle).
     shingle = mix of the n token hashes — equivalent join key to the string
-    shingle (collision probability 2^-64), fully vectorized."""
+    shingle (collision probability 2^-64), fully vectorized.
+
+    with_size=True adds an n_sh column (the doc's distinct-shingle count,
+    repeated per row) so the union size rides along through the pair
+    shuffle — no per-doc size table, no join, no driver-side dict."""
     ids, toks = explode_tokens(batch, text_col, id_col)
     ids_np = ids.to_numpy(zero_copy_only=False)
-    th = _token_hash_array(toks.to_pylist())
+    th = _token_hash_arrow(toks)
     out_ids, out_sh = [], []
     if len(ids_np):
         bounds = np.flatnonzero(np.r_[True, ids_np[1:] != ids_np[:-1], True])
@@ -157,15 +145,62 @@ def _numeric_shingle_batch(
             out_ids.append(np.full(len(sh), ids_np[s], dtype=np.int64))
             out_sh.append(sh)
     if not out_ids:
-        return pa.table(
-            {"doc_id": pa.array([], pa.int64()), "shingle": pa.array([], pa.uint64())}
+        cols = {"doc_id": pa.array([], pa.int64()), "shingle": pa.array([], pa.uint64())}
+        if with_size:
+            cols["n_sh"] = pa.array([], pa.uint64())
+        return pa.table(cols)
+    cols = {
+        "doc_id": pa.array(np.concatenate(out_ids)),
+        "shingle": pa.array(np.concatenate(out_sh), pa.uint64()),
+    }
+    if with_size:
+        cols["n_sh"] = pa.array(
+            np.concatenate([np.full(len(x), len(x), dtype=U64) for x in out_sh]),
+            pa.uint64(),
         )
-    return pa.table(
-        {
-            "doc_id": pa.array(np.concatenate(out_ids)),
-            "shingle": pa.array(np.concatenate(out_sh), pa.uint64()),
-        }
+    return pa.table(cols)
+
+
+def _join_partitions() -> int:
+    """num_partitions for distributed hash joins, sized to the cluster."""
+    import ray
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    return max(2, min(32, ncpu // 2))
+
+
+def _pairs_to_jaccard(pairs, threshold: float):
+    """(doc_a, doc_b, n_sh_a, n_sh_b) pair rows -> (doc_a, doc_b, jaccard).
+
+    One groupby(a, b) aggregation: intersection = row count, union sizes
+    ride along as Min (constant within a group).  Fully distributed — no
+    per-doc size table, no join, no driver-side dict (the round-1 weak
+    spot: a dict with one entry per document is a driver OOM at 100 TB)."""
+    from ray.data.aggregate import Count, Min
+
+    inter = pairs.groupby(["doc_a", "doc_b"]).aggregate(
+        Count(alias_name="n_inter"),
+        Min("n_sh_a", alias_name="n_a"),
+        Min("n_sh_b", alias_name="n_b"),
     )
+
+    def _final(batch: pa.Table) -> pa.Table:
+        a = batch["doc_a"].to_numpy(zero_copy_only=False)
+        b = batch["doc_b"].to_numpy(zero_copy_only=False)
+        i = batch["n_inter"].to_numpy(zero_copy_only=False).astype(np.float64)
+        na = batch["n_a"].to_numpy(zero_copy_only=False).astype(np.float64)
+        nb = batch["n_b"].to_numpy(zero_copy_only=False).astype(np.float64)
+        jac = np.round(i / (na + nb - i), 6)
+        keep = jac >= threshold
+        return pa.table(
+            {
+                "doc_a": pa.array(a[keep]),
+                "doc_b": pa.array(b[keep]),
+                "jaccard": pa.array(jac[keep], pa.float64()),
+            }
+        )
+
+    return inter.map_batches(_final, batch_format="pyarrow")
 
 
 def jaccard_pairs(
@@ -179,55 +214,19 @@ def jaccard_pairs(
     """Exact n-gram Jaccard near-dup pairs: (doc_a, doc_b, jaccard) with
     doc_a < doc_b and jaccard >= threshold (rounded to 6 dp).
 
-    One shuffle: groupby(shingle) emits co-occurrence pairs; intersection
-    counts aggregate by (a, b); union sizes come from a broadcast of the
-    (small) per-doc shingle-count table.  At extreme scale the broadcast
-    becomes a join on doc id — same plan, wider exchange.
+    Fully distributed, ONE shuffle: groupby(shingle) emits co-occurrence
+    pairs with each doc's shingle-set size riding along as a column;
+    groupby(a, b) turns row counts into intersections and Min(size) into
+    union sizes — nothing materializes on the driver.
     """
     sh = ds.map_batches(
-        lambda b: _numeric_shingle_batch(b, n, text_col, id_col),
+        lambda b: _numeric_shingle_batch(b, n, text_col, id_col, with_size=True),
         batch_format="pyarrow",
     )
-
-    # per-doc shingle counts (small: one row per doc) -> broadcast dict
-    counts = sh.groupby("doc_id").count()
-    counts_t = counts.to_arrow_refs()
-    import ray
-
-    sizes: dict[int, int] = {}
-    for ref in counts_t:
-        t = ray.get(ref)
-        if not t.num_columns:
-            continue
-        ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        cnt = t["count()"].to_numpy(zero_copy_only=False)
-        sizes.update(zip(ids.tolist(), cnt.tolist()))
-    sizes_ref = ray.put(sizes)
-
-    inter = (
-        _emit_pairs_per_key(sh, ["shingle"], max_group=max_docs_per_shingle)
-        .groupby(["doc_a", "doc_b"])
-        .count()
+    pairs = _emit_pairs_per_key(
+        sh, ["shingle"], max_group=max_docs_per_shingle, extra_col="n_sh"
     )
-
-    def _finalize(batch: pa.Table) -> pa.Table:
-        sz = ray.get(sizes_ref)
-        a = batch["doc_a"].to_numpy(zero_copy_only=False)
-        b = batch["doc_b"].to_numpy(zero_copy_only=False)
-        i = batch["count()"].to_numpy(zero_copy_only=False).astype(np.float64)
-        na = np.array([sz[x] for x in a], dtype=np.float64)
-        nb = np.array([sz[x] for x in b], dtype=np.float64)
-        j = np.round(i / (na + nb - i), 6)
-        keep = j >= threshold
-        return pa.table(
-            {
-                "doc_a": pa.array(a[keep]),
-                "doc_b": pa.array(b[keep]),
-                "jaccard": pa.array(j[keep], pa.float64()),
-            }
-        )
-
-    return inter.map_batches(_finalize, batch_format="pyarrow")
+    return _pairs_to_jaccard(pairs, threshold)
 
 
 # ---- MinHash + LSH -----------------------------------------------------
@@ -286,7 +285,7 @@ class MinHashStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, toks = explode_tokens(batch, self.text_col, self.id_col)
         ids_np = ids.to_numpy(zero_copy_only=False)
-        th = _token_hash_array(toks.to_pylist())
+        th = _token_hash_arrow(toks)
 
         doc_ids: list[int] = []
         sigs: list[np.ndarray] = []
@@ -425,16 +424,24 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     concurrency: int | None = None,
+    max_docs_per_shingle: int = 1000,
 ):
     """MinHash+LSH near-dup candidates verified by exact Jaccard:
     (doc_a, doc_b, jaccard).  Subset of jaccard_pairs (LSH recall < 1 at
     the threshold boundary) — verified-exact but probabilistically
-    complete, hence no SQL oracle."""
+    complete, hence no SQL oracle.
+
+    Fully distributed finalize (round-1 fix): the candidate pair table
+    stays a Dataset (materialized in the object store, never concatenated
+    on the driver); only the DISTINCT candidate doc ids — the genuinely
+    small side — come back as a sorted array, broadcast once for a
+    vectorized np.isin semi-join restrict; exact Jaccard then reuses the
+    same shingle-shuffle machinery as jaccard_pairs over candidate docs
+    only, and an inner join restricts the result to LSH-bucketed pairs."""
     import ray
 
     # stateless task pool: the permutation params are tiny and deterministic
-    # (seeded), and the token-hash memo is module-level — constructing the
-    # stage per task beats actor-pool spin-up
+    # (seeded) — constructing the stage per task beats actor-pool spin-up
     def _lsh_batch(batch: pa.Table) -> pa.Table:
         return MinHashStage(
             num_perm=num_perm, bands=bands, n=n, text_col=text_col, id_col=id_col
@@ -450,56 +457,39 @@ def minhash_lsh_pairs(
         .groupby(["doc_a", "doc_b"])
         .count()
         .drop_columns(["count()"])
+        .materialize()  # reused twice (id scan + final semi-join)
     )
 
-    # exact verification: broadcast shingle sets of candidate docs only
-    cand_blocks = [t for t in (ray.get(r) for r in cands.to_arrow_refs()) if t.num_columns]
-    cand_t = (
-        pa.concat_tables(cand_blocks)
-        if cand_blocks
-        else pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())})
-    )
-    cand_docs = set(cand_t["doc_a"].to_pylist()) | set(cand_t["doc_b"].to_pylist())
-    if not cand_docs:
+    id_parts = [np.zeros(0, dtype=np.int64)]
+    for b in cands.iter_batches(batch_format="pyarrow"):
+        if b.num_rows and "doc_a" in b.column_names:
+            id_parts.append(b["doc_a"].to_numpy(zero_copy_only=False))
+            id_parts.append(b["doc_b"].to_numpy(zero_copy_only=False))
+    cand_ids = np.unique(np.concatenate(id_parts))
+    if len(cand_ids) == 0:
         return ray.data.from_arrow(
             pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
                       "jaccard": pa.array([], pa.float64())})
         )
-
-    # candidate docs' string shingle sets, gathered distributed: every batch
-    # filters to candidate rows before shingling (broadcast candidate set)
-    cand_ref = ray.put(cand_docs)
+    cand_ref = ray.put(cand_ids)
 
     def _cand_shingles(batch: pa.Table) -> pa.Table:
         cd = ray.get(cand_ref)
         ids_np = batch[id_col].to_numpy(zero_copy_only=False)
-        keep = np.fromiter((int(i) in cd for i in ids_np), count=len(ids_np), dtype=bool)
-        return _numeric_shingle_batch(batch.filter(pa.array(keep)), n, text_col, id_col)
+        keep = np.isin(ids_np, cd)
+        return _numeric_shingle_batch(
+            batch.filter(pa.array(keep)), n, text_col, id_col, with_size=True
+        )
 
-    sets: dict[int, set] = {}
-    for ref in ds.map_batches(_cand_shingles, batch_format="pyarrow").to_arrow_refs():
-        t = ray.get(ref)
-        if not t.num_columns:
-            continue
-        ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        ss = t["shingle"].to_pylist()
-        for d, s in zip(ids.tolist(), ss):
-            sets.setdefault(d, set()).add(s)
-
-    a_np = cand_t["doc_a"].to_numpy(zero_copy_only=False)
-    b_np = cand_t["doc_b"].to_numpy(zero_copy_only=False)
-    rows_a, rows_b, rows_j = [], [], []
-    for x, y in zip(a_np.tolist(), b_np.tolist()):
-        sa, sb = sets.get(x, set()), sets.get(y, set())
-        if not sa or not sb:
-            continue
-        inter = len(sa & sb)
-        j = round(inter / (len(sa) + len(sb) - inter), 6)
-        if j >= threshold:
-            rows_a.append(x); rows_b.append(y); rows_j.append(j)
-    return ray.data.from_arrow(
-        pa.table({"doc_a": pa.array(rows_a, pa.int64()), "doc_b": pa.array(rows_b, pa.int64()),
-                  "jaccard": pa.array(rows_j, pa.float64())})
+    cand_sh = ds.map_batches(_cand_shingles, batch_format="pyarrow")
+    pairs = _emit_pairs_per_key(
+        cand_sh, ["shingle"], max_group=max_docs_per_shingle, extra_col="n_sh"
+    )
+    verified = _pairs_to_jaccard(pairs, threshold)
+    # semi-join back to the LSH candidates: co-candidate docs that never
+    # shared a band bucket must not appear in the output
+    return verified.join(
+        cands, "inner", num_partitions=_join_partitions(), on=("doc_a", "doc_b")
     )
 
 
@@ -510,12 +500,12 @@ def simhash_batch(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id
     """64-bit SimHash over token hashes weighted by term frequency."""
     ids, toks = explode_tokens(batch, text_col, id_col)
     ids_np = ids.to_numpy(zero_copy_only=False)
-    toks_l = toks.to_pylist()
+    all_th = _token_hash_arrow(toks)
     out_id, out_sh = [], []
     if len(ids_np):
         bounds = np.flatnonzero(np.r_[True, ids_np[1:] != ids_np[:-1], True])
         for s, e in zip(bounds[:-1], bounds[1:]):
-            th = _token_hash_array(toks_l[s:e])
+            th = all_th[s:e]
             bits = ((th[:, None] >> np.arange(64, dtype=U64)[None, :]) & U64(1)).astype(np.int64)
             v = (2 * bits - 1).sum(axis=0)
             sh = int(((v > 0).astype(np.uint64) << np.arange(64, dtype=U64)).sum())

@@ -84,63 +84,118 @@ def knn_cosine(
     )
 
 
+_EMPTY_PAIRS = {
+    "id_a": pa.array([], pa.int64()),
+    "id_b": pa.array([], pa.int64()),
+    "score": pa.array([], pa.float64()),
+}
+
+
+def _ids_vecs(t: pa.Table, vec_col: str, id_col: str):
+    ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    v = _stack(t[vec_col])
+    return ids, v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-30)
+
+
+def _pair_table(ids_a, ids_b, scores) -> pa.Table:
+    """Order each pair by id value (contract: id_a < id_b)."""
+    lo = np.minimum(ids_a, ids_b)
+    hi = np.maximum(ids_a, ids_b)
+    return pa.table(
+        {
+            "id_a": pa.array(lo),
+            "id_b": pa.array(hi),
+            "score": pa.array(np.round(scores, 6), pa.float64()),
+        }
+    )
+
+
 def embedding_cosine_pairs(
     ds,
     threshold: float = 0.9,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     block_rows: int = 4096,
+    mode: str = "exact",
+    n_planes: int = 12,
 ):
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, score) with
     id_a < id_b and cosine >= threshold (rounded to 6 dp).
 
-    Plan: normalize per batch, then all-pairs via blocked matmul against a
-    broadcast of the normalized matrix (ray.put once, read per task) —
-    each task computes one row-block x full-matrix product.  Exact; the
-    scale path replaces the broadcast with hyperplane-LSH bucketing
-    (knn_cosine_lsh) exactly as brute-force knn does."""
-    import pyarrow.compute as pc
+    mode="exact" (default): all-pairs via block x block matmul tasks over
+    OBJECT-STORE block refs — the dataset materializes into the (spillable)
+    object store only; the driver holds B block refs, never the vectors
+    (round-1 fix: no driver concat, no full-matrix broadcast).  O(n^2/2)
+    compute by definition of the exact op.
 
-    # collect the normalized matrix once (embedding tables are the small
-    # side of this op: n x d floats, e.g. 10^7 x 64 = 5 GB at web scale --
-    # above that, bucket with HyperplaneLshStage first)
-    blocks = [ray.get(r) for r in ds.to_arrow_refs()]
-    blocks = [b for b in blocks if b.num_columns]
-    tbl = pa.concat_tables(blocks)
-    ids = tbl[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-    order = np.argsort(ids)
-    ids = ids[order]
-    v = _stack(tbl[vec_col])[order]
-    vn = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-30)
-    mat_ref = ray.put((ids, vn))
+    mode="lsh": hyperplane-LSH bucket first, verify exactly within each
+    bucket — the linear-ish scale path; recall < 1 (pairs whose signatures
+    differ are missed), same contract as knn_cosine_lsh."""
+    if mode == "lsh":
+        return _embedding_pairs_lsh(ds, threshold, vec_col, id_col, n_planes)
 
-    starts = list(range(0, len(ids), block_rows))
+    n = ds.count()
+    nb = max(1, -(-n // block_rows))
+    mat = ds.select_columns([id_col, vec_col]).repartition(nb).materialize()
+    refs = mat.to_arrow_refs()  # closure-held: keeps blocks alive, tiny to ship
 
-    def _block(batch: pa.Table) -> pa.Table:
-        all_ids, m = ray.get(mat_ref)
-        out_a, out_b, out_s = [], [], []
-        for s in batch["start"].to_pylist():
-            e = min(s + block_rows, len(all_ids))
-            scores = m[s:e] @ m.T  # (block, n)
-            ai, bi = np.nonzero(scores >= threshold)
-            keep = (ai + s) < bi  # upper triangle, no self-pairs
-            ai, bi = ai[keep], bi[keep]
-            out_a.append(all_ids[ai + s])
-            out_b.append(all_ids[bi])
-            out_s.append(np.round(scores[ai, bi], 6))
-        if not out_a:
-            return pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
-                             "score": pa.array([], pa.float64())})
-        return pa.table(
-            {
-                "id_a": pa.array(np.concatenate(out_a)),
-                "id_b": pa.array(np.concatenate(out_b)),
-                "score": pa.array(np.concatenate(out_s), pa.float64()),
-            }
-        )
+    def _block_pair(batch: pa.Table) -> pa.Table:
+        out = []
+        for i, j in zip(batch["i"].to_pylist(), batch["j"].to_pylist()):
+            ti = ray.get(refs[i])
+            ids_i, vi = _ids_vecs(ti, vec_col, id_col)
+            if i == j:
+                scores = vi @ vi.T
+                ai, bi = np.nonzero(scores >= threshold)
+                keep = ai < bi  # positional upper triangle: no dups/self
+                ai, bi = ai[keep], bi[keep]
+                out.append(_pair_table(ids_i[ai], ids_i[bi], scores[ai, bi]))
+            else:
+                ids_j, vj = _ids_vecs(ray.get(refs[j]), vec_col, id_col)
+                scores = vi @ vj.T
+                ai, bi = np.nonzero(scores >= threshold)
+                out.append(_pair_table(ids_i[ai], ids_j[bi], scores[ai, bi]))
+        if not out:
+            return pa.table(_EMPTY_PAIRS)
+        return pa.concat_tables(out)
 
-    return ray.data.from_items([{"start": s} for s in starts]).map_batches(
-        _block, batch_format="pyarrow", batch_size=1
+    tasks = [{"i": i, "j": j} for i in range(len(refs)) for j in range(i, len(refs))]
+    return ray.data.from_items(tasks).map_batches(
+        _block_pair, batch_format="pyarrow", batch_size=1
+    )
+
+
+def _embedding_pairs_lsh(ds, threshold: float, vec_col: str, id_col: str, n_planes: int):
+    """Bucket by hyperplane signature, verify exactly within each bucket.
+    Each pair lands in at most one bucket (equal full signatures), so the
+    output needs no dedup."""
+    probe = ds.take(1)
+    if not probe:
+        return ray.data.from_arrow(pa.table(_EMPTY_PAIRS))
+    dim = len(probe[0][vec_col])
+    stage = HyperplaneLshStage(n_planes=n_planes, dim=dim, vec_col=vec_col, id_col=id_col)
+    planes = stage.planes
+
+    def _sig(batch: pa.Table) -> pa.Table:
+        v = _stack(batch[vec_col])
+        bits = (v @ planes.T) > 0
+        buckets = (bits.astype(np.uint64) << np.arange(bits.shape[1], dtype=np.uint64)).sum(axis=1)
+        return batch.append_column("bucket", pa.array(buckets, pa.uint64()))
+
+    def _bucket_pairs(group: pa.Table) -> pa.Table:
+        ids, vn = _ids_vecs(group, vec_col, id_col)
+        if len(ids) < 2:
+            return pa.table(_EMPTY_PAIRS)
+        scores = vn @ vn.T
+        ai, bi = np.nonzero(scores >= threshold)
+        keep = ai < bi
+        ai, bi = ai[keep], bi[keep]
+        return _pair_table(ids[ai], ids[bi], scores[ai, bi])
+
+    return (
+        ds.map_batches(_sig, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_bucket_pairs, batch_format="pyarrow")
     )
 
 
@@ -237,49 +292,25 @@ def knn_cosine_lsh(
 ):
     """Approximate top-k: only score vectors whose hyperplane signature
     matches a query signature (single-probe).  Scale path for brute-force;
-    recall < 1 by construction."""
+    recall < 1 by construction.
+
+    ONE streaming pass (round-1 fix — no driver-side candidate set, no
+    second restrict pass): each batch computes its signatures and filters
+    itself against the tiny sorted query-bucket array (np.isin), then the
+    surviving rows flow straight into the exact scorer."""
     stage = HyperplaneLshStage(n_planes=n_planes, dim=dim, vec_col=vec_col, id_col=id_col)
+    planes = stage.planes  # tiny (n_planes x dim): closure-captured, no ray.put
     q = np.asarray(query_vectors, dtype=np.float64)
-    qbits = (q @ stage.planes.T) > 0
-    qbuckets = set(
-        (qbits.astype(np.uint64) << np.arange(qbits.shape[1], dtype=np.uint64)).sum(axis=1).tolist()
+    qbits = (q @ planes.T) > 0
+    qbuckets = np.unique(
+        (qbits.astype(np.uint64) << np.arange(qbits.shape[1], dtype=np.uint64)).sum(axis=1)
     )
 
-    # stateless task pool: the hyperplane matrix is tiny and deterministic,
-    # so constructing it per task beats paying actor-pool spin-up
-    planes_ref = ray.put(stage.planes)
-
-    def _sig(batch: pa.Table) -> pa.Table:
-        planes = ray.get(planes_ref)
+    def _filt(batch: pa.Table) -> pa.Table:
         v = _stack(batch[vec_col])
         bits = (v @ planes.T) > 0
         buckets = (bits.astype(np.uint64) << np.arange(bits.shape[1], dtype=np.uint64)).sum(axis=1)
-        return pa.table({id_col: batch[id_col], "bucket": pa.array(buckets, pa.uint64())})
+        return batch.filter(pa.array(np.isin(buckets, qbuckets)))
 
-    sig = ds.map_batches(_sig, batch_format="pyarrow")
-    bucket_list = sorted(qbuckets)
-
-    def _filt(batch: pa.Table) -> pa.Table:
-        b = batch["bucket"].to_numpy(zero_copy_only=False)
-        keep = np.isin(b, np.asarray(bucket_list, dtype=np.uint64))
-        return batch.filter(pa.array(keep))
-
-    cand_ids = sig.map_batches(_filt, batch_format="pyarrow").drop_columns(["bucket"])
-    cand_set_ref = ray.put(
-        set(
-            x
-            for ref in cand_ids.to_arrow_refs()
-            for t in [ray.get(ref)]
-            if t.num_columns
-            for x in t[id_col].to_pylist()
-        )
-    )
-
-    def _restrict(batch: pa.Table) -> pa.Table:
-        cand = ray.get(cand_set_ref)
-        ids = batch[id_col].to_numpy(zero_copy_only=False)
-        keep = np.fromiter((int(i) in cand for i in ids), count=len(ids), dtype=bool)
-        return batch.filter(pa.array(keep))
-
-    restricted = ds.map_batches(_restrict, batch_format="pyarrow")
+    restricted = ds.map_batches(_filt, batch_format="pyarrow")
     return knn_cosine(restricted, query_vectors, query_ids, k=k, vec_col=vec_col, id_col=id_col)

@@ -149,12 +149,12 @@ def fingerprint(ds, text_col: str = "text", id_col: str = "doc_id"):
     """Document fingerprint via rolling (Rabin-Karp-style) hash: the MIN of
     the polynomial hashes over all token windows — a winnowing-style
     content fingerprint robust to local edits.  (doc_id, fingerprint)."""
-    from marginalia_ray.ops.dedup import _token_hash_array
+    from marginalia_ray.ops.dedup import _token_hash_arrow
 
     def _batch(batch: pa.Table) -> pa.Table:
         ids, toks = explode_tokens(batch, text_col, id_col)
         ids_np = ids.to_numpy(zero_copy_only=False)
-        th = _token_hash_array(toks.to_pylist())
+        th = _token_hash_arrow(toks)
         out_id, out_fp = [], []
         if len(ids_np):
             bounds = np.flatnonzero(np.r_[True, ids_np[1:] != ids_np[:-1], True])

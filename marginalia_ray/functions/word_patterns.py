@@ -42,8 +42,7 @@ def has_more_than_n(s: str, c: str, maxn: int) -> bool:
     return s.count(c) > maxn
 
 
-def is_not_junk_word(word: str) -> bool:
-    """WordPatterns.isNotJunkWord."""
+def _is_not_junk_word_uncached(word: str) -> bool:
     if not word or word.isspace():
         return False
     if has_more_than_n(word, "-", 4):
@@ -58,10 +57,33 @@ def is_not_junk_word(word: str) -> bool:
     return True
 
 
+# word-shape predicates repeat heavily on Zipfian corpora: plain-dict memos
+# (string keys are not GC-tracked, so large caches add no gen2 scan cost)
+_JUNK_CACHE: dict[str, bool] = {}
+_STOP_CACHE: dict[str, bool] = {}
+
+
+def is_not_junk_word(word: str) -> bool:
+    """WordPatterns.isNotJunkWord."""
+    v = _JUNK_CACHE.get(word)
+    if v is None:
+        if len(_JUNK_CACHE) > 1_000_000:
+            _JUNK_CACHE.clear()
+        v = _is_not_junk_word_uncached(word)
+        _JUNK_CACHE[word] = v
+    return v
+
+
 def is_stop_word(s: str) -> bool:
     """WordPatterns.isStopWord: short, junk, or in the dictionary."""
-    if len(s) < MIN_WORD_LENGTH:
-        return True
-    if not is_not_junk_word(s):
-        return True
-    return s.lower() in STOP_WORDS
+    v = _STOP_CACHE.get(s)
+    if v is None:
+        if len(_STOP_CACHE) > 1_000_000:
+            _STOP_CACHE.clear()
+        v = (
+            len(s) < MIN_WORD_LENGTH
+            or not is_not_junk_word(s)
+            or s.lower() in STOP_WORDS
+        )
+        _STOP_CACHE[s] = v
+    return v

@@ -133,13 +133,23 @@ TARGET_RUN_POSTINGS = 2_000_000  # max postings a single (shard,bucket) group
 # should hold: one group must sort+encode in one task's memory
 
 
-def estimate_max_doc_freq(journal: "ray.data.Dataset", n_shards: int) -> int:
+def estimate_max_doc_freq(
+    journal: "ray.data.Dataset", n_shards: int, sample_rate: int = 1
+) -> int:
     """Doc-frequency sketch pass (SURVEY.md §4 skew row): per-batch partial
     term counts -> groupby(term).sum -> max.  Drives the bucket count so a
-    Zipf-head term's postings split into bounded runs."""
+    Zipf-head term's postings split into bounded runs.
+
+    sample_rate > 1 sketches a deterministic hash-mod row sample and scales
+    the max back up — hot terms (the only ones that matter here) appear in
+    ~df/rate sampled docs, so the estimate concentrates."""
     import pyarrow.compute as pc
 
     def _partial(batch: pa.Table) -> pa.Table:
+        if sample_rate > 1:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(U64)
+            keep = (ids * U64(0x9E3779B97F4A7C15)) % U64(sample_rate) == 0
+            batch = batch.filter(pa.array(keep))
         kw = batch["term_hashes"]
         if isinstance(kw, pa.ChunkedArray):
             kw = kw.combine_chunks()
@@ -147,21 +157,34 @@ def estimate_max_doc_freq(journal: "ray.data.Dataset", n_shards: int) -> int:
         t = pa.table({"term": flat}).group_by("term").aggregate([("term", "count")])
         return t.rename_columns(["term", "partial"])
 
+    cols = ["term_hashes"] if sample_rate <= 1 else ["doc_id", "term_hashes"]
     counts = (
-        journal.select_columns(["term_hashes"])
+        journal.select_columns(cols)
         .map_batches(_partial, batch_format="pyarrow")
         .groupby("term")
         .sum("partial")
     )
     agg = counts.max("sum(partial)")
-    return int(agg or 0)
+    return int(agg or 0) * sample_rate
 
 
 def choose_buckets(journal: "ray.data.Dataset", n_shards: int,
-                   target: int = TARGET_RUN_POSTINGS) -> int:
+                   target: int = TARGET_RUN_POSTINGS,
+                   n_docs: int | None = None) -> int:
     """Pick the doc-range salt S from the doc-frequency sketch: the hottest
-    term's postings split into ~ceil(max_df / target) monotone runs."""
-    max_df = estimate_max_doc_freq(journal, n_shards)
+    term's postings split into ~ceil(max_df / target) monotone runs.
+
+    Cheap gate first: max_df <= n_docs, so when the corpus has fewer docs
+    than the per-run target the sketch pass is skipped entirely (this keeps
+    small/medium builds at one pass; the sketch only runs at the scale
+    where it pays for itself, and then over a row sample)."""
+    if n_docs is None:
+        n_docs = journal.count()
+    if n_docs <= target:
+        return 1
+    # sample so a target-sized term still gets ~>=100 sampled hits
+    rate = max(1, min(n_docs // 1_000_000, target // 100))
+    max_df = estimate_max_doc_freq(journal, n_shards, sample_rate=rate)
     return max(1, -(-max_df // target))
 
 
@@ -172,6 +195,7 @@ def sample_bucket_boundaries(
     journal: "ray.data.Dataset",
     rankings_ref,
     n_buckets: int,
+    n_docs: int,
     sample_target: int = BOUNDARY_SAMPLE_TARGET,
 ) -> np.ndarray | None:
     """Quantile split points over the rank-encoded doc-id space.
@@ -183,7 +207,6 @@ def sample_bucket_boundaries(
     is all the TARGET_RUN_POSTINGS memory bound needs."""
     if n_buckets <= 1:
         return None
-    n_docs = journal.count()
     rate = max(1, n_docs // sample_target)
 
     def _sample(batch: pa.Table) -> pa.Table:
@@ -236,12 +259,13 @@ def build_index(
     Path(build_dir).mkdir(parents=True, exist_ok=True)
     t0 = time.time()
 
+    n_docs_est = journal.count()  # parquet metadata when untransformed
     if n_buckets == "auto":
-        n_buckets = choose_buckets(journal, n_shards)
+        n_buckets = choose_buckets(journal, n_shards, n_docs=n_docs_est)
     n_buckets = max(1, int(n_buckets))
 
     rankings_ref = ray.put(domain_rankings) if domain_rankings else None
-    boundaries = sample_bucket_boundaries(journal, rankings_ref, n_buckets)
+    boundaries = sample_bucket_boundaries(journal, rankings_ref, n_buckets, n_docs_est)
     n_buckets = (len(boundaries) + 1) if boundaries is not None else 1
 
     # --- forward index (ForwardIndexConverter semantics: rank folded into

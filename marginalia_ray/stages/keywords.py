@@ -67,56 +67,81 @@ def _is_top_adj(sent: DocumentSentence, i: int) -> bool:
     return t.startswith("JJ") or t.startswith("R") or t.startswith("VBG")
 
 
+def _predicates(sent: DocumentSentence):
+    """Per-sentence boolean predicate arrays, computed once (the span
+    extractors below otherwise re-evaluate each tag predicate up to ~6x
+    per index — pure Python call overhead on the hottest path)."""
+    p = sent.span_cache.get("_pred")
+    if p is None:
+        tags = sent.pos_tags
+        stop = sent.stop
+        lc = sent.words_lc
+        proper = [t in ("NNP", "NNPS") for t in tags]
+        noun = [t.startswith("NN") for t in tags]
+        joiner = [
+            t == "IN" or t == "TO" or (t == "CC" and lc[i] == "and")
+            for i, t in enumerate(tags)
+        ]
+        name = [
+            (t.startswith("N") or t in ("VBG", "VBN")) and not stop[i]
+            for i, t in enumerate(tags)
+        ]
+        top_adj = [
+            t.startswith("JJ") or t.startswith("R") or t.startswith("VBG")
+            for t in tags
+        ]
+        p = (proper, noun, joiner, name, top_adj)
+        sent.span_cache["_pred"] = p
+    return p
+
+
 def get_proper_names(sent: DocumentSentence) -> list[Span]:
     """KeywordExtractor.getProperNames — 1..4-gram NNP spans with
     comma-break and joiner rules."""
     cached = sent.span_cache.get("proper")
     if cached is not None:
         return cached
+    proper, _, joiner, _, _ = _predicates(sent)
+    tags = sent.pos_tags
+    seps = sent.separators
     spans: list[Span] = []
     n = len(sent)
     for i in range(n):
-        if _is_proper(sent, i):
+        if proper[i]:
             spans.append((i, i + 1))
     for i in range(1, n):
-        if sent.separators[i - 1] == COMMA:
+        if seps[i - 1] == COMMA:
             continue
-        if _is_proper(sent, i) and _is_proper(sent, i - 1):
+        if proper[i] and proper[i - 1]:
             spans.append((i - 1, i + 1))
     i = 2
     while i < n:
-        if sent.separators[i - 2] == COMMA:
+        if seps[i - 2] == COMMA:
             i += 1
             continue
-        if sent.separators[i - 1] == COMMA:
+        if seps[i - 1] == COMMA:
             i += 2
             continue
-        if (
-            _is_proper(sent, i)
-            and (_is_joiner(sent, i - 1) or _is_proper(sent, i - 1))
-            and _is_proper(sent, i - 2)
-        ):
+        if proper[i] and (joiner[i - 1] or proper[i - 1]) and proper[i - 2]:
             spans.append((i - 2, i + 1))
         i += 1
     i = 3
     while i < n:
-        if sent.separators[i - 3] == COMMA:
+        if seps[i - 3] == COMMA:
             i += 1
             continue
-        if sent.separators[i - 2] == COMMA:
+        if seps[i - 2] == COMMA:
             i += 2
             continue
-        if sent.separators[i - 1] == COMMA:
+        if seps[i - 1] == COMMA:
             i += 3
             continue
-        if _is_proper(sent, i) and _is_proper(sent, i - 3):
-            if _is_proper(sent, i - 1) and _is_proper(sent, i - 2):
+        if proper[i] and proper[i - 3]:
+            if proper[i - 1] and proper[i - 2]:
                 spans.append((i - 3, i + 1))
-            elif _is_joiner(sent, i - 2) and sent.pos_tags[i - 1] == "DT":
+            elif joiner[i - 2] and tags[i - 1] == "DT":
                 spans.append((i - 3, i + 1))
-            elif (_is_joiner(sent, i - 1) or _is_proper(sent, i - 1)) and (
-                _is_joiner(sent, i - 2) or _is_proper(sent, i - 2)
-            ):
+            elif (joiner[i - 1] or proper[i - 1]) and (joiner[i - 2] or proper[i - 2]):
                 spans.append((i - 3, i + 1))
         i += 1
     sent.span_cache["proper"] = spans
@@ -129,51 +154,50 @@ def get_nouns(sent: DocumentSentence) -> list[Span]:
     cached = sent.span_cache.get("nouns")
     if cached is not None:
         return cached
+    _, noun, joiner, _, _ = _predicates(sent)
+    tags = sent.pos_tags
+    seps = sent.separators
     spans: list[Span] = []
     n = len(sent)
     for i in range(n):
-        if _is_noun(sent, i):
+        if noun[i]:
             spans.append((i, i + 1))
     for i in range(1, n):
-        if sent.separators[i - 1] == COMMA:
+        if seps[i - 1] == COMMA:
             continue
         # java: isNoun(i) && (isNoun(i-1)) || "JJ".equals(tag[i-1])
-        if (_is_noun(sent, i) and _is_noun(sent, i - 1)) or sent.pos_tags[i - 1] == "JJ":
+        if (noun[i] and noun[i - 1]) or tags[i - 1] == "JJ":
             spans.append((i - 1, i + 1))
     i = 2
     while i < n:
-        if sent.separators[i - 2] == COMMA:
+        if seps[i - 2] == COMMA:
             i += 1
             continue
-        if sent.separators[i - 1] == COMMA:
+        if seps[i - 1] == COMMA:
             i += 2
             continue
         if (
-            _is_noun(sent, i)
-            and (_is_joiner(sent, i - 1) or _is_noun(sent, i - 1))
-            and _is_noun(sent, i - 2)
-        ) or sent.pos_tags[i - 2] == "JJ":
+            noun[i] and (joiner[i - 1] or noun[i - 1]) and noun[i - 2]
+        ) or tags[i - 2] == "JJ":
             spans.append((i - 2, i + 1))
         i += 1
     i = 3
     while i < n:
-        if sent.separators[i - 3] == COMMA:
+        if seps[i - 3] == COMMA:
             i += 1
             continue
-        if sent.separators[i - 2] == COMMA:
+        if seps[i - 2] == COMMA:
             i += 2
             continue
-        if sent.separators[i - 1] == COMMA:
+        if seps[i - 1] == COMMA:
             i += 3
             continue
-        if _is_noun(sent, i) and (_is_noun(sent, i - 3) or sent.pos_tags[i - 3] == "JJ"):
-            if _is_noun(sent, i - 1) and _is_noun(sent, i - 2):
+        if noun[i] and (noun[i - 3] or tags[i - 3] == "JJ"):
+            if noun[i - 1] and noun[i - 2]:
                 spans.append((i - 3, i + 1))
-            elif _is_joiner(sent, i - 2) and sent.pos_tags[i - 1] == "DT":
+            elif joiner[i - 2] and tags[i - 1] == "DT":
                 spans.append((i - 3, i + 1))
-            elif (_is_joiner(sent, i - 1) or _is_noun(sent, i - 1)) and (
-                _is_joiner(sent, i - 2) or _is_noun(sent, i - 2)
-            ):
+            elif (joiner[i - 1] or noun[i - 1]) and (joiner[i - 2] or noun[i - 2]):
                 spans.append((i - 3, i + 1))
         i += 1
     sent.span_cache["nouns"] = spans
@@ -185,63 +209,62 @@ def get_keywords_from_sentence(sent: DocumentSentence) -> list[Span]:
     cached = sent.span_cache.get("keywords")
     if cached is not None:
         return cached
+    proper, _, joiner, name, top_adj = _predicates(sent)
+    tags = sent.pos_tags
+    seps = sent.separators
     spans: list[Span] = []
     n = len(sent)
     for i in range(n):
-        if _is_name(sent, i) or _is_top_adj(sent, i):
+        if name[i] or top_adj[i]:
             spans.append((i, i + 1))
     for i in range(1, n):
-        if sent.separators[i - 1] == COMMA:
+        if seps[i - 1] == COMMA:
             continue
-        if _is_name(sent, i):
-            if _is_name(sent, i - 1) or _is_top_adj(sent, i - 1):
+        if name[i]:
+            if name[i - 1] or top_adj[i - 1]:
                 spans.append((i - 1, i + 1))
-        if sent.pos_tags[i] == "CD" and _is_name(sent, i - 1):
+        if tags[i] == "CD" and name[i - 1]:
             spans.append((i - 1, i + 1))
     i = 2
     while i < n:
-        if sent.separators[i - 1] == COMMA:
+        if seps[i - 1] == COMMA:
             i += 2
             continue
-        if sent.separators[i - 2] == COMMA:
+        if seps[i - 2] == COMMA:
             i += 1
             continue
-        if _is_name(sent, i):
-            if (_is_name(sent, i - 1) or _is_top_adj(sent, i - 1)) and (
-                _is_name(sent, i - 2) or _is_top_adj(sent, i - 2)
-            ):
+        if name[i]:
+            if (name[i - 1] or top_adj[i - 1]) and (name[i - 2] or top_adj[i - 2]):
                 spans.append((i - 2, i + 1))
-            elif (_is_proper(sent, i - 1) or _is_joiner(sent, i - 1)) and _is_proper(sent, i - 2):
+            elif (proper[i - 1] or joiner[i - 1]) and proper[i - 2]:
                 spans.append((i - 2, i + 1))
-        elif sent.pos_tags[i] == "CD" and _is_name(sent, i - 1) and _is_name(sent, i - 2):
+        elif tags[i] == "CD" and name[i - 1] and name[i - 2]:
             spans.append((i - 2, i + 1))
         i += 1
     i = 3
     while i < n:
-        if sent.separators[i - 1] == COMMA:
+        if seps[i - 1] == COMMA:
             i += 3
             continue
-        if sent.separators[i - 2] == COMMA:
+        if seps[i - 2] == COMMA:
             i += 2
             continue
-        if sent.separators[i - 3] == COMMA:
+        if seps[i - 3] == COMMA:
             i += 1
             continue
         if (
-            _is_name(sent, i)
-            and (_is_name(sent, i - 1) or _is_top_adj(sent, i - 1))
-            and (_is_name(sent, i - 2) or _is_top_adj(sent, i - 2))
-            and (_is_name(sent, i - 3) or _is_top_adj(sent, i - 3))
+            name[i]
+            and (name[i - 1] or top_adj[i - 1])
+            and (name[i - 2] or top_adj[i - 2])
+            and (name[i - 3] or top_adj[i - 3])
         ):
             spans.append((i - 3, i + 1))
-        elif _is_proper(sent, i) and _is_proper(sent, i - 3):
-            if _is_proper(sent, i - 1) and _is_proper(sent, i - 2):
+        elif proper[i] and proper[i - 3]:
+            if proper[i - 1] and proper[i - 2]:
                 spans.append((i - 3, i + 1))
-            elif _is_joiner(sent, i - 1) and sent.pos_tags[i - 2] == "DT":
+            elif joiner[i - 1] and tags[i - 2] == "DT":
                 spans.append((i - 3, i + 1))
-            elif (_is_proper(sent, i - 1) or _is_joiner(sent, i - 1)) and (
-                _is_proper(sent, i - 2) or _is_joiner(sent, i - 2)
-            ):
+            elif (proper[i - 1] or joiner[i - 1]) and (proper[i - 2] or joiner[i - 2]):
                 spans.append((i - 3, i + 1))
         i += 1
     sent.span_cache["keywords"] = spans
@@ -324,6 +347,11 @@ def position_bitmask(dld: DocumentLanguageData) -> dict[str, int]:
     return mask
 
 
+_LOGF_CACHE: dict[str, float] = {}
+_LOGF_STATE: tuple = ()
+_LOGF_DICT = None
+
+
 class TfIdfCounts:
     """WordsTfIdfCounts — span counts and tf-idf values.
 
@@ -333,11 +361,15 @@ class TfIdfCounts:
     def __init__(self, dld: DocumentLanguageData, dict_freqs, doc_count: int):
         self.dict_freqs = dict_freqs
         self.doc_count = max(1, doc_count)
+        self._tv_memo: dict = {}
+        self._bind_log_cache()
         counts: dict[str, int] = {}
+        spans: list = []  # (sent, s, e, key) — reused below, one span pass
         for sent in dld.sentences:
             for s, e in get_keywords_from_sentence(sent):
                 key = sent.stemmed_from_span(s, e)
                 counts[key] = counts.get(key, 0) + 1
+                spans.append((sent, s, e, key))
         self.counts = counts
         max_val = max(counts.values(), default=0)
 
@@ -352,14 +384,36 @@ class TfIdfCounts:
         # reps: (word, stemmed) pairs whose stemmed span is high-tfidf
         self.high_reps: list[tuple[str, str]] = []
         seen = set()
-        for sent in dld.sentences:
-            for s, e in get_keywords_from_sentence(sent):
-                st = sent.stemmed_from_span(s, e)
-                if st in high_instances:
-                    w = sent.word_from_span(s, e)
-                    if (w, st) not in seen:
-                        seen.add((w, st))
-                        self.high_reps.append((w, st))
+        for sent, s, e, st in spans:
+            if st in high_instances:
+                w = sent.word_from_span(s, e)
+                if (w, st) not in seen:
+                    seen.add((w, st))
+                    self.high_reps.append((w, st))
+
+    def _bind_log_cache(self):
+        """Per-process memo of log(dict_freq(term)/doc_count) — the inner
+        term of every tf-idf value.  Terms repeat Zipfian across documents;
+        the cached float is bit-identical to recomputing, so tf-idf output
+        is unchanged.  Reset when the dict/doc_count configuration changes."""
+        global _LOGF_STATE, _LOGF_DICT
+        state = (id(self.dict_freqs), self.doc_count)
+        if state != _LOGF_STATE:
+            _LOGF_CACHE.clear()
+            _LOGF_STATE = state
+            _LOGF_DICT = self.dict_freqs  # keep alive so id() stays unique
+
+    def _logf(self, key: str) -> float:
+        v = _LOGF_CACHE.get(key)
+        if v is None:
+            if len(_LOGF_CACHE) > 1_000_000:
+                _LOGF_CACHE.clear()
+            freq = self.dict_freq(key)
+            if freq < 1:
+                freq = 1
+            v = math.log(freq / self.doc_count)
+            _LOGF_CACHE[key] = v
+        return v
 
     def dict_freq(self, stemmed: str) -> int:
         """dict_freqs is keyed by the reference's 61-bit polynomial hash of
@@ -372,20 +426,36 @@ class TfIdfCounts:
         return int(self.dict_freqs.get(term_freq_hash_stemmed(stemmed), 0))
 
     def _value(self, key: str, count: float, max_value: float) -> float:
-        freq = self.dict_freq(key)
-        if freq < 1:
-            freq = 1
-        return (0.1 + 0.9 * count / max_value) * math.log(freq / self.doc_count)
+        return (0.1 + 0.9 * count / max_value) * self._logf(key)
 
     def _term_value(self, key: str, count: int, max_value: int) -> int:
         if max_value <= 0:
             return 0
+        # without a dict the per-part log is a constant, so the value only
+        # depends on (#parts, count) — memoized per document (same float op
+        # sequence on first computation, so results are bit-identical)
+        memo = self._tv_memo if not self.dict_freqs else None
         if "_" in key:
             parts = [p for p in key.split("_") if p]
             if not parts:
                 return 0
+            if memo is not None:
+                mk = (len(parts), count)
+                v = memo.get(mk)
+                if v is None:
+                    total = sum(self._value(p, count, max_value) for p in parts)
+                    v = int(-(total / len(parts)) * 75)
+                    memo[mk] = v
+                return v
             total = sum(self._value(p, count, max_value) for p in parts)
             return int(-(total / len(parts)) * 75)
+        if memo is not None:
+            mk = (1, count)
+            v = memo.get(mk)
+            if v is None:
+                v = int(-self._value(key, count, max_value) * 75)
+                memo[mk] = v
+            return v
         return int(-self._value(key, count, max_value) * 75)
 
     def get_tfidf(self, stemmed: str) -> int:

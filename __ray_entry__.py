@@ -242,6 +242,89 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+def _lang_id_sql() -> str:
+    """argmax-by-stopword-votes, first max wins in sorted-language order —
+    mirrors ops/text_ops.lang_id exactly."""
+    from marginalia_ray.ops.text_ops import LANG_STOPWORDS
+
+    langs = sorted(LANG_STOPWORDS)
+    counts = ",\n  ".join(
+        f"len(regexp_extract_all(lt, '\\b({'|'.join(LANG_STOPWORDS[lang])})\\b')) AS c_{lang}"
+        for lang in langs
+    )
+    best = "greatest(" + ",".join(f"c_{lang}" for lang in langs) + ")"
+    case = " ".join(f"WHEN c_{lang} = best THEN '{lang}'" for lang in langs[:-1])
+    return f"""
+ WITH t AS (SELECT doc_id, lower(text) AS lt FROM documents),
+ c AS (SELECT doc_id, {counts},
+   greatest(len(regexp_extract_all(lt, '[a-z0-9]+')), 1) AS n FROM t),
+ m AS (SELECT *, {best} AS best FROM c)
+ SELECT doc_id,
+   CASE WHEN best = 0 THEN 'und' {case} ELSE '{langs[-1]}' END AS pred_lang,
+   round(best::DOUBLE / n, 6) AS confidence
+ FROM m"""
+
+
+def _fingerprint_sql() -> str:
+    """Mirrors ops/text_ops.fingerprint: token value = byte polynomial
+    (base 31) mod 2^32, window hash = token-value polynomial (base 1000003)
+    mod 2^32 over 8-token windows, fingerprint = min window hash; docs
+    shorter than one window fold all tokens.  HUGEINT keeps every product
+    exact before the mod."""
+    from marginalia_ray.ops.text_ops import _FP_TOKEN_BASE, _FP_WIN_BASE, _FP_WINDOW
+
+    M = 1 << 32
+    p31 = [pow(_FP_TOKEN_BASE, k, M) for k in range(128)]
+    wp = [pow(int(_FP_WIN_BASE), k, M) for k in range(_FP_WINDOW)]
+    p31_l = "[" + ",".join(str(x) for x in p31) + "]::HUGEINT[]"
+    wp_l = "[" + ",".join(str(x) for x in wp) + "]::HUGEINT[]"
+    W = _FP_WINDOW
+    return f"""
+ WITH pw AS (SELECT {p31_l} AS p31, {wp_l} AS wp),
+ tok AS (SELECT doc_id, {_TOK} AS ts FROM documents),
+ vals AS (SELECT doc_id,
+   list_transform(ts, t -> list_sum(list_transform(range(1, length(t)+1),
+     i -> (ascii(substr(t, i, 1))::HUGEINT * p31[length(t)-i+1]) % 4294967296)) % 4294967296) AS vs
+   FROM tok, pw),
+ w AS (SELECT doc_id, vs, len(vs) AS n FROM vals WHERE len(vs) > 0)
+ SELECT doc_id,
+   CASE WHEN n < {W} THEN
+     list_sum(list_transform(range(1, n+1), k -> (vs[k] * wp[n-k+1]) % 4294967296)) % 4294967296
+   ELSE
+     list_min(list_transform(range(1, n-{W - 2}), i ->
+       list_sum(list_transform(range(0, {W}), k -> (vs[i+k] * wp[{W}-k]) % 4294967296)) % 4294967296))
+   END::BIGINT AS fingerprint
+ FROM w, pw"""
+
+
+def _knn_lsh_sql() -> str:
+    """Mirrors ops/similarity.knn_cosine_lsh (n_planes=6, seed 7): the
+    hyperplane matrix is deterministic, so its 6x64 floats inline as SQL
+    literals; candidates = vectors whose signature matches any query
+    signature; exact cosine top-k over candidates."""
+    from marginalia_ray.ops.similarity import HyperplaneLshStage
+
+    planes = HyperplaneLshStage(n_planes=6, dim=64).planes
+    rows = ",".join(
+        f"({i}, [{','.join(repr(float(x)) for x in planes[i])}]::DOUBLE[])"
+        for i in range(planes.shape[0])
+    )
+    qid = ",".join(str(i) for i in KNN_QUERY_IDS)
+    return f"""
+ WITH planes AS (SELECT * FROM (VALUES {rows}) AS p(pid, pv)),
+ sig AS (SELECT e.vec_id, sum(CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]), p.pv) > 0
+                                   THEN (1::BIGINT << p.pid) ELSE 0 END)::BIGINT AS s
+         FROM embeddings e, planes p GROUP BY e.vec_id),
+ cand AS (SELECT vec_id FROM sig WHERE s IN (SELECT DISTINCT s FROM sig WHERE vec_id IN ({qid}))),
+ q AS (SELECT vec_id qid, CAST(embedding AS DOUBLE[]) qe FROM embeddings WHERE vec_id IN ({qid})),
+ sc AS (SELECT q.qid query_id, e.vec_id neighbor_id,
+               list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) score
+        FROM q, embeddings e
+        WHERE e.vec_id != q.qid AND e.vec_id IN (SELECT vec_id FROM cand)),
+ r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) rn FROM sc)
+ SELECT query_id, neighbor_id, round(score,6) AS score FROM r WHERE rn <= {KNN_K}"""
+
+
 def oracle_sql() -> dict[str, str]:
     sw = ",".join(f"'{w}'" for w in __import__("marginalia_ray.ops.text_ops", fromlist=["STOPWORDS"]).STOPWORDS)
     tl = ",".join(f"'{t}'" for t in BM25_TERMS)
@@ -318,7 +401,11 @@ def oracle_sql() -> dict[str, str]:
                  * tf.tf/(tf.tf+1.2*(1-0.75+0.75*tf.dl/stats.avgdl)) ELSE 0 END) AS s
    FROM tf, stats, df WHERE tf.term=df.term GROUP BY tf.doc_id)
  SELECT doc_id, round(s,6) AS score FROM scored WHERE s>0 ORDER BY s DESC, doc_id LIMIT 10""",
-        # simhash_pairs, knn_cosine_lsh, marginalia_search: no SQL oracle
-        # (LSH candidate generation / full Marginalia tokenizer + BM25-with-
-        # position-bitmask semantics are not SQL-expressible) -> rows-only.
+        "lang_id": _lang_id_sql(),
+        "doc_fingerprint": _fingerprint_sql(),
+        "knn_cosine_lsh": _knn_lsh_sql(),
+        # simhash_pairs (64-bit wrap-around token-hash bit votes),
+        # knn_cosine_ivf (k-means on a block-order-dependent sample) and
+        # marginalia_search (full Marginalia tokenizer + BM25-with-position-
+        # bitmask semantics) are not SQL-expressible -> rows-only.
     }

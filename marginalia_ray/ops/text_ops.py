@@ -141,43 +141,90 @@ def lang_id(ds, text_col: str = "text", id_col: str = "doc_id"):
     return ds.map_batches(_batch, batch_format="pyarrow")
 
 
-_FP_BASE = np.uint64(31)
+# Fingerprint arithmetic is mod 2^32 so a SQL oracle can replicate it with
+# 128-bit (HUGEINT) intermediates: token value = polynomial in the token's
+# bytes (base 31), window hash = polynomial in the window's token values
+# (base 1000003), fingerprint = min over all 8-token windows (winnowing).
+_FP_MOD = np.uint64(1 << 32)
+_FP_MASK = np.uint64((1 << 32) - 1)
+_FP_TOKEN_BASE = 31
+_FP_TOKEN_BASE_INV = pow(_FP_TOKEN_BASE, -1, 1 << 32)
+_FP_WIN_BASE = np.uint64(1000003)
 _FP_WINDOW = 8  # tokens per rolling window
+
+
+def _token_value_mod32(tokens) -> np.ndarray:
+    """val(t) = sum(byte_i * 31^(L-1-i)) mod 2^32, vectorized over the
+    Arrow buffers via one prefix sum (mod 2^32 factors through the native
+    uint64 wrap-around; 31 is odd, so 31^-1 mod 2^32 exists)."""
+    if isinstance(tokens, pa.ChunkedArray):
+        tokens = tokens.combine_chunks()
+    n = len(tokens)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    arr = tokens if pa.types.is_large_string(tokens.type) else pc.cast(tokens, pa.large_string())
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    off = np.frombuffer(arr.buffers()[1], dtype=np.int64)[arr.offset : arr.offset + n + 1]
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    start, end = off[:-1], off[1:]
+    m = int(off[-1])
+    B = np.uint64(_FP_TOKEN_BASE)
+    BI = np.uint64(_FP_TOKEN_BASE_INV)
+    pw = np.empty(m + 1, dtype=np.uint64)
+    pw[0] = np.uint64(1)
+    if m:
+        np.cumprod(np.full(m, B, dtype=np.uint64), out=pw[1:])
+    pinv = np.empty(m, dtype=np.uint64)
+    if m:
+        pinv[0] = np.uint64(1)
+        if m > 1:
+            np.cumprod(np.full(m - 1, BI, dtype=np.uint64), out=pinv[1:])
+    S = np.zeros(m + 1, dtype=np.uint64)
+    if m:
+        np.cumsum(data[:m].astype(np.uint64) * pinv, out=S[1:])
+    v = (S[end] - S[start]) * pw[np.maximum(end, 1) - 1]
+    return v & _FP_MASK
 
 
 def fingerprint(ds, text_col: str = "text", id_col: str = "doc_id"):
     """Document fingerprint via rolling (Rabin-Karp-style) hash: the MIN of
-    the polynomial hashes over all token windows — a winnowing-style
-    content fingerprint robust to local edits.  (doc_id, fingerprint)."""
-    from marginalia_ray.ops.dedup import _token_hash_arrow
+    the polynomial window hashes over all 8-token windows — a winnowing-
+    style content fingerprint robust to local edits.  (doc_id, fingerprint).
+    Docs shorter than one window fold all tokens into a single polynomial.
+    Arithmetic is mod 2^32 end to end (SQL-oracle replicable)."""
 
     def _batch(batch: pa.Table) -> pa.Table:
         ids, toks = explode_tokens(batch, text_col, id_col)
         ids_np = ids.to_numpy(zero_copy_only=False)
-        th = _token_hash_arrow(toks)
+        th = _token_value_mod32(toks)
         out_id, out_fp = [], []
         if len(ids_np):
             bounds = np.flatnonzero(np.r_[True, ids_np[1:] != ids_np[:-1], True])
-            powers = _FP_BASE ** np.arange(_FP_WINDOW, dtype=np.uint64)
+            powers = (
+                np.power(_FP_WIN_BASE, np.arange(_FP_WINDOW, dtype=np.uint64)) & _FP_MASK
+            )
             for s, e in zip(bounds[:-1], bounds[1:]):
                 h = th[s:e]
                 if len(h) < _FP_WINDOW:
                     fp = np.uint64(0)
-                    for i, v in enumerate(h):
-                        fp = fp * _FP_BASE + v
+                    for v in h:
+                        fp = (fp * _FP_WIN_BASE + v) & _FP_MASK
                 else:
                     m = len(h) - _FP_WINDOW + 1
-                    # window hash = sum(h[i+k] * base^(W-1-k)) — vectorized
+                    # window hash = sum(h[i+k] * base^(W-1-k)) mod 2^32
                     acc = np.zeros(m, dtype=np.uint64)
                     for k in range(_FP_WINDOW):
                         acc += h[k : m + k] * powers[_FP_WINDOW - 1 - k]
-                    fp = acc.min()
+                    fp = (acc & _FP_MASK).min()
                 out_id.append(int(ids_np[s]))
                 out_fp.append(int(fp))
         return pa.table(
             {
                 id_col: pa.array(out_id, pa.int64()),
-                "fingerprint": pa.array(out_fp, pa.uint64()),
+                # values are < 2^32: int64 keeps the oracle comparison
+                # type-uniform with DuckDB BIGINT
+                "fingerprint": pa.array(out_fp, pa.int64()),
             }
         )
 

@@ -506,7 +506,13 @@ def extract_document(html: str, base_url: str | None = None) -> ExtractedDocumen
     noindex = is_noindex(root)
     standard = detect_standard(html)
     s_pen = script_penalty(root)
-    has_js = len(root.find_all("script")) > 0
+    # M20/M21: DOM-side HtmlFeatures (JS / tracking / affiliate / media /
+    # ads / gaspam); the topic categories need the DLD and are added by the
+    # tokenizer stage (stages/features.py)
+    from marginalia_ray.stages.features import FEATURE_JS, extract_dom_features
+
+    features = extract_dom_features(root)
+    has_js = FEATURE_JS in features
     links = extract_links(root, base_url) if base_url else []
 
     # description (M19): the non-mutating meta heuristics run on the full
@@ -530,10 +536,6 @@ def extract_document(html: str, base_url: str | None = None) -> ExtractedDocumen
         description = text
     description = _TRUNCATED.sub(" ", description)[:MAX_SUMMARY_LENGTH]
     q = quality(len(text), len(html), standard, s_pen)
-
-    features = set()
-    if has_js:
-        features.add("special:scripts")
 
     return ExtractedDocument(
         text=text,

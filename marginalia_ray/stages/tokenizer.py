@@ -136,6 +136,12 @@ class TokenizerStage:
             dld, pu.path, pu.fqdn, dict_freqs=self.dict_freqs, doc_count=self.doc_count
         )
 
+        # topic categories (M20: category:food / category:crafts) need the
+        # DLD, so they join the DOM features here
+        from marginalia_ray.stages.features import topic_features
+
+        features = features | topic_features(dld)
+
         # synthetic meta terms (M11)
         tags = meta_tags(
             pu.proto, pu.fqdn, pu.top_domain, pu.tld,

@@ -42,6 +42,20 @@ class WordFlags(IntEnum):
         return 1 << self.value
 
 
+class DocumentFlags(IntEnum):
+    """DocumentFlags.java:5-14 — doc_meta low-byte flag bits."""
+
+    Javascript = 0
+    PlainText = 1
+    GeneratorDocs = 2
+    GeneratorForum = 3
+    GeneratorWiki = 4
+
+    @property
+    def bit(self) -> int:
+        return 1 << self.value
+
+
 # WordMetadata layout: positions(56 bits) << 8 | flags(8 bits)
 WM_FLAGS_MASK = 0xFF
 WM_POSITIONS_SHIFT = 8

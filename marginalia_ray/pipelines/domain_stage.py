@@ -29,6 +29,119 @@ def _path_len(url: str) -> int:
     return len(url) - j if j >= 0 else 1
 
 
+def _domain_of_url(url: str) -> str:
+    i = url.find("://")
+    j = url.find("/", i + 3 if i >= 0 else 0)
+    host = url[i + 3 : j] if j >= 0 else url[i + 3 :]
+    return host.lower()
+
+
+def fix_canonicals_domain_group(group: pa.Table) -> pa.Table:
+    """fixBadCanonicalTags (DomainProcessor.java:95-147) + canonical dedup
+    (M24/D4) for one domain's journal rows.
+
+    Repair passes, in reference order:
+      1. collect canonical -> {body hashes} for docs whose canonical
+         differs from their url, and the set of crawled urls;
+      2. a canonical shared by >1 distinct content hash is a "blanket"
+         canonical: first doc claiming an uncrawled target keeps it (and
+         reserves the url), crawled targets mark the doc BAD_CANONICAL;
+      3. remaining blanket canonicals reset to the doc's own url;
+      4. cross-domain canonicals reset to the doc's own url.
+
+    Dedup (the loader keys docs by canonical url, DocumentProcessor
+    .java:102-112): a surviving doc whose canonical points at ANOTHER
+    crawled url duplicates that page — disqualified; a canonical pointing
+    at an uncrawled url re-keys the doc (doc_id low 32 bits become the
+    canonical's url hash)."""
+    if "canonical" not in group.column_names:
+        return group
+    urls = group["url"].to_pylist()
+    canon = group["canonical"].to_pylist()
+    hashes = (
+        group["body_hash"].to_numpy(zero_copy_only=False)
+        if "body_hash" in group.column_names
+        else np.zeros(len(urls), dtype=U64)
+    )
+    states = group["state"].to_pylist()
+    n = len(urls)
+
+    seen_canon: dict[str, set[int]] = {}
+    seen_urls = set(urls)
+    for i in range(n):
+        c = canon[i]
+        if c and c != urls[i]:
+            seen_canon.setdefault(c, set()).add(int(hashes[i]))
+
+    new_state = list(states)
+    for i in range(n):
+        c = canon[i]
+        if c and c != urls[i] and len(seen_canon.get(c, ())) > 1:
+            if c not in seen_urls:
+                seen_urls.add(c)
+                canon[i] = urls[i]
+            else:
+                new_state[i] = "BAD_CANONICAL"
+    for i in range(n):
+        c = canon[i]
+        if c and c != urls[i] and len(seen_canon.get(c, ())) > 1:
+            canon[i] = urls[i]
+    for i in range(n):
+        c = canon[i]
+        if c and _domain_of_url(c) != _domain_of_url(urls[i]):
+            canon[i] = urls[i]
+
+    # dedup / re-key
+    from marginalia_ray.functions.hashing import murmur3_64
+
+    crawled = set(urls)
+    doc_ids = group["doc_id"].to_numpy(zero_copy_only=False).astype(U64).copy()
+    new_urls = list(urls)
+    for i in range(n):
+        c = canon[i]
+        if new_state[i] != "OK" or not c or c == urls[i]:
+            continue
+        if c in crawled:
+            new_state[i] = "DISQUALIFIED_CANONICAL"
+        else:
+            doc_ids[i] = (doc_ids[i] & ~U64(0xFFFF_FFFF)) | U64(
+                murmur3_64(c.encode("utf-8")) & 0xFFFF_FFFF
+            )
+            new_urls[i] = c
+
+    if (
+        new_state == states
+        and new_urls == urls
+        and canon == group["canonical"].to_pylist()
+        and (doc_ids == group["doc_id"].to_numpy(zero_copy_only=False).astype(U64)).all()
+    ):
+        return group
+
+    th = group["term_hashes"].to_pylist()
+    km = group["kw_metas"].to_pylist()
+    for i in range(n):
+        if new_state[i] in ("BAD_CANONICAL", "DISQUALIFIED_CANONICAL"):
+            th[i] = []
+            km[i] = []
+    cols = {}
+    for name in group.column_names:
+        if name == "state":
+            cols[name] = pa.array(new_state, pa.string())
+        elif name == "doc_id":
+            cols[name] = pa.array(doc_ids, pa.uint64())
+        elif name == "url":
+            cols[name] = pa.array(new_urls, pa.string())
+        elif name == "canonical":
+            cols[name] = pa.array(canon, pa.string())
+        elif name == "term_hashes":
+            cols[name] = pa.array(th, pa.list_(pa.uint64()))
+        elif name == "kw_metas":
+            cols[name] = pa.array(km, pa.list_(pa.uint64()))
+        else:
+            cols[name] = group[name]
+    return pa.table(cols)
+
+
 def dedup_domain_group(group: pa.Table) -> pa.Table:
     """One domain's journal rows -> same rows with duplicates disqualified."""
     states = group["state"].to_pylist()
@@ -202,9 +315,10 @@ def site_words_domain_group(group: pa.Table) -> pa.Table:
 
 
 def domain_group_ops(group: pa.Table) -> pa.Table:
-    """The full per-domain stage: dedup (D3) then site words (J7) — the
-    DomainProcessor.process order."""
-    return site_words_domain_group(dedup_domain_group(group))
+    """The full per-domain stage: canonical repair + dedup (M24/D4), LSH
+    dedup (D3), then site words (J7) — the DomainProcessor.process order
+    (fixBadCanonicalTags runs before per-doc processing/dedup)."""
+    return site_words_domain_group(dedup_domain_group(fix_canonicals_domain_group(group)))
 
 
 def apply_domain_stage(journal_ds, site_words: bool = True):

@@ -233,7 +233,8 @@ def run_index_pipeline(
         journal = ray.data.read_parquet(
             str(journal_dir),
             columns=JOURNAL_COLS
-            + ["url", "lsh", "length", "state", "links", "flag_words", "top_words"],
+            + ["url", "lsh", "length", "state", "links", "flag_words",
+               "top_words", "canonical", "body_hash"],
         )
         journal = apply_domain_stage(journal).filter(expr="state == 'OK'")
         journal = journal.select_columns(JOURNAL_COLS)

@@ -455,6 +455,13 @@ class ExtractedDocument:
     features: set[str]
     links: list[str] = field(default_factory=list)
     description: str = ""
+    # M17: generator dispatch + specialization outcome
+    generator_type: str = "unknown"
+    generators: list[str] = field(default_factory=list)
+    length_modifier: float = 1.0
+    should_index: bool = True
+    # M24: <link rel=canonical>, resolved absolute ("" when absent)
+    canonical: str = ""
 
 
 _SKIP_SCHEMES = ("javascript:", "mailto:", "tel:", "data:", "#")
@@ -527,7 +534,35 @@ def extract_document(html: str, base_url: str | None = None) -> ExtractedDocumen
 
     description = open_graph_description(root, ()) or meta_description(root, ())
 
-    prune_dom(root)
+    # M17: generator dispatch -> per-CMS specialization.  The specialized
+    # summary runs pre-prune (the reference passes the original doc); the
+    # default keeps the OG/meta + post-prune-text chain below.
+    from marginalia_ray.stages.generator import extract_generator
+    from marginalia_ray.stages.specialization import DefaultSpecialization, select
+
+    gen_type, gen_keywords = extract_generator(root, html)
+    spec = select(gen_keywords)
+    is_default_spec = type(spec) is DefaultSpecialization
+    if not is_default_spec and not description.strip():
+        description = spec.get_summary(root, set())
+
+    should_index = True
+    canonical = ""
+    if base_url:
+        from urllib.parse import urljoin, urlsplit
+
+        should_index = spec.should_index(urlsplit(base_url).path)
+        # M24: <link rel=canonical> (CrawlerRetreiver.java:318 stores it on
+        # the crawled doc; the domain stage repairs blanket/cross-domain
+        # values via fixBadCanonicalTags)
+        for link in root.find_all("link"):
+            if (link.attrs.get("rel") or "").lower() == "canonical":
+                href = (link.attrs.get("href") or "").strip()
+                if href:
+                    canonical = urljoin(base_url, href)
+                break
+
+    root = spec.prune(root)
     clean_tags(root)
 
     text = body_text(root)
@@ -547,4 +582,9 @@ def extract_document(html: str, base_url: str | None = None) -> ExtractedDocumen
         features=features,
         links=links,
         description=description,
+        generator_type=gen_type.value,
+        generators=gen_keywords,
+        length_modifier=spec.length_modifier,
+        should_index=should_index,
+        canonical=canonical,
     )

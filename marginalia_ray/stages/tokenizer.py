@@ -28,13 +28,23 @@ import ray
 from marginalia_ray.functions.hashing import murmur3_64, term_hash
 from marginalia_ray.functions.lsh import lsh_of_words
 from marginalia_ray.functions.urls import parse_url
-from marginalia_ray.model.codecs import WordFlags, encode_doc_meta, year_to_byte
+from marginalia_ray.model.codecs import (
+    DocumentFlags,
+    WordFlags,
+    encode_doc_meta,
+    year_to_byte,
+)
 from marginalia_ray.stages.extract import extract_document
 from marginalia_ray.stages.keywords import extract_keywords, meta_tags
 from marginalia_ray.stages.sentences import extract_dld
 
-DISQUALIFIED_STATES = ("LANGUAGE", "ROBOTS_NOINDEX", "LENGTH", "EMPTY")
-MIN_DOCUMENT_LENGTH = 250  # DocumentLengthLogic minimum (default specialization)
+DISQUALIFIED_STATES = ("LANGUAGE", "ROBOTS_NOINDEX", "LENGTH", "EMPTY", "IRRELEVANT")
+# DocumentLengthLogic.validateLength semantics (ported formula:
+# modifier * total_num_words < min).  The reference injects the minimum as
+# config (@Named("min-document-length") = 250, ConverterModule.java:25) for
+# real crawled pages; this repo's synthetic fixtures are an order shorter,
+# so the default knob is corpus-scaled — override per stage for crawl data.
+MIN_DOCUMENT_WORDS = 40
 
 
 def _id31(s: str) -> int:
@@ -44,15 +54,19 @@ def _id31(s: str) -> int:
 class TokenizerStage:
     """pages batch (url, html|text, lang, warc_ts) -> journal batch."""
 
-    def __init__(self, dict_freqs_ref=None, doc_count: int = 11_820_118, use_html: bool = True):
+    def __init__(self, dict_freqs_ref=None, doc_count: int = 11_820_118,
+                 use_html: bool = True, min_document_words: int = MIN_DOCUMENT_WORDS):
         # per-actor state: broadcast TermFrequencyDict (A2) fetched once
         self.dict_freqs = ray.get(dict_freqs_ref) if dict_freqs_ref is not None else None
         self.doc_count = doc_count
         self.use_html = use_html
+        self.min_document_words = min_document_words
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch["url"].to_pylist()
-        langs = batch["lang"].to_pylist() if "lang" in batch.column_names else ["en"] * len(urls)
+        # no lang column => None per row: the dictionary-agreement language
+        # filter takes over in _process_one (M9)
+        langs = batch["lang"].to_pylist() if "lang" in batch.column_names else [None] * len(urls)
         htmls = batch["html"].to_pylist() if self.use_html and "html" in batch.column_names else None
         texts = batch["text"].to_pylist() if "text" in batch.column_names else None
 
@@ -60,6 +74,7 @@ class TokenizerStage:
             "doc_id": [], "doc_meta": [], "term_hashes": [], "kw_metas": [],
             "url": [], "state": [], "lsh": [], "length": [], "title": [],
             "quality": [], "links": [], "flag_words": [], "top_words": [],
+            "canonical": [], "body_hash": [],
         }
 
         for i, url in enumerate(urls):
@@ -87,6 +102,8 @@ class TokenizerStage:
                 "links": pa.array(out["links"], pa.list_(pa.string())),
                 "flag_words": pa.array(out["flag_words"], pa.list_(pa.string())),
                 "top_words": pa.array(out["top_words"], pa.list_(pa.string())),
+                "canonical": pa.array(out["canonical"], pa.string()),
+                "body_hash": pa.array(out["body_hash"], pa.uint64()),
             }
         )
 
@@ -98,22 +115,37 @@ class TokenizerStage:
             return dict(
                 doc_id=doc_id, doc_meta=0, term_hashes=[], kw_metas=[], url=url,
                 state=state, lsh=0, length=0, title="", quality=0.0, links=[],
-                flag_words=[], top_words=[],
+                flag_words=[], top_words=[], canonical="", body_hash=0,
             )
 
-        # M9 / LanguageFilter: the input table's lang column stands in for
-        # dictionary agreement
-        if lang not in ("en",):
+        # M9 / LanguageFilter: a provided lang column is trusted (the crawl
+        # pipeline already classified); absent/empty lang falls back to the
+        # reference's dictionary-agreement check after the DLD is built.
+        lang_known = bool(lang)
+        if lang_known and lang not in ("en",):
             return disqualified("LANGUAGE")
 
         year = None
         q = 0.0
         links: list[str] = []
+        length_modifier = 1.0
+        generators: list[str] = []
+        doc_flags = 0
+        canonical = ""
         if html is not None:
             h = html.decode("utf-8", "replace") if isinstance(html, (bytes, bytearray)) else html
+            # LanguageFilter.isBlockedUnicodeRange on the raw body
+            # (HtmlDocumentProcessorPlugin.java:102) — runs before parsing
+            from marginalia_ray.stages.langfilter import is_blocked_unicode
+
+            if is_blocked_unicode(h):
+                return disqualified("LANGUAGE")
             doc = extract_document(h, base_url=url)
             if doc.noindex:
                 return disqualified("ROBOTS_NOINDEX")
+            if not doc.should_index:
+                # specialization.shouldIndex(url) == false (M17)
+                return disqualified("IRRELEVANT")
             text = doc.text
             title = doc.title
             q = doc.quality
@@ -121,17 +153,40 @@ class TokenizerStage:
             fmt = doc.standard
             year = _sniff_year(h, url, doc.standard)
             links = doc.links
+            length_modifier = doc.length_modifier
+            generators = doc.generators
+            canonical = doc.canonical
+            if "special:scripts" in features:
+                doc_flags |= DocumentFlags.Javascript.bit
+            doc_flags |= {
+                "docs": DocumentFlags.GeneratorDocs.bit,
+                "forum": DocumentFlags.GeneratorForum.bit,
+                "wiki": DocumentFlags.GeneratorWiki.bit,
+            }.get(doc.generator_type, 0)
         else:
             title = (text or "").split(".")[0][:128]
             features = set()
             fmt = "PLAIN"
+            doc_flags |= DocumentFlags.PlainText.bit
 
         if not text:
             return disqualified("EMPTY")
-        if len(text) < MIN_DOCUMENT_LENGTH:
+        # cheap char prefilter: N words always span >= 2N-1 chars, so this
+        # can only reject docs the word check below would reject anyway
+        if len(text) < 2 * self.min_document_words - 1:
             return disqualified("LENGTH")
 
         dld = extract_dld(text, title)
+        # DocumentLengthLogic.validateLength (words, not characters)
+        if length_modifier * dld.total_num_words < self.min_document_words:
+            return disqualified("LENGTH")
+
+        if not lang_known:
+            # checkDocumentLanguage: dictionary agreement >= 0.1 or reject
+            from marginalia_ray.stages.langfilter import dictionary_agreement
+
+            if dictionary_agreement(dld) < 0.1:
+                return disqualified("LANGUAGE")
         builder = extract_keywords(
             dld, pu.path, pu.fqdn, dict_freqs=self.dict_freqs, doc_count=self.doc_count
         )
@@ -142,9 +197,10 @@ class TokenizerStage:
 
         features = features | topic_features(dld)
 
-        # synthetic meta terms (M11)
+        # synthetic meta terms (M11): generator:* keywords included (M17)
         tags = meta_tags(
             pu.proto, pu.fqdn, pu.top_domain, pu.tld,
+            generators=generators,
             fmt=fmt, features=features,
             has_js="special:scripts" in features,
             year=year,
@@ -171,13 +227,14 @@ class TokenizerStage:
                 if m & flag_mask:
                     flag_words.append(w)
 
-        # DocumentMetadata: asl ~ totalNumWords/sentences, quality clamped 0..15
+        # DocumentMetadata: asl = round((words/sentences)/4) clamped to the
+        # 2-bit field (DocumentLengthLogic.getEncodedAverageLength)
         n_sent = max(1, len(dld.sentences))
-        asl = dld.total_num_words // n_sent
         doc_meta = encode_doc_meta(
-            avg_sent_length=min(3, asl // 4),  # coarse 2-bit field
+            avg_sent_length=int(round((dld.total_num_words / n_sent) / 4.0)),
             year=year_to_byte(year) if year else 0,
             quality=int(-q) if q < 0 else 0,
+            flags=doc_flags,
         )
 
         lsh = lsh_of_words(w for s in dld.sentences for w in s.words)
@@ -196,6 +253,8 @@ class TokenizerStage:
             links=links,
             flag_words=flag_words,
             top_words=sorted(builder.important),
+            canonical=canonical,
+            body_hash=murmur3_64(text.encode("utf-8")),
         )
 
 

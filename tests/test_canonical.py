@@ -1,0 +1,104 @@
+"""M24/D4: canonical extraction + fixBadCanonicalTags + canonical dedup.
+
+Fixtures mirror DomainProcessor.fixBadCanonicalTags (DomainProcessor
+.java:95-147): blanket canonicals reset, cross-domain canonicals reset,
+docs duplicating a crawled canonical target disqualified."""
+
+import pyarrow as pa
+
+from marginalia_ray.pipelines.domain_stage import fix_canonicals_domain_group
+from marginalia_ray.stages.extract import extract_document
+
+
+def _group(rows):
+    n = len(rows)
+    return pa.table(
+        {
+            "doc_id": pa.array([r.get("doc_id", (7 << 32) | i) for i, r in enumerate(rows)], pa.uint64()),
+            "url": pa.array([r["url"] for r in rows], pa.string()),
+            "canonical": pa.array([r.get("canonical", "") for r in rows], pa.string()),
+            "body_hash": pa.array([r.get("body_hash", i + 1) for i, r in enumerate(rows)], pa.uint64()),
+            "state": pa.array([r.get("state", "OK") for r in rows], pa.string()),
+            "term_hashes": pa.array([[1, 2]] * n, pa.list_(pa.uint64())),
+            "kw_metas": pa.array([[0, 0]] * n, pa.list_(pa.uint64())),
+        }
+    )
+
+
+class TestExtraction:
+    def test_canonical_link_extracted_and_resolved(self):
+        html = (
+            '<html><head><link rel="canonical" href="/x/page"></head>'
+            "<body><p>" + "text here. " * 40 + "</p></body></html>"
+        )
+        doc = extract_document(html, base_url="https://a.example/y/page")
+        assert doc.canonical == "https://a.example/x/page"
+
+    def test_no_canonical(self):
+        doc = extract_document(
+            "<body><p>" + "text. " * 40 + "</p></body>",
+            base_url="https://a.example/",
+        )
+        assert doc.canonical == ""
+
+
+class TestRepair:
+    def test_blanket_canonical_reset(self):
+        # three different pages all claim the root as canonical -> blanket;
+        # the root itself is crawled, so claimants with distinct content
+        # are marked BAD_CANONICAL (root url already taken)
+        rows = [
+            {"url": "https://a.example/", "canonical": "", "body_hash": 1},
+            {"url": "https://a.example/p1", "canonical": "https://a.example/", "body_hash": 2},
+            {"url": "https://a.example/p2", "canonical": "https://a.example/", "body_hash": 3},
+        ]
+        out = fix_canonicals_domain_group(_group(rows))
+        states = out["state"].to_pylist()
+        assert states[0] == "OK"
+        assert states[1] == "BAD_CANONICAL"
+        assert states[2] == "BAD_CANONICAL"
+        # postings cleared on disqualified rows
+        assert out["term_hashes"][1].as_py() == []
+
+    def test_blanket_canonical_uncrawled_target_first_claims(self):
+        rows = [
+            {"url": "https://a.example/p1", "canonical": "https://a.example/gone", "body_hash": 2},
+            {"url": "https://a.example/p2", "canonical": "https://a.example/gone", "body_hash": 3},
+        ]
+        out = fix_canonicals_domain_group(_group(rows))
+        states = out["state"].to_pylist()
+        # first claimant reserves the target and keeps its own url; second
+        # sees the url as taken -> BAD_CANONICAL
+        assert states == ["OK", "BAD_CANONICAL"]
+        assert out["canonical"][0].as_py() == "https://a.example/p1"
+
+    def test_cross_domain_canonical_reset(self):
+        rows = [
+            {"url": "https://a.example/p", "canonical": "https://other.example/p"},
+        ]
+        out = fix_canonicals_domain_group(_group(rows))
+        assert out["canonical"][0].as_py() == "https://a.example/p"
+        assert out["state"][0].as_py() == "OK"
+
+
+class TestDedup:
+    def test_duplicate_of_crawled_target_disqualified(self):
+        rows = [
+            {"url": "https://a.example/main", "canonical": "", "body_hash": 1},
+            {"url": "https://a.example/main?print=1", "canonical": "https://a.example/main", "body_hash": 1},
+        ]
+        out = fix_canonicals_domain_group(_group(rows))
+        assert out["state"].to_pylist() == ["OK", "DISQUALIFIED_CANONICAL"]
+
+    def test_uncrawled_canonical_rekeys_doc(self):
+        rows = [
+            {"url": "https://a.example/alias", "canonical": "https://a.example/true-home", "body_hash": 1},
+        ]
+        g = _group(rows)
+        out = fix_canonicals_domain_group(g)
+        assert out["state"][0].as_py() == "OK"
+        assert out["url"][0].as_py() == "https://a.example/true-home"
+        old_id = g["doc_id"][0].as_py()
+        new_id = out["doc_id"][0].as_py()
+        assert new_id != old_id
+        assert (new_id >> 32) == (old_id >> 32)  # domain part preserved

@@ -217,34 +217,58 @@ class IndexSearcher:
         return self.search(spec)
 
     MAX_VARIANTS = 5  # QueryFactory.trimArray retains the last 5 variants
+    MAX_ALTERNATIVES = 6  # permuteQueriesNew caps faithful+alternative at 6
 
     def expand_variants(self, sq: Subquery) -> list[Subquery]:
-        """Q2 (QueryVariants/QueryPermutation, simplified): alternative
-        segmentations joining adjacent include terms into an n-gram IF the
-        joined term exists in the index — the index's own term directory
-        replaces the reference's NGramBloomFilter presence test
-        (QueryVariants.java:22-60, QueryFactory.java:63-73,152-167).
-        The original segmentation stays first; at most MAX_VARIANTS total."""
-        variants = [sq]
+        """Q2: the full QueryVariants path (query/variants.py) — POS-coerced
+        span lattice, omittable-word/dash/digit re-spellings, compound joins
+        and English word variants.  The index's own term directory stands in
+        for the reference's NGramBloomFilter / TermFrequencyDict presence
+        and frequency tests (QueryVariants.java:40-151); special `key:value`
+        and quoted n-gram terms pass through untouched.  Variant order
+        follows the reference: faithful (rarest first), then alternatives
+        up to 6 total, then trimArray keeps the LAST 5."""
+        from marginalia_ray.query.variants import QueryVariants
+        from marginalia_ray.stages.langfilter import EN_DICT
+
+        def _freq(w: str) -> float:
+            th = term_hash(w)
+            return float(self.num_hits(th)) if th is not None else 0.0
+
         inc = sq.include
-        for i in range(len(inc) - 1):
-            if len(variants) >= self.MAX_VARIANTS:
+        plain = [w for w in inc if ":" not in w and "_" not in w]
+        passthrough = [w for w in inc if ":" in w or "_" in w]
+        if not plain:
+            return [sq]
+
+        qv = QueryVariants(
+            is_known_ngram=lambda s: _freq(s) > 0,
+            term_freq=_freq,
+            term_freq_stemmed=_freq,  # stand-in: surface-form presence
+            is_word=lambda w: (w in EN_DICT) or _freq(w) > 0,
+        )
+        vs = qv.get_query_variants(plain)
+        variant_lists = list(vs.faithful)
+        for alt in vs.alternative:
+            if len(variant_lists) >= self.MAX_ALTERNATIVES:
                 break
-            if "_" in inc[i] or "_" in inc[i + 1] or ":" in inc[i] or ":" in inc[i + 1]:
-                continue
-            ngram = f"{inc[i]}_{inc[i + 1]}"
-            th = term_hash(ngram)
-            if th is not None and self.num_hits(th) > 0:
-                variants.append(
-                    Subquery(
-                        include=inc[:i] + [ngram] + inc[i + 2 :],
-                        exclude=sq.exclude,
-                        advice=sq.advice,
-                        priority=sq.priority,
-                        coherences=sq.coherences,
-                    )
-                )
-        return variants
+            variant_lists.append(alt)
+        if not variant_lists:
+            return [sq]
+
+        subqueries = [
+            Subquery(
+                include=[w.lower() for w in terms] + passthrough,
+                exclude=sq.exclude,
+                advice=sq.advice,
+                priority=sq.priority,
+                coherences=sq.coherences,
+            )
+            for terms in variant_lists
+        ]
+        if len(subqueries) > self.MAX_VARIANTS:
+            subqueries = subqueries[-self.MAX_VARIANTS :]
+        return subqueries
 
     # evaluateSubqueries + createQueries + executeQuery
     def _evaluate_subqueries(self, spec: SearchSpec) -> np.ndarray:

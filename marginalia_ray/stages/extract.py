@@ -462,6 +462,8 @@ class ExtractedDocument:
     should_index: bool = True
     # M24: <link rel=canonical>, resolved absolute ("" when absent)
     canonical: str = ""
+    # M18: sniffed publication year (None when no heuristic fires)
+    pub_year: int | None = None
 
 
 _SKIP_SCHEMES = ("javascript:", "mailto:", "tel:", "data:", "#")
@@ -562,6 +564,12 @@ def extract_document(html: str, base_url: str | None = None) -> ExtractedDocumen
                     canonical = urljoin(base_url, href)
                 break
 
+    # M18: pubdate sniffing on the full (pre-prune) tree — the DOM-walking
+    # heuristics need the byline/footer nodes pruning would drop
+    from marginalia_ray.stages.pubdate import sniff_pub_year
+
+    pub_year = sniff_pub_year(html, base_url or "", standard, root=root)
+
     root = spec.prune(root)
     clean_tags(root)
 
@@ -587,4 +595,5 @@ def extract_document(html: str, base_url: str | None = None) -> ExtractedDocumen
         length_modifier=spec.length_modifier,
         should_index=should_index,
         canonical=canonical,
+        pub_year=pub_year,
     )

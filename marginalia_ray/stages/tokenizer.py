@@ -151,7 +151,7 @@ class TokenizerStage:
             q = doc.quality
             features = doc.features
             fmt = doc.standard
-            year = _sniff_year(h, url, doc.standard)
+            year = doc.pub_year  # M18: sniffed inside extract_document
             links = doc.links
             length_modifier = doc.length_modifier
             generators = doc.generators
@@ -258,8 +258,3 @@ class TokenizerStage:
         )
 
 
-def _sniff_year(html: str, url: str, standard: str = "UNKNOWN") -> int | None:
-    """PubDateSniffer heuristic chain (M18) — see stages/pubdate.py."""
-    from marginalia_ray.stages.pubdate import sniff_pub_year
-
-    return sniff_pub_year(html, url, standard)

@@ -106,9 +106,15 @@ def test_variant_expansion_uses_index_ngrams(ray_session, tmp_path):
     assert found, "no ngram term present in the test index"
     a, b, ng = found
     variants = s.expand_variants(Subquery(include=[a, b]))
-    assert len(variants) == 2
-    assert variants[1].include == [ng]
+    # the span lattice produces both the word-by-word segmentation and the
+    # joined n-gram; trimArray caps at 5 (QueryFactory.java:106-110)
+    assert 2 <= len(variants) <= s.MAX_VARIANTS
+    includes = [v.include for v in variants]
+    assert [ng] in includes
+    assert [a, b] in includes
 
-    # a query with no known ngram stays single-variant
+    # unknown words still segment (faithful variants are index-blind, like
+    # the reference's), but produce no dash/num/compound alternatives
     v2 = s.expand_variants(Subquery(include=["zzzz", "qqqq"]))
-    assert len(v2) == 1
+    assert 1 <= len(v2) <= s.MAX_VARIANTS
+    assert ["zzzz", "qqqq"] in [v.include for v in v2]

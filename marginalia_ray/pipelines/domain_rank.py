@@ -107,3 +107,52 @@ def pagerank(
 
 def compute_domain_rankings(journal_ds, iterations: int = 30) -> dict[int, int]:
     return pagerank(domain_edges(journal_ds), iterations=iterations)
+
+
+def personalized_pagerank_top_n(
+    edges_ds,
+    seed_ids: list[int],
+    max_n: int,
+    reverse: bool = False,
+    d: float = 0.85,
+    iterations: int = 30,
+) -> list[int]:
+    """StandardPageRank with peripheral (origin) nodes: the teleport mass
+    lands on the seed domains instead of uniformly, biasing the ranking
+    toward the seeds' neighborhood (RankingAlgorithm.java with
+    originDomains).  reverse=True flips the edges (ReversePageRank, used
+    by the small-web set).  Returns the top max_n domain ids."""
+    blocks = [ray.get(r) for r in edges_ds.to_arrow_refs()]
+    blocks = [b for b in blocks if b.num_columns]
+    if not blocks:
+        return []
+    t = pa.concat_tables(blocks)
+    src = t["src"].to_numpy(zero_copy_only=False)
+    dst = t["dst"].to_numpy(zero_copy_only=False)
+    if reverse:
+        src, dst = dst, src
+
+    nodes = np.unique(np.concatenate([src, dst]))
+    idx = {int(v): i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    s = np.fromiter((idx[int(v)] for v in src), dtype=np.int64, count=len(src))
+    g = np.fromiter((idx[int(v)] for v in dst), dtype=np.int64, count=len(dst))
+
+    teleport = np.zeros(n, dtype=np.float64)
+    seed_pos = [idx[sid] for sid in seed_ids if sid in idx]
+    if seed_pos:
+        teleport[seed_pos] = 1.0 / len(seed_pos)
+    else:
+        teleport[:] = 1.0 / n  # no seeds present: plain pagerank
+
+    out_deg = np.bincount(s, minlength=n).astype(np.float64)
+    dangling = out_deg == 0
+    rank = teleport.copy()
+    for _ in range(iterations):
+        contrib = np.where(dangling, 0.0, rank / np.maximum(out_deg, 1.0))
+        acc = np.bincount(g, weights=contrib[s], minlength=n)
+        dangling_mass = rank[dangling].sum()
+        rank = (1.0 - d) * teleport + d * (acc + dangling_mass * teleport)
+
+    order = np.argsort(-rank, kind="stable")[:max_n]
+    return [int(nodes[i]) for i in order]

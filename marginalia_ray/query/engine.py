@@ -101,6 +101,8 @@ class SearchSpec:
     size: SpecLimit = dc_field(default_factory=SpecLimit.none)
     rank: SpecLimit = dc_field(default_factory=SpecLimit.none)
     domains: list[int] = dc_field(default_factory=list)
+    # S8/Q10: profile search set (query/searchset.py); None = SearchSetAny
+    search_set: object | None = None
     query_strategy: str = "SENTENCE"
     ranking_params: R.RankingParams = dc_field(default_factory=R.RankingParams)
 
@@ -361,6 +363,8 @@ class IndexSearcher:
         ok = np.ones(len(cand), dtype=bool)
         if spec.domains:
             ok &= np.isin(domains, np.asarray(spec.domains, dtype=np.int64))
+        if spec.search_set is not None:
+            ok &= spec.search_set.contains_array(domains)
         ok &= spec.quality.test(doc_meta_quality(metas).astype(np.int64))
         ok &= spec.year.test(doc_meta_year(metas))
         ok &= spec.size.test(doc_meta_size(metas))

@@ -478,6 +478,10 @@ def extract_links(root: Node, base_url: str) -> list[str]:
 
     out: list[str] = []
     seen: set[str] = set()
+    # precompute the base origin once: root-relative hrefs (the common case
+    # on real pages) then resolve with one concat instead of urljoin
+    bs = urlsplit(base_url)
+    origin = f"{bs.scheme}://{bs.netloc}" if bs.scheme in ("http", "https") else None
 
     def accept(href: str | None):
         if not href:
@@ -485,10 +489,12 @@ def extract_links(root: Node, base_url: str) -> list[str]:
         href = href.strip()
         if not href or any(href.lower().startswith(s) for s in _SKIP_SCHEMES):
             return
-        # fast path: already-absolute http(s) url — drop the fragment with
-        # string ops; urljoin/urlsplit cost ~3x the rest of link handling
+        # fast paths: absolute http(s) and root-relative urls — drop the
+        # fragment with string ops; urljoin/urlsplit cost ~3x the rest
         if href.startswith(("http://", "https://")):
             url = href.partition("#")[0]
+        elif origin and href.startswith("/") and not href.startswith("//"):
+            url = origin + href.partition("#")[0]
         else:
             url = urljoin(base_url, href)
             parts = urlsplit(url)

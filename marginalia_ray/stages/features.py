@@ -180,14 +180,40 @@ def extract_dom_features(root, rules: AdblockRules | None = None) -> set[str]:
     features: set[str] = set()
     rules = rules if rules is not None else _DEFAULT_ADBLOCK
 
-    scripts = root.find_all("script")
+    # ONE tree walk collects every node class this extractor consults
+    # (scripts, head links, media tags, anchors, headings) — the naive
+    # form is 6+ separate find_all passes on the hottest converter path.
+    scripts: list = []
+    head_links: list = []
+    anchors: list = []
+    headings: dict[str, list] = {"h1": [], "h2": [], "h3": []}
+    has_media = False
+    in_head_links = []
+    stack = [(root, False)]
+    while stack:
+        n, in_head = stack.pop()
+        tag = n.tag
+        if tag == "script":
+            scripts.append(n)
+        elif tag == "a":
+            anchors.append(n)
+        elif tag in ("object", "audio", "video"):
+            has_media = True
+        elif tag in ("h1", "h2", "h3"):
+            headings[tag].append(n)
+        elif tag == "link" and in_head:
+            head_links.append(n)
+        nh = in_head or tag == "head"
+        for c in n.children:
+            if not c.is_text():
+                stack.append((c, nh))
+
     for s in scripts:
         if (s.attrs.get("type") or "").lower() != "application/ld+json":
             features.add(FEATURE_JS)
             break
-    head = root.first("head")
-    if FEATURE_JS not in features and head is not None:
-        for link in head.find_all("link"):
+    if FEATURE_JS not in features:
+        for link in head_links:
             if "onerror" in link.attrs or "onload" in link.attrs:
                 features.add(FEATURE_JS)
                 break
@@ -195,7 +221,7 @@ def extract_dom_features(root, rules: AdblockRules | None = None) -> set[str]:
     if FEATURE_JS in features and rules.has_ads(root):
         features.add(FEATURE_ADS)
 
-    if root.first("object") or root.first("audio") or root.first("video"):
+    if has_media:
         features.add(FEATURE_MEDIA)
 
     script_blob_parts = []
@@ -210,14 +236,20 @@ def extract_dom_features(root, rules: AdblockRules | None = None) -> set[str]:
     ):
         features.add(FEATURE_TRACKING)
 
-    for a in root.find_all("a"):
+    for a in anchors:
         href = (a.attrs.get("href") or "").lower()
         if "amzn.to/" in href or ("amazon.com/" in href and "tag=" in href):
             features.add(FEATURE_AFFILIATE)
             break
 
-    if ga_spam_p(root) > 0.5:
-        features.add(FEATURE_GA_SPAM)
+    for tag in ("h1", "h2", "h3"):
+        els = headings[tag]
+        if not els:
+            continue
+        positive = sum(1 for el in els if el.get_text().startswith(_GA_PREFIXES))
+        if positive > 4 and positive / len(els) > 0.5:
+            features.add(FEATURE_GA_SPAM)
+            break
 
     return features
 
@@ -355,30 +387,31 @@ def topic_score(dld, term_values: dict[str, float], avg_length: int) -> float:
 
 def topic_features(dld) -> set[str]:
     """FeatureExtractor.java:128-132: recipe > 0.5 -> category:food, else
-    woodworking > 0.3 or textile > 0.3 -> category:crafts.  All three
-    detectors share one pass over the stemmed words."""
-    vals: tuple[dict[str, float], ...] = ({}, {}, {})
-    tables = (RECIPE_TERMS, WOODWORKING_TERMS, TEXTILE_TERMS)
-    count = 0
-    for sent in dld.sentences:
-        for st in sent.stemmed:
-            count += 1
-            for tbl, acc in zip(tables, vals):
-                v = tbl.get(st)
-                if v is not None:
-                    old = acc.get(st)
-                    acc[st] = v if old is None else 0.5 * old + v
+    woodworking > 0.3 or textile > 0.3 -> category:crafts.
+
+    The reference's per-occurrence merge (0.5*old + new) telescopes: k
+    occurrences of a term with weight v sum to v*(2 - 2^(1-k)), so the
+    score is computed from the doc's existing stem->count table in one
+    pass over DISTINCT stems — identical result, no per-word loop."""
+    count = dld.total_num_words
     if count == 0:
         return set()
+    sums = [0.0, 0.0, 0.0]
+    tables = (RECIPE_TERMS, WOODWORKING_TERMS, TEXTILE_TERMS)
+    for st, cnt in dld.word_counts.items():
+        for k, tbl in enumerate(tables):
+            v = tbl.get(st)
+            if v is not None:
+                sums[k] += v * (2.0 - 2.0 ** (1 - cnt))
 
-    def score(acc: dict[str, float], avg: int) -> float:
-        return sum(acc.values()) * (math.sqrt(avg) / math.sqrt(max(avg, count)))
+    def score(total: float, avg: int) -> float:
+        return total * (math.sqrt(avg) / math.sqrt(max(avg, count)))
 
-    if score(vals[0], RECIPE_AVG_LENGTH) > 0.5:
+    if score(sums[0], RECIPE_AVG_LENGTH) > 0.5:
         return {FEATURE_FOOD}
     if (
-        score(vals[1], WOODWORKING_AVG_LENGTH) > 0.3
-        or score(vals[2], TEXTILE_AVG_LENGTH) > 0.3
+        score(sums[1], WOODWORKING_AVG_LENGTH) > 0.3
+        or score(sums[2], TEXTILE_AVG_LENGTH) > 0.3
     ):
         return {FEATURE_CRAFTS}
     return set()

@@ -228,10 +228,22 @@ _COPYRIGHT_MARKS = ("ublished", "opyright", "Posted on", "&copy;", "(c)")
 _COMMON_CLASSES = {"entry-meta", "byline", "author", "submitted", "date", "datey"}
 
 
+_PASS1_HTML_MARKS = (
+    "ublished", "opyright", "Posted on", "&copy;", "(c)", "Posted:",
+    "entry-meta", "byline", "author", "submitted", "date",
+    "footer-info-lastmod",
+)
+
+
 def h_dom_pass1(html: str, url: str, standard: str, root=None) -> int | None:
     """DOMParsingPass1: short copyright-ish text nodes, byline/date-class
-    elements, and the phpBB '<b>Posted:</b> <date>' shape."""
+    elements, and the phpBB '<b>Posted:</b> <date>' shape.
+
+    Cheap precheck: if none of the trigger substrings appear anywhere in
+    the raw HTML, no node can match — skip the tree walk entirely."""
     if root is None:
+        return None
+    if html and not any(m in html for m in _PASS1_HTML_MARKS):
         return None
     std = standard if standard != "UNKNOWN" else None
 
@@ -283,8 +295,13 @@ def _is_possible_year_text(text: str) -> bool:
 def h_dom_pass2(html: str, url: str, standard: str, root=None) -> int | None:
     """DOMParsingPass2: any year-looking text node; keeps overwriting the
     candidate until one is plausible for the HTML standard, returns the
-    last candidate otherwise."""
+    last candidate otherwise.
+
+    Cheap precheck: a year-looking candidate needs a 4-digit run somewhere
+    in the raw HTML — skip the walk when there is none."""
     if root is None:
+        return None
+    if html and not _YEAR4.search(html):
         return None
     std = standard if standard != "UNKNOWN" else None
     pub: int | None = None

@@ -164,3 +164,25 @@ def test_knn_ivf_subset_of_exact(ray_session):
     merged = approx.merge(exact, on=["query_id", "neighbor_id"], suffixes=("_a", "_e"))
     assert (merged["score_a"] == merged["score_e"]).all()
     assert len(merged) >= 10  # reasonable recall on this data
+
+
+def test_embedding_pairs_lsh_subset_of_exact(ray_session):
+    """mode='lsh' buckets by hyperplane signature and verifies exactly
+    within buckets: its pairs are a subset of the exact all-pairs result
+    with identical scores (recall < 1 by construction)."""
+    import ray.data
+
+    from marginalia_ray.ops.similarity import embedding_cosine_pairs
+
+    def emb():
+        return ray.data.read_parquet(
+            "/root/testdata/sf0.001/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+
+    exact = embedding_cosine_pairs(emb(), threshold=0.4).to_pandas()
+    lsh = embedding_cosine_pairs(emb(), threshold=0.4, mode="lsh", n_planes=4).to_pandas()
+    exact_pairs = {(a, b): s for a, b, s in exact.itertuples(index=False)}
+    assert len(lsh) > 0
+    for a, b, s in lsh.itertuples(index=False):
+        assert (a, b) in exact_pairs
+        assert abs(exact_pairs[(a, b)] - s) < 1e-9

@@ -1,12 +1,20 @@
 """Multimodal column operators: image / audio / video payloads as opaque
 `binary` columns with typed metadata.
 
-The container has no image/audio codecs, so the decode kernels are gated:
-with ``fake=True`` (default) they produce deterministic pseudo-decodes
-(seeded by content hash) so the Ray-side plumbing — schema, actor-pool
-signature, batch sizing, output layout — is real and tested end-to-end;
-with ``fake=False`` they raise NotImplementedError where a PIL / ffmpeg
-call would go (clearly marked below).
+Decode support, container-native (no external codec libraries):
+  * images — REAL decoders for PNG (8-bit gray/RGB/RGBA, non-interlaced;
+    zlib + scanline unfilter), binary PPM/PGM, and uncompressed 24-bit
+    BMP; the embedding is a real content feature (normalized grid of
+    block-mean intensities).
+  * audio — REAL decoder for RIFF/WAV PCM (stdlib `wave`) with an actual
+    numpy MFCC (Hann frames -> power spectrum -> mel filterbank -> log ->
+    DCT-II), averaged over frames.
+  * video — no container parser exists in the stdlib; the decode is a
+    gated stub (``fake=True`` pseudo-decode / NotImplementedError).
+
+Payloads in unrecognized formats (JPEG, MP3, ...) fall back to the
+``fake=True`` deterministic pseudo-decode (seeded by content hash) so
+pipelines keep streaming, or raise with ``fake=False``.
 
 Scale design: payload columns are fat, so these stages run with SMALL
 batch sizes (default 16) and actor pools; the binary column is dropped
@@ -28,11 +36,143 @@ def _content_rng(payload: bytes) -> np.random.RandomState:
     return np.random.RandomState(seed)
 
 
+# ---- real image decoders (stdlib + numpy only) -------------------------
+
+
+def _decode_png(data: bytes):
+    """8-bit non-interlaced PNG (gray/gray+a/RGB/RGBA).  zlib inflate +
+    per-scanline unfilter; filters 0/2 vectorize, 1/3/4 carry a left
+    dependency and run per-pixel (encoders in pipelines use 0/2)."""
+    import struct
+    import zlib
+
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not png")
+    pos, idat, w, h, color_type = 8, b"", None, None, None
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        chunk = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if ctype == b"IHDR":
+            w, h, depth, color_type, _c, _f, interlace = struct.unpack(
+                ">IIBBBBB", chunk
+            )
+            if depth != 8 or interlace:
+                raise ValueError("unsupported png variant")
+        elif ctype == b"IDAT":
+            idat += chunk
+        elif ctype == b"IEND":
+            break
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    stride = w * channels
+    raw = np.frombuffer(zlib.decompress(idat), np.uint8).reshape(h, stride + 1)
+    out = np.zeros((h, stride), np.int32)
+    for y in range(h):
+        f = int(raw[y, 0])
+        cur = raw[y, 1:].astype(np.int32)
+        prev = out[y - 1] if y else np.zeros(stride, np.int32)
+        if f == 0:
+            out[y] = cur
+        elif f == 2:
+            out[y] = (cur + prev) & 0xFF
+        else:
+            rec = out[y]
+            for x in range(stride):
+                a = rec[x - channels] if x >= channels else 0
+                b = prev[x]
+                if f == 1:
+                    rec[x] = (cur[x] + a) & 0xFF
+                elif f == 3:
+                    rec[x] = (cur[x] + ((a + b) >> 1)) & 0xFF
+                else:  # paeth
+                    c = int(prev[x - channels]) if x >= channels else 0
+                    p = a + b - c
+                    pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa_ <= pb_ and pa_ <= pc_) else (b if pb_ <= pc_ else c)
+                    rec[x] = (cur[x] + pred) & 0xFF
+    return w, h, channels, out.astype(np.uint8).reshape(h, w, channels)
+
+
+def _decode_ppm(data: bytes):
+    """Binary PPM (P6) / PGM (P5)."""
+    if data[:2] not in (b"P6", b"P5"):
+        raise ValueError("not ppm/pgm")
+    channels = 3 if data[:2] == b"P6" else 1
+    # header: magic, width, height, maxval (whitespace/comment separated)
+    tokens, pos = [], 2
+    while len(tokens) < 3:
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        if data[pos : pos + 1] == b"#":
+            while pos < len(data) and data[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(data[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, _maxval = tokens
+    px = np.frombuffer(data, np.uint8, count=w * h * channels, offset=pos)
+    return w, h, channels, px.reshape(h, w, channels)
+
+
+def _decode_bmp(data: bytes):
+    """Uncompressed 24-bit BMP."""
+    import struct
+
+    if data[:2] != b"BM":
+        raise ValueError("not bmp")
+    (off,) = struct.unpack("<I", data[10:14])
+    w, h = struct.unpack("<ii", data[18:26])
+    (bpp,) = struct.unpack("<H", data[28:30])
+    (comp,) = struct.unpack("<I", data[30:34])
+    if bpp != 24 or comp != 0:
+        raise ValueError("unsupported bmp variant")
+    flip = h > 0
+    h = abs(h)
+    row = (w * 3 + 3) & ~3  # 4-byte aligned rows
+    arr = np.frombuffer(data, np.uint8, count=row * h, offset=off).reshape(h, row)
+    px = arr[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+    if flip:
+        px = px[::-1]
+    return w, h, 3, np.ascontiguousarray(px)
+
+
+def _image_embedding(px: np.ndarray, dim: int) -> np.ndarray:
+    """Real content feature: grid of block-mean intensities (dim cells
+    over the grayscale image), L2-normalized."""
+    g = px.astype(np.float32).mean(axis=2)
+    rows = max(1, int(np.sqrt(dim / 2)))
+    cols = max(1, dim // rows)
+    cells = [
+        float(block.mean())
+        for rband in np.array_split(g, rows, axis=0)
+        for block in np.array_split(rband, cols, axis=1)
+    ]
+    v = np.asarray(cells[:dim] + [0.0] * max(0, dim - len(cells)), np.float32)
+    n = float(np.linalg.norm(v))
+    return v / n if n > 0 else v
+
+
+def decode_image_payload(data: bytes):
+    """(w, h, channels, pixels) for PNG / PPM / BMP, else ValueError."""
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        return _decode_png(data)
+    if data[:2] in (b"P6", b"P5"):
+        return _decode_ppm(data)
+    if data[:2] == b"BM":
+        return _decode_bmp(data)
+    raise ValueError("unrecognized image format")
+
+
 class ImageDecodeStage:
     """binary image column -> (id, width, height, channels, embedding).
 
-    Real path would be ``PIL.Image.open(io.BytesIO(payload))`` +
-    a vision-encoder forward pass — both stubbed here.
+    PNG / PPM / BMP payloads decode for real (decode_image_payload);
+    other formats (JPEG/WebP need codec libraries this container lacks)
+    pseudo-decode with ``fake=True`` or raise with ``fake=False``.
     """
 
     def __init__(self, embed_dim: int = 32, fake: bool = True,
@@ -46,9 +186,19 @@ class ImageDecodeStage:
         payloads = batch[self.payload_col].to_pylist()
         w, h, c, emb = [], [], [], []
         for p in payloads:
+            try:
+                pw, ph, pc, px = decode_image_payload(p)
+                w.append(int(pw)); h.append(int(ph)); c.append(int(pc))
+                emb.append(_image_embedding(px, self.embed_dim))
+                continue
+            except ValueError:
+                pass
             if not self.fake:
-                # real decode goes here (PIL + torchvision not in container)
-                raise NotImplementedError("image decode requires PIL; run with fake=True")
+                raise NotImplementedError(
+                    "only PNG/PPM/BMP decode natively; JPEG/WebP need PIL "
+                    "(not in this container) — run with fake=True to "
+                    "pseudo-decode unknown formats"
+                )
             rng = _content_rng(p)
             w.append(int(rng.randint(64, 4096)))
             h.append(int(rng.randint(64, 4096)))
@@ -66,9 +216,67 @@ class ImageDecodeStage:
         )
 
 
+# ---- real WAV decode + numpy MFCC --------------------------------------
+
+
+def _wav_features(data: bytes, n_mfcc: int):
+    """RIFF/WAV PCM -> (duration_s, sample_rate, mfcc_mean) with an actual
+    MFCC: 1024-sample Hann frames, power spectrum, 26-band mel filterbank,
+    log, DCT-II, first n_mfcc coefficients averaged over frames."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(data)) as wf:
+        sr = wf.getframerate()
+        nchan = wf.getnchannels()
+        nframes = wf.getnframes()
+        width = wf.getsampwidth()
+        raw = wf.readframes(nframes)
+    dtype = {1: np.uint8, 2: np.int16, 4: np.int32}[width]
+    x = np.frombuffer(raw, dtype).astype(np.float64)
+    if width == 1:
+        x = x - 128.0
+    if nchan > 1:
+        x = x.reshape(-1, nchan).mean(axis=1)
+    duration = nframes / float(sr)
+
+    frame, hop = 1024, 512
+    if len(x) < frame:
+        x = np.pad(x, (0, frame - len(x)))
+    nf = 1 + (len(x) - frame) // hop
+    idx = np.arange(frame)[None, :] + hop * np.arange(nf)[:, None]
+    frames = x[idx] * np.hanning(frame)
+    spec = np.abs(np.fft.rfft(frames, axis=1)) ** 2  # (nf, frame//2+1)
+
+    def mel(f):
+        return 2595.0 * np.log10(1.0 + f / 700.0)
+
+    def imel(m):
+        return 700.0 * (10.0 ** (m / 2595.0) - 1.0)
+
+    n_mels = 26
+    pts = imel(np.linspace(mel(0.0), mel(sr / 2.0), n_mels + 2))
+    bins = np.floor((frame + 1) * pts / sr).astype(int)
+    fb = np.zeros((n_mels, spec.shape[1]))
+    for m in range(1, n_mels + 1):
+        lo, ce, hi = bins[m - 1], bins[m], bins[m + 1]
+        for k in range(lo, min(ce, fb.shape[1])):
+            fb[m - 1, k] = (k - lo) / max(ce - lo, 1)
+        for k in range(ce, min(hi, fb.shape[1])):
+            fb[m - 1, k] = (hi - k) / max(hi - ce, 1)
+    loge = np.log(spec @ fb.T + 1e-10)  # (nf, n_mels)
+    n = np.arange(n_mels)
+    dct = np.cos(np.pi / n_mels * (n[None, :] + 0.5) * np.arange(n_mfcc)[:, None])
+    mfcc = (dct @ loge.T).mean(axis=1)  # (n_mfcc,)
+    return duration, sr, mfcc.astype(np.float32)
+
+
 class AudioFeatureStage:
     """binary audio column -> (id, duration_s, sample_rate, mfcc_mean).
-    Real path: soundfile/librosa decode + MFCC — stubbed."""
+
+    WAV payloads decode for real (_wav_features); compressed formats
+    (MP3/OGG need codec libraries) pseudo-decode with ``fake=True`` or
+    raise with ``fake=False``."""
 
     def __init__(self, n_mfcc: int = 13, fake: bool = True,
                  payload_col: str = "audio", id_col: str = "doc_id"):
@@ -79,8 +287,18 @@ class AudioFeatureStage:
         payloads = batch[self.payload_col].to_pylist()
         dur, sr, mfcc = [], [], []
         for p in payloads:
+            if p[:4] == b"RIFF":
+                try:
+                    d, s, m = _wav_features(p, self.n_mfcc)
+                    dur.append(float(d)); sr.append(int(s)); mfcc.append(m)
+                    continue
+                except Exception:
+                    pass
             if not self.fake:
-                raise NotImplementedError("audio decode requires soundfile; run with fake=True")
+                raise NotImplementedError(
+                    "only RIFF/WAV decodes natively; MP3/OGG need codec "
+                    "libraries — run with fake=True to pseudo-decode"
+                )
             rng = _content_rng(p)
             dur.append(float(rng.uniform(0.5, 600.0)))
             sr.append(int(rng.choice([16000, 22050, 44100])))

@@ -1,0 +1,137 @@
+"""Real multimodal decode paths: PNG/PPM/BMP images and RIFF/WAV audio
+decoded with stdlib + numpy only; fixtures are constructed in-test."""
+
+import io
+import struct
+import wave
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from marginalia_ray.ops.multimodal import (
+    AudioFeatureStage,
+    ImageDecodeStage,
+    _wav_features,
+    decode_image_payload,
+)
+
+
+def make_png(px: np.ndarray) -> bytes:
+    """Minimal 8-bit RGB PNG encoder (filter 0 rows)."""
+    h, w, _ = px.shape
+    raw = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        c = struct.pack(">I", len(data)) + ctype + data
+        return c + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def make_ppm(px: np.ndarray) -> bytes:
+    h, w, _ = px.shape
+    return f"P6\n{w} {h}\n255\n".encode() + px.tobytes()
+
+
+def make_bmp(px: np.ndarray) -> bytes:
+    h, w, _ = px.shape
+    row = (w * 3 + 3) & ~3
+    body = b""
+    for y in range(h - 1, -1, -1):  # bottom-up
+        line = px[y, :, ::-1].tobytes()  # RGB -> BGR
+        body += line + b"\x00" * (row - len(line))
+    off = 14 + 40
+    header = b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    return header + dib + body
+
+
+def make_wav(sr: int = 16000, seconds: float = 0.5, freq: float = 440.0) -> bytes:
+    t = np.arange(int(sr * seconds)) / sr
+    x = (np.sin(2 * np.pi * freq * t) * 20000).astype(np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(sr)
+        wf.writeframes(x.tobytes())
+    return buf.getvalue()
+
+
+@pytest.fixture()
+def rgb():
+    rng = np.random.RandomState(3)
+    return rng.randint(0, 256, size=(12, 17, 3), dtype=np.uint8)
+
+
+class TestImageDecoders:
+    def test_png_roundtrip(self, rgb):
+        w, h, c, px = decode_image_payload(make_png(rgb))
+        assert (w, h, c) == (17, 12, 3)
+        np.testing.assert_array_equal(px, rgb)
+
+    def test_ppm_roundtrip(self, rgb):
+        w, h, c, px = decode_image_payload(make_ppm(rgb))
+        assert (w, h, c) == (17, 12, 3)
+        np.testing.assert_array_equal(px, rgb)
+
+    def test_bmp_roundtrip(self, rgb):
+        w, h, c, px = decode_image_payload(make_bmp(rgb))
+        assert (w, h, c) == (17, 12, 3)
+        np.testing.assert_array_equal(px, rgb)
+
+    def test_unknown_format_raises(self):
+        with pytest.raises(ValueError):
+            decode_image_payload(b"\xff\xd8\xff\xe0 jpeg-ish")
+
+
+class TestImageStage:
+    def test_real_decode_in_stage(self, rgb):
+        batch = pa.table({"doc_id": [1], "image": [make_png(rgb)]})
+        out = ImageDecodeStage(fake=False)(batch)
+        assert out["width"][0].as_py() == 17
+        assert out["height"][0].as_py() == 12
+        emb = np.array(out["embedding"][0].as_py())
+        assert len(emb) == 32
+        assert abs(np.linalg.norm(emb) - 1.0) < 1e-5
+        # embedding is a content feature: same image -> same embedding
+        out2 = ImageDecodeStage(fake=False)(batch)
+        np.testing.assert_array_equal(emb, np.array(out2["embedding"][0].as_py()))
+
+    def test_unknown_format_strict_raises(self):
+        batch = pa.table({"doc_id": [1], "image": [b"\xff\xd8jpeg"]})
+        with pytest.raises(NotImplementedError):
+            ImageDecodeStage(fake=False)(batch)
+
+    def test_unknown_format_fake_fallback(self):
+        batch = pa.table({"doc_id": [1], "image": [b"\xff\xd8jpeg"]})
+        out = ImageDecodeStage(fake=True)(batch)
+        assert out.num_rows == 1
+
+
+class TestAudio:
+    def test_wav_features(self):
+        d, sr, mfcc = _wav_features(make_wav(sr=16000, seconds=0.5), 13)
+        assert sr == 16000
+        assert abs(d - 0.5) < 1e-6
+        assert mfcc.shape == (13,)
+        # 440 Hz vs 3 kHz tones must produce different features
+        _, _, mfcc2 = _wav_features(make_wav(freq=3000.0), 13)
+        assert not np.allclose(mfcc, mfcc2)
+
+    def test_wav_in_stage_strict(self):
+        batch = pa.table({"doc_id": [7], "audio": [make_wav()]})
+        out = AudioFeatureStage(fake=False)(batch)
+        assert out["sample_rate"][0].as_py() == 16000
+        assert abs(out["duration_s"][0].as_py() - 0.5) < 1e-6
+
+    def test_mp3ish_strict_raises(self):
+        batch = pa.table({"doc_id": [7], "audio": [b"ID3\x03 not-wav"]})
+        with pytest.raises(NotImplementedError):
+            AudioFeatureStage(fake=False)(batch)

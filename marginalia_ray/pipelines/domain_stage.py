@@ -154,13 +154,31 @@ def dedup_domain_group(group: pa.Table) -> pa.Table:
     alive = set(good)
     plen = [_path_len(u) for u in urls]
 
+    # pigeonhole prefilter (mega-domain guard): hamming <= 2 over 64 bits
+    # means at least one of three ~21-bit chunks is equal, so candidate
+    # pairs come from shared chunk buckets instead of the O(n^2) scan.
+    # Outcome is identical — the full hamming test still gates removal.
+    buckets: list[dict[int, list[int]]] = [{}, {}, {}]
+    shifts = (np.uint64(0), np.uint64(22), np.uint64(43))
+    masks = (np.uint64((1 << 22) - 1), np.uint64((1 << 21) - 1), np.uint64((1 << 21) - 1))
+    for i in good:
+        if lengths[i] < 100:
+            continue
+        v = lshs[i]
+        for k in range(3):
+            buckets[k].setdefault(int((v >> shifts[k]) & masks[k]), []).append(i)
+
     for i in range(n):
         if i not in alive or states[i] != "OK":
             continue
         if lengths[i] < 100:
             continue
-        for j in list(alive):
-            if j == i or lengths[j] < 100:
+        v = lshs[i]
+        cands: set[int] = set()
+        for k in range(3):
+            cands.update(buckets[k].get(int((v >> shifts[k]) & masks[k]), ()))
+        for j in cands:
+            if j == i or j not in alive or lengths[j] < 100:
                 continue
             x = int(lshs[i] ^ lshs[j])
             if bin(x).count("1") > 2:

@@ -30,18 +30,36 @@ from marginalia_ray.stages.tokenizer import TokenizerStage
 JOURNAL_COLS = ["doc_id", "doc_meta", "term_hashes", "kw_metas"]
 
 
-def _wait_for_cpu_drain(frac: float = 0.9, timeout: float = 15.0) -> None:
+def _wait_for_cpu_drain(
+    frac: float = 0.9, timeout: float = 15.0, settle: float = 0.75
+) -> None:
     """Wait for the previous stage's actor pool to release its CPU slots;
-    otherwise the next Dataset's tasks queue behind dying actors."""
+    otherwise the next Dataset's tasks queue behind dying actors.
+
+    Ray Data exposes no teardown-completion signal for map_batches actor
+    pools (they shut down asynchronously after the dataset finishes), so
+    this observes the release: return as soon as either (a) frac of the
+    cluster is free — the idle-box fast path, or (b) available CPUs have
+    stopped INCREASING for `settle` seconds — on a busy multi-tenant
+    cluster (where 90% free never happens) this terminates as soon as the
+    pool's slots have been handed back, instead of burning the timeout."""
     try:
         total = ray.cluster_resources().get("CPU", 1)
+        best = ray.available_resources().get("CPU", 0)
     except Exception:
         return
     t0 = time.time()
+    last_rise = t0
     while time.time() - t0 < timeout:
-        if ray.available_resources().get("CPU", 0) >= frac * total:
+        if best >= frac * total:
+            return
+        if time.time() - last_rise >= settle:
             return
         time.sleep(0.25)
+        cur = ray.available_resources().get("CPU", 0)
+        if cur > best + 0.5:
+            best = cur
+            last_rise = time.time()
 
 
 def convert_pages(

@@ -136,7 +136,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from marginalia_ray.ops.text_ops import (
         doc_quality,
         fingerprint,
+        gopher_quality,
         lang_id,
+        repetition_metrics,
         stopword_ratio,
         term_doc_freq,
         token_count,
@@ -237,6 +239,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "lang_id": lambda sf: lang_id(_docs(sf)),
         "doc_fingerprint": lambda sf: fingerprint(_docs(sf)),
+        "gopher_quality": lambda sf: gopher_quality(_docs(sf)),
+        "repetition_metrics": lambda sf: repetition_metrics(_docs(sf)),
         "bm25_topk": lambda sf: bm25_topk(_docs(sf), BM25_TERMS, k=10),
         "marginalia_search": q_index_search,
     }
@@ -325,6 +329,50 @@ def _knn_lsh_sql() -> str:
  SELECT query_id, neighbor_id, round(score,6) AS score FROM r WHERE rn <= {KNN_K}"""
 
 
+def _gopher_sql() -> str:
+    """Mirrors ops/text_ops.gopher_quality (Rae et al. 2021 rules)."""
+    from marginalia_ray.ops.text_ops import GOPHER_STOPWORDS
+
+    stop_terms = " + ".join(
+        f"CASE WHEN regexp_matches(lower(text), '\\b{w}\\b') THEN 1 ELSE 0 END"
+        for w in GOPHER_STOPWORDS
+    )
+    return f"""
+ WITH w AS (SELECT doc_id, text,
+   list_filter(string_split_regex(text, '[ \t\n\r]+'), x -> x <> '') AS ws FROM documents),
+ m AS (SELECT doc_id, text, len(ws) AS n_words,
+   round(list_sum(list_transform(ws, x -> length(x)))::DOUBLE / greatest(len(ws),1), 6) AS mean_word_len,
+   round((((length(text) - length(replace(text, '#', ''))))
+        + ((length(text) - length(replace(text, '...', ''))) / 3))::DOUBLE
+        / greatest(len(ws),1), 6) AS symbol_ratio,
+   round(len(list_filter(ws, x -> regexp_matches(x, '[a-zA-Z]')))::DOUBLE
+        / greatest(len(ws),1), 6) AS alpha_frac,
+   ({stop_terms})::BIGINT AS stop_hits
+  FROM w)
+ SELECT doc_id, n_words::BIGINT AS n_words, mean_word_len, symbol_ratio,
+        alpha_frac, stop_hits,
+        (n_words BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3 AND 10
+         AND symbol_ratio < 0.1 AND alpha_frac > 0.8 AND stop_hits >= 2) AS passes
+ FROM m"""
+
+
+def _repetition_sql() -> str:
+    """Mirrors ops/text_ops.repetition_metrics."""
+    return """
+ WITH l AS (SELECT doc_id,
+     list_filter(string_split(text, chr(10)), x -> trim(x) <> '') AS lines FROM documents),
+ dl AS (SELECT doc_id,
+     CASE WHEN len(lines) = 0 THEN 0.0
+          ELSE round(1.0 - len(list_distinct(lines))::DOUBLE / len(lines), 6) END AS dup_line_frac
+   FROM l),
+ w AS (SELECT doc_id, lower(unnest(list_filter(string_split_regex(text, '[ \t\n\r]+'), x -> x <> ''))) AS word
+   FROM documents),
+ wc AS (SELECT doc_id, word, count(*) AS c FROM w GROUP BY doc_id, word),
+ tw AS (SELECT doc_id, round(max(c)::DOUBLE / sum(c), 6) AS top_word_frac FROM wc GROUP BY doc_id)
+ SELECT d.doc_id, dl.dup_line_frac, coalesce(tw.top_word_frac, 0.0) AS top_word_frac
+ FROM documents d JOIN dl ON d.doc_id = dl.doc_id LEFT JOIN tw ON d.doc_id = tw.doc_id"""
+
+
 def oracle_sql() -> dict[str, str]:
     sw = ",".join(f"'{w}'" for w in __import__("marginalia_ray.ops.text_ops", fromlist=["STOPWORDS"]).STOPWORDS)
     tl = ",".join(f"'{t}'" for t in BM25_TERMS)
@@ -403,6 +451,8 @@ def oracle_sql() -> dict[str, str]:
  SELECT doc_id, round(s,6) AS score FROM scored WHERE s>0 ORDER BY s DESC, doc_id LIMIT 10""",
         "lang_id": _lang_id_sql(),
         "doc_fingerprint": _fingerprint_sql(),
+        "gopher_quality": _gopher_sql(),
+        "repetition_metrics": _repetition_sql(),
         "knn_cosine_lsh": _knn_lsh_sql(),
         # simhash_pairs (64-bit wrap-around token-hash bit votes),
         # knn_cosine_ivf (k-means on a block-order-dependent sample) and

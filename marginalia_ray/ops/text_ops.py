@@ -231,6 +231,149 @@ def fingerprint(ds, text_col: str = "text", id_col: str = "doc_id"):
     return ds.map_batches(_batch, batch_format="pyarrow")
 
 
+# Gopher quality-rule constants (Rae et al. 2021, "Scaling Language
+# Models: ... Gopher", §A1.1 MassiveWeb filters — public paper)
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_MIN_STOP_HITS = 2
+
+_WS_SPLIT = "[ \t\n\r]+"  # SQL: string_split_regex(text, '[ \t\n\r]+')
+
+
+def _word_lists(batch: pa.Table, text_col: str):
+    lists = pc.split_pattern_regex(batch[text_col], _WS_SPLIT)
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    flat = pc.list_flatten(lists)
+    parents = pc.list_parent_indices(lists).to_numpy()
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    return flat, parents, keep
+
+
+def gopher_quality(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Gopher/MassiveWeb document quality rules (Rae et al. 2021 §A1.1):
+    per doc (doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac,
+    stop_hits, passes) — the standard pre-training corpus filter.
+
+    passes = 50 <= n_words <= 100k AND 3 <= mean word length <= 10 AND
+    (#'#' + #'...') / n_words < 0.1 AND >= 80% of words contain a letter
+    AND >= 2 distinct common stop words appear.  Fully vectorized; every
+    metric is SQL-replicable for the DuckDB oracle."""
+
+    def _batch(batch: pa.Table) -> pa.Table:
+        n_docs = batch.num_rows
+        flat, parents, keep = _word_lists(batch, text_col)
+        lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+        alpha = (
+            pc.match_substring_regex(flat, "[a-zA-Z]")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        n_words = np.bincount(parents[keep], minlength=n_docs).astype(np.int64)
+        char_sum = np.bincount(
+            parents[keep], weights=lens[keep], minlength=n_docs
+        )
+        alpha_cnt = np.bincount(
+            parents[keep], weights=alpha[keep], minlength=n_docs
+        )
+        denom = np.maximum(n_words, 1).astype(np.float64)
+        mwl = np.round(char_sum / denom, 6)
+        alpha_frac = np.round(alpha_cnt / denom, 6)
+
+        hashes = pc.count_substring(batch[text_col], "#").to_numpy(
+            zero_copy_only=False
+        )
+        dots = pc.count_substring(batch[text_col], "...").to_numpy(
+            zero_copy_only=False
+        )
+        symbol_ratio = np.round((hashes + dots) / denom, 6)
+
+        lower = pc.utf8_lower(batch[text_col])
+        stop_hits = np.zeros(n_docs, dtype=np.int64)
+        for w in GOPHER_STOPWORDS:
+            hit = pc.match_substring_regex(lower, rf"\b{w}\b").to_numpy(
+                zero_copy_only=False
+            )
+            stop_hits += hit.astype(np.int64)
+
+        passes = (
+            (n_words >= GOPHER_MIN_WORDS)
+            & (n_words <= GOPHER_MAX_WORDS)
+            & (mwl >= GOPHER_MIN_MEAN_WORD_LEN)
+            & (mwl <= GOPHER_MAX_MEAN_WORD_LEN)
+            & (symbol_ratio < GOPHER_MAX_SYMBOL_RATIO)
+            & (alpha_frac > GOPHER_MIN_ALPHA_FRAC)
+            & (stop_hits >= GOPHER_MIN_STOP_HITS)
+        )
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_words": pa.array(n_words),
+                "mean_word_len": pa.array(mwl, pa.float64()),
+                "symbol_ratio": pa.array(symbol_ratio, pa.float64()),
+                "alpha_frac": pa.array(alpha_frac, pa.float64()),
+                "stop_hits": pa.array(stop_hits),
+                "passes": pa.array(passes),
+            }
+        )
+
+    return ds.map_batches(_batch, batch_format="pyarrow")
+
+
+def repetition_metrics(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """C4/MassiveWeb-style repetition signals per doc:
+    (doc_id, dup_line_frac, top_word_frac) — duplicate-line fraction
+    (1 - distinct/total non-empty lines) and most-common-word fraction.
+    Vectorized per batch (pyarrow split + per-doc numpy grouping)."""
+
+    def _batch(batch: pa.Table) -> pa.Table:
+        n_docs = batch.num_rows
+        # lines
+        line_lists = pc.split_pattern(batch[text_col], "\n")
+        if isinstance(line_lists, pa.ChunkedArray):
+            line_lists = line_lists.combine_chunks()
+        lp = pc.list_parent_indices(line_lists).to_numpy()
+        lflat = pc.list_flatten(line_lists)
+        lkeep = pc.not_equal(pc.utf8_trim_whitespace(lflat), "").to_numpy(
+            zero_copy_only=False
+        )
+        dup_line = np.zeros(n_docs, dtype=np.float64)
+        lines_of: dict[int, list] = {}
+        ll = lflat.to_pylist()
+        for i in np.flatnonzero(lkeep):
+            lines_of.setdefault(int(lp[i]), []).append(ll[i])
+        for d, lines in lines_of.items():
+            dup_line[d] = 1.0 - len(set(lines)) / len(lines)
+
+        # words
+        flat, parents, keep = _word_lists(batch, text_col)
+        lower = pc.utf8_lower(flat).to_pylist()
+        top_word = np.zeros(n_docs, dtype=np.float64)
+        counts: dict[int, dict] = {}
+        for i in np.flatnonzero(keep):
+            c = counts.setdefault(int(parents[i]), {})
+            w = lower[i]
+            c[w] = c.get(w, 0) + 1
+        for d, c in counts.items():
+            total = sum(c.values())
+            top_word[d] = max(c.values()) / total if total else 0.0
+
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "dup_line_frac": pa.array(np.round(dup_line, 6), pa.float64()),
+                "top_word_frac": pa.array(np.round(top_word, 6), pa.float64()),
+            }
+        )
+
+    return ds.map_batches(_batch, batch_format="pyarrow")
+
+
 def doc_quality(ds, text_col: str = "text", id_col: str = "doc_id"):
     """Marginalia-flavored quality score (DocumentValuator.getQuality shape,
     ref DocumentValuator.java:16-86): ln(n_tokens / (1 + n_chars)).

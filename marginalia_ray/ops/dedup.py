@@ -182,10 +182,7 @@ def _pairs_to_jaccard(pairs, threshold: float):
     was measured ~10x slower on the same input (sort machinery + named
     aggregation overhead), and a single-int-key groupby feeds map_groups
     whole partitions."""
-    import ray
-
-    ncpu = int(ray.cluster_resources().get("CPU", 8))
-    num_partitions = max(2, min(32, ncpu // 2))
+    num_partitions = _join_partitions()
 
     def _add_pk(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -380,10 +377,7 @@ def _emit_pairs_per_key(ds, key_cols: list[str], num_partitions: int | None = No
     Output then has a `partial` column the caller must Sum."""
     if num_partitions is None:
         # hash-shuffle aggregators are actors: cap partitions by cluster CPUs
-        import ray
-
-        ncpu = int(ray.cluster_resources().get("CPU", 8))
-        num_partitions = max(2, min(32, ncpu // 2))
+        num_partitions = _join_partitions()
 
     def _add_pk(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:

@@ -64,6 +64,8 @@ def _decode_png(data: bytes):
             idat += chunk
         elif ctype == b"IEND":
             break
+    if color_type not in (0, 2, 4, 6):
+        raise ValueError("unsupported png color type (paletted?)")
     channels = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
     stride = w * channels
     raw = np.frombuffer(zlib.decompress(idat), np.uint8).reshape(h, stride + 1)
@@ -113,7 +115,9 @@ def _decode_ppm(data: bytes):
             pos += 1
         tokens.append(int(data[start:pos]))
     pos += 1  # single whitespace after maxval
-    w, h, _maxval = tokens
+    w, h, maxval = tokens
+    if maxval > 255:
+        raise ValueError("16-bit ppm/pgm unsupported")
     px = np.frombuffer(data, np.uint8, count=w * h * channels, offset=pos)
     return w, h, channels, px.reshape(h, w, channels)
 
@@ -157,13 +161,24 @@ def _image_embedding(px: np.ndarray, dim: int) -> np.ndarray:
 
 
 def decode_image_payload(data: bytes):
-    """(w, h, channels, pixels) for PNG / PPM / BMP, else ValueError."""
-    if data[:8] == b"\x89PNG\r\n\x1a\n":
-        return _decode_png(data)
-    if data[:2] in (b"P6", b"P5"):
-        return _decode_ppm(data)
-    if data[:2] == b"BM":
-        return _decode_bmp(data)
+    """(w, h, channels, pixels) for PNG / PPM / BMP.  Raises ValueError for
+    unrecognized formats AND for corrupt/unsupported files of a recognized
+    format (truncated chunks, paletted PNGs, 16-bit PPMs, ...) so callers
+    have one fallback path."""
+    import struct
+    import zlib
+
+    try:
+        if data[:8] == b"\x89PNG\r\n\x1a\n":
+            return _decode_png(data)
+        if data[:2] in (b"P6", b"P5"):
+            return _decode_ppm(data)
+        if data[:2] == b"BM":
+            return _decode_bmp(data)
+    except ValueError:
+        raise
+    except (struct.error, zlib.error, IndexError, KeyError) as ex:
+        raise ValueError(f"undecodable image: {ex}") from ex
     raise ValueError("unrecognized image format")
 
 
@@ -286,18 +301,24 @@ class AudioFeatureStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch[self.payload_col].to_pylist()
         dur, sr, mfcc = [], [], []
+        import wave as _wave
+
         for p in payloads:
             if p[:4] == b"RIFF":
                 try:
                     d, s, m = _wav_features(p, self.n_mfcc)
                     dur.append(float(d)); sr.append(int(s)); mfcc.append(m)
                     continue
-                except Exception:
+                except (_wave.Error, KeyError, ValueError, EOFError):
+                    # KeyError: unsupported sample width (e.g. 24-bit PCM);
+                    # wave.Error/EOFError: corrupt/non-PCM RIFF.  Fall
+                    # through to the gated pseudo-decode path below.
                     pass
             if not self.fake:
                 raise NotImplementedError(
-                    "only RIFF/WAV decodes natively; MP3/OGG need codec "
-                    "libraries — run with fake=True to pseudo-decode"
+                    "only PCM RIFF/WAV (8/16/32-bit) decodes natively; "
+                    "compressed audio and 24-bit PCM need codec libraries "
+                    "— run with fake=True to pseudo-decode"
                 )
             rng = _content_rng(p)
             dur.append(float(rng.uniform(0.5, 600.0)))

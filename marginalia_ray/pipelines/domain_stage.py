@@ -44,8 +44,10 @@ def fix_canonicals_domain_group(group: pa.Table) -> pa.Table:
       1. collect canonical -> {body hashes} for docs whose canonical
          differs from their url, and the set of crawled urls;
       2. a canonical shared by >1 distinct content hash is a "blanket"
-         canonical: first doc claiming an uncrawled target keeps it (and
-         reserves the url), crawled targets mark the doc BAD_CANONICAL;
+         canonical: the first doc claiming an UNCRAWLED target resets its
+         canonical to its own url and reserves the target (seenUrls.add
+         semantics); later claimants — and claimants of crawled targets —
+         are marked BAD_CANONICAL;
       3. remaining blanket canonicals reset to the doc's own url;
       4. cross-domain canonicals reset to the doc's own url.
 
@@ -95,15 +97,18 @@ def fix_canonicals_domain_group(group: pa.Table) -> pa.Table:
     from marginalia_ray.functions.hashing import murmur3_64
 
     crawled = set(urls)
+    claimed: set[str] = set()  # uncrawled targets already re-keyed to
     doc_ids = group["doc_id"].to_numpy(zero_copy_only=False).astype(U64).copy()
     new_urls = list(urls)
     for i in range(n):
         c = canon[i]
         if new_state[i] != "OK" or not c or c == urls[i]:
             continue
-        if c in crawled:
+        if c in crawled or c in claimed:
+            # content lives at (or was already re-keyed to) the target
             new_state[i] = "DISQUALIFIED_CANONICAL"
         else:
+            claimed.add(c)
             doc_ids[i] = (doc_ids[i] & ~U64(0xFFFF_FFFF)) | U64(
                 murmur3_64(c.encode("utf-8")) & 0xFFFF_FFFF
             )

@@ -255,7 +255,10 @@ def run_index_pipeline(
                "top_words", "canonical", "body_hash"],
         )
         journal = apply_domain_stage(journal).filter(expr="state == 'OK'")
-        journal = journal.select_columns(JOURNAL_COLS)
+        # materialize the slim journal once: build_index consumes it four
+        # times (count, boundary sample, forward pass, explode pass) and
+        # would otherwise re-run the whole domain-stage shuffle each time
+        journal = journal.select_columns(JOURNAL_COLS).materialize()
     else:
         journal = ray.data.read_parquet(str(journal_dir), columns=JOURNAL_COLS)
     manifest = build_index(

@@ -154,19 +154,25 @@ _DEFAULT_ADBLOCK = AdblockRules()
 _GA_PREFIXES = ("What", "Why", "How", "When", "Is")
 
 
-def ga_spam_p(root) -> float:
-    """testP: any of h1/h2/h3 where >4 headings and >50% start with a
-    question prefix."""
+def _ga_spam_from_headings(headings: dict[str, list]) -> bool:
+    """Any of h1/h2/h3 where >4 headings and >50% start with a question
+    prefix (the single shared rule; callers collect the heading nodes)."""
     for tag in ("h1", "h2", "h3"):
-        positive = total = 0
-        for el in root.find_all(tag):
-            text = el.get_text()
-            if text.startswith(_GA_PREFIXES):
-                positive += 1
-            total += 1
-        if positive > 4 and positive / total > 0.5:
-            return 1.0
-    return 0.0
+        els = headings.get(tag) or []
+        if not els:
+            continue
+        positive = sum(1 for el in els if el.get_text().startswith(_GA_PREFIXES))
+        if positive > 4 and positive / len(els) > 0.5:
+            return True
+    return False
+
+
+def ga_spam_p(root) -> float:
+    """testP over a full tree (tests / standalone use; the converter path
+    feeds collected headings to _ga_spam_from_headings directly)."""
+    return 1.0 if _ga_spam_from_headings(
+        {t: root.find_all(t) for t in ("h1", "h2", "h3")}
+    ) else 0.0
 
 
 # ---- DOM-side features (everything except the topic categories) --------
@@ -242,14 +248,8 @@ def extract_dom_features(root, rules: AdblockRules | None = None) -> set[str]:
             features.add(FEATURE_AFFILIATE)
             break
 
-    for tag in ("h1", "h2", "h3"):
-        els = headings[tag]
-        if not els:
-            continue
-        positive = sum(1 for el in els if el.get_text().startswith(_GA_PREFIXES))
-        if positive > 4 and positive / len(els) > 0.5:
-            features.add(FEATURE_GA_SPAM)
-            break
+    if _ga_spam_from_headings(headings):
+        features.add(FEATURE_GA_SPAM)
 
     return features
 

@@ -171,9 +171,11 @@ class TokenizerStage:
 
         if not text:
             return disqualified("EMPTY")
-        # cheap char prefilter: N words always span >= 2N-1 chars, so this
-        # can only reject docs the word check below would reject anyway
-        if len(text) < 2 * self.min_document_words - 1:
+        # cheap char prefilter: N words always span >= 2N-1 chars, so with
+        # the modifier folded in this can only reject docs the word check
+        # below would reject anyway (the word check needs
+        # words >= min/modifier, hence chars >= 2*min/modifier - 1)
+        if len(text) < 2 * self.min_document_words / length_modifier - 1:
             return disqualified("LENGTH")
 
         dld = extract_dld(text, title)

@@ -102,3 +102,17 @@ class TestDedup:
         new_id = out["doc_id"][0].as_py()
         assert new_id != old_id
         assert (new_id >> 32) == (old_id >> 32)  # domain part preserved
+
+    def test_shared_uncrawled_canonical_same_hash_no_id_collision(self):
+        """Two docs with identical content pointing at the same uncrawled
+        canonical: only the first is re-keyed; the second is disqualified
+        (previously both re-keyed to the SAME doc_id -> doubled postings)."""
+        rows = [
+            {"url": "https://a.example/p?ref=x", "canonical": "https://a.example/p", "body_hash": 1},
+            {"url": "https://a.example/p?ref=y", "canonical": "https://a.example/p", "body_hash": 1},
+        ]
+        out = fix_canonicals_domain_group(_group(rows))
+        states = out["state"].to_pylist()
+        assert states == ["OK", "DISQUALIFIED_CANONICAL"]
+        ids = out["doc_id"].to_pylist()
+        assert ids[0] != ids[1]

@@ -135,3 +135,43 @@ class TestAudio:
         batch = pa.table({"doc_id": [7], "audio": [b"ID3\x03 not-wav"]})
         with pytest.raises(NotImplementedError):
             AudioFeatureStage(fake=False)(batch)
+
+
+class TestDecoderRobustness:
+    def test_paletted_png_falls_back_not_crash(self):
+        # paletted (color_type=3) PNG: unsupported variant must raise
+        # ValueError (fallback path), not KeyError (task crash)
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+        def chunk(ctype, data):
+            c = struct.pack(">I", len(data)) + ctype + data
+            return c + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+               + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00"))
+               + chunk(b"IEND", b""))
+        with pytest.raises(ValueError):
+            decode_image_payload(png)
+        # and the stage pseudo-decodes it under fake=True
+        out = ImageDecodeStage(fake=True)(pa.table({"doc_id": [1], "image": [png]}))
+        assert out.num_rows == 1
+
+    def test_truncated_png_valueerror(self):
+        with pytest.raises(ValueError):
+            decode_image_payload(b"\x89PNG\r\n\x1a\n" + b"\x00\x00")
+
+    def test_16bit_ppm_rejected(self):
+        with pytest.raises(ValueError):
+            decode_image_payload(b"P5\n2 2\n65535\n" + b"\x00" * 8)
+
+    def test_24bit_wav_falls_back(self):
+        # hand-build a 24-bit PCM WAV header; wave accepts it but our
+        # dtype table doesn't -> stage must pseudo-decode, not crash
+        sr, n = 8000, 100
+        body = b"\x00\x01\x02" * n
+        hdr = (b"RIFF" + struct.pack("<I", 36 + len(body)) + b"WAVE"
+               + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sr, sr * 3, 3, 24)
+               + b"data" + struct.pack("<I", len(body)))
+        batch = pa.table({"doc_id": [1], "audio": [hdr + body]})
+        out = AudioFeatureStage(fake=True)(batch)
+        assert out.num_rows == 1
+        with pytest.raises(NotImplementedError):
+            AudioFeatureStage(fake=False)(batch)

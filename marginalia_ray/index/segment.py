@@ -143,17 +143,22 @@ class SegmentShardReader:
         self._buckets = []  # [(terms dict, sections dict)]
         if not d.exists():
             return
+        from marginalia_ray.index.postings import BLOCK_SIZE
+
         for terms_path in sorted(d.glob("bucket=*.terms.parquet")):
             bin_path = terms_path.with_name(terms_path.name.replace(".terms.parquet", ".postings.bin"))
             t = pq.read_table(terms_path)
             df = t["doc_freq"].to_numpy()
             meta_off = np.cumsum(df) - df
+            nblocks = -(-df // BLOCK_SIZE)
             directory = {
                 "hash": t["term_hash"].to_numpy(),
                 "doc_freq": df,
                 "offset": t["offset"].to_numpy(),
                 "nbytes": t["nbytes"].to_numpy(),
                 "meta_off": meta_off,
+                "n_blocks": nblocks,
+                "block_base": np.cumsum(nblocks) - nblocks,
             }
             mm = (
                 np.memmap(bin_path, dtype=np.uint8, mode="r")
@@ -166,6 +171,9 @@ class SegmentShardReader:
             sections = {
                 "deltas": mm[o : o + ld],
                 "block_max": np.frombuffer(mm[o + ld : o + ld + 8 * nb], dtype=U64),
+                "block_off": np.frombuffer(
+                    mm[o + ld + 8 * nb : o + ld + 12 * nb], dtype=np.uint32
+                ),
                 "metas": (
                     np.frombuffer(
                         mm[o + ld + 12 * nb : o + ld + 12 * nb + 8 * nm], dtype=U64
@@ -197,6 +205,55 @@ class SegmentShardReader:
                 if self.has_meta:
                     mo = int(directory["meta_off"][i])
                     meta_parts.append(sections["metas"][mo : mo + df])
+        if not ids_parts:
+            return np.zeros(0, dtype=U64), (np.zeros(0, dtype=U64) if self.has_meta else None)
+        ids = np.concatenate(ids_parts)
+        metas = np.concatenate(meta_parts) if self.has_meta else None
+        return ids, metas
+
+    def postings_overlap(
+        self, term_hash: int, cand_sorted: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray | None]:
+        """Block-max skip decoding: (sorted doc_ids, metas) restricted to
+        the posting blocks that can contain any of the sorted candidate
+        ids — a SUPERSET of the true intersection, so retain / reject /
+        meta-gather via searchsorted give identical answers while decoding
+        at most len(cand) blocks instead of the whole list (the block-max
+        WAND skip primitive; block starts are absolute doc ids so each
+        block decodes independently)."""
+        from marginalia_ray.index.postings import BLOCK_SIZE, varbyte_decode
+
+        cand = np.asarray(cand_sorted, dtype=U64)
+        ids_parts, meta_parts = [], []
+        for directory, sections in self._buckets:
+            i = np.searchsorted(directory["hash"], U64(term_hash))
+            if i >= len(directory["hash"]) or directory["hash"][i] != U64(term_hash):
+                continue
+            df = int(directory["doc_freq"][i])
+            nb = int(directory["n_blocks"][i])
+            base = int(directory["block_base"][i])
+            off = int(directory["offset"][i])
+            nbytes = int(directory["nbytes"][i])
+            bmax = sections["block_max"][base : base + nb]
+            # the block whose max first reaches each candidate may hold it
+            need = np.unique(np.searchsorted(bmax, cand))
+            need = need[need < nb]
+            if len(need) == 0:
+                continue
+            boffs = sections["block_off"][base : base + nb]
+            deltas = sections["deltas"][off : off + nbytes]
+            mo = int(directory["meta_off"][i]) if self.has_meta else 0
+            for b in need:
+                b = int(b)
+                lo = int(boffs[b])
+                hi = int(boffs[b + 1]) if b + 1 < nb else nbytes
+                count = min(BLOCK_SIZE, df - BLOCK_SIZE * b)
+                vals = varbyte_decode(deltas[lo:hi], count)
+                ids_parts.append(np.cumsum(vals, dtype=U64))  # first is absolute
+                if self.has_meta:
+                    meta_parts.append(
+                        sections["metas"][mo + BLOCK_SIZE * b : mo + BLOCK_SIZE * b + count]
+                    )
         if not ids_parts:
             return np.zeros(0, dtype=U64), (np.zeros(0, dtype=U64) if self.has_meta else None)
         ids = np.concatenate(ids_parts)

@@ -176,6 +176,24 @@ class IndexSearcher:
             self._postings_cache[key] = self._shard(kind, th).postings(th)
         return self._postings_cache[key]
 
+    # block-max skipping pays once a term's list is much longer than the
+    # candidate buffer (each candidate touches at most one 128-posting block)
+    SKIP_DECODE_FACTOR = 8
+
+    def postings_vs(self, kind: str, th: int, cand: np.ndarray):
+        """(ids, metas) for term `th` sufficient to intersect / reject /
+        meta-gather against sorted candidates `cand`: the full (cached)
+        list when it is short, else a block-max skip subset
+        (SegmentShardReader.postings_overlap) that decodes only the blocks
+        candidates can land in — the WAND-style skip path for hot terms."""
+        key = (kind, th)
+        if key in self._postings_cache:
+            return self._postings_cache[key]
+        df = self.num_hits(th) if kind == "full" else self.num_hits_prio(th)
+        if df <= 1024 or df <= self.SKIP_DECODE_FACTOR * len(cand):
+            return self.postings(kind, th)
+        return self._shard(kind, th).postings_overlap(th, cand)
+
     def num_hits(self, th: int) -> int:
         return self._shard("full", th).doc_freq(th)
 
@@ -316,10 +334,14 @@ class IndexSearcher:
 
                 cand = ids
                 for t in ordered:  # alsoFull over every include
-                    full_ids, _ = self.postings("full", t)
+                    full_ids, _ = self.postings_vs("full", t, cand)
                     cand = _intersect_sorted(cand, full_ids)
+                    if len(cand) == 0:
+                        break
                 for t in excludes:  # notFull
-                    ex_ids, _ = self.postings("full", t)
+                    if len(cand) == 0:
+                        break
+                    ex_ids, _ = self.postings_vs("full", t, cand)
                     cand = _difference_sorted(cand, ex_ids)
                 # dedup against already-considered ids
                 cand = _difference_sorted(cand, seen)
@@ -386,7 +408,8 @@ class IndexSearcher:
 
         # all include terms + coherence + priority term ids
         def metas_for(th: int) -> np.ndarray:
-            ids, metas = self.postings("full", th)
+            # J5 term-meta gather: block-max skip decode vs the candidates
+            ids, metas = self.postings_vs("full", th, cand)
             if len(ids) == 0:
                 return np.zeros(n, dtype=U64)
             idx = np.searchsorted(ids, cand)

@@ -205,3 +205,50 @@ class TestAutoBuckets:
             ia, ma = sa.postings("full", term_hash(t))
             assert (i1 == ia).all()
             assert (m1 == ma).all()
+
+
+class TestBlockMaxSkip:
+    def test_overlap_subset_equals_full_intersection(self, built_index):
+        """postings_overlap decodes only candidate-relevant blocks but must
+        give identical retain/reject/meta answers to the full decode."""
+        from marginalia_ray.index.segment import SegmentShardReader
+        from marginalia_ray.query.engine import _difference_sorted, _intersect_sorted
+
+        s = IndexSearcher(built_index)
+        th = term_hash("1")  # every doc -> 511 postings, several blocks
+        full_ids, full_metas = s.postings("full", th)
+        assert len(full_ids) == 511
+
+        cand = full_ids[[0, 5, 100]].copy()  # candidates confined to block 0
+        shard = s._shard("full", th)
+        sub_ids, sub_metas = shard.postings_overlap(th, cand)
+        # proper subset (blocks skipped), sorted, same intersection
+        assert 0 < len(sub_ids) < len(full_ids)
+        assert (np.diff(sub_ids.astype(np.int64)) > 0).all()
+        np.testing.assert_array_equal(
+            _intersect_sorted(cand, sub_ids), _intersect_sorted(cand, full_ids)
+        )
+        np.testing.assert_array_equal(
+            _difference_sorted(cand, sub_ids), _difference_sorted(cand, full_ids)
+        )
+        # meta gather identical on the subset
+        for ids, metas in ((full_ids, full_metas), (sub_ids, sub_metas)):
+            idx = np.minimum(np.searchsorted(ids, cand), len(ids) - 1)
+            hit = ids[idx] == cand
+            got = np.where(hit, metas[idx], np.uint64(0))
+            if ids is full_ids:
+                want = got
+        np.testing.assert_array_equal(got, want)
+
+    def test_search_results_identical_with_and_without_skip(self, built_index):
+        s1 = IndexSearcher(built_index)
+        s1.SKIP_DECODE_FACTOR = 8
+        s2 = IndexSearcher(built_index)
+        s2.SKIP_DECODE_FACTOR = 10**9  # effectively disables the skip path
+        spec = SearchSpec(
+            subqueries=[Subquery(include=["3", "5", "2"], exclude=["4"])],
+            limit_by_domain=10, limit_total=10, fetch_size=4000,
+        )
+        r1 = [(r.url_id, round(r.score, 9)) for r in s1.search(spec)]
+        r2 = [(r.url_id, round(r.score, 9)) for r in s2.search(spec)]
+        assert r1 == r2

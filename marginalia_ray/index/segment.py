@@ -276,18 +276,19 @@ class ForwardIndex:
             self.doc_metas = t["doc_meta"].to_numpy()[order]
             self.domain_ids = t["domain_id"].to_numpy()[order]
             # url_id is a 32-bit hash of the full URL (not a DB-assigned
-            # unique id as in the reference), so cross-domain collisions are
-            # possible (~n^2/2^33).  Detect and report them: lookup() keeps
-            # the first entry per id, so colliding docs share doc_meta.
+            # unique id as in the reference).  Duplicate ids are almost
+            # always RE-CRAWLS of the same url (same url => same id; the
+            # loader-overwrite semantics keep one row); true cross-url hash
+            # collisions are ~n^2/2^33.  Dedup keeping the first row in
+            # stable order so lookups are unambiguous and deterministic.
             if len(self.url_ids) > 1:
-                self.n_collisions = int((self.url_ids[1:] == self.url_ids[:-1]).sum())
+                dup = self.url_ids[1:] == self.url_ids[:-1]
+                self.n_collisions = int(dup.sum())
                 if self.n_collisions:
-                    import warnings
-
-                    warnings.warn(
-                        f"forward index: {self.n_collisions} url_id hash "
-                        "collisions; colliding docs share doc_meta/domain_id"
-                    )
+                    keep = np.r_[True, ~dup]
+                    self.url_ids = self.url_ids[keep]
+                    self.doc_metas = self.doc_metas[keep]
+                    self.domain_ids = self.domain_ids[keep]
             else:
                 self.n_collisions = 0
         else:

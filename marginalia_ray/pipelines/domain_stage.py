@@ -36,6 +36,25 @@ def _domain_of_url(url: str) -> str:
     return host.lower()
 
 
+def dedup_recrawls_domain_group(group: pa.Table) -> pa.Table:
+    """Keep one row per doc_id (re-crawled urls hash to the same id; the
+    reference's loader keys by url and overwrites, so only one copy of a
+    url's postings should reach the index).  First row in group order wins
+    — deterministic for a given journal."""
+    ids = group["doc_id"].to_numpy(zero_copy_only=False)
+    seen: set[int] = set()
+    keep = np.ones(len(ids), dtype=bool)
+    for i, d in enumerate(ids):
+        d = int(d)
+        if d in seen:
+            keep[i] = False
+        else:
+            seen.add(d)
+    if keep.all():
+        return group
+    return group.filter(pa.array(keep))
+
+
 def fix_canonicals_domain_group(group: pa.Table) -> pa.Table:
     """fixBadCanonicalTags (DomainProcessor.java:95-147) + canonical dedup
     (M24/D4) for one domain's journal rows.
@@ -338,10 +357,15 @@ def site_words_domain_group(group: pa.Table) -> pa.Table:
 
 
 def domain_group_ops(group: pa.Table) -> pa.Table:
-    """The full per-domain stage: canonical repair + dedup (M24/D4), LSH
-    dedup (D3), then site words (J7) — the DomainProcessor.process order
-    (fixBadCanonicalTags runs before per-doc processing/dedup)."""
-    return site_words_domain_group(dedup_domain_group(fix_canonicals_domain_group(group)))
+    """The full per-domain stage: re-crawl dedup, canonical repair + dedup
+    (M24/D4), LSH dedup (D3), then site words (J7) — the
+    DomainProcessor.process order (fixBadCanonicalTags runs before per-doc
+    processing/dedup)."""
+    return site_words_domain_group(
+        dedup_domain_group(
+            fix_canonicals_domain_group(dedup_recrawls_domain_group(group))
+        )
+    )
 
 
 def apply_domain_stage(journal_ds, site_words: bool = True):

@@ -111,3 +111,20 @@ def test_domain_rank_feeds_doc_metadata(ray_session, tmp_path):
     s = IndexSearcher(tmp_path / "idx")
     res = s.search_words(["search"])
     assert len(res) > 0
+
+
+def test_recrawl_dedup_keeps_first(ray_session):
+    import pyarrow as pa
+
+    from marginalia_ray.pipelines.domain_stage import dedup_recrawls_domain_group
+
+    g = pa.table(
+        {
+            "doc_id": pa.array([10, 11, 10, 12, 11], pa.uint64()),
+            "url": pa.array(["a", "b", "a", "c", "b"]),
+            "state": pa.array(["OK"] * 5),
+        }
+    )
+    out = dedup_recrawls_domain_group(g)
+    assert out["doc_id"].to_pylist() == [10, 11, 12]
+    assert out["url"].to_pylist() == ["a", "b", "c"]

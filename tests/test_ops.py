@@ -30,6 +30,38 @@ def test_minhash_matches_exact_jaccard(docs_ds):
     )
 
 
+def test_minhash_many_tiny_partitions(ray_session):
+    """Regression (round-2 VERDICT #1): the old Dataset.join finalize
+    crashed when map_groups partitions emitted schema-less empty blocks
+    (ArrowInvalid on FieldRef doc_a) — deterministic at small scale.  The
+    np.isin restrict must survive a heavily over-partitioned tiny input
+    and still restrict to LSH-bucketed pairs only."""
+    import ray.data
+
+    from marginalia_ray.ops.dedup import minhash_lsh_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 8
+    rows = [{"doc_id": i, "text": base + f" tail{i}"} for i in range(6)]
+    rows += [{"doc_id": 100 + i, "text": f"unique document number {i} " * 20} for i in range(6)]
+    ds = ray.data.from_items(rows).repartition(24)  # mostly-empty partitions
+    out = minhash_lsh_pairs(ds, threshold=0.5).to_pandas()
+    got = set(map(tuple, out[["doc_a", "doc_b"]].values.tolist()))
+    # all near-dup pairs among docs 0..5 found; unique docs pair with nothing
+    assert {(a, b) for a in range(6) for b in range(a + 1, 6)} <= got
+    assert all(a < 100 and b < 100 for a, b in got)
+
+
+def test_minhash_candidate_pair_cap(ray_session):
+    import ray.data
+
+    from marginalia_ray.ops.dedup import minhash_lsh_pairs
+
+    base = "shared text body for every single one of these documents " * 10
+    ds = ray.data.from_items([{"doc_id": i, "text": base} for i in range(10)])
+    with pytest.raises(RuntimeError, match="candidate"):
+        minhash_lsh_pairs(ds, threshold=0.5, max_candidate_pairs=3).to_pandas()
+
+
 def test_simhash_exact_and_near_dups(ray_session):
     import ray.data
 

@@ -31,6 +31,14 @@ PAGES_ROWS = int(os.environ.get("GRAFT_PAGES_ROWS", "60000"))
 def _run_queries() -> dict[str, float]:
     import __ray_entry__ as e
 
+    # warm-up: the first Dataset of a fresh Ray session pays worker-process
+    # startup + import costs (~4-5 s at 32 cpus); a no-op count() here keeps
+    # that out of whichever query happens to run first (round-2 VERDICT #7:
+    # domain_stats was charged 5.5 s for being first in the dict)
+    import ray.data
+
+    ray.data.range(1000, override_num_blocks=8).map_batches(lambda b: b).count()
+
     out: dict[str, float] = {}
     for name, fn in e.queries().items():
         t0 = time.time()

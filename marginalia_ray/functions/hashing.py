@@ -95,9 +95,19 @@ def murmur3_128(data: bytes, seed: int = 0) -> tuple[int, int]:
     return h1, h2
 
 
+def murmur3_64_raw(data: bytes) -> int:
+    """Uncached murmur3_64 — use for large payloads (document bodies):
+    the lru_cache variant would retain the full payload as a cache key,
+    holding multi-GB of bodies resident in every long-lived actor."""
+    return murmur3_128(data)[0]
+
+
 @lru_cache(maxsize=1 << 18)
 def murmur3_64(data: bytes) -> int:
-    """Guava murmur3_128(b).padToLong() == h1 of x64_128, as unsigned 64."""
+    """Guava murmur3_128(b).padToLong() == h1 of x64_128, as unsigned 64.
+
+    Cached — intended for short, repeating inputs (terms, urls).  For
+    document-sized payloads call murmur3_64_raw instead."""
     return murmur3_128(data)[0]
 
 

@@ -28,14 +28,32 @@ U64 = np.uint64
 _MERSENNE = (1 << 61) - 1
 
 
+def _md5_hex(col) -> pa.Array:
+    """md5 hex digests of a utf8/binary column without materializing
+    Python strings: hash zero-copy memoryview slices of the Arrow data
+    buffer (offsets give the per-row extents).  md5 itself is inherently
+    per-row (the oracle key), but this avoids the to_pylist + encode
+    copies of the naive loop."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    arr = arr.cast(pa.large_binary())
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int64)[
+        arr.offset : arr.offset + len(arr) + 1
+    ]
+    data_buf = arr.buffers()[2]
+    buf = memoryview(data_buf) if data_buf is not None else memoryview(b"")
+    md5 = hashlib.md5
+    return pa.array(
+        [md5(buf[offs[i] : offs[i + 1]]).hexdigest() for i in range(len(arr))],
+        pa.string(),
+    )
+
+
 def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
     """Exact dedup by content hash: (text_hash, keep_doc_id=min, n_dups).
     md5 so the DuckDB oracle can reproduce the key."""
 
     def _hash(batch: pa.Table) -> pa.Table:
-        texts = batch[text_col].to_pylist()
-        hashes = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts]
-        return pa.table({"text_hash": pa.array(hashes, pa.string()), id_col: batch[id_col]})
+        return pa.table({"text_hash": _md5_hex(batch[text_col]), id_col: batch[id_col]})
 
     g = ds.map_batches(_hash, batch_format="pyarrow").groupby("text_hash")
     out = g.aggregate(
@@ -56,9 +74,7 @@ def exact_dedup_apply(ds, text_col: str = "text", id_col: str = "doc_id"):
     group emits its winner — the distributed 'keep first' pattern."""
 
     def _hash(batch: pa.Table) -> pa.Table:
-        texts = batch[text_col].to_pylist()
-        hashes = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts]
-        return batch.append_column("_h", pa.array(hashes, pa.string()))
+        return batch.append_column("_h", _md5_hex(batch[text_col]))
 
     def _first(group: pa.Table) -> pa.Table:
         ids = group[id_col].to_numpy(zero_copy_only=False)

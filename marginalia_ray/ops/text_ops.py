@@ -331,37 +331,55 @@ def repetition_metrics(ds, text_col: str = "text", id_col: str = "doc_id"):
     (1 - distinct/total non-empty lines) and most-common-word fraction.
     Vectorized per batch (pyarrow split + per-doc numpy grouping)."""
 
+    def _per_group_distinct_and_max(parents: np.ndarray, codes: np.ndarray, n_docs: int):
+        """Given (parent, dictionary-code) pairs, return per-parent
+        (total, distinct, max_run) — all via np.unique/bincount, no
+        Python loop."""
+        total = np.bincount(parents, minlength=n_docs)
+        if len(parents) == 0:
+            z = np.zeros(n_docs, dtype=np.int64)
+            return total, z, z
+        key = parents.astype(np.uint64) * np.uint64(int(codes.max()) + 1) + codes.astype(
+            np.uint64
+        )
+        uniq, counts = np.unique(key, return_counts=True)
+        uparents = (uniq // np.uint64(int(codes.max()) + 1)).astype(np.int64)
+        distinct = np.bincount(uparents, minlength=n_docs)
+        max_run = np.zeros(n_docs, dtype=np.int64)
+        np.maximum.at(max_run, uparents, counts)
+        return total, distinct, max_run
+
     def _batch(batch: pa.Table) -> pa.Table:
         n_docs = batch.num_rows
-        # lines
+        # lines: dictionary-encode to integer codes, then per-doc distinct
         line_lists = pc.split_pattern(batch[text_col], "\n")
         if isinstance(line_lists, pa.ChunkedArray):
             line_lists = line_lists.combine_chunks()
         lp = pc.list_parent_indices(line_lists).to_numpy()
         lflat = pc.list_flatten(line_lists)
-        lkeep = pc.not_equal(pc.utf8_trim_whitespace(lflat), "").to_numpy(
-            zero_copy_only=False
-        )
-        dup_line = np.zeros(n_docs, dtype=np.float64)
-        lines_of: dict[int, list] = {}
-        ll = lflat.to_pylist()
-        for i in np.flatnonzero(lkeep):
-            lines_of.setdefault(int(lp[i]), []).append(ll[i])
-        for d, lines in lines_of.items():
-            dup_line[d] = 1.0 - len(set(lines)) / len(lines)
+        lkeep = pc.not_equal(pc.utf8_trim_whitespace(lflat), "")
+        lidx = np.flatnonzero(lkeep.to_numpy(zero_copy_only=False))
+        lcodes_arr = pc.dictionary_encode(lflat.take(pa.array(lidx)))
+        if isinstance(lcodes_arr, pa.ChunkedArray):
+            lcodes_arr = lcodes_arr.combine_chunks()
+        lcodes = lcodes_arr.indices.to_numpy(zero_copy_only=False)
+        ltotal, ldistinct, _ = _per_group_distinct_and_max(lp[lidx], lcodes, n_docs)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            dup_line = np.where(ltotal > 0, 1.0 - ldistinct / np.maximum(ltotal, 1), 0.0)
 
-        # words
+        # words: same trick; max_run over (doc, word-code) = top word count
         flat, parents, keep = _word_lists(batch, text_col)
-        lower = pc.utf8_lower(flat).to_pylist()
-        top_word = np.zeros(n_docs, dtype=np.float64)
-        counts: dict[int, dict] = {}
-        for i in np.flatnonzero(keep):
-            c = counts.setdefault(int(parents[i]), {})
-            w = lower[i]
-            c[w] = c.get(w, 0) + 1
-        for d, c in counts.items():
-            total = sum(c.values())
-            top_word[d] = max(c.values()) / total if total else 0.0
+        widx = np.flatnonzero(keep)
+        lower = pc.utf8_lower(flat)
+        if isinstance(lower, pa.ChunkedArray):
+            lower = lower.combine_chunks()
+        wcodes_arr = pc.dictionary_encode(lower.take(pa.array(widx)))
+        if isinstance(wcodes_arr, pa.ChunkedArray):
+            wcodes_arr = wcodes_arr.combine_chunks()
+        wcodes = wcodes_arr.indices.to_numpy(zero_copy_only=False)
+        wparents = np.asarray(parents)[widx]
+        wtotal, _, wmax = _per_group_distinct_and_max(wparents, wcodes, n_docs)
+        top_word = np.where(wtotal > 0, wmax / np.maximum(wtotal, 1), 0.0)
 
         return pa.table(
             {

@@ -50,16 +50,24 @@ def _wait_for_cpu_drain(
         return
     t0 = time.time()
     last_rise = t0
+    seen_rise = False  # settle exit only counts after one observed rise:
+    # teardown often takes >settle to START releasing slots, and an
+    # immediate no-rise exit would make the whole wait a no-op (ADVICE r2)
+    min_wait = 2.0
     while time.time() - t0 < timeout:
         if best >= frac * total:
             return
-        if time.time() - last_rise >= settle:
+        if (
+            time.time() - last_rise >= settle
+            and (seen_rise or time.time() - t0 >= min_wait)
+        ):
             return
         time.sleep(0.25)
         cur = ray.available_resources().get("CPU", 0)
         if cur > best + 0.5:
             best = cur
             last_rise = time.time()
+            seen_rise = True
 
 
 def convert_pages(

@@ -8,8 +8,11 @@ Ports (semantics + regexes verbatim) of:
   - SentencePreCleaner: .../sentence/SentencePreCleaner.java:12-40
   - SentenceExtractor.extractSentencesFromString / calculateWordCounts:
       .../sentence/SentenceExtractor.java:63-214
-    (OpenNLP sentence model unavailable here -> we use the reference's own
-     documented fallback: split on '.'  (SentenceExtractor.java:137-141))
+    (OpenNLP sentence model unavailable here -> rule-based boundary
+     detection in stages/sentdetect.py, strictly dominating the reference's
+     documented '.'-split fallback (SentenceExtractor.java:137-141))
+    POS tags come from the RDR evaluator port (stages/rdr.py), replacing the
+    round-1/2 closed-rule tagger.
 
 DocumentSentence mirrors the reference's parallel-array model
 (.../model/DocumentSentence.java:14-130) including span construction,
@@ -24,7 +27,8 @@ from dataclasses import dataclass, field
 from marginalia_ray.functions.ascii_flatten import flatten_unicode
 from marginalia_ray.functions.stemmer import stem
 from marginalia_ray.functions.word_patterns import MAX_WORD_LENGTH, is_stop_word
-from marginalia_ray.stages.postag import tag_sentence
+from marginalia_ray.stages.rdr import default_tagger
+from marginalia_ray.stages.sentdetect import detect_sentences
 
 SPACE = 0  # WordSeparator.SPACE
 COMMA = 1  # WordSeparator.COMMA
@@ -218,7 +222,7 @@ def make_sentence(raw: str, keep_original: bool) -> DocumentSentence:
         seps = seps[:MAX_SENTENCE_LENGTH]
     # strip trailing dots (SentenceExtractor.java:166-169)
     words = [w.rstrip(".") if w.endswith(".") else w for w in words]
-    tags = tag_sentence(words)
+    tags = default_tagger().tag_sentence(words)
     lc = [to_lower_strip_possessive(w) for w in words]
     stems = [stem(strip_possessive(w)) or "NN" for w in lc]
     return DocumentSentence(
@@ -232,10 +236,10 @@ def make_sentence(raw: str, keep_original: bool) -> DocumentSentence:
 
 
 def extract_sentences_from_string(text: str) -> list[DocumentSentence]:
-    """SentenceExtractor.extractSentencesFromString with the '.'-split
-    fallback sentence detector."""
+    """SentenceExtractor.extractSentencesFromString with rule-based
+    boundary detection (stages/sentdetect.py) in place of OpenNLP."""
     normalized = normalize_spaces(text)
-    raw = [s for s in normalized.split(".") if s]
+    raw = detect_sentences(normalized)
     raw = preclean(raw)
     return [make_sentence(s, keep_original=(i == 0)) for i, s in enumerate(raw)]
 

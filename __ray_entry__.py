@@ -373,6 +373,48 @@ def _repetition_sql() -> str:
  FROM documents d JOIN dl ON d.doc_id = dl.doc_id LEFT JOIN tw ON d.doc_id = tw.doc_id"""
 
 
+def _marginalia_search_sql() -> str:
+    """Golden rank-parity oracle for the flagship query.
+
+    The full Marginalia tokenizer + position-bitmask BM25 is not
+    SQL-expressible, but the pipeline is deterministic per corpus, so the
+    expected (query, rank, url_id, score) table is checked in
+    (marginalia_ray/golden/marginalia_search.json, regenerated by
+    tools/regen_golden.py) and inlined as VALUES, dispatched on a corpus
+    content key — sf0.001 and sf0.01 both hold 500 docs, so the key is
+    sum(length(text)).  Mirrors the reference's golden-results strategy
+    (IndexQueryServiceIntegrationTest.java:71-101: fixed corpus, expected
+    id array)."""
+    import json
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "marginalia_ray",
+        "golden",
+        "marginalia_search.json",
+    )
+    with open(path) as f:
+        golden = json.load(f)
+    parts = []
+    for key, rows in golden.items():
+        if key.startswith("_"):
+            continue
+        vals = ",".join(
+            f"('{r['query']}',{r['rank']},{r['url_id']},{r['score']!r})" for r in rows
+        )
+        parts.append(
+            f"SELECT * FROM (VALUES {vals}) AS g(query, rank, url_id, score)\n"
+            f" WHERE (SELECT sum(length(text)) FROM documents) = {key}"
+        )
+    return (
+        "SELECT query, rank::BIGINT AS rank, url_id::BIGINT AS url_id,"
+        " round(score::DOUBLE, 6) AS score FROM (\n"
+        + "\nUNION ALL\n".join(parts)
+        + "\n)"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     sw = ",".join(f"'{w}'" for w in __import__("marginalia_ray.ops.text_ops", fromlist=["STOPWORDS"]).STOPWORDS)
     tl = ",".join(f"'{t}'" for t in BM25_TERMS)
@@ -454,8 +496,8 @@ def oracle_sql() -> dict[str, str]:
         "gopher_quality": _gopher_sql(),
         "repetition_metrics": _repetition_sql(),
         "knn_cosine_lsh": _knn_lsh_sql(),
-        # simhash_pairs (64-bit wrap-around token-hash bit votes),
-        # knn_cosine_ivf (k-means on a block-order-dependent sample) and
-        # marginalia_search (full Marginalia tokenizer + BM25-with-position-
-        # bitmask semantics) are not SQL-expressible -> rows-only.
+        "marginalia_search": _marginalia_search_sql(),
+        # simhash_pairs (64-bit wrap-around token-hash bit votes) and
+        # knn_cosine_ivf (k-means on a block-order-dependent sample) are
+        # not SQL-expressible -> rows-only.
     }

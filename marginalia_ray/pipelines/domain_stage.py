@@ -37,19 +37,63 @@ def _domain_of_url(url: str) -> str:
 
 
 def dedup_recrawls_domain_group(group: pa.Table) -> pa.Table:
-    """Keep one row per doc_id (re-crawled urls hash to the same id; the
-    reference's loader keys by url and overwrites, so only one copy of a
-    url's postings should reach the index).  First row in group order wins
-    — deterministic for a given journal."""
+    """Keep one row per URL (the reference's loader keys by url and
+    overwrites, so only one copy of a url's postings reaches the index;
+    first row in group order wins), then resolve url_id hash collisions:
+    two DISTINCT urls whose murmur32(url) low bits collide (possible
+    because our url ids are hashes, where the reference uses DB-assigned
+    EC_URL ids — LoaderIndexJournalWriter keys on the DB id) get
+    deterministically re-probed low-32 ids so the forward index's
+    keep-first dedup can never silently drop a distinct url.
+
+    Determinism: collision sets are processed in ascending doc_id order,
+    the lexicographically smallest url keeps the original hash, and the
+    rest probe +1, +2, ... (mod 2^32) against the set of ids already used
+    in this domain — a pure function of the domain's url set."""
     ids = group["doc_id"].to_numpy(zero_copy_only=False)
-    seen: set[int] = set()
-    keep = np.ones(len(ids), dtype=bool)
-    for i, d in enumerate(ids):
-        d = int(d)
-        if d in seen:
+    urls = group["url"].to_pylist()
+    n = len(ids)
+
+    seen_urls: set[str] = set()
+    keep = np.ones(n, dtype=bool)
+    for i, u in enumerate(urls):
+        if u in seen_urls:
             keep[i] = False
         else:
-            seen.add(d)
+            seen_urls.add(u)
+
+    kept_idx = np.flatnonzero(keep)
+    by_id: dict[int, list[int]] = {}
+    for i in kept_idx:
+        by_id.setdefault(int(ids[i]), []).append(int(i))
+
+    new_ids: np.ndarray | None = None
+    if any(len(v) > 1 for v in by_id.values()):
+        used = set(by_id.keys())
+        new_ids = ids.astype(U64).copy()
+        for did in sorted(k for k, v in by_id.items() if len(v) > 1):
+            rows = sorted(by_id[did], key=lambda i: urls[i])
+            high = did & ~0xFFFF_FFFF
+            for r in rows[1:]:  # smallest url keeps the original hash
+                low = did & 0xFFFF_FFFF
+                while True:
+                    low = (low + 1) & 0xFFFF_FFFF
+                    cand = high | low
+                    if cand not in used:
+                        break
+                used.add(cand)
+                new_ids[r] = cand
+
+    if keep.all() and new_ids is None:
+        return group
+    if new_ids is not None:
+        cols = {}
+        for name in group.schema.names:
+            if name == "doc_id":
+                cols[name] = pa.array(new_ids, pa.uint64())
+            else:
+                cols[name] = group[name]
+        group = pa.table(cols)
     if keep.all():
         return group
     return group.filter(pa.array(keep))

@@ -116,3 +116,55 @@ class TestDedup:
         assert states == ["OK", "DISQUALIFIED_CANONICAL"]
         ids = out["doc_id"].to_pylist()
         assert ids[0] != ids[1]
+
+
+class TestUrlIdCollision:
+    """Hash-collision rewrite in dedup_recrawls_domain_group: two distinct
+    urls engineered to share the low-32 url_id must both survive with
+    distinct doc_ids (the reference avoids this class with DB-assigned
+    EC_URL ids; our hashed ids probe to the next free slot)."""
+
+    def test_collision_rewritten_deterministically(self):
+        from marginalia_ray.pipelines.domain_stage import dedup_recrawls_domain_group
+
+        did = (7 << 32) | 1234
+        rows = [
+            {"url": "https://a.example/zz", "doc_id": did},
+            {"url": "https://a.example/aa", "doc_id": did},   # collision
+            {"url": "https://a.example/zz", "doc_id": did},   # true re-crawl
+            {"url": "https://a.example/occupied", "doc_id": did + 1},
+        ]
+        out = dedup_recrawls_domain_group(_group(rows))
+        assert out.num_rows == 3  # re-crawl dropped, collision kept
+        ids = dict(zip(out["url"].to_pylist(), out["doc_id"].to_pylist()))
+        # lexicographically smallest url keeps the original hash
+        assert ids["https://a.example/aa"] == did
+        # the other probes past the occupied did+1 slot to did+2
+        assert ids["https://a.example/zz"] == did + 2
+        assert ids["https://a.example/occupied"] == did + 1
+        # domain bits untouched
+        assert all(v >> 32 == 7 for v in ids.values())
+
+    def test_probe_wraps_at_32_bits(self):
+        from marginalia_ray.pipelines.domain_stage import dedup_recrawls_domain_group
+
+        did = (7 << 32) | 0xFFFF_FFFF
+        rows = [
+            {"url": "https://a.example/b", "doc_id": did},
+            {"url": "https://a.example/a", "doc_id": did},
+        ]
+        out = dedup_recrawls_domain_group(_group(rows))
+        ids = dict(zip(out["url"].to_pylist(), out["doc_id"].to_pylist()))
+        assert ids["https://a.example/a"] == did
+        assert ids["https://a.example/b"] == (7 << 32) | 0  # wrapped low bits
+
+    def test_no_collision_passthrough_zero_copy(self):
+        from marginalia_ray.pipelines.domain_stage import dedup_recrawls_domain_group
+
+        rows = [
+            {"url": "https://a.example/x", "doc_id": (7 << 32) | 1},
+            {"url": "https://a.example/y", "doc_id": (7 << 32) | 2},
+        ]
+        g = _group(rows)
+        out = dedup_recrawls_domain_group(g)
+        assert out is g

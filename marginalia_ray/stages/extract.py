@@ -427,18 +427,70 @@ def quality(text_length: int, raw_length: int, standard: str, script_pen: int) -
     return math.log(text_length / (1 + raw_length)) * scale + offset - script_pen
 
 
-def detect_standard(html: str) -> str:
-    """HtmlStandardExtractor (doctype sniff, simplified)."""
-    head = html[:512].lower()
-    if "<!doctype html>" in head:
+_DOCTYPE_RE = re.compile(r"<!doctype\b([^>]*)>", re.I | re.S)
+_PUBLIC_ID_RE = re.compile(r"public\s+(['\"])(.*?)\1", re.I | re.S)
+
+# publicId prefix -> standard, in the reference's check order
+# (HtmlStandardExtractor.parseDocType:25-58; the SOFTQUAD rules carry an
+# extra contains() condition handled below)
+_PUBLIC_ID_PREFIXES = (
+    ("-//INTERNET/RFC XXXX//EN", "HTML123"),
+    ("-//NETSCAPE COMM. CORP", "HTML123"),
+    ("-//SQ//DTD HTML 2", "HTML123"),
+    ("-//SOFTQUAD//DTD HTML 2", "HTML123"),
+    ("-//W3O//DTD W3 HTML 2", "HTML123"),
+    ("-//IETF//DTD HTML 2", "HTML123"),
+    ("-//IETF//DTD HTML//EN", "HTML123"),
+    ("-/W3C//DTD HTML 3", "HTML123"),
+    ("-/W3C/DTD HTML 3", "HTML123"),
+    ("-//IETF//DTD HTML 3", "HTML123"),
+    ("-//W3C//DTD XHTML", "XHTML"),
+    ("ISO/IEC 15445:2000//DTD", "XHTML"),
+    ("-//W3C//DTD HTML", "HTML4"),
+)
+
+
+def parse_doctype_standard(html: str) -> str:
+    """HtmlStandardExtractor.parseDocType, ported verbatim: classify the
+    doctype's publicId by prefix."""
+    m = _DOCTYPE_RE.search(html, 0, 2048)
+    if not m:
+        return "UNKNOWN"
+    pid_m = _PUBLIC_ID_RE.search(m.group(1))
+    public_id = (pid_m.group(2) if pid_m else "").strip()
+    if not public_id:
         return "HTML5"
-    if "xhtml" in head:
-        return "XHTML"
-    if "html 4" in head or "html4" in head:
-        return "HTML4"
-    if "<!doctype" in head:
-        return "HTML123"
+    public_id = public_id.upper()
+    if public_id.startswith("-//SOFTQUAD SOFTWARE//DTD"):
+        if "HTML 4" in public_id:
+            return "HTML4"
+        if "HTML 3" in public_id:
+            return "HTML123"
+    for prefix, std in _PUBLIC_ID_PREFIXES:
+        if public_id.startswith(prefix):
+            return std
     return "UNKNOWN"
+
+
+def sniff_html_standard(root) -> str:
+    """HtmlStandardExtractor.sniffHtmlStandard: HTML5 structural tags beat
+    a stylesheet link beats nothing."""
+    if root.find_all("article", "header", "footer", "video", "audio", "canvas"):
+        return "HTML5"
+    for link in root.find_all("link"):
+        if (link.attrs.get("rel") or "") == "stylesheet":
+            return "HTML4"
+    return "HTML123"
+
+
+def detect_standard(html: str, root=None) -> str:
+    """HtmlDocumentProcessorPlugin.getHtmlStandard
+    (HtmlDocumentProcessorPlugin.java:275-277): doctype first, DOM sniff
+    when the doctype is absent or unrecognized."""
+    std = parse_doctype_standard(html)
+    if std == "UNKNOWN" and root is not None:
+        return sniff_html_standard(root)
+    return std
 
 
 # ---- the whole extraction (M2, condensed) ------------------------------
@@ -512,14 +564,16 @@ def extract_links(root: Node, base_url: str) -> list[str]:
     return out
 
 
-def extract_document(html: str, base_url: str | None = None) -> ExtractedDocument:
+def extract_document(
+    html: str, base_url: str | None = None, headers: str = ""
+) -> ExtractedDocument:
     """The HtmlDocumentProcessorPlugin.createDetails core path:
     parse -> robots check -> links -> prune -> tag-clean -> text + title +
     quality.  Links are collected pre-prune (the reference parses them off
     the full DOM)."""
     root = parse_html(html)
     noindex = is_noindex(root)
-    standard = detect_standard(html)
+    standard = detect_standard(html, root)
     s_pen = script_penalty(root)
     # M20/M21: DOM-side HtmlFeatures (JS / tracking / affiliate / media /
     # ads / gaspam); the topic categories need the DLD and are added by the
@@ -574,7 +628,7 @@ def extract_document(html: str, base_url: str | None = None) -> ExtractedDocumen
     # heuristics need the byline/footer nodes pruning would drop
     from marginalia_ray.stages.pubdate import sniff_pub_year
 
-    pub_year = sniff_pub_year(html, base_url or "", standard, root=root)
+    pub_year = sniff_pub_year(html, base_url or "", standard, root=root, headers=headers)
 
     root = spec.prune(root)
     clean_tags(root)

@@ -320,6 +320,24 @@ def h_dom_pass2(html: str, url: str, standard: str, root=None) -> int | None:
     return pub
 
 
+def h_last_modified(headers: str) -> int | None:
+    """PubDateHeuristicLastModified.java:17-27: parse the Last-Modified
+    HTTP response header.  Needs the raw header block, which the input
+    pages table carries in an optional `headers` column; absent -> no-op
+    (the reference always has headers because it consumes its own crawl
+    WARCs)."""
+    if not headers:
+        return None
+    key = "last-modified: "
+    off = headers.lower().find(key)
+    if off < 0:
+        return None
+    end = headers.find("\n", off)
+    if end < 0:
+        end = len(headers)
+    return attempt_parse_date(headers[off + len(key) : end])
+
+
 DEFAULT_CHAIN: list[Callable] = [
     h_json_ld,
     h_microdata,
@@ -330,6 +348,7 @@ DEFAULT_CHAIN: list[Callable] = [
     h_time_tag,
     h_dom_pass2,
     h_url_pattern_pass2,
+    h_last_modified,  # PubDateSniffer.java:34, just before the standard guess
     h_html_standard,
 ]
 
@@ -340,9 +359,13 @@ def sniff_pub_year(
     standard: str = "UNKNOWN",
     root=None,
     chain: list[Callable] | None = None,
+    headers: str = "",
 ) -> int | None:
     for h in chain or DEFAULT_CHAIN:
-        y = h(html, url, standard, root)
+        if h is h_last_modified:
+            y = h(headers)
+        else:
+            y = h(html, url, standard, root)
         if y is not None:
             return y
     return None

@@ -69,6 +69,8 @@ class TokenizerStage:
         langs = batch["lang"].to_pylist() if "lang" in batch.column_names else [None] * len(urls)
         htmls = batch["html"].to_pylist() if self.use_html and "html" in batch.column_names else None
         texts = batch["text"].to_pylist() if "text" in batch.column_names else None
+        # optional raw HTTP header block per page (pubdate LastModified)
+        hdrs = batch["headers"].to_pylist() if "headers" in batch.column_names else None
 
         out = {
             "doc_id": [], "doc_meta": [], "term_hashes": [], "kw_metas": [],
@@ -83,6 +85,7 @@ class TokenizerStage:
                 htmls[i] if htmls is not None else None,
                 texts[i] if texts is not None else None,
                 langs[i],
+                hdrs[i] if hdrs is not None else "",
             )
             for k, v in row.items():
                 out[k].append(v)
@@ -107,7 +110,9 @@ class TokenizerStage:
             }
         )
 
-    def _process_one(self, url: str, html, text: str | None, lang: str) -> dict:
+    def _process_one(
+        self, url: str, html, text: str | None, lang: str, headers: str = ""
+    ) -> dict:
         pu = parse_url(url)
         doc_id = (_id31(pu.fqdn) << 32) | (murmur3_64(url.encode("utf-8")) & 0xFFFF_FFFF)
 
@@ -140,7 +145,7 @@ class TokenizerStage:
 
             if is_blocked_unicode(h):
                 return disqualified("LANGUAGE")
-            doc = extract_document(h, base_url=url)
+            doc = extract_document(h, base_url=url, headers=headers)
             if doc.noindex:
                 return disqualified("ROBOTS_NOINDEX")
             if not doc.should_index:

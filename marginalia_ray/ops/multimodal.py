@@ -31,6 +31,11 @@ import pyarrow as pa
 import ray
 
 
+# bound on decoded image area (64 MP): filters 3/4 (avg/Paeth) unfilter in
+# Python, so a crafted giant image must be rejected before the scanline loop
+_MAX_PNG_PIXELS = 64 * 1024 * 1024
+
+
 def _content_rng(payload: bytes) -> np.random.RandomState:
     seed = int.from_bytes(hashlib.blake2b(payload, digest_size=4).digest(), "little")
     return np.random.RandomState(seed)
@@ -68,8 +73,13 @@ def _decode_png(data: bytes):
         raise ValueError("unsupported png color type (paletted?)")
     channels = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
     stride = w * channels
+    if w * h > _MAX_PNG_PIXELS:
+        # bound unfilter work: a crafted huge Paeth-filtered image would
+        # otherwise stall a decode actor for minutes
+        raise ValueError("png too large")
     raw = np.frombuffer(zlib.decompress(idat), np.uint8).reshape(h, stride + 1)
     out = np.zeros((h, stride), np.int32)
+    zero_row: list[int] = [0] * stride
     for y in range(h):
         f = int(raw[y, 0])
         cur = raw[y, 1:].astype(np.int32)
@@ -78,21 +88,36 @@ def _decode_png(data: bytes):
             out[y] = cur
         elif f == 2:
             out[y] = (cur + prev) & 0xFF
+        elif f == 1:
+            # Sub: rec[x] = cur[x] + rec[x-ch] is a per-channel-lane prefix
+            # sum; mod 256 commutes with addition, so cumsum is exact
+            out[y] = (
+                np.cumsum(cur.reshape(-1, channels), axis=0, dtype=np.int64) & 0xFF
+            ).reshape(stride)
         else:
-            rec = out[y]
-            for x in range(stride):
-                a = rec[x - channels] if x >= channels else 0
-                b = prev[x]
-                if f == 1:
-                    rec[x] = (cur[x] + a) & 0xFF
-                elif f == 3:
-                    rec[x] = (cur[x] + ((a + b) >> 1)) & 0xFF
-                else:  # paeth
-                    c = int(prev[x - channels]) if x >= channels else 0
+            # Average/Paeth carry a floor-div / argmin left dependency that
+            # cannot be expressed as a scan; plain-int list ops are ~8x
+            # faster than per-element numpy indexing here
+            cur_l = cur.tolist()
+            prev_l = prev.tolist() if y else zero_row
+            rec = zero_row.copy()
+            if f == 3:
+                for x in range(stride):
+                    a = rec[x - channels] if x >= channels else 0
+                    rec[x] = (cur_l[x] + ((a + prev_l[x]) >> 1)) & 0xFF
+            else:  # paeth
+                for x in range(stride):
+                    if x >= channels:
+                        a = rec[x - channels]
+                        c = prev_l[x - channels]
+                    else:
+                        a = c = 0
+                    b = prev_l[x]
                     p = a + b - c
                     pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - c)
                     pred = a if (pa_ <= pb_ and pa_ <= pc_) else (b if pb_ <= pc_ else c)
-                    rec[x] = (cur[x] + pred) & 0xFF
+                    rec[x] = (cur_l[x] + pred) & 0xFF
+            out[y] = rec
     return w, h, channels, out.astype(np.uint8).reshape(h, w, channels)
 
 

@@ -90,6 +90,68 @@ class TestImageDecoders:
         with pytest.raises(ValueError):
             decode_image_payload(b"\xff\xd8\xff\xe0 jpeg-ish")
 
+    @pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4])
+    def test_png_all_filter_types(self, rgb, ftype):
+        """Round-trip every PNG scanline filter (0=none 1=sub 2=up 3=avg
+        4=paeth) — filters 1/3/4 take the vectorized/list unfilter paths."""
+        h, w, ch = rgb.shape
+        rows = []
+        prev = np.zeros(w * ch, np.int32)
+        for y in range(h):
+            cur = rgb[y].reshape(-1).astype(np.int32)
+            if ftype == 0:
+                filt = cur
+            elif ftype == 1:
+                a = np.concatenate([np.zeros(ch, np.int32), cur[:-ch]])
+                filt = (cur - a) & 0xFF
+            elif ftype == 2:
+                filt = (cur - prev) & 0xFF
+            elif ftype == 3:
+                a = np.concatenate([np.zeros(ch, np.int32), cur[:-ch]])
+                filt = (cur - ((a + prev) >> 1)) & 0xFF
+            else:  # paeth
+                a = np.concatenate([np.zeros(ch, np.int32), cur[:-ch]])
+                c = np.concatenate([np.zeros(ch, np.int32), prev[:-ch]])
+                p = a + prev - c
+                pa_, pb_, pc_ = np.abs(p - a), np.abs(p - prev), np.abs(p - c)
+                pred = np.where(
+                    (pa_ <= pb_) & (pa_ <= pc_), a, np.where(pb_ <= pc_, prev, c)
+                )
+                filt = (cur - pred) & 0xFF
+            rows.append(bytes([ftype]) + filt.astype(np.uint8).tobytes())
+            prev = cur
+
+        def chunk(ctype: bytes, data: bytes) -> bytes:
+            c = struct.pack(">I", len(data)) + ctype + data
+            return c + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        png = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"".join(rows)))
+            + chunk(b"IEND", b"")
+        )
+        dw, dh, dc, px = decode_image_payload(png)
+        assert (dw, dh, dc) == (w, h, ch)
+        np.testing.assert_array_equal(px, rgb)
+
+    def test_oversized_png_rejected(self):
+        # IHDR claims a 100k x 100k image: must be rejected before unfilter
+        def chunk(ctype: bytes, data: bytes) -> bytes:
+            c = struct.pack(">I", len(data)) + ctype + data
+            return c + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+
+        ihdr = struct.pack(">IIBBBBB", 100_000, 100_000, 8, 2, 0, 0, 0)
+        png = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"\x00"))
+            + chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError, match="too large"):
+            decode_image_payload(png)
+
 
 class TestImageStage:
     def test_real_decode_in_stage(self, rgb):

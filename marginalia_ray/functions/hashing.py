@@ -144,3 +144,15 @@ def term_freq_hash_bytes(*byte_groups: bytes) -> int:
 def term_freq_hash_stemmed(s: str) -> int:
     """TermFrequencyDict.getTermFreqStemmed key for an already-stemmed word."""
     return term_freq_hash_bytes(s.encode("utf-8"))
+
+
+def term_freq_hash_string(s: str) -> int:
+    """TermFrequencyDict.getStringHash parity (TermFrequencyDict.java:82-94):
+    multi-part strings (space/underscore separated) hash the concatenation of
+    the per-part *stems*; single words hash their raw surface bytes."""
+    if " " in s or "_" in s:
+        from marginalia_ray.functions.stemmer import stem
+
+        parts = [p for p in s.replace("_", " ").split(" ") if p]
+        return term_freq_hash_bytes(*(stem(p).encode("utf-8") for p in parts))
+    return term_freq_hash_bytes(s.encode("utf-8"))

@@ -216,7 +216,11 @@ def run_index_pipeline(
             from marginalia_ray.pipelines.term_freq import term_freq_dict_ref
 
             tf_pages = ray.data.read_parquet(str(pages_path), columns=cols)
-            dict_freqs_ref = term_freq_dict_ref(tf_pages, use_html="html" in avail)
+            dict_freqs_ref = term_freq_dict_ref(
+                tf_pages,
+                use_html="html" in avail,
+                persist_path=out_root / "tfreq.parquet",
+            )
             doc_count = ray.data.read_parquet(str(pages_path)).count()
             _wait_for_cpu_drain()
         lineage = _convert_partitioned(

@@ -74,9 +74,16 @@ def build_term_freq(pages_ds, concurrency: int | None = None, use_html: bool = T
     return out.rename_columns({"sum(partial)": "doc_freq"})
 
 
-def term_freq_dict_ref(pages_ds, min_freq: int = 2, **kwargs):
+def term_freq_dict_ref(pages_ds, min_freq: int = 2, persist_path=None, **kwargs):
     """Aggregate to a {term_key: doc_freq} dict and ray.put it (the A2
-    broadcast).  min_freq prunes the hapax tail (the bulk of the keys)."""
+    broadcast).  min_freq prunes the hapax tail (the bulk of the keys).
+
+    persist_path: optionally also write the pruned (term_key, doc_freq)
+    table as parquet — the query frontend's TermFrequencyDict (A5): the
+    reference converter writes `tfreq-data.bin` once and every service
+    loads it (TermFrequencyDict.java:42-60); here the query engine picks
+    up `tfreq.parquet` next to the index for the stemmed-compound probe
+    in QueryVariants."""
     ds = build_term_freq(pages_ds, **kwargs)
     if min_freq > 1:
         ds = ds.filter(expr=f"doc_freq >= {min_freq}")
@@ -88,4 +95,15 @@ def term_freq_dict_ref(pages_ds, min_freq: int = 2, **kwargs):
         freqs.update(
             zip(t["term_key"].to_pylist(), t["doc_freq"].to_pylist())
         )
+    if persist_path is not None:
+        import os
+
+        import pyarrow.parquet as pq
+
+        keys = pa.array(list(freqs.keys()), pa.uint64())
+        vals = pa.array(list(freqs.values()), pa.int64())
+        os.makedirs(os.path.dirname(str(persist_path)) or ".", exist_ok=True)
+        tmp = str(persist_path) + ".tmp"
+        pq.write_table(pa.table({"term_key": keys, "doc_freq": vals}), tmp)
+        os.replace(tmp, str(persist_path))
     return ray.put(freqs)

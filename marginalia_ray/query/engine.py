@@ -161,6 +161,29 @@ class IndexSearcher:
         self._full: dict[int, SegmentShardReader] = {}
         self._prio: dict[int, SegmentShardReader] = {}
         self._postings_cache: dict[tuple[str, int], tuple] = {}
+        # A5: TermFrequencyDict for the query frontend — written by
+        # run_index_pipeline(with_term_freq=True) next to the index root
+        # (corpus-level, shared across builds like the journal).  Sorted
+        # uint64 keys + counts: searchsorted lookup, no Python dict.
+        self._tfreq: tuple[np.ndarray, np.ndarray] | None = None
+        for p in (build_dir / "tfreq.parquet", build_dir.parent / "tfreq.parquet"):
+            if p.exists():
+                import pyarrow.parquet as pq
+
+                t = pq.read_table(p)
+                keys = t["term_key"].to_numpy().astype(np.uint64)
+                vals = t["doc_freq"].to_numpy().astype(np.int64)
+                order = np.argsort(keys)
+                self._tfreq = (keys[order], vals[order])
+                break
+
+    def term_freq_dict(self, key: int) -> int:
+        """TermFrequencyDict.wordRates.get — 0 when no dict was built."""
+        if self._tfreq is None:
+            return 0
+        keys, vals = self._tfreq
+        i = int(np.searchsorted(keys, np.uint64(key)))
+        return int(vals[i]) if i < len(keys) and keys[i] == np.uint64(key) else 0
 
     # --- term access ---------------------------------------------------
     def _shard(self, kind: str, th: int) -> SegmentShardReader:
@@ -255,6 +278,27 @@ class IndexSearcher:
             th = term_hash(w)
             return float(self.num_hits(th)) if th is not None else 0.0
 
+        if self._tfreq is not None:
+            # the real TermFrequencyDict probes (QueryVariants.java:165,337):
+            # getTermFreq hashes via getStringHash (stems multi-part strings),
+            # getTermFreqStemmed hashes the already-stemmed bytes
+            from marginalia_ray.functions.hashing import (
+                term_freq_hash_stemmed,
+                term_freq_hash_string,
+            )
+
+            def _tf(w: str) -> float:
+                return float(self.term_freq_dict(term_freq_hash_string(w)))
+
+            def _tf_stemmed(s: str) -> float:
+                return float(self.term_freq_dict(term_freq_hash_stemmed(s)))
+        else:
+            # no dict built (with_term_freq=False): the index's surface-form
+            # directory stands in.  Compound joins then fire only when
+            # stem(a+b) equals an indexed surface form — reduced recall vs
+            # the reference's stemmed table (documented, ADVICE r2).
+            _tf, _tf_stemmed = _freq, _freq
+
         inc = sq.include
         plain = [w for w in inc if ":" not in w and "_" not in w]
         passthrough = [w for w in inc if ":" in w or "_" in w]
@@ -263,8 +307,8 @@ class IndexSearcher:
 
         qv = QueryVariants(
             is_known_ngram=lambda s: _freq(s) > 0,
-            term_freq=_freq,
-            term_freq_stemmed=_freq,  # stand-in: surface-form presence
+            term_freq=_tf,
+            term_freq_stemmed=_tf_stemmed,
             is_word=lambda w: (w in EN_DICT) or _freq(w) > 0,
         )
         vs = qv.get_query_variants(plain)

@@ -19,6 +19,7 @@ public domain; the polynomial hash is textbook cp-algorithms material).
 from __future__ import annotations
 
 from functools import lru_cache
+from hashlib import blake2b as _blake2b
 
 MASK64 = 0xFFFF_FFFF_FFFF_FFFF
 
@@ -100,6 +101,15 @@ def murmur3_64_raw(data: bytes) -> int:
     the lru_cache variant would retain the full payload as a cache key,
     holding multi-GB of bodies resident in every long-lived actor."""
     return murmur3_128(data)[0]
+
+
+def content_hash64(data: bytes) -> int:
+    """Engine-internal 64-bit content hash for document bodies (equality
+    comparison only — canonical dedup, re-crawl detection).  blake2b runs
+    at C speed where the pure-Python murmur costs ~25 µs per document;
+    nothing in the reference wire format depends on the body-hash function
+    (DocumentRecord.bodyHash feeds only equality checks)."""
+    return int.from_bytes(_blake2b(data, digest_size=8).digest(), "big")
 
 
 @lru_cache(maxsize=1 << 18)

@@ -11,11 +11,15 @@ masking only where Java's 32-bit wrap matters."""
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 INT_MASK = 0xFFFF_FFFF
 
 
+@lru_cache(maxsize=1 << 17)
 def java_string_hash(s: str) -> int:
-    """Java String.hashCode as a signed 32-bit int (UTF-16 code units)."""
+    """Java String.hashCode as a signed 32-bit int (UTF-16 code units).
+    Cached: inputs are tokens, which repeat Zipfian across documents."""
     h = 0
     b = s.encode("utf-16-be")
     for i in range(0, len(b), 2):

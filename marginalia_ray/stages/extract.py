@@ -46,12 +46,27 @@ _CODE_JUNK = re.compile(r"(\.|&lt;|&gt;|<|>|\([^)]*\)[;]?$)")
 _WS = re.compile(r"\s+")
 
 
+# DOM mutation epoch: find_all caches a by-tag preorder index per node;
+# any structural mutation (prune/clean/strip) bumps the epoch, which
+# conservatively invalidates every cached index process-wide.  Converter
+# actors are single-threaded per process, so a global counter is safe.
+_DOM_EPOCH = 0
+
+
+def dom_mutated() -> None:
+    global _DOM_EPOCH
+    _DOM_EPOCH += 1
+
+
 @dataclass(slots=True)
 class Node:
     tag: str | None  # None = text node
     attrs: dict = field(default_factory=dict)
     children: list = field(default_factory=list)
     text: str = ""
+    _fa_all: list | None = field(default=None, repr=False, compare=False)
+    _fa_tag: dict | None = field(default=None, repr=False, compare=False)
+    _fa_epoch: int = field(default=-1, repr=False, compare=False)
 
     def is_text(self) -> bool:
         return self.tag is None
@@ -59,15 +74,41 @@ class Node:
     def classes(self) -> set[str]:
         return set(self.attrs.get("class", "").lower().split())
 
+    def _fa_index(self):
+        """Preorder node list + by-tag buckets, cached until the next DOM
+        mutation anywhere in the process (one walk serves the ~16
+        find_all calls per document instead of 16 walks)."""
+        if self._fa_all is None or self._fa_epoch != _DOM_EPOCH:
+            nodes: list = []
+            append = nodes.append
+            stack = [self]
+            pop = stack.pop
+            extend = stack.extend
+            while stack:
+                n = pop()
+                append(n)
+                c = n.children
+                if c:
+                    extend(reversed(c))
+            by_tag: dict = {}
+            for n in nodes:
+                t = n.tag
+                b = by_tag.get(t)
+                if b is None:
+                    by_tag[t] = [n]
+                else:
+                    b.append(n)
+            self._fa_all = nodes
+            self._fa_tag = by_tag
+            self._fa_epoch = _DOM_EPOCH
+        return self._fa_all, self._fa_tag
+
     def find_all(self, *tags: str):
-        out = []
-        stack = [self]
-        while stack:
-            n = stack.pop()
-            if n.tag in tags:
-                out.append(n)
-            stack.extend(reversed(n.children))
-        return out
+        all_nodes, by_tag = self._fa_index()
+        if len(tags) == 1:
+            return list(by_tag.get(tags[0], ()))
+        ts = set(tags)
+        return [n for n in all_nodes if n.tag in ts]
 
     def first(self, tag: str):
         for n in self.find_all(tag):
@@ -290,6 +331,7 @@ def prune_dom(root: Node, threshold: float = PRUNE_THRESHOLD) -> None:
         if walk(child, 1) is not None:
             kept.append(child)
     root.children = kept
+    dom_mutated()
 
 
 def _is_signal(node: Node) -> bool:
@@ -357,6 +399,7 @@ def clean_tags(root: Node) -> None:
                 c.children.insert(0, Node(None, text=". "))
 
     sentence_aids(root)
+    dom_mutated()
 
 
 # ---- text + title ------------------------------------------------------

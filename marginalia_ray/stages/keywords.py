@@ -312,15 +312,14 @@ def position_bitmask(dld: DocumentLanguageData) -> dict[str, int]:
     """KeywordPositionBitmask — 56-bit coarse position mask per stem."""
     mask: dict[str, int] = {}
     full = (1 << POSITION_WIDTH) - 1
-
-    def merge(stemmed: str, bit: int):
-        mask[stemmed] = mask.get(stemmed, 0) | bit
+    mget = mask.get
 
     for sent in dld.title_sentences:
-        for i in range(len(sent)):
-            merge(sent.stemmed[i], 1)
+        for st in sent.stemmed:
+            mask[st] = mget(st, 0) | 1
         for s, e in get_proper_names(sent):
-            merge(sent.stemmed_from_span(s, e), 1)
+            st = sent.stemmed_from_span(s, e)
+            mask[st] = mget(st, 0) | 1
 
     line_length_ctr = 0
     bitmask_pos = 1
@@ -332,10 +331,11 @@ def position_bitmask(dld: DocumentLanguageData) -> dict[str, int]:
 
     for sent in dld.sentences:
         bit = (1 << pos()) & full
-        for i in range(len(sent)):
-            merge(sent.stemmed[i], bit)
+        for st in sent.stemmed:
+            mask[st] = mget(st, 0) | bit
         for s, e in get_proper_names(sent):
-            merge(sent.stemmed_from_span(s, e), bit)
+            st = sent.stemmed_from_span(s, e)
+            mask[st] = mget(st, 0) | bit
         # LinePosition.next
         if len(sent) > 10:
             line_length_ctr = 0
@@ -365,11 +365,14 @@ class TfIdfCounts:
         self._bind_log_cache()
         counts: dict[str, int] = {}
         spans: list = []  # (sent, s, e, key) — reused below, one span pass
+        cget = counts.get
+        spans_append = spans.append
         for sent in dld.sentences:
+            sfs = sent.stemmed_from_span
             for s, e in get_keywords_from_sentence(sent):
-                key = sent.stemmed_from_span(s, e)
-                counts[key] = counts.get(key, 0) + 1
-                spans.append((sent, s, e, key))
+                key = sfs(s, e)
+                counts[key] = cget(key, 0) + 1
+                spans_append((sent, s, e, key))
         self.counts = counts
         max_val = max(counts.values(), default=0)
 
@@ -645,7 +648,12 @@ def extract_keywords(
     artifacts = artifact_keywords(dld)
     u_kw, d_kw = url_keywords(url_path, url_domain)
 
+    _meta_memo: dict[str, int] = {}  # stems repeat per doc; meta is pure
+
     def meta_for(stemmed: str) -> int:
+        m = _meta_memo.get(stemmed)
+        if m is not None:
+            return m
         flags = 0
         if tfidf.get_tfidf(stemmed) > 100:
             flags |= WordFlags.TfIdfHigh.bit
@@ -659,7 +667,9 @@ def extract_keywords(
             flags |= WordFlags.UrlPath.bit
         if stemmed in d_kw:
             flags |= WordFlags.UrlDomain.bit
-        return encode_word_meta(bitmask.get(stemmed, 0), flags)
+        m = encode_word_meta(bitmask.get(stemmed, 0), flags)
+        _meta_memo[stemmed] = m
+        return m
 
     b = KeywordsBuilder()
 

@@ -40,6 +40,7 @@ _WORD_BREAK = re.compile(
     r"([^/_#@.a-zA-Z'+\-0-9À-ÖØ-öø-ÿ]+)|[|]|(\.(\s+|$))"
 )
 _NOISE = set("/*-")
+_NOISE_STR = "/*-"  # w.strip(_NOISE_STR) == "" iff every char is noise
 
 # SentencePreCleaner.splitPattern
 # Non-capturing group: Java Pattern.split discards separators, so a
@@ -48,23 +49,16 @@ _NOISE = set("/*-")
 _PRECLEAN_SPLIT = re.compile(r"(?: -|- |\|)")
 
 
+# isAllowedCharacter as a character class: a-zA-Z0-9_#@. plus the three
+# Latin-1 letter ranges; everything else becomes a space (C-speed sub
+# instead of a per-char Python loop — same output byte-for-byte)
+_DISALLOWED = re.compile(r"[^a-zA-Z0-9_#@.À-ÖØ-öø-ÿ]")
+
+
 def sanitize_string(s: str) -> str:
     """SentenceExtractorStringUtils.sanitizeString: replace disallowed chars
     with space, strip one leading '.'."""
-    out = []
-    for c in s:
-        o = ord(c)
-        ok = (
-            ("a" <= c <= "z")
-            or ("A" <= c <= "Z")
-            or ("0" <= c <= "9")
-            or c in "_#@."
-            or 0xC0 <= o <= 0xD6
-            or 0xD8 <= o <= 0xF6
-            or 0xF8 <= o <= 0xFF
-        )
-        out.append(c if ok else " ")
-    r = "".join(out)
+    r = _DISALLOWED.sub(" ", s)
     if r.startswith("."):
         r = r[1:]
     return "" if not r.strip() else r
@@ -89,42 +83,37 @@ def to_lower_strip_possessive(s: str) -> str:
 def split_segment(segment: str) -> tuple[list[str], list[int]]:
     """SentenceSegmentSplitter.splitSegment — word/separator arrays."""
     flat = flatten_unicode(segment)
-    words: list[str] = []
-    seps: list[int] = []
-
-    pos = 0
-    n = len(flat)
-    while pos <= n:
-        m = _WORD_BREAK.search(flat, pos)
-        if not m:
-            words.append(flat[pos:])
-            seps.append(SPACE)
-            break
-        if pos != m.start():
-            word = flat[pos : m.start()]
-            space = flat[m.start() : m.end()]
-            words.append(word)
-            seps.append(SPACE if space.strip() == "" else COMMA)
-        pos = m.end()
-
     ret_w: list[str] = []
     ret_s: list[int] = []
-    for w, s in zip(words, seps):
-        if not w or w.isspace():
-            continue
-        if len(w) >= MAX_WORD_LENGTH:
-            continue
-        if all(c in _NOISE for c in w):
-            continue
-        ret_w.append(w)
-        ret_s.append(s)
 
-    for i, w in enumerate(ret_w):
-        if w.startswith("'") and len(w) > 1:
-            w = w[1:]
-            ret_w[i] = w
-        if w.endswith("'") and len(w) > 1:
-            ret_w[i] = w[:-1]
+    # one C-level finditer pass (equivalent to repeated .search from each
+    # match end — the pattern has no zero-width alternative), with the
+    # word filters fused in: empty/whitespace, MAX_WORD_LENGTH, all-noise
+    # ('/*-' only, checked via C-speed strip), and quote trimming
+    pos = 0
+    for m in _WORD_BREAK.finditer(flat):
+        start = m.start()
+        if pos != start:
+            w = flat[pos:start]
+            if len(w) < MAX_WORD_LENGTH and w.strip(_NOISE_STR):
+                if len(w) > 1:
+                    if w[0] == "'":
+                        w = w[1:]
+                    if len(w) > 1 and w[-1] == "'":
+                        w = w[:-1]
+                ret_w.append(w)
+                ret_s.append(SPACE if flat[start : m.end()].strip() == "" else COMMA)
+        pos = m.end()
+    if pos <= len(flat):
+        w = flat[pos:]
+        if w and not w.isspace() and len(w) < MAX_WORD_LENGTH and w.strip(_NOISE_STR):
+            if len(w) > 1:
+                if w[0] == "'":
+                    w = w[1:]
+                if len(w) > 1 and w[-1] == "'":
+                    w = w[:-1]
+            ret_w.append(w)
+            ret_s.append(SPACE)
 
     return ret_w, ret_s
 

@@ -20,7 +20,7 @@ still provided for direct use.
 
 from __future__ import annotations
 
-from marginalia_ray.stages.extract import Node, prune_dom
+from marginalia_ray.stages.extract import Node, dom_mutated, prune_dom
 from marginalia_ray.stages.summary import MAX_SUMMARY_LENGTH, _TRUNCATED
 
 
@@ -37,6 +37,7 @@ def _remove_tags(root: Node, *tags: str) -> None:
                 walk(c)
 
     walk(root)
+    dom_mutated()
 
 
 def _find_by_class(root: Node, cls: str) -> list[Node]:

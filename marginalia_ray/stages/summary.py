@@ -14,7 +14,7 @@ from __future__ import annotations
 import re
 from collections.abc import Callable, Collection
 
-from marginalia_ray.stages.extract import Node, parse_html
+from marginalia_ray.stages.extract import Node, dom_mutated, parse_html
 
 MAX_SUMMARY_LENGTH = 255
 _TRUNCATED = re.compile(r"[^a-zA-Z0-9]{3,}")
@@ -43,6 +43,7 @@ def _strip_nav(root: Node) -> None:
         node.children = kept
 
     walk(root)
+    dom_mutated()
 
 
 def meta_description(root: Node, important_words: Collection[str]) -> str:
@@ -91,6 +92,7 @@ def fallback_summary(root: Node, important_words: Collection[str]) -> str:
         node.children = kept
 
     walk(body)
+    dom_mutated()
     return body.get_text()
 
 

@@ -25,7 +25,7 @@ from __future__ import annotations
 import pyarrow as pa
 import ray
 
-from marginalia_ray.functions.hashing import murmur3_64, murmur3_64_raw, term_hash
+from marginalia_ray.functions.hashing import content_hash64, murmur3_64, term_hash
 from marginalia_ray.functions.lsh import lsh_of_words
 from marginalia_ray.functions.urls import parse_url
 from marginalia_ray.model.codecs import (
@@ -261,7 +261,7 @@ class TokenizerStage:
             flag_words=flag_words,
             top_words=sorted(builder.important),
             canonical=canonical,
-            body_hash=murmur3_64_raw(text.encode("utf-8")),
+            body_hash=content_hash64(text.encode("utf-8")),
         )
 
 

@@ -250,10 +250,10 @@ def popcount(arr):
     a = np.asarray(arr, dtype=U64)
     try:
         return np.bitwise_count(a).astype(np.int64)
-    except AttributeError:  # numpy < 2.0
-        c = np.zeros(a.shape, dtype=np.int64)
-        x = a.copy()
-        while x.any():
-            c += (x & U64(1)).astype(np.int64)
-            x >>= U64(1)
-        return c
+    except AttributeError:  # numpy < 2.0: SWAR popcount, 5 vector ops
+        with np.errstate(over="ignore"):  # the *0x0101.. wrap is the point
+            x = a.copy()
+            x -= (x >> U64(1)) & U64(0x5555555555555555)
+            x = (x & U64(0x3333333333333333)) + ((x >> U64(2)) & U64(0x3333333333333333))
+            x = (x + (x >> U64(4))) & U64(0x0F0F0F0F0F0F0F0F)
+            return ((x * U64(0x0101010101010101)) >> U64(56)).astype(np.int64)

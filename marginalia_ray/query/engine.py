@@ -560,21 +560,14 @@ class IndexSearcher:
 
         disqualified = ~coherent | ((max_flags == 0) & ~any_all_synth & (max_positions == 0))
 
-        results = []
-        for i in range(n):
-            if disqualified[i]:
-                continue
-            results.append(
-                SearchResult(
-                    combined_id=int(cand[i]),
-                    url_id=int(url_ids[i]),
-                    ranking=int(cand[i]) >> 32,
-                    domain_id=int(domain_ids[i]),
-                    score=float(best_score[i]),
-                    has_priority_term=bool(has_prio[i]),
-                )
-            )
-        return results
+        keep = ~disqualified
+        return {
+            "cand": cand[keep],
+            "url_ids": url_ids[keep],
+            "domain_ids": domain_ids[keep],
+            "score": best_score[keep],
+            "has_prio": has_prio[keep],
+        }
 
     @staticmethod
     def _strategy_ok(strategy: str, wm: np.ndarray) -> np.ndarray:
@@ -596,20 +589,55 @@ class IndexSearcher:
         return ok
 
     # selectBestResults
-    def _select_best(self, spec: SearchSpec, results: list[SearchResult]) -> list[SearchResult]:
-        results.sort(key=lambda r: (not r.has_priority_term, r.score, r.ranking, r.url_id))
+    def _select_best(self, spec: SearchSpec, scored: dict) -> list[SearchResult]:
+        """Sort + domain cap on arrays; SearchResult objects are built only
+        for the picked rows (the reference sorts then caps,
+        IndexResultSelector — identical ordering: lexsort and list.sort are
+        both stable, and the pre-sort order is the same np.sort(cand))."""
+        cand = scored["cand"]
+        n = len(cand)
+        if n == 0:
+            return []
+        url_ids = scored["url_ids"]
+        domain_ids = scored["domain_ids"]
+        score = scored["score"]
+        has_prio = scored["has_prio"]
+        rankings = (cand >> np.uint64(32)).astype(np.int64)
+
+        order = np.lexsort((url_ids, rankings, score, ~has_prio))
+
+        # results_from_domain counts EVERY scored result of the domain,
+        # not just the picked ones (the reference increments before capping)
+        uniq, tot = np.unique(domain_ids, return_counts=True)
+        totals = dict(zip(uniq.tolist(), tot.tolist()))
+
+        limit_dom = spec.limit_by_domain
+        limit_total = spec.limit_total
+        picked_idx: list[int] = []
         counts: dict[int, int] = {}
+        for i in order.tolist():
+            key = int(domain_ids[i])
+            if key == -1:  # unknown domain -> deduplicationKey 0 -> passes
+                picked_idx.append(i)
+            else:
+                c = counts.get(key, 0) + 1
+                counts[key] = c
+                if c <= limit_dom:
+                    picked_idx.append(i)
+            if len(picked_idx) >= limit_total:
+                break
         picked = []
-        for r in results:
-            key = r.domain_id
-            if key == -1:  # unknown domain -> deduplicationKey 0 -> always passes
-                picked.append(r)
-                continue
-            c = counts.get(key, 0) + 1
-            counts[key] = c
-            if c <= spec.limit_by_domain:
-                picked.append(r)
-        picked = picked[: spec.limit_total]
-        for r in picked:
-            r.results_from_domain = counts.get(r.domain_id, 1)
+        for i in picked_idx:
+            d = int(domain_ids[i])
+            picked.append(
+                SearchResult(
+                    combined_id=int(cand[i]),
+                    url_id=int(url_ids[i]),
+                    ranking=int(rankings[i]),
+                    domain_id=d,
+                    score=float(score[i]),
+                    has_priority_term=bool(has_prio[i]),
+                    results_from_domain=totals.get(d, 1) if d != -1 else 1,
+                )
+            )
         return picked

@@ -55,7 +55,9 @@ def _wait_for_cpu_drain(
     # immediate no-rise exit would make the whole wait a no-op (ADVICE r2)
     min_wait = 2.0
     while time.time() - t0 < timeout:
-        if best >= frac * total:
+        # fast path: box already (near-)free — <=2 held slots can't queue
+        # a meaningful amount of work behind dying actors
+        if best >= frac * total or best >= total - 2:
             return
         if (
             time.time() - last_rise >= settle
@@ -140,6 +142,23 @@ def _convert_partitioned(
         shutil.rmtree(part_dir, ignore_errors=True)
         part_dir.mkdir(parents=True, exist_ok=True)
         tp = time.time()
+        if convert_kwargs.get("concurrency") is None:
+            # size the actor pool to the partition's batch count (parquet
+            # metadata row count — free): a fixed ncpu-wide pool pays ~3-4s
+            # of actor spin-up, which dominates small jobs where most
+            # actors would only ever see a single batch
+            import pyarrow.parquet as _pqm
+
+            rows = sum(_pqm.ParquetFile(f).metadata.num_rows for f in group)
+            batches = max(1, rows // int(convert_kwargs.get("batch_size", 256)))
+            try:
+                ncpu = int(ray.cluster_resources().get("CPU", 8))
+            except Exception:
+                ncpu = 8
+            convert_kwargs = dict(
+                convert_kwargs,
+                concurrency=min(max(2, (batches + 3) // 4), max(2, ncpu - 1)),
+            )
         ds = ray.data.read_parquet(group, columns=cols)
         j = convert_pages(ds, **convert_kwargs).filter(expr="state == 'OK'")
         j.write_parquet(str(part_dir))

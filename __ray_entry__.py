@@ -138,6 +138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         fingerprint,
         gopher_quality,
         lang_id,
+        ngram_overlap,
         repetition_metrics,
         stopword_ratio,
         term_doc_freq,
@@ -239,6 +240,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "lang_id": lambda sf: lang_id(_docs(sf)),
         "doc_fingerprint": lambda sf: fingerprint(_docs(sf)),
+        "ngram_overlap": lambda sf: ngram_overlap(_docs(sf)),
         "gopher_quality": lambda sf: gopher_quality(_docs(sf)),
         "repetition_metrics": lambda sf: repetition_metrics(_docs(sf)),
         "bm25_topk": lambda sf: bm25_topk(_docs(sf), BM25_TERMS, k=10),
@@ -299,6 +301,44 @@ def _fingerprint_sql() -> str:
        list_sum(list_transform(range(0, {W}), k -> (vs[i+k] * wp[{W}-k]) % 4294967296)) % 4294967296))
    END::BIGINT AS fingerprint
  FROM w, pw"""
+
+
+def _ngram_overlap_sql() -> str:
+    """Mirrors ops/text_ops.ngram_overlap: distinct 8-token window hashes
+    per doc (fingerprint arithmetic), benchmark set = grams of docs with
+    doc_id % 20 == 0, contam_frac = hit fraction of each doc's distinct
+    grams."""
+    from marginalia_ray.ops.text_ops import _FP_TOKEN_BASE, _FP_WIN_BASE, _FP_WINDOW
+
+    M = 1 << 32
+    p31 = [pow(_FP_TOKEN_BASE, k, M) for k in range(128)]
+    wp = [pow(int(_FP_WIN_BASE), k, M) for k in range(_FP_WINDOW)]
+    p31_l = "[" + ",".join(str(x) for x in p31) + "]::HUGEINT[]"
+    wp_l = "[" + ",".join(str(x) for x in wp) + "]::HUGEINT[]"
+    W = _FP_WINDOW
+    return f"""
+ WITH pw AS (SELECT {p31_l} AS p31, {wp_l} AS wp),
+ tok AS (SELECT doc_id, {_TOK} AS ts FROM documents),
+ vals AS (SELECT doc_id,
+   list_transform(ts, t -> list_sum(list_transform(range(1, length(t)+1),
+     i -> (ascii(substr(t, i, 1))::HUGEINT * p31[length(t)-i+1]) % 4294967296)) % 4294967296) AS vs
+   FROM tok, pw),
+ w AS (SELECT doc_id, vs, len(vs) AS n FROM vals WHERE len(vs) > 0),
+ g AS (SELECT doc_id,
+   CASE WHEN n < {W} THEN
+     [list_sum(list_transform(range(1, n+1), k -> (vs[k] * wp[n-k+1]) % 4294967296)) % 4294967296]
+   ELSE
+     list_distinct(list_transform(range(1, n-{W - 2}), i ->
+       list_sum(list_transform(range(0, {W}), k -> (vs[i+k] * wp[{W}-k]) % 4294967296)) % 4294967296))
+   END AS gs
+   FROM w, pw),
+ bench AS (SELECT DISTINCT unnest(gs) AS bg FROM g WHERE doc_id % 20 = 0),
+ x AS (SELECT doc_id, unnest(gs) AS gr FROM g),
+ a AS (SELECT x.doc_id, count(*) AS n_grams, count(b.bg) AS n_hits
+       FROM x LEFT JOIN bench b ON x.gr = b.bg GROUP BY x.doc_id)
+ SELECT doc_id, n_grams::BIGINT AS n_grams, n_hits::BIGINT AS n_hits,
+   round(n_hits::DOUBLE / n_grams, 6) AS contam_frac
+ FROM a"""
 
 
 def _knn_lsh_sql() -> str:
@@ -493,6 +533,7 @@ def oracle_sql() -> dict[str, str]:
  SELECT doc_id, round(s,6) AS score FROM scored WHERE s>0 ORDER BY s DESC, doc_id LIMIT 10""",
         "lang_id": _lang_id_sql(),
         "doc_fingerprint": _fingerprint_sql(),
+        "ngram_overlap": _ngram_overlap_sql(),
         "gopher_quality": _gopher_sql(),
         "repetition_metrics": _repetition_sql(),
         "knn_cosine_lsh": _knn_lsh_sql(),

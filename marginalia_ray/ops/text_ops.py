@@ -12,6 +12,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+import ray
 
 TOKEN_SPLIT = "[^a-z0-9]+"  # SQL: string_split_regex(lower(text), '[^a-z0-9]+')
 TOKEN_MATCH = "[a-z0-9]+"
@@ -229,6 +230,142 @@ def fingerprint(ds, text_col: str = "text", id_col: str = "doc_id"):
         )
 
     return ds.map_batches(_batch, batch_format="pyarrow")
+
+
+def _window_hashes_batch(batch: pa.Table, text_col: str, id_col: str):
+    """Per-doc 8-token window hashes (same base/mod arithmetic as
+    `fingerprint`), vectorized ACROSS the batch: windows are computed over
+    the concatenated token-value array and windows that span a document
+    boundary are masked out.  Docs shorter than one window contribute their
+    single folded polynomial (the `fingerprint` short-doc rule).
+
+    Returns (doc_ids, grams) as parallel int64/uint64 arrays — one row per
+    (doc, window), NOT yet deduplicated."""
+    ids, toks = explode_tokens(batch, text_col, id_col)
+    ids_np = ids.to_numpy(zero_copy_only=False).astype(np.int64)
+    th = _token_value_mod32(toks)
+    n = len(th)
+    if n == 0:
+        return np.empty(0, np.int64), np.empty(0, np.uint64)
+    W = _FP_WINDOW
+    powers = np.power(_FP_WIN_BASE, np.arange(W, dtype=np.uint64)) & _FP_MASK
+
+    out_ids = [np.empty(0, np.int64)]
+    out_h = [np.empty(0, np.uint64)]
+    m = n - W + 1
+    if m > 0:
+        acc = np.zeros(m, dtype=np.uint64)
+        for k in range(W):
+            acc += th[k : m + k] * powers[W - 1 - k]
+        valid = ids_np[:m] == ids_np[W - 1 :]
+        out_ids.append(ids_np[:m][valid])
+        out_h.append(acc[valid] & _FP_MASK)
+
+    # short docs (< W tokens): folded polynomial over all their tokens
+    bounds = np.flatnonzero(np.r_[True, ids_np[1:] != ids_np[:-1], True])
+    lens = np.diff(bounds)
+    short = np.flatnonzero(lens < W)
+    for si in short:
+        s, e = bounds[si], bounds[si + 1]
+        fp = np.uint64(0)
+        for v in th[s:e]:
+            fp = (fp * _FP_WIN_BASE + v) & _FP_MASK
+        out_ids.append(ids_np[s : s + 1])
+        out_h.append(np.array([fp], dtype=np.uint64))
+    return np.concatenate(out_ids), np.concatenate(out_h)
+
+
+def _dedupe_doc_grams(ids: np.ndarray, grams: np.ndarray):
+    """Distinct (doc, gram) pairs, sorted by doc then gram."""
+    if len(ids) == 0:
+        return ids, grams
+    order = np.lexsort((grams, ids))
+    ids, grams = ids[order], grams[order]
+    keep = np.r_[True, (ids[1:] != ids[:-1]) | (grams[1:] != grams[:-1])]
+    return ids[keep], grams[keep]
+
+
+def ngram_overlap(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_mod: int = 20,
+    max_bench_grams: int = 50_000_000,
+):
+    """Benchmark-contamination scan (the standard pre-training
+    decontamination step, e.g. GPT-3 App. C / PaLM §7): fraction of each
+    document's distinct 8-token n-gram hashes that appear in a benchmark
+    set.  The fixture benchmark is the deterministic subset
+    `doc_id % bench_mod == 0` (in production it would be the eval suite).
+
+    Scale shape: the benchmark side is small BY DEFINITION (it is an eval
+    set) — its distinct gram hashes are reduced per-batch, merged on the
+    driver under a hard cap (loud error above `max_bench_grams`, the
+    minhash candidate-cap convention), and broadcast once via ray.put; the
+    corpus side is one streaming vectorized map_batches with a
+    searchsorted membership probe.  No shuffle.
+
+    Output: (doc_id, n_grams, n_hits, contam_frac) for every doc with at
+    least one token."""
+
+    def _bench_batch(batch: pa.Table) -> pa.Table:
+        ids_np = batch[id_col].to_numpy(zero_copy_only=False)
+        sub = batch.filter(pa.array(ids_np % bench_mod == 0))
+        if sub.num_rows == 0:
+            return pa.table({"gram": pa.array([], pa.uint64())})
+        ids, grams = _window_hashes_batch(sub, text_col, id_col)
+        return pa.table({"gram": pa.array(np.unique(grams), pa.uint64())})
+
+    bench_parts = [np.empty(0, np.uint64)]
+    total = 0
+    for b in ds.map_batches(_bench_batch, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        if b.num_rows:
+            a = b["gram"].to_numpy(zero_copy_only=False)
+            total += len(a)
+            if total > max_bench_grams:
+                raise RuntimeError(
+                    f"ngram_overlap: benchmark gram set exceeds {max_bench_grams} — "
+                    "the benchmark side must be a small eval set; raise "
+                    "max_bench_grams or shrink the benchmark selection"
+                )
+            bench_parts.append(a)
+    bench = np.unique(np.concatenate(bench_parts))
+    bench_ref = ray.put(bench)
+
+    def _score(batch: pa.Table) -> pa.Table:
+        ref = ray.get(bench_ref)
+        ids, grams = _dedupe_doc_grams(*_window_hashes_batch(batch, text_col, id_col))
+        if len(ids) == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "n_grams": pa.array([], pa.int64()),
+                    "n_hits": pa.array([], pa.int64()),
+                    "contam_frac": pa.array([], pa.float64()),
+                }
+            )
+        hit = np.zeros(len(grams), dtype=bool)
+        if len(ref):
+            idx = np.searchsorted(ref, grams)
+            idx = np.minimum(idx, len(ref) - 1)
+            hit = ref[idx] == grams
+        bounds = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1], True])
+        doc_ids = ids[bounds[:-1]]
+        n_grams = np.diff(bounds).astype(np.int64)
+        n_hits = np.add.reduceat(hit.astype(np.int64), bounds[:-1])
+        frac = np.round(n_hits / n_grams, 6)
+        return pa.table(
+            {
+                id_col: pa.array(doc_ids, pa.int64()),
+                "n_grams": pa.array(n_grams, pa.int64()),
+                "n_hits": pa.array(n_hits, pa.int64()),
+                "contam_frac": pa.array(frac, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(_score, batch_format="pyarrow")
 
 
 # Gopher quality-rule constants (Rae et al. 2021, "Scaling Language

@@ -218,3 +218,40 @@ def test_embedding_pairs_lsh_subset_of_exact(ray_session):
     for a, b, s in lsh.itertuples(index=False):
         assert (a, b) in exact_pairs
         assert abs(exact_pairs[(a, b)] - s) < 1e-9
+
+
+def test_ngram_overlap_contamination(ray_session):
+    """A doc sharing an 8-token run with a benchmark doc (doc_id % 20 == 0)
+    is flagged; an unrelated doc scores 0; the benchmark doc itself scores
+    1.0 (all its grams are in the set)."""
+    import ray.data
+
+    from marginalia_ray.ops.text_ops import ngram_overlap
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        {"doc_id": 0, "text": bench_text},  # benchmark (0 % 20 == 0)
+        # shares the first 8-token window, then diverges
+        {"doc_id": 1, "text": "alpha beta gamma delta epsilon zeta eta theta xxx yyy zzz www"},
+        {"doc_id": 2, "text": "totally different words with no overlap at all here now ok"},
+        {"doc_id": 3, "text": "tiny doc"},  # < 8 tokens -> folded single gram
+    ]
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+    out = {r["doc_id"]: r for r in ngram_overlap(ds).take_all()}
+    assert out[0]["contam_frac"] == 1.0
+    assert out[0]["n_grams"] == 3  # 10 tokens -> 3 windows
+    assert out[1]["n_hits"] == 1 and 0 < out[1]["contam_frac"] < 1
+    assert out[2]["n_hits"] == 0 and out[2]["contam_frac"] == 0.0
+    assert out[3]["n_grams"] == 1  # folded short-doc gram
+    assert out[3]["n_hits"] == 0
+
+
+def test_ngram_overlap_cap(ray_session):
+    import ray.data
+
+    from marginalia_ray.ops.text_ops import ngram_overlap
+
+    rows = [{"doc_id": 0, "text": " ".join(f"w{i}" for i in range(100))}]
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+    with pytest.raises(RuntimeError, match="benchmark gram set exceeds"):
+        ngram_overlap(ds, max_bench_grams=10).take_all()

@@ -22,6 +22,8 @@ _TOK = "list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), x->x<>'')"
 
 KNN_QUERY_IDS = list(range(8))
 KNN_K = 5
+IVF_LISTS = 16
+IVF_PROBE = 4
 BM25_TERMS = ["spark", "join", "window"]
 JACCARD_THRESHOLD = 0.5
 COSINE_THRESHOLD = 0.4
@@ -157,7 +159,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from marginalia_ray.ops.similarity import knn_cosine_ivf
 
         qm, qids = _query_vectors(sf_dir)
-        return knn_cosine_ivf(_emb(sf_dir), qm, qids, k=KNN_K)
+        # deterministic seeded centroids (not k-means-fit): makes the op a
+        # pure function of the data so the DuckDB oracle can mirror it —
+        # the same inlined-constants pattern as the LSH hyperplanes.  The
+        # k-means quantizer path stays available (centroids=None) and is
+        # pytest-covered.
+        return knn_cosine_ivf(
+            _emb(sf_dir), qm, qids, k=KNN_K, centroids=_ivf_centroids()
+        )
 
     def q_index_search(sf_dir: str):
         import shutil
@@ -339,6 +348,45 @@ def _ngram_overlap_sql() -> str:
  SELECT doc_id, n_grams::BIGINT AS n_grams, n_hits::BIGINT AS n_hits,
    round(n_hits::DOUBLE / n_grams, 6) AS contam_frac
  FROM a"""
+
+
+def _ivf_centroids():
+    import numpy as np
+
+    return np.random.RandomState(13).standard_normal((IVF_LISTS, 64))
+
+
+def _knn_ivf_sql() -> str:
+    """Mirrors ops/similarity.knn_cosine_ivf with the seeded centroids
+    inlined as SQL literals (repr round-trips the exact doubles): probe =
+    top-n_probe centroid lists per query (union over queries), assignment =
+    nearest centroid per vector, then the exact knn_cosine top-k over the
+    restricted set."""
+    cents = _ivf_centroids()
+    rows = ",".join(
+        f"({i}, [{','.join(repr(float(x)) for x in cents[i])}]::DOUBLE[])"
+        for i in range(cents.shape[0])
+    )
+    qid = ",".join(str(i) for i in KNN_QUERY_IDS)
+    return f"""
+ WITH cents AS (SELECT * FROM (VALUES {rows}) AS c(cid, cv)),
+ q AS (SELECT vec_id qid, CAST(embedding AS DOUBLE[]) qe FROM embeddings WHERE vec_id IN ({qid})),
+ probe AS (SELECT DISTINCT cid FROM (
+    SELECT q.qid, c.cid, row_number() OVER (PARTITION BY q.qid
+       ORDER BY list_cosine_similarity(q.qe, c.cv) DESC, c.cid) rn
+    FROM q, cents c) WHERE rn <= {IVF_PROBE}),
+ assign AS (SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
+       ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv) DESC, c.cid) rn
+    FROM embeddings e, cents c) WHERE rn = 1),
+ r0 AS (SELECT e.vec_id, e.embedding FROM embeddings e
+        JOIN assign a ON e.vec_id = a.vec_id
+        WHERE a.cid IN (SELECT cid FROM probe)),
+ s AS (SELECT q.qid query_id, e.vec_id neighbor_id,
+              list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) score
+       FROM q, r0 e WHERE e.vec_id != q.qid),
+ r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) rn FROM s)
+ SELECT query_id, neighbor_id, round(score,6) AS score FROM r WHERE rn <= {KNN_K}"""
 
 
 def _knn_lsh_sql() -> str:
@@ -537,8 +585,8 @@ def oracle_sql() -> dict[str, str]:
         "gopher_quality": _gopher_sql(),
         "repetition_metrics": _repetition_sql(),
         "knn_cosine_lsh": _knn_lsh_sql(),
+        "knn_cosine_ivf": _knn_ivf_sql(),
         "marginalia_search": _marginalia_search_sql(),
-        # simhash_pairs (64-bit wrap-around token-hash bit votes) and
-        # knn_cosine_ivf (k-means on a block-order-dependent sample) are
-        # not SQL-expressible -> rows-only.
+        # simhash_pairs (64-bit wrap-around token-hash bit votes) is not
+        # SQL-expressible -> rows-only.
     }

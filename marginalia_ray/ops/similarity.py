@@ -223,26 +223,32 @@ def knn_cosine_ivf(
     sample_rows: int = 2048,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    centroids: np.ndarray | None = None,
 ):
-    """IVF-flat approximate top-k: k-means coarse quantizer fit on a sample,
-    vectors assigned to inverted lists by nearest centroid, queries probe
-    the n_probe nearest lists only.
+    """IVF-flat approximate top-k: coarse quantizer (k-means fit on a
+    sample by default, or caller-provided `centroids` — e.g. seeded random
+    centroids, which makes the whole op a deterministic pure function of
+    the data and hence SQL-oracle-checkable), vectors assigned to inverted
+    lists by nearest centroid, queries probe the n_probe nearest lists.
 
     Scale path: the centroid table is tiny and broadcast; assignment is one
     matmul per batch; only ~n_probe/n_lists of the data is scored per
     query.  Recall < 1 by construction (same contract as knn_cosine_lsh)."""
     q = np.asarray(query_vectors, dtype=np.float64)
 
-    # fit the coarse quantizer on a limited sample (streaming-friendly)
-    sample_t = ds.limit(sample_rows).to_pandas()
-    sample = np.stack([np.asarray(v, dtype=np.float64) for v in sample_t[vec_col]])
-    sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-30)
-    centroids = _kmeans_fit(sample, n_lists)
+    if centroids is None:
+        # fit the coarse quantizer on a limited sample (streaming-friendly)
+        sample_t = ds.limit(sample_rows).to_pandas()
+        sample = np.stack([np.asarray(v, dtype=np.float64) for v in sample_t[vec_col]])
+        sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-30)
+        centroids = _kmeans_fit(sample, n_lists)
     cn = centroids / np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-30)
     cent_ref = ray.put(cn)
 
     qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-30)
-    probe_lists = np.argsort(-(qn @ cn.T), axis=1)[:, :n_probe]  # (nq, n_probe)
+    # stable sort: centroid-similarity ties break by ascending list id
+    # (deterministic, and what a SQL ORDER BY sim DESC, cid mirror does)
+    probe_lists = np.argsort(-(qn @ cn.T), axis=1, kind="stable")[:, :n_probe]
     probed = set(probe_lists.ravel().tolist())
 
     def _restrict(batch: pa.Table) -> pa.Table:

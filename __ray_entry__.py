@@ -6,10 +6,11 @@ here (or in the library code) calls ``ray.init()`` / ``ray.shutdown()``.
 ``entry()`` runs the flagship Marginalia-style pipeline (plain-text docs
 -> tokenizer actor pool -> journal -> one-shuffle inverted-index build ->
 BM25 search) on sf0.001.  ``queries()`` exposes each implemented operator
-over the sf tables; ``oracle_sql()`` holds the DuckDB equivalents (ops
-whose semantics are not SQL-expressible — LSH candidates, the full
-Marginalia tokenizer — are listed without an oracle and get the weaker
-rows-only check).
+over the sf tables; ``oracle_sql()`` holds a DuckDB equivalent for EVERY
+query (23/23): pure relational/text ops directly, the ANN/sketch family
+via inlined deterministic constants (LSH hyperplanes, IVF centroids, the
+mod-2^64 simhash token-hash chain), and marginalia_search via the
+checked-in golden rank table.
 """
 
 from __future__ import annotations
@@ -389,6 +390,63 @@ def _knn_ivf_sql() -> str:
  SELECT query_id, neighbor_id, round(score,6) AS score FROM r WHERE rn <= {KNN_K}"""
 
 
+def _simhash_sql() -> str:
+    """Mirrors ops/dedup.simhash_pairs exactly: per-token 64-bit hash
+    h = fmix64(poly_FNV(t) ^ len(t)*MIX2) in wrap-around uint64 arithmetic
+    (HUGEINT with split-multiply for the mod-2^64 products, signed-BIGINT
+    xor for the shift-xor steps), per-doc simhash = majority vote over the
+    64 bit positions weighted by token frequency, pairs = hamming distance
+    <= 3 via bit_count(xor).  The pigeonhole bucketing on the Ray side is
+    exact for max_hamming <= 3, so brute-force SQL pairs are identical."""
+    from marginalia_ray.ops.dedup import _MIX2, _P
+
+    M = 1 << 64
+    MB = "18446744073709551616::HUGEINT"
+    HALF = "9223372036854775808::HUGEINT"
+    C1, C2 = 0xFF51AFD7ED558CCD, 0xC4CEB9FE1A85EC53
+    pw = [pow(int(_P), k, M) for k in range(128)]
+    pw_l = "[" + ",".join(str(x) for x in pw) + "]::HUGEINT[]"
+    p2 = [1 << k for k in range(64)]
+    p2_l = "[" + ",".join(str(x) for x in p2) + "]::HUGEINT[]"
+
+    def mulmod(x: str, c: int) -> str:
+        return (
+            f"((({x})//4294967296 * {c}) % 4294967296 * 4294967296"
+            f" + (({x}) % 4294967296) * {c}) % {MB}"
+        )
+
+    def sgn(x: str) -> str:
+        return f"CASE WHEN ({x}) >= {HALF} THEN (({x}) - {MB})::BIGINT ELSE ({x})::BIGINT END"
+
+    def uns(x: str) -> str:
+        return f"CASE WHEN ({x}) < 0 THEN ({x})::HUGEINT + {MB} ELSE ({x})::HUGEINT END"
+
+    xor_shift = f"{uns(f'xor({sgn(chr(104))}, (h // 8589934592)::BIGINT)')}"
+    return f"""
+ WITH pw AS (SELECT {pw_l} AS pw, {p2_l} AS p2),
+ tok AS (SELECT doc_id, unnest({_TOK}) AS t FROM documents),
+ poly AS (SELECT doc_id, list_sum(list_transform(range(1, length(t)+1),
+     i -> (ascii(substr(t,i,1))::HUGEINT * pw[length(t)-i+1]) % {MB})) % {MB} AS p,
+     ({mulmod("length(t)::HUGEINT", int(_MIX2))}) AS lm
+   FROM tok, pw),
+ u0 AS (SELECT doc_id, {uns(f"xor({sgn('p')}, {sgn('lm')})")} AS h FROM poly),
+ f1 AS (SELECT doc_id, {xor_shift} AS h FROM u0),
+ f2 AS (SELECT doc_id, ({mulmod("h", C1)}) AS h FROM f1),
+ f3 AS (SELECT doc_id, {xor_shift} AS h FROM f2),
+ f4 AS (SELECT doc_id, ({mulmod("h", C2)}) AS h FROM f3),
+ f5 AS (SELECT doc_id, {xor_shift} AS h FROM f4),
+ hs AS (SELECT doc_id, list(h) AS hl FROM f5 GROUP BY doc_id),
+ sh AS (SELECT doc_id, list_sum(list_transform(range(1, 65),
+     k -> CASE WHEN 2*len(list_filter(hl, x -> (x // p2[k]) % 2 = 1)) > len(hl)
+               THEN p2[k] ELSE 0::HUGEINT END)) AS s
+   FROM hs, pw),
+ sb AS (SELECT doc_id, {sgn(chr(115))} AS v FROM sh)
+ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        bit_count(xor(a.v, b.v))::BIGINT AS hamming
+ FROM sb a JOIN sb b ON a.doc_id < b.doc_id
+ WHERE bit_count(xor(a.v, b.v)) <= 3"""
+
+
 def _knn_lsh_sql() -> str:
     """Mirrors ops/similarity.knn_cosine_lsh (n_planes=6, seed 7): the
     hyperplane matrix is deterministic, so its 6x64 floats inline as SQL
@@ -586,7 +644,6 @@ def oracle_sql() -> dict[str, str]:
         "repetition_metrics": _repetition_sql(),
         "knn_cosine_lsh": _knn_lsh_sql(),
         "knn_cosine_ivf": _knn_ivf_sql(),
+        "simhash_pairs": _simhash_sql(),
         "marginalia_search": _marginalia_search_sql(),
-        # simhash_pairs (64-bit wrap-around token-hash bit votes) is not
-        # SQL-expressible -> rows-only.
     }

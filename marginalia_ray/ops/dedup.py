@@ -632,7 +632,7 @@ def simhash_pairs(ds, max_hamming: int = 3, text_col: str = "text", id_col: str 
     def _hamming(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
-                             "hamming": pa.array([], pa.int32())})
+                             "hamming": pa.array([], pa.int64())})
         x = batch["simhash_a"].to_numpy(zero_copy_only=False) ^ batch[
             "simhash_b"
         ].to_numpy(zero_copy_only=False)
@@ -645,7 +645,7 @@ def simhash_pairs(ds, max_hamming: int = 3, text_col: str = "text", id_col: str 
             {
                 "doc_a": batch["doc_a"].filter(pa.array(m)),
                 "doc_b": batch["doc_b"].filter(pa.array(m)),
-                "hamming": pa.array(ham[m].astype(np.int32)),
+                "hamming": pa.array(ham[m]),  # int64: uniform with the SQL oracle
             }
         )
 

@@ -9,8 +9,11 @@ Decode support, container-native (no external codec libraries):
   * audio — REAL decoder for RIFF/WAV PCM (stdlib `wave`) with an actual
     numpy MFCC (Hann frames -> power spectrum -> mel filterbank -> log ->
     DCT-II), averaged over frames.
-  * video — no container parser exists in the stdlib; the decode is a
-    gated stub (``fake=True`` pseudo-decode / NotImplementedError).
+  * video — REAL decoder for uncompressed (BI_RGB 'DIB ') AVI: RIFF
+    hdrl/movi parse, bottom-up BGR frame extraction, frame sampling at
+    ~fps_sample with a real per-frame content embedding; compressed
+    codecs (MJPG/H.264) remain gated behind ``fake=True`` /
+    NotImplementedError.
 
 Payloads in unrecognized formats (JPEG, MP3, ...) fall back to the
 ``fake=True`` deterministic pseudo-decode (seeded by content hash) so
@@ -359,9 +362,88 @@ class AudioFeatureStage:
         )
 
 
+def _riff_chunks(data: bytes, start: int, end: int):
+    """Iterate (fourcc, payload_start, payload_size) over a RIFF chunk run.
+    Chunks are word-aligned (odd sizes padded by one byte)."""
+    pos = start
+    while pos + 8 <= end:
+        fcc = data[pos : pos + 4]
+        size = int.from_bytes(data[pos + 4 : pos + 8], "little")
+        body = pos + 8
+        if body + size > end:
+            raise ValueError("truncated riff chunk")
+        yield fcc, body, size
+        pos = body + size + (size & 1)
+
+
+def decode_avi_frames(data: bytes, frame_indices=None):
+    """REAL decoder for uncompressed (BI_RGB 24-bit 'DIB ') AVI video:
+    RIFF('AVI ') -> LIST hdrl (avih main header, strl/strh+strf stream
+    format) -> LIST movi ('00db'/'00dc' raw bottom-up BGR frames with
+    4-byte row padding, the BMP pixel layout).
+
+    Returns (width, height, fps, n_frames, frames) where frames is a dict
+    {frame_index: HxWx3 uint8 RGB} for the requested indices (all frames
+    when frame_indices is None).  Raises ValueError for non-AVI payloads
+    and for compressed codecs (MJPG/H264 need codec libraries)."""
+    import struct
+
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not avi")
+    want = None if frame_indices is None else set(int(i) for i in frame_indices)
+
+    us_per_frame = total_frames = width = height = None
+    bpp, compression = None, None
+    movi = None
+    for fcc, body, size in _riff_chunks(data, 12, len(data)):
+        if fcc != b"LIST":
+            continue
+        list_type = data[body : body + 4]
+        if list_type == b"hdrl":
+            for f2, b2, s2 in _riff_chunks(data, body + 4, body + size):
+                if f2 == b"avih" and s2 >= 40:
+                    us_per_frame, = struct.unpack_from("<I", data, b2)
+                    total_frames, = struct.unpack_from("<I", data, b2 + 16)
+                    width, height = struct.unpack_from("<II", data, b2 + 32)
+                elif f2 == b"LIST" and data[b2 : b2 + 4] == b"strl":
+                    for f3, b3, s3 in _riff_chunks(data, b2 + 4, b2 + s2):
+                        if f3 == b"strf" and s3 >= 20:
+                            # BITMAPINFOHEADER
+                            bpp, = struct.unpack_from("<H", data, b3 + 14)
+                            compression, = struct.unpack_from("<I", data, b3 + 16)
+        elif list_type == b"movi":
+            movi = (body + 4, body + size)
+    if width is None or movi is None:
+        raise ValueError("avi: missing hdrl/movi")
+    if compression not in (0,) or bpp != 24:
+        raise ValueError("avi: compressed or non-24-bit stream (needs codecs)")
+
+    row = (width * 3 + 3) & ~3
+    frames: dict[int, np.ndarray] = {}
+    idx = 0
+    for fcc, body, size in _riff_chunks(data, movi[0], movi[1]):
+        if fcc[2:4] not in (b"db", b"dc"):
+            continue
+        if want is None or idx in want:
+            if size < row * height:
+                raise ValueError("avi: truncated frame")
+            arr = np.frombuffer(data, np.uint8, count=row * height, offset=body)
+            px = arr.reshape(height, row)[:, : width * 3].reshape(height, width, 3)
+            frames[idx] = np.ascontiguousarray(px[::-1, :, ::-1])  # bottom-up BGR
+        idx += 1
+    fps = 1e6 / us_per_frame if us_per_frame else 0.0
+    return int(width), int(height), float(fps), idx, frames
+
+
 class VideoFrameSampleStage:
     """binary video column -> one row per sampled frame:
-    (id, frame_no, ts_s, frame_embedding).  Real path: ffmpeg -> frames."""
+    (id, frame_no, ts_s, frame_embedding).
+
+    Uncompressed ('DIB ' BI_RGB) AVI payloads decode for real
+    (decode_avi_frames) with frame sampling at ~fps_sample and a real
+    content embedding per frame; compressed codecs (MJPG/H.264 need
+    libraries this container lacks) pseudo-decode with ``fake=True`` or
+    raise with ``fake=False``."""
 
     def __init__(self, fps_sample: float = 0.2, max_frames: int = 8,
                  embed_dim: int = 32, fake: bool = True,
@@ -370,13 +452,37 @@ class VideoFrameSampleStage:
         self.embed_dim, self.fake = embed_dim, fake
         self.payload_col, self.id_col = payload_col, id_col
 
+    def _emit_real(self, p: bytes, i, out_id, out_fno, out_ts, out_emb) -> bool:
+        try:
+            w, h, fps, n_frames, _ = decode_avi_frames(p, frame_indices=())
+        except ValueError:
+            return False
+        if n_frames == 0:
+            return False
+        # sample every ~fps/fps_sample-th frame, capped at max_frames
+        step = max(1, int(round(fps / max(self.fps_sample, 1e-9))) or 1)
+        indices = list(range(0, n_frames, step))[: self.max_frames]
+        _, _, _, _, frames = decode_avi_frames(p, frame_indices=indices)
+        for fi in indices:
+            out_id.append(i)
+            out_fno.append(fi)
+            out_ts.append(round(fi / fps, 3) if fps else 0.0)
+            out_emb.append(_image_embedding(frames[fi], self.embed_dim).tolist())
+        return True
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch[self.payload_col].to_pylist()
         ids = batch[self.id_col].to_pylist()
         out_id, out_fno, out_ts, out_emb = [], [], [], []
         for i, p in zip(ids, payloads):
+            if self._emit_real(p, i, out_id, out_fno, out_ts, out_emb):
+                continue
             if not self.fake:
-                raise NotImplementedError("video decode requires ffmpeg; run with fake=True")
+                raise NotImplementedError(
+                    "only uncompressed-DIB AVI decodes natively; other "
+                    "containers/codecs need ffmpeg — run with fake=True to "
+                    "pseudo-decode"
+                )
             rng = _content_rng(p)
             duration = float(rng.uniform(1.0, 120.0))
             n = min(self.max_frames, max(1, int(duration * self.fps_sample)))

@@ -3,9 +3,11 @@
 
 Decode support, container-native (no external codec libraries):
   * images — REAL decoders for PNG (8-bit gray/RGB/RGBA, non-interlaced;
-    zlib + scanline unfilter), binary PPM/PGM, and uncompressed 24-bit
-    BMP; the embedding is a real content feature (normalized grid of
-    block-mean intensities).
+    zlib + scanline unfilter), binary PPM/PGM, uncompressed 24-bit BMP,
+    and baseline JPEG (ops/jpeg.py: Huffman entropy decode, dequant,
+    vectorized 8x8 IDCT, 4:4:4/4:2:2/4:2:0 chroma upsample, restart
+    markers); the embedding is a real content feature (normalized grid
+    of block-mean intensities).
   * audio — REAL decoder for RIFF/WAV PCM (stdlib `wave`) with an actual
     numpy MFCC (Hann frames -> power spectrum -> mel filterbank -> log ->
     DCT-II), averaged over frames.
@@ -15,7 +17,7 @@ Decode support, container-native (no external codec libraries):
     codecs (MJPG/H.264) remain gated behind ``fake=True`` /
     NotImplementedError.
 
-Payloads in unrecognized formats (JPEG, MP3, ...) fall back to the
+Payloads in unrecognized formats (progressive JPEG, MP3, ...) fall back to the
 ``fake=True`` deterministic pseudo-decode (seeded by content hash) so
 pipelines keep streaming, or raise with ``fake=False``.
 
@@ -203,6 +205,14 @@ def decode_image_payload(data: bytes):
             return _decode_ppm(data)
         if data[:2] == b"BM":
             return _decode_bmp(data)
+        if data[:2] == b"\xff\xd8":
+            from marginalia_ray.ops.jpeg import decode_jpeg
+
+            w, h, c, px = decode_jpeg(data)
+            if c == 1:
+                px = np.repeat(px, 3, axis=2)
+                c = 3
+            return w, h, c, px
     except ValueError:
         raise
     except (struct.error, zlib.error, IndexError, KeyError) as ex:
@@ -213,8 +223,8 @@ def decode_image_payload(data: bytes):
 class ImageDecodeStage:
     """binary image column -> (id, width, height, channels, embedding).
 
-    PNG / PPM / BMP payloads decode for real (decode_image_payload);
-    other formats (JPEG/WebP need codec libraries this container lacks)
+    PNG / PPM / BMP / baseline-JPEG payloads decode for real
+    (decode_image_payload); other formats (progressive JPEG, WebP)
     pseudo-decode with ``fake=True`` or raise with ``fake=False``.
     """
 
@@ -238,9 +248,9 @@ class ImageDecodeStage:
                 pass
             if not self.fake:
                 raise NotImplementedError(
-                    "only PNG/PPM/BMP decode natively; JPEG/WebP need PIL "
-                    "(not in this container) — run with fake=True to "
-                    "pseudo-decode unknown formats"
+                    "only PNG/PPM/BMP/baseline-JPEG decode natively; "
+                    "progressive JPEG / WebP need codec libraries — run "
+                    "with fake=True to pseudo-decode unknown formats"
                 )
             rng = _content_rng(p)
             w.append(int(rng.randint(64, 4096)))

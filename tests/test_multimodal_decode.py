@@ -316,3 +316,72 @@ def test_video_stage_unknown_raises_or_fakes():
         VideoFrameSampleStage(fake=False)(t)
     out = VideoFrameSampleStage(fake=True)(t)
     assert out.num_rows >= 1  # deterministic pseudo-decode keeps streaming
+
+
+class TestJpeg:
+    """Baseline JPEG decoder (ops/jpeg.py) against the test-only Annex-K
+    encoder in tests/jpeg_encoder.py (lossy round trip: RMSE-bounded)."""
+
+    def _gradient(self, h, w):
+        yy, xx = np.mgrid[0:h, 0:w]
+        return np.stack([(xx * 7) % 256, (yy * 5) % 256, ((xx + yy) * 3) % 256],
+                        axis=2).astype(np.uint8)
+
+    def test_roundtrip_444(self):
+        from jpeg_encoder import encode_jpeg
+
+        from marginalia_ray.ops.jpeg import decode_jpeg
+
+        px = self._gradient(24, 33)
+        w, h, c, out = decode_jpeg(encode_jpeg(px))
+        assert (w, h, c) == (33, 24, 3)
+        rmse = float(np.sqrt(((out.astype(float) - px) ** 2).mean()))
+        assert rmse < 5.0
+
+    def test_roundtrip_420_and_restarts(self):
+        from jpeg_encoder import encode_jpeg
+
+        from marginalia_ray.ops.jpeg import decode_jpeg
+
+        px = self._gradient(40, 37)
+        for kwargs in ({"subsample": True}, {"restart_interval": 2},
+                       {"subsample": True, "restart_interval": 3}):
+            w, h, c, out = decode_jpeg(encode_jpeg(px, **kwargs))
+            assert (w, h, c) == (37, 40, 3)
+            rmse = float(np.sqrt(((out.astype(float) - px) ** 2).mean()))
+            assert rmse < 8.0, kwargs
+
+    def test_grayscale(self):
+        from jpeg_encoder import encode_jpeg
+
+        from marginalia_ray.ops.jpeg import decode_jpeg
+
+        g = (np.outer(np.arange(16), np.ones(24)) * 10 % 256).astype(np.uint8)
+        w, h, c, out = decode_jpeg(encode_jpeg(g))
+        assert (w, h, c) == (24, 16, 1)
+        rmse = float(np.sqrt(((out[:, :, 0].astype(float) - g) ** 2).mean()))
+        assert rmse < 5.0
+
+    def test_image_stage_decodes_jpeg_for_real(self):
+        from jpeg_encoder import encode_jpeg
+
+        from marginalia_ray.ops.multimodal import ImageDecodeStage
+
+        px = self._gradient(16, 16)
+        t = pa.table({"doc_id": pa.array([1], pa.int64()),
+                      "image": pa.array([encode_jpeg(px)], pa.binary())})
+        out = ImageDecodeStage(fake=False)(t)  # fake=False: real path or bust
+        assert out["width"].to_pylist() == [16]
+        assert out["height"].to_pylist() == [16]
+        assert out["channels"].to_pylist() == [3]
+
+    def test_progressive_rejected(self):
+        from jpeg_encoder import encode_jpeg
+
+        from marginalia_ray.ops.jpeg import decode_jpeg
+
+        data = bytearray(encode_jpeg(self._gradient(8, 8)))
+        i = data.find(b"\xff\xc0")
+        data[i + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+        with pytest.raises(ValueError, match="non-baseline"):
+            decode_jpeg(bytes(data))

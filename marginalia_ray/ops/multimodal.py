@@ -11,11 +11,11 @@ Decode support, container-native (no external codec libraries):
   * audio — REAL decoder for RIFF/WAV PCM (stdlib `wave`) with an actual
     numpy MFCC (Hann frames -> power spectrum -> mel filterbank -> log ->
     DCT-II), averaged over frames.
-  * video — REAL decoder for uncompressed (BI_RGB 'DIB ') AVI: RIFF
-    hdrl/movi parse, bottom-up BGR frame extraction, frame sampling at
-    ~fps_sample with a real per-frame content embedding; compressed
-    codecs (MJPG/H.264) remain gated behind ``fake=True`` /
-    NotImplementedError.
+  * video — REAL decoder for AVI with uncompressed (BI_RGB 'DIB ')
+    or MJPG (per-frame baseline JPEG) streams: RIFF hdrl/movi parse,
+    frame sampling at ~fps_sample with a real per-frame content
+    embedding; inter-frame codecs (H.264/VP9) remain gated behind
+    ``fake=True`` / NotImplementedError.
 
 Payloads in unrecognized formats (progressive JPEG, MP3, ...) fall back to the
 ``fake=True`` deterministic pseudo-decode (seeded by content hash) so
@@ -425,8 +425,13 @@ def decode_avi_frames(data: bytes, frame_indices=None):
             movi = (body + 4, body + size)
     if width is None or movi is None:
         raise ValueError("avi: missing hdrl/movi")
-    if compression not in (0,) or bpp != 24:
-        raise ValueError("avi: compressed or non-24-bit stream (needs codecs)")
+    MJPG = 0x47504A4D  # 'MJPG' little-endian
+    if compression == MJPG:
+        mode = "mjpg"
+    elif compression == 0 and bpp == 24:
+        mode = "dib"
+    else:
+        raise ValueError("avi: unsupported codec (only DIB and MJPG decode natively)")
 
     row = (width * 3 + 3) & ~3
     frames: dict[int, np.ndarray] = {}
@@ -435,11 +440,19 @@ def decode_avi_frames(data: bytes, frame_indices=None):
         if fcc[2:4] not in (b"db", b"dc"):
             continue
         if want is None or idx in want:
-            if size < row * height:
-                raise ValueError("avi: truncated frame")
-            arr = np.frombuffer(data, np.uint8, count=row * height, offset=body)
-            px = arr.reshape(height, row)[:, : width * 3].reshape(height, width, 3)
-            frames[idx] = np.ascontiguousarray(px[::-1, :, ::-1])  # bottom-up BGR
+            if mode == "mjpg":
+                from marginalia_ray.ops.jpeg import decode_jpeg
+
+                fw, fh, fc, px = decode_jpeg(bytes(data[body : body + size]))
+                if fc == 1:
+                    px = np.repeat(px, 3, axis=2)
+                frames[idx] = px
+            else:
+                if size < row * height:
+                    raise ValueError("avi: truncated frame")
+                arr = np.frombuffer(data, np.uint8, count=row * height, offset=body)
+                px = arr.reshape(height, row)[:, : width * 3].reshape(height, width, 3)
+                frames[idx] = np.ascontiguousarray(px[::-1, :, ::-1])  # bottom-up BGR
         idx += 1
     fps = 1e6 / us_per_frame if us_per_frame else 0.0
     return int(width), int(height), float(fps), idx, frames
@@ -449,10 +462,10 @@ class VideoFrameSampleStage:
     """binary video column -> one row per sampled frame:
     (id, frame_no, ts_s, frame_embedding).
 
-    Uncompressed ('DIB ' BI_RGB) AVI payloads decode for real
-    (decode_avi_frames) with frame sampling at ~fps_sample and a real
-    content embedding per frame; compressed codecs (MJPG/H.264 need
-    libraries this container lacks) pseudo-decode with ``fake=True`` or
+    AVI payloads with uncompressed ('DIB ' BI_RGB) or MJPG (per-frame
+    baseline JPEG) streams decode for real (decode_avi_frames) with frame
+    sampling at ~fps_sample and a real content embedding per frame;
+    inter-frame codecs (H.264/VP9) pseudo-decode with ``fake=True`` or
     raise with ``fake=False``."""
 
     def __init__(self, fps_sample: float = 0.2, max_frames: int = 8,
@@ -489,9 +502,8 @@ class VideoFrameSampleStage:
                 continue
             if not self.fake:
                 raise NotImplementedError(
-                    "only uncompressed-DIB AVI decodes natively; other "
-                    "containers/codecs need ffmpeg — run with fake=True to "
-                    "pseudo-decode"
+                    "only DIB/MJPG AVI decodes natively; other containers/"
+                    "codecs need ffmpeg — run with fake=True to pseudo-decode"
                 )
             rng = _content_rng(p)
             duration = float(rng.uniform(1.0, 120.0))

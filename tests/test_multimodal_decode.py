@@ -385,3 +385,47 @@ class TestJpeg:
         data[i + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
         with pytest.raises(ValueError, match="non-baseline"):
             decode_jpeg(bytes(data))
+
+
+def test_mjpg_avi_decode(ray_session):
+    """AVI with an MJPG stream: frames are baseline JPEGs."""
+    import struct
+
+    from jpeg_encoder import encode_jpeg
+
+    from marginalia_ray.ops.multimodal import VideoFrameSampleStage, decode_avi_frames
+
+    h, w, fps, n = 16, 16, 5, 3
+    yy, xx = np.mgrid[0:h, 0:w]
+    frames = [
+        np.stack([(xx * 7 + i * 40) % 256, (yy * 5) % 256, ((xx + yy) * 3) % 256],
+                 axis=2).astype(np.uint8)
+        for i in range(n)
+    ]
+
+    def chunk(fcc, payload):
+        pad = b"\x00" if len(payload) & 1 else b""
+        return fcc + struct.pack("<I", len(payload)) + payload + pad
+
+    def lst(t, payload):
+        return chunk(b"LIST", t + payload)
+
+    avih = struct.pack("<14I", int(1e6 / fps), 0, 0, 0, n, 0, 1, 0, w, h, 0, 0, 0, 0)
+    strh = (b"vids" + b"MJPG" + struct.pack("<I", 0) + struct.pack("<2H", 0, 0)
+            + struct.pack("<8I", 0, 1, fps, 0, n, 0, 0, 0) + struct.pack("<4h", 0, 0, w, h))
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0x47504A4D, 0, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", encode_jpeg(f)) for f in frames))
+    body = hdrl + movi
+    avi = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"AVI " + body
+
+    w2, h2, fps2, n2, out = decode_avi_frames(avi)
+    assert (w2, h2, n2) == (w, h, n)
+    # lossy: bounded error per frame
+    for i in range(n):
+        rmse = float(np.sqrt(((out[i].astype(float) - frames[i]) ** 2).mean()))
+        assert rmse < 8.0
+
+    t = pa.table({"doc_id": pa.array([1], pa.int64()), "video": pa.array([avi], pa.binary())})
+    res = VideoFrameSampleStage(fps_sample=5, max_frames=8, fake=False)(t)
+    assert res["frame_no"].to_pylist() == [0, 1, 2]

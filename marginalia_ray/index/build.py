@@ -297,9 +297,17 @@ def build_index(
         make_explode_fn(rankings_ref, n_shards, n_buckets, boundaries),
         batch_format="pyarrow",
     )
-    # hash-based shuffle (num_partitions) beats the default sort shuffle ~2x
-    # here: keys are already dense integers, no order needed across groups
-    n_parts = min(n_shards * max(1, n_buckets), 128)
+    # sort-based shuffle (Ray's default) with an explicit partition count.
+    # Measured against ShuffleStrategy.HASH_SHUFFLE on this box: hash is
+    # 6-9x SLOWER (48-78s vs 8.3s for the 58k-doc build) because it spawns
+    # one aggregator actor per partition — 128 actors on 32 cpus; keep the
+    # default unless partitions ~= cores.  Partition-count floor scales
+    # with corpus size (~1 partition per 250k docs) so a 100-TB run is not
+    # squeezed through 128 shuffle partitions; the (shard*bucket) group
+    # count stays the upper bound — more partitions than groups would only
+    # create empty work.
+    size_parts = max(128, n_docs_est // 250_000)
+    n_parts = min(n_shards * max(1, n_buckets), size_parts)
     lineage_ds = exploded.groupby("key", num_partitions=n_parts).map_groups(
         make_run_writer(build_dir, n_buckets), batch_format="pyarrow"
     )

@@ -96,13 +96,6 @@ def murmur3_128(data: bytes, seed: int = 0) -> tuple[int, int]:
     return h1, h2
 
 
-def murmur3_64_raw(data: bytes) -> int:
-    """Uncached murmur3_64 — use for large payloads (document bodies):
-    the lru_cache variant would retain the full payload as a cache key,
-    holding multi-GB of bodies resident in every long-lived actor."""
-    return murmur3_128(data)[0]
-
-
 def content_hash64(data: bytes) -> int:
     """Engine-internal 64-bit content hash for document bodies (equality
     comparison only — canonical dedup, re-crawl detection).  blake2b runs
@@ -117,7 +110,7 @@ def murmur3_64(data: bytes) -> int:
     """Guava murmur3_128(b).padToLong() == h1 of x64_128, as unsigned 64.
 
     Cached — intended for short, repeating inputs (terms, urls).  For
-    document-sized payloads call murmur3_64_raw instead."""
+    document-sized payloads use content_hash64 (C-speed, uncached)."""
     return murmur3_128(data)[0]
 
 

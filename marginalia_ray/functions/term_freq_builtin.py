@@ -39,7 +39,7 @@ for _w in (
     " art history party result change morning reason research moment air"
     " force".split()
 ):
-    _WORDS[_w] = _VERY_COMMON
+    _WORDS.setdefault(_w, _VERY_COMMON)
 for _w in (
     "government company group country problem question school state family"
     " student night program system thing war case week company point member"
@@ -47,7 +47,7 @@ for _w in (
     " player ground course report role rate plan market society nature"
     " political field education process performance".split()
 ):
-    _WORDS[_w] = _COMMON
+    _WORDS.setdefault(_w, _COMMON)
 for _w in (
     "alliance politics sole popular population influence authority society"
     " military victory territory achievement bridge river standing command"
@@ -55,7 +55,7 @@ for _w in (
     " death reform calendar citizenship opponent era empire heir program"
     " social".split()
 ):
-    _WORDS[_w] = _FREQUENT
+    _WORDS.setdefault(_w, _FREQUENT)
 
 # "reform" is in the frequent band in real corpora, but here it must stay
 # out: SubjectLikeKeywordsTest's expected set keeps "reforms", which the

@@ -36,6 +36,10 @@ def _md5_hex(col) -> pa.Array:
     copies of the naive loop."""
     arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
     arr = arr.cast(pa.large_binary())
+    if arr.null_count:
+        # a null's offset slice is empty and would silently hash as b"",
+        # diverging from SQL md5(NULL) = NULL — fail fast on bad data
+        raise ValueError("exact_dedup: null text values in input")
     offs = np.frombuffer(arr.buffers()[1], dtype=np.int64)[
         arr.offset : arr.offset + len(arr) + 1
     ]

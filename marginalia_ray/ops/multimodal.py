@@ -416,8 +416,14 @@ def decode_avi_frames(data: bytes, frame_indices=None):
                     total_frames, = struct.unpack_from("<I", data, b2 + 16)
                     width, height = struct.unpack_from("<II", data, b2 + 32)
                 elif f2 == b"LIST" and data[b2 : b2 + 4] == b"strl":
+                    # only the VIDEO stream's strf is a BITMAPINFOHEADER;
+                    # an audio strl's WAVEFORMATEX would clobber bpp/
+                    # compression with garbage (real AVIs carry audio)
+                    is_vids = False
                     for f3, b3, s3 in _riff_chunks(data, b2 + 4, b2 + s2):
-                        if f3 == b"strf" and s3 >= 20:
+                        if f3 == b"strh" and s3 >= 4:
+                            is_vids = data[b3 : b3 + 4] == b"vids"
+                        elif f3 == b"strf" and s3 >= 20 and is_vids:
                             # BITMAPINFOHEADER
                             bpp, = struct.unpack_from("<H", data, b3 + 14)
                             compression, = struct.unpack_from("<I", data, b3 + 16)
@@ -476,21 +482,28 @@ class VideoFrameSampleStage:
         self.payload_col, self.id_col = payload_col, id_col
 
     def _emit_real(self, p: bytes, i, out_id, out_fno, out_ts, out_emb) -> bool:
+        import struct
+        import zlib
+
         try:
             w, h, fps, n_frames, _ = decode_avi_frames(p, frame_indices=())
-        except ValueError:
+            if n_frames == 0:
+                return False
+            # sample every ~fps/fps_sample-th frame, capped at max_frames
+            step = max(1, int(round(fps / max(self.fps_sample, 1e-9))) or 1)
+            indices = list(range(0, n_frames, step))[: self.max_frames]
+            # the frame decode itself must also fall back: a truncated or
+            # corrupt MJPG frame raises after the header parse succeeded
+            _, _, _, _, frames = decode_avi_frames(p, frame_indices=indices)
+            embs = [_image_embedding(frames[fi], self.embed_dim).tolist()
+                    for fi in indices]
+        except (ValueError, IndexError, KeyError, struct.error, zlib.error):
             return False
-        if n_frames == 0:
-            return False
-        # sample every ~fps/fps_sample-th frame, capped at max_frames
-        step = max(1, int(round(fps / max(self.fps_sample, 1e-9))) or 1)
-        indices = list(range(0, n_frames, step))[: self.max_frames]
-        _, _, _, _, frames = decode_avi_frames(p, frame_indices=indices)
-        for fi in indices:
+        for fi, emb in zip(indices, embs):
             out_id.append(i)
             out_fno.append(fi)
             out_ts.append(round(fi / fps, 3) if fps else 0.0)
-            out_emb.append(_image_embedding(frames[fi], self.embed_dim).tolist())
+            out_emb.append(emb)
         return True
 
     def __call__(self, batch: pa.Table) -> pa.Table:

@@ -163,6 +163,11 @@ def fix_canonicals_domain_group(group: pa.Table) -> pa.Table:
     claimed: set[str] = set()  # uncrawled targets already re-keyed to
     doc_ids = group["doc_id"].to_numpy(zero_copy_only=False).astype(U64).copy()
     new_urls = list(urls)
+    # re-keyed ids must not collide with any id already used in this
+    # domain (incl. earlier re-keys): same deterministic +1 probe as
+    # dedup_recrawls_domain_group, else the forward index's keep-first
+    # would silently drop a distinct doc
+    used_ids = {int(d) for d in doc_ids}
     for i in range(n):
         c = canon[i]
         if new_state[i] != "OK" or not c or c == urls[i]:
@@ -172,9 +177,14 @@ def fix_canonicals_domain_group(group: pa.Table) -> pa.Table:
             new_state[i] = "DISQUALIFIED_CANONICAL"
         else:
             claimed.add(c)
-            doc_ids[i] = (doc_ids[i] & ~U64(0xFFFF_FFFF)) | U64(
-                murmur3_64(c.encode("utf-8")) & 0xFFFF_FFFF
-            )
+            high = int(doc_ids[i]) & ~0xFFFF_FFFF
+            low = murmur3_64(c.encode("utf-8")) & 0xFFFF_FFFF
+            cand = high | low
+            while cand in used_ids:
+                low = (low + 1) & 0xFFFF_FFFF
+                cand = high | low
+            used_ids.add(cand)
+            doc_ids[i] = U64(cand)
             new_urls[i] = c
 
     if (

@@ -142,11 +142,14 @@ def _convert_partitioned(
         shutil.rmtree(part_dir, ignore_errors=True)
         part_dir.mkdir(parents=True, exist_ok=True)
         tp = time.time()
+        part_kwargs = convert_kwargs
         if convert_kwargs.get("concurrency") is None:
-            # size the actor pool to the partition's batch count (parquet
+            # size the actor pool to THIS partition's batch count (parquet
             # metadata row count — free): a fixed ncpu-wide pool pays ~3-4s
             # of actor spin-up, which dominates small jobs where most
-            # actors would only ever see a single batch
+            # actors would only ever see a single batch.  Computed into a
+            # per-partition copy — rebinding convert_kwargs would freeze
+            # the first partition's sizing onto every later partition.
             import pyarrow.parquet as _pqm
 
             rows = sum(_pqm.ParquetFile(f).metadata.num_rows for f in group)
@@ -155,12 +158,12 @@ def _convert_partitioned(
                 ncpu = int(ray.cluster_resources().get("CPU", 8))
             except Exception:
                 ncpu = 8
-            convert_kwargs = dict(
+            part_kwargs = dict(
                 convert_kwargs,
                 concurrency=min(max(2, (batches + 3) // 4), max(2, ncpu - 1)),
             )
         ds = ray.data.read_parquet(group, columns=cols)
-        j = convert_pages(ds, **convert_kwargs).filter(expr="state == 'OK'")
+        j = convert_pages(ds, **part_kwargs).filter(expr="state == 'OK'")
         j.write_parquet(str(part_dir))
         import pyarrow.parquet as _pq
 

@@ -438,7 +438,7 @@ class IndexSearcher:
         return ok
 
     # calculatePreliminaryScore, vectorized over all candidates
-    def _score(self, spec: SearchSpec, cand: np.ndarray) -> list[SearchResult]:
+    def _score(self, spec: SearchSpec, cand: np.ndarray) -> dict:
         cand = np.sort(cand)
         n = len(cand)
         url_ids = url_id_of(cand).astype(np.int64)

@@ -521,7 +521,8 @@ def sniff_html_standard(root) -> str:
     if root.find_all("article", "header", "footer", "video", "audio", "canvas"):
         return "HTML5"
     for link in root.find_all("link"):
-        if (link.attrs.get("rel") or "") == "stylesheet":
+        # jsoup attribute selectors match case-insensitively
+        if (link.attrs.get("rel") or "").lower() == "stylesheet":
             return "HTML4"
     return "HTML123"
 

@@ -168,3 +168,36 @@ class TestUrlIdCollision:
         g = _group(rows)
         out = dedup_recrawls_domain_group(g)
         assert out is g
+
+
+class TestRekeyCollision:
+    def test_rekeyed_id_probes_past_existing_doc(self):
+        """A doc re-keyed to an uncrawled canonical whose murmur32 equals an
+        existing doc's low-32 id must NOT produce a duplicate 64-bit id."""
+        from marginalia_ray.functions.hashing import murmur3_64
+
+        canonical = "https://a.example/canonical-target"
+        clash_low = murmur3_64(canonical.encode()) & 0xFFFF_FFFF
+        rows = [
+            # victim doc already occupies the hash slot the re-key wants
+            {"url": "https://a.example/victim", "doc_id": (7 << 32) | clash_low},
+            {"url": "https://a.example/claimer", "canonical": canonical,
+             "doc_id": (7 << 32) | 12345},
+        ]
+        out = fix_canonicals_domain_group(_group(rows))
+        ids = out["doc_id"].to_pylist()
+        assert len(set(ids)) == 2, ids
+        # the claimer probed to the next free slot, deterministically
+        assert ids[1] == (7 << 32) | ((clash_low + 1) & 0xFFFF_FFFF)
+
+    def test_rekey_without_collision_unchanged(self):
+        from marginalia_ray.functions.hashing import murmur3_64
+
+        canonical = "https://a.example/free-target"
+        rows = [
+            {"url": "https://a.example/a"},
+            {"url": "https://a.example/claimer", "canonical": canonical},
+        ]
+        out = fix_canonicals_domain_group(_group(rows))
+        expect = (7 << 32) | (murmur3_64(canonical.encode()) & 0xFFFF_FFFF)
+        assert out["doc_id"].to_pylist()[1] == expect

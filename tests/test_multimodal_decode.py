@@ -429,3 +429,73 @@ def test_mjpg_avi_decode(ray_session):
     t = pa.table({"doc_id": pa.array([1], pa.int64()), "video": pa.array([avi], pa.binary())})
     res = VideoFrameSampleStage(fps_sample=5, max_frames=8, fake=False)(t)
     assert res["frame_no"].to_pylist() == [0, 1, 2]
+
+
+def test_avi_with_audio_stream_still_decodes(ray_session):
+    """Real AVIs carry an audio strl whose strf is a WAVEFORMATEX; it must
+    not clobber the video stream's bpp/compression."""
+    import struct
+
+    from marginalia_ray.ops.multimodal import decode_avi_frames
+
+    rng = np.random.RandomState(5)
+    frames = [rng.randint(0, 256, (4, 4, 3), dtype=np.uint8) for _ in range(2)]
+    base = _encode_avi(frames, fps=10)
+
+    # splice an audio strl (strh 'auds' + 30-byte fake MPEGLAYER3 strf)
+    # into hdrl after the video strl
+    def chunk(fcc, payload):
+        pad = b"\x00" if len(payload) & 1 else b""
+        return fcc + struct.pack("<I", len(payload)) + payload + pad
+
+    def lst(t, payload):
+        return chunk(b"LIST", t + payload)
+
+    strh_a = (b"auds" + b"\x00" * 4 + struct.pack("<I", 0) + struct.pack("<2H", 0, 0)
+              + struct.pack("<8I", 0, 1, 44100, 0, 0, 0, 0, 0) + struct.pack("<4h", 0, 0, 0, 0))
+    strf_a = struct.pack("<HHIIHHH", 0x55, 2, 44100, 176400, 4, 16, 12) + b"\x00" * 12
+    audio_strl = lst(b"strl", chunk(b"strh", strh_a) + chunk(b"strf", strf_a))
+
+    # rebuild: insert audio_strl right before the end of the hdrl LIST
+    i = base.find(b"LIST")
+    size = struct.unpack("<I", base[i + 4 : i + 8])[0]
+    hdrl_end = i + 8 + size
+    new_hdrl_payload = base[i + 8 : hdrl_end] + audio_strl
+    rebuilt = (base[:i] + chunk(b"LIST", new_hdrl_payload) + base[hdrl_end:])
+    # fix RIFF size
+    rebuilt = b"RIFF" + struct.pack("<I", len(rebuilt) - 8) + rebuilt[8:]
+
+    w, h, fps, n, out = decode_avi_frames(rebuilt)
+    assert (w, h, n) == (4, 4, 2)
+    assert np.array_equal(out[0], frames[0])
+
+
+def test_corrupt_mjpg_frame_falls_back_to_fake():
+    """Header parse succeeds but a frame is corrupt: fake=True must keep
+    streaming (pseudo-decode), fake=False must raise NotImplementedError."""
+    import struct
+
+    from marginalia_ray.ops.multimodal import VideoFrameSampleStage
+
+    def chunk(fcc, payload):
+        pad = b"\x00" if len(payload) & 1 else b""
+        return fcc + struct.pack("<I", len(payload)) + payload + pad
+
+    def lst(t, payload):
+        return chunk(b"LIST", t + payload)
+
+    w = h = 8
+    avih = struct.pack("<14I", 100000, 0, 0, 0, 1, 0, 1, 0, w, h, 0, 0, 0, 0)
+    strh = (b"vids" + b"MJPG" + struct.pack("<I", 0) + struct.pack("<2H", 0, 0)
+            + struct.pack("<8I", 0, 1, 10, 0, 1, 0, 0, 0) + struct.pack("<4h", 0, 0, w, h))
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0x47504A4D, 0, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", chunk(b"00dc", b"\xff\xd8garbage-not-a-jpeg"))
+    body = hdrl + movi
+    avi = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"AVI " + body
+
+    t = pa.table({"doc_id": pa.array([1], pa.int64()), "video": pa.array([avi], pa.binary())})
+    out = VideoFrameSampleStage(fake=True)(t)
+    assert out.num_rows >= 1  # pseudo-decode kept the pipeline streaming
+    with pytest.raises(NotImplementedError):
+        VideoFrameSampleStage(fake=False)(t)

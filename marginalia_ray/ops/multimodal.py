@@ -324,12 +324,81 @@ def _wav_features(data: bytes, n_mfcc: int):
     return duration, sr, mfcc.astype(np.float32)
 
 
+# MPEG-1/2/2.5 audio frame-header tables (ISO 11172-3 / 13818-3, public):
+# bitrate kbps by [version_group][layer][index], sample rates by version
+_MP3_BITRATE = {
+    (1, 3): [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320],
+    (1, 2): [0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384],
+    (1, 1): [0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448],
+    (2, 3): [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
+    (2, 2): [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
+    (2, 1): [0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256],
+}
+_MP3_RATES = {3: [44100, 48000, 32000], 2: [22050, 24000, 16000], 0: [11025, 12000, 8000]}
+
+
+def mp3_stream_info(data: bytes, max_frames: int = 200_000):
+    """REAL MPEG-audio frame-header walk (no payload decode): returns
+    (duration_s, sample_rate, n_frames).  Skips a leading ID3v2 tag,
+    resyncs on garbage, sums per-frame durations so VBR streams report
+    the true length.  Raises ValueError if no valid frame is found."""
+    pos = 0
+    if data[:3] == b"ID3" and len(data) >= 10:
+        size = ((data[6] & 0x7F) << 21) | ((data[7] & 0x7F) << 14) | \
+               ((data[8] & 0x7F) << 7) | (data[9] & 0x7F)
+        pos = 10 + size
+    n = len(data)
+    frames = 0
+    duration = 0.0
+    rate_out = 0
+    while pos + 4 <= n and frames < max_frames:
+        b0, b1 = data[pos], data[pos + 1]
+        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+            pos += 1  # resync
+            continue
+        ver_bits = (b1 >> 3) & 3     # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+        layer_bits = (b1 >> 1) & 3   # 3=L1, 2=L2, 1=L3
+        if ver_bits == 1 or layer_bits == 0:
+            pos += 1
+            continue
+        b2 = data[pos + 2]
+        br_idx = (b2 >> 4) & 15
+        sr_idx = (b2 >> 2) & 3
+        padding = (b2 >> 1) & 1
+        if br_idx in (0, 15) or sr_idx == 3:
+            pos += 1
+            continue
+        layer = 4 - layer_bits  # 1/2/3
+        vgroup = 1 if ver_bits == 3 else 2
+        bitrate = _MP3_BITRATE[(vgroup, layer)][br_idx] * 1000
+        rate = _MP3_RATES[ver_bits][sr_idx]
+        if layer == 1:
+            flen = (12 * bitrate // rate + padding) * 4
+            samples = 384
+        else:
+            samples = 1152 if (layer == 2 or vgroup == 1) else 576
+            flen = samples * bitrate // (8 * rate) + padding
+        if flen <= 4:
+            pos += 1
+            continue
+        frames += 1
+        duration += samples / rate
+        rate_out = rate
+        pos += flen
+    if frames == 0:
+        raise ValueError("no mpeg audio frames")
+    return duration, rate_out, frames
+
+
 class AudioFeatureStage:
     """binary audio column -> (id, duration_s, sample_rate, mfcc_mean).
 
-    WAV payloads decode for real (_wav_features); compressed formats
-    (MP3/OGG need codec libraries) pseudo-decode with ``fake=True`` or
-    raise with ``fake=False``."""
+    WAV payloads decode for real (_wav_features).  MP3 payloads get REAL
+    duration/sample-rate metadata from a frame-header walk
+    (mp3_stream_info — VBR-correct, no payload decode); their MFCC stays
+    a content-seeded pseudo-vector (the hybrid filterbank needs codec
+    libraries).  Other compressed formats pseudo-decode with
+    ``fake=True`` or raise with ``fake=False``."""
 
     def __init__(self, n_mfcc: int = 13, fake: bool = True,
                  payload_col: str = "audio", id_col: str = "doc_id"):
@@ -351,6 +420,15 @@ class AudioFeatureStage:
                     # KeyError: unsupported sample width (e.g. 24-bit PCM);
                     # wave.Error/EOFError: corrupt/non-PCM RIFF.  Fall
                     # through to the gated pseudo-decode path below.
+                    pass
+            if p[:3] == b"ID3" or (len(p) > 1 and p[0] == 0xFF and (p[1] & 0xE0) == 0xE0):
+                try:
+                    d, s, _nf = mp3_stream_info(p)
+                    dur.append(float(d)); sr.append(int(s))
+                    # metadata is real; the MFCC needs the codec — seeded
+                    mfcc.append(_content_rng(p).standard_normal(self.n_mfcc).astype(np.float32))
+                    continue
+                except ValueError:
                     pass
             if not self.fake:
                 raise NotImplementedError(

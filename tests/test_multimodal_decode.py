@@ -499,3 +499,38 @@ def test_corrupt_mjpg_frame_falls_back_to_fake():
     assert out.num_rows >= 1  # pseudo-decode kept the pipeline streaming
     with pytest.raises(NotImplementedError):
         VideoFrameSampleStage(fake=False)(t)
+
+
+def test_mp3_stream_info_metadata():
+    """CBR MPEG-1 Layer III synthetic stream: frame-header walk reports
+    the true duration and sample rate without decoding payloads."""
+    import struct
+
+    from marginalia_ray.ops.multimodal import AudioFeatureStage, mp3_stream_info
+
+    # 128 kbps, 44100 Hz, no padding: frame length = 1152*16000/44100 = 417
+    hdr = bytes([0xFF, 0xFB, 0x90, 0x00])  # MPEG1 L3, br_idx=9(128k), sr_idx=0
+    flen = 1152 * 128000 // (8 * 44100)
+    frame = hdr + b"\x00" * (flen - 4)
+    n = 38  # ~1 second
+    id3 = b"ID3" + bytes([4, 0, 0]) + bytes([0, 0, 0, 10]) + b"\x00" * 10
+    data = id3 + frame * n
+
+    dur, rate, frames = mp3_stream_info(data)
+    assert rate == 44100 and frames == n
+    assert abs(dur - n * 1152 / 44100) < 1e-9
+
+    t = pa.table({"doc_id": pa.array([1], pa.int64()),
+                  "audio": pa.array([data], pa.binary())})
+    out = AudioFeatureStage(fake=False)(t)  # real-metadata path, no gate
+    assert out["sample_rate"].to_pylist() == [44100]
+    assert abs(out["duration_s"].to_pylist()[0] - dur) < 1e-9
+
+
+def test_mp3_garbage_still_gated():
+    from marginalia_ray.ops.multimodal import AudioFeatureStage
+
+    t = pa.table({"doc_id": pa.array([1], pa.int64()),
+                  "audio": pa.array([b"ID3\x04\x00\x00\x00\x00\x00\x00nope"], pa.binary())})
+    with pytest.raises(NotImplementedError):
+        AudioFeatureStage(fake=False)(t)

@@ -2,8 +2,9 @@
 `binary` columns with typed metadata.
 
 Decode support, container-native (no external codec libraries):
-  * images — REAL decoders for PNG (8-bit gray/RGB/RGBA, non-interlaced;
-    zlib + scanline unfilter), binary PPM/PGM, uncompressed 24-bit BMP,
+  * images — REAL decoders for PNG (8-bit gray/RGB/RGBA/paletted,
+    non-interlaced; zlib + scanline unfilter), binary PPM/PGM,
+    uncompressed 24-bit BMP,
     and baseline JPEG (ops/jpeg.py: Huffman entropy decode, dequant,
     vectorized 8x8 IDCT, 4:4:4/4:2:2/4:2:0 chroma upsample, restart
     markers); the embedding is a real content feature (normalized grid
@@ -50,15 +51,18 @@ def _content_rng(payload: bytes) -> np.random.RandomState:
 
 
 def _decode_png(data: bytes):
-    """8-bit non-interlaced PNG (gray/gray+a/RGB/RGBA).  zlib inflate +
-    per-scanline unfilter; filters 0/2 vectorize, 1/3/4 carry a left
-    dependency and run per-pixel (encoders in pipelines use 0/2)."""
+    """8-bit non-interlaced PNG (gray/gray+a/RGB/RGBA/paletted).  zlib
+    inflate + per-scanline unfilter; filters 0/2 vectorize, 1/3/4 carry a
+    left dependency and run per-pixel (encoders in pipelines use 0/2).
+    Paletted images (color type 3, the classic legacy-web GIF-replacement)
+    unfilter as 1-channel index rows, then a vectorized PLTE lookup."""
     import struct
     import zlib
 
     if data[:8] != b"\x89PNG\r\n\x1a\n":
         raise ValueError("not png")
     pos, idat, w, h, color_type = 8, b"", None, None, None
+    palette = None
     while pos + 8 <= len(data):
         (length,) = struct.unpack(">I", data[pos : pos + 4])
         ctype = data[pos + 4 : pos + 8]
@@ -70,13 +74,17 @@ def _decode_png(data: bytes):
             )
             if depth != 8 or interlace:
                 raise ValueError("unsupported png variant")
+        elif ctype == b"PLTE":
+            palette = np.frombuffer(chunk, np.uint8).reshape(-1, 3)
         elif ctype == b"IDAT":
             idat += chunk
         elif ctype == b"IEND":
             break
-    if color_type not in (0, 2, 4, 6):
-        raise ValueError("unsupported png color type (paletted?)")
-    channels = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    if color_type == 3 and palette is None:
+        raise ValueError("paletted png without PLTE")
+    if color_type not in (0, 2, 3, 4, 6):
+        raise ValueError("unsupported png color type")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
     stride = w * channels
     if w * h > _MAX_PNG_PIXELS:
         # bound unfilter work: a crafted huge Paeth-filtered image would
@@ -123,7 +131,13 @@ def _decode_png(data: bytes):
                     pred = a if (pa_ <= pb_ and pa_ <= pc_) else (b if pb_ <= pc_ else c)
                     rec[x] = (cur_l[x] + pred) & 0xFF
             out[y] = rec
-    return w, h, channels, out.astype(np.uint8).reshape(h, w, channels)
+    px = out.astype(np.uint8).reshape(h, w, channels)
+    if color_type == 3:
+        idx = px[:, :, 0]
+        if int(idx.max(initial=0)) >= len(palette):
+            raise ValueError("png palette index out of range")
+        return w, h, 3, np.ascontiguousarray(palette[idx])
+    return w, h, channels, px
 
 
 def _decode_ppm(data: bytes):

@@ -534,3 +534,39 @@ def test_mp3_garbage_still_gated():
                   "audio": pa.array([b"ID3\x04\x00\x00\x00\x00\x00\x00nope"], pa.binary())})
     with pytest.raises(NotImplementedError):
         AudioFeatureStage(fake=False)(t)
+
+
+def test_paletted_png_decodes():
+    """Color type 3 (PLTE) — the classic legacy-web indexed PNG."""
+    import struct
+    import zlib
+
+    from marginalia_ray.ops.multimodal import decode_image_payload
+
+    w, h = 5, 4
+    pal = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255], [10, 20, 30]], np.uint8)
+    idx = np.array([[0, 1, 2, 3, 0], [1, 1, 2, 2, 3],
+                    [3, 2, 1, 0, 0], [0, 0, 3, 3, 1]], np.uint8)
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(h))
+
+    def chunk(t, d):
+        c = t + d
+        return struct.pack(">I", len(d)) + c + struct.pack(">I", zlib.crc32(c))
+
+    png = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0))
+           + chunk(b"PLTE", pal.tobytes())
+           + chunk(b"IDAT", zlib.compress(raw))
+           + chunk(b"IEND", b""))
+    w2, h2, c, px = decode_image_payload(png)
+    assert (w2, h2, c) == (5, 4, 3)
+    assert (px == pal[idx]).all()
+
+    # out-of-range palette index is rejected, not silently wrapped
+    bad = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0))
+           + chunk(b"PLTE", pal[:2].tobytes())
+           + chunk(b"IDAT", zlib.compress(b"\x00\x03"))
+           + chunk(b"IEND", b""))
+    with pytest.raises(ValueError):
+        decode_image_payload(bad)

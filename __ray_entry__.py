@@ -7,7 +7,7 @@ here (or in the library code) calls ``ray.init()`` / ``ray.shutdown()``.
 -> tokenizer actor pool -> journal -> one-shuffle inverted-index build ->
 BM25 search) on sf0.001.  ``queries()`` exposes each implemented operator
 over the sf tables; ``oracle_sql()`` holds a DuckDB equivalent for EVERY
-query (23/23): pure relational/text ops directly, the ANN/sketch family
+query (27/27): pure relational/text ops directly, the ANN/sketch family
 via inlined deterministic constants (LSH hyperplanes, IVF centroids, the
 mod-2^64 simhash token-hash chain), and marginalia_search via the
 checked-in golden rank table.
@@ -229,9 +229,58 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
         return sessionize(ev)
 
+    from marginalia_ray.ops.relational import (
+        asof_join,
+        range_join,
+        rolling_window,
+        topk_per_group,
+    )
+
+    def q_asof(sf_dir: str):
+        import ray.data
+
+        ev = ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+        )
+        od = ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+        )
+        return asof_join(ev, od)
+
+    def q_range_join(sf_dir: str):
+        import ray.data
+
+        ev = ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+        )
+        sess = sessionize(
+            ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+        ).select_columns(["user_id", "session_no", "start_us", "end_us"])
+        return range_join(ev, sess)
+
+    def q_rolling(sf_dir: str):
+        import ray.data
+
+        ev = ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+        )
+        return rolling_window(ev)
+
+    def q_topk_group(sf_dir: str):
+        import ray.data
+
+        ev = ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"]
+        )
+        return topk_per_group(ev)
+
     return {
         "domain_stats": q_domain_stats,
         "sessionize": q_sessionize,
+        "asof_join": q_asof,
+        "range_join_sessions": q_range_join,
+        "rolling_window": q_rolling,
+        "topk_per_user": q_topk_group,
         "exact_dedup_apply": q_dedup_apply,
         "sample_by_key": q_sample,
         "token_count": lambda sf: token_count(_docs(sf)),
@@ -588,6 +637,33 @@ def oracle_sql() -> dict[str, str]:
  SELECT user_id, session_no, count(*)::BIGINT AS n_events,
         min(us) AS start_us, max(us) AS end_us
  FROM s GROUP BY user_id, session_no""",
+        "asof_join": """
+ WITH o AS (SELECT o_orderkey, o_custkey AS k, epoch_us(o_orderdate) AS us FROM orders),
+ e AS (SELECT event_id, user_id AS k, epoch_us(ts) AS ts_us FROM events)
+ SELECT e.event_id, e.k AS key, e.ts_us, o.o_orderkey, o.us AS right_ts_us
+ FROM e JOIN o ON e.k = o.k AND o.us <= e.ts_us
+ QUALIFY row_number() OVER (PARTITION BY e.event_id ORDER BY o.us DESC, o.o_orderkey DESC) = 1""",
+        "range_join_sessions": """
+ WITH o AS (SELECT user_id, epoch_us(ts) AS us,
+            CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 30*60*1000000
+                 OR lag(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+       FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+ s AS (SELECT user_id, us, (sum(new_s) OVER (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING)-1)::BIGINT AS session_no FROM o),
+ sess AS (SELECT user_id, session_no, min(us) AS start_us, max(us) AS end_us
+          FROM s GROUP BY user_id, session_no)
+ SELECT e.event_id, e.user_id AS key, epoch_us(e.ts) AS ts_us, sess.session_no
+ FROM events e JOIN sess ON e.user_id = sess.user_id
+  AND epoch_us(e.ts) BETWEEN sess.start_us AND sess.end_us""",
+        "rolling_window": """
+ SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        round(avg(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS ravg
+ FROM events""",
+        "topk_per_user": """
+ SELECT user_id, event_id, value, rn FROM (
+   SELECT user_id, event_id, value,
+          row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id)::BIGINT AS rn
+   FROM events) WHERE rn <= 3""",
         "exact_dedup_apply": """
  SELECT d.doc_id, d.text, d.lang, d.source FROM documents d
  JOIN (SELECT min(doc_id) AS k FROM documents GROUP BY md5(text)) s ON d.doc_id = s.k""",

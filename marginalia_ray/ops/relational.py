@@ -67,6 +67,302 @@ def sample_by_key(ds, fraction: float, key_col: str = "doc_id"):
     return ds.map_batches(_batch, batch_format="pyarrow")
 
 
+def _tag_union(left, right, key_pairs, ts_pairs, left_cols, right_cols):
+    """Normalize two Datasets into ONE schema and union them, tagged by
+    side — the co-partition primitive under asof_join / range_join.
+
+    Ray's ``Dataset.union`` requires block-schema agreement, and feeding
+    heterogeneous map_groups output into later stages is exactly the
+    empty-schema-block failure mode of round 2's minhash join; building
+    the common schema explicitly (absent columns become typed nulls)
+    keeps every block typed no matter which side or partition it came
+    from.  key/ts columns are cast to int64 ("_key", "_ts_us" epoch
+    micros) so the downstream group kernels are pure numpy."""
+    all_cols = list(left_cols) + list(right_cols)
+
+    def _mk(side, key_col, ts_col, own_cols):
+        def _norm(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            ts = batch[ts_col]
+            if pa.types.is_timestamp(ts.type):
+                ts = pc.cast(pc.cast(ts, pa.timestamp("us")), pa.int64())
+            else:
+                ts = pc.cast(ts, pa.int64())
+            cols = {
+                "_key": pc.cast(batch[key_col], pa.int64()),
+                "_ts_us": ts,
+                "_side": pa.array(np.full(n, side, dtype=np.int8)),
+            }
+            for c in all_cols:
+                if c in own_cols:
+                    cols[c] = batch[c]
+                else:
+                    cols[c] = pa.nulls(n, pa.int64())
+            return pa.table(cols)
+
+        return _norm
+
+    lk, rk = key_pairs
+    lt, rt = ts_pairs
+    return left.map_batches(
+        _mk(0, lk, lt, set(left_cols)), batch_format="pyarrow"
+    ).union(right.map_batches(_mk(1, rk, rt, set(right_cols)), batch_format="pyarrow"))
+
+
+def asof_join(
+    left,
+    right,
+    *,
+    on=("user_id", "o_custkey"),
+    ts=("ts", "o_orderdate"),
+    left_cols=("event_id",),
+    right_cols=("o_orderkey",),
+):
+    """Distributed as-of join: for each left row, the single right row of
+    the same key with the greatest right-ts <= left-ts (inner semantics;
+    ties on right-ts resolved to the row with the greatest right_cols
+    values, lexicographically — deterministic on both engines).
+
+    Plan: normalize both sides into one schema, union, ONE hash shuffle
+    on the key, then a per-group numpy merge (sort right by ts,
+    searchsorted the left timestamps).  No row ever leaves its key
+    partition, so this scales as a single groupby regardless of the
+    time-range blowup a naive range-predicate join would pay (the sf0.01
+    oracle's intermediate is ~10x its output).  Partitioning assumption:
+    one key's rows fit in one group — salt hot keys by coarse time
+    bucket upstream if that breaks.
+
+    Output: left_cols + (_key as key, _ts_us) + right_cols + right_ts_us.
+    """
+    tagged = _tag_union(left, right, on, ts, left_cols, right_cols)
+    l_cols = list(left_cols)
+    r_cols = list(right_cols)
+
+    out_schema = pa.schema(
+        [(c, pa.int64()) for c in l_cols]
+        + [("key", pa.int64()), ("ts_us", pa.int64())]
+        + [(c, pa.int64()) for c in r_cols]
+        + [("right_ts_us", pa.int64())]
+    )
+
+    def _merge(group: pa.Table) -> pa.Table:
+        side = group["_side"].to_numpy(zero_copy_only=False)
+        ts_us = group["_ts_us"].to_numpy(zero_copy_only=False)
+        lmask = side == 0
+        rmask = ~lmask
+        if not lmask.any() or not rmask.any():
+            return out_schema.empty_table()
+        r_ts = ts_us[rmask]
+        # fill_null before to_numpy: the union schema holds the other
+        # side's payload as typed nulls, and a null-bearing int64 column
+        # would otherwise round-trip through float64 (lossy above 2^53 —
+        # hash-width doc ids)
+        r_payload = [
+            pc.fill_null(group[c], 0).to_numpy(zero_copy_only=False)[rmask]
+            for c in r_cols
+        ]
+        # sort right by (ts, payload...): after this, searchsorted's
+        # "last index with ts <= t" is also the max-payload tie winner
+        order = np.lexsort(tuple(reversed(r_payload)) + (r_ts,))
+        r_ts = r_ts[order]
+        r_payload = [p[order] for p in r_payload]
+        l_ts = ts_us[lmask]
+        idx = np.searchsorted(r_ts, l_ts, side="right") - 1
+        hit = idx >= 0
+        idx = idx[hit]
+        cols = {}
+        for c in l_cols:
+            cols[c] = pa.array(
+                pc.fill_null(group[c], 0)
+                .to_numpy(zero_copy_only=False)[lmask][hit]
+                .astype(np.int64)
+            )
+        cols["key"] = pa.array(group["_key"].to_numpy(zero_copy_only=False)[lmask][hit])
+        cols["ts_us"] = pa.array(l_ts[hit])
+        for c, p in zip(r_cols, r_payload):
+            cols[c] = pa.array(p[idx].astype(np.int64))
+        cols["right_ts_us"] = pa.array(r_ts[idx])
+        return pa.table(cols, schema=out_schema)
+
+    return tagged.groupby("_key").map_groups(_merge, batch_format="pyarrow")
+
+
+def range_join(
+    left,
+    right,
+    *,
+    on=("user_id", "user_id"),
+    left_ts="ts",
+    right_start="start_us",
+    right_end="end_us",
+    left_cols=("event_id",),
+    right_cols=("session_no",),
+):
+    """Distributed equi+range join: left rows matched to the right-side
+    interval [start, end] of the same key that contains left-ts.
+
+    Same co-partition plan as asof_join (one hash shuffle, per-group
+    searchsorted over interval starts).  Assumes the right side's
+    intervals are NON-OVERLAPPING within a key (true for gap sessions,
+    shard epochs, validity windows); overlapping intervals would need
+    the start-sorted sweep to also scan backwards — documented, not
+    silently wrong: with overlaps only the latest-starting containing
+    interval is reported."""
+    tagged = _tag_union(
+        left, right, on, (left_ts, right_start), left_cols, list(right_cols) + [right_end]
+    )
+    l_cols = list(left_cols)
+    r_cols = list(right_cols)
+    out_schema = pa.schema(
+        [(c, pa.int64()) for c in l_cols]
+        + [("key", pa.int64()), ("ts_us", pa.int64())]
+        + [(c, pa.int64()) for c in r_cols]
+    )
+
+    def _merge(group: pa.Table) -> pa.Table:
+        side = group["_side"].to_numpy(zero_copy_only=False)
+        ts_us = group["_ts_us"].to_numpy(zero_copy_only=False)
+        lmask = side == 0
+        rmask = ~lmask
+        if not lmask.any() or not rmask.any():
+            return out_schema.empty_table()
+        starts = ts_us[rmask]
+        ends = (
+            pc.fill_null(group[right_end], 0)
+            .to_numpy(zero_copy_only=False)[rmask]
+            .astype(np.int64)
+        )
+        r_payload = [
+            pc.fill_null(group[c], 0).to_numpy(zero_copy_only=False)[rmask]
+            for c in r_cols
+        ]
+        order = np.argsort(starts, kind="stable")
+        starts, ends = starts[order], ends[order]
+        r_payload = [p[order] for p in r_payload]
+        l_ts = ts_us[lmask]
+        idx = np.searchsorted(starts, l_ts, side="right") - 1
+        hit = (idx >= 0) & (l_ts <= ends[np.maximum(idx, 0)])
+        idx = idx[hit]
+        cols = {}
+        for c in l_cols:
+            cols[c] = pa.array(
+                pc.fill_null(group[c], 0)
+                .to_numpy(zero_copy_only=False)[lmask][hit]
+                .astype(np.int64)
+            )
+        cols["key"] = pa.array(group["_key"].to_numpy(zero_copy_only=False)[lmask][hit])
+        cols["ts_us"] = pa.array(l_ts[hit])
+        for c, p in zip(r_cols, r_payload):
+            cols[c] = pa.array(p[idx].astype(np.int64))
+        return pa.table(cols, schema=out_schema)
+
+    return tagged.groupby("_key").map_groups(_merge, batch_format="pyarrow")
+
+
+def rolling_window(
+    ds,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    tie_col: str = "event_id",
+    window: int = 3,
+):
+    """Per-key rolling mean over the trailing `window` rows ordered by
+    (ts, tie): SQL's AVG(val) OVER (PARTITION BY key ORDER BY ts, tie
+    ROWS BETWEEN window-1 PRECEDING AND CURRENT ROW).
+
+    One shuffle (groupby key); the window never crosses keys so there is
+    no partial-combiner form — the group kernel is a vectorized sliding
+    sum (left-to-right adds, matching SQL engines' accumulation order so
+    rounded values hash-match).  Output: (tie, key, ts_us, ravg)."""
+    w = int(window)
+
+    def _roll(group: pa.Table) -> pa.Table:
+        ts = group[ts_col]
+        if pa.types.is_timestamp(ts.type):
+            ts = pc.cast(pc.cast(ts, pa.timestamp("us")), pa.int64())
+        ts_us = ts.to_numpy(zero_copy_only=False)
+        tie = group[tie_col].to_numpy(zero_copy_only=False)
+        val = group[val_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        order = np.lexsort((tie, ts_us))
+        ts_us, tie, val = ts_us[order], tie[order], val[order]
+        n = len(val)
+        # sliding sum with explicit adds in FRAME order (oldest row
+        # first, as a SQL engine's naive window sum walks the frame;
+        # no cumsum-diff — its cancellation error differs)
+        acc = np.zeros(n, dtype=np.float64)
+        for d in range(w - 1, 0, -1):
+            acc[d:] += val[:-d]
+        acc += val
+        counts = np.minimum(np.arange(n) + 1, w)
+        ravg = np.round(acc / counts, 6)
+        return pa.table(
+            {
+                tie_col: pa.array(tie),
+                key_col: group[key_col].take(pa.array(order)),
+                "ts_us": pa.array(ts_us),
+                "ravg": pa.array(ravg, pa.float64()),
+            }
+        )
+
+    return ds.groupby(key_col).map_groups(_roll, batch_format="pyarrow")
+
+
+def topk_per_group(
+    ds,
+    *,
+    key_col: str = "user_id",
+    val_col: str = "value",
+    tie_col: str = "event_id",
+    k: int = 3,
+):
+    """Top-k rows per key by value (desc; ties broken by tie_col asc) with
+    their 1-based rank — row_number() OVER (PARTITION BY key ORDER BY
+    val DESC, tie) <= k.
+
+    Scale path: a per-BATCH top-k combiner runs before the shuffle, so at
+    most k rows per (key, batch) enter the groupby — the shuffle moves
+    O(k * distinct_keys) rows, not the corpus."""
+    kk = int(k)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.select([key_col, val_col, tie_col])
+        key = batch[key_col].to_numpy(zero_copy_only=False)
+        val = batch[val_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        tie = batch[tie_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((tie, -val, key))
+        key_s = key[order]
+        runs = np.r_[True, key_s[1:] != key_s[:-1]]
+        starts = np.flatnonzero(runs)
+        pos = np.arange(len(key_s)) - np.repeat(starts, np.diff(np.r_[starts, len(key_s)]))
+        keep = order[pos < kk]
+        return pa.table(
+            {key_col: pa.array(key[keep]), val_col: pa.array(val[keep], pa.float64()),
+             tie_col: pa.array(tie[keep])}
+        )
+
+    def _final(group: pa.Table) -> pa.Table:
+        val = group[val_col].to_numpy(zero_copy_only=False)
+        tie = group[tie_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((tie, -val))[:kk]
+        return pa.table(
+            {
+                key_col: group[key_col].take(pa.array(order)),
+                tie_col: pa.array(tie[order]),
+                val_col: pa.array(val[order], pa.float64()),
+                "rn": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby(key_col)
+        .map_groups(_final, batch_format="pyarrow")
+    )
+
+
 def sessionize(ds, gap_minutes: int = 30, user_col: str = "user_id", ts_col: str = "ts"):
     """Gap-based sessionization of an event log: one row per (user, session)
     with (user_id, session_no, n_events, start_ts, end_ts).

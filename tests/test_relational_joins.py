@@ -1,0 +1,138 @@
+"""asof_join / range_join / rolling_window / topk_per_group edge cases.
+
+The sf-scale value parity vs DuckDB lives in test_oracle.py; these cover
+the group-kernel edges: keys with only one side present, right-ts ties,
+interval boundaries (inclusive ends), short rolling prefixes, and the
+per-batch top-k combiner."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _ds(tbl: pa.Table):
+    import ray.data
+
+    return ray.data.from_arrow(tbl)
+
+
+TS0 = 1_700_000_000_000_000  # epoch micros
+
+
+def _ts(us):
+    return pa.array(np.asarray(us, dtype="int64"), pa.timestamp("us"))
+
+
+def test_asof_join_picks_latest_prior_and_breaks_ties(ray_session):
+    from marginalia_ray.ops.relational import asof_join
+
+    left = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+            "user_id": pa.array([7, 7, 7], pa.int64()),
+            "ts": _ts([TS0 + 50, TS0 + 150, TS0 - 10]),
+        }
+    )
+    right = pa.table(
+        {
+            # two orders at the same ts (TS0+100): the max orderkey wins;
+            # event 3 predates every order -> dropped (inner)
+            "o_orderkey": pa.array([10, 11, 12, 13], pa.int64()),
+            "o_custkey": pa.array([7, 7, 7, 7], pa.int64()),
+            "o_orderdate": _ts([TS0, TS0 + 100, TS0 + 100, TS0 + 400]),
+        }
+    )
+    out = asof_join(_ds(left), _ds(right)).to_pandas().set_index("event_id")
+    assert sorted(out.index) == [1, 2]
+    assert out.loc[1, "o_orderkey"] == 10
+    assert out.loc[2, "o_orderkey"] == 12  # ts tie -> max orderkey
+    assert out.loc[2, "right_ts_us"] == TS0 + 100
+
+
+def test_asof_join_single_sided_keys_emit_nothing(ray_session):
+    from marginalia_ray.ops.relational import asof_join
+
+    left = pa.table(
+        {
+            "event_id": pa.array([1], pa.int64()),
+            "user_id": pa.array([1], pa.int64()),
+            "ts": _ts([TS0]),
+        }
+    )
+    right = pa.table(
+        {
+            "o_orderkey": pa.array([9], pa.int64()),
+            "o_custkey": pa.array([2], pa.int64()),  # different key
+            "o_orderdate": _ts([TS0 - 5]),
+        }
+    )
+    assert asof_join(_ds(left), _ds(right)).count() == 0
+
+
+def test_range_join_boundaries_inclusive(ray_session):
+    from marginalia_ray.ops.relational import range_join
+
+    left = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "user_id": pa.array([5, 5, 5, 5], pa.int64()),
+            "ts": _ts([TS0, TS0 + 100, TS0 + 101, TS0 + 250]),
+        }
+    )
+    right = pa.table(
+        {
+            "user_id": pa.array([5, 5], pa.int64()),
+            "session_no": pa.array([0, 1], pa.int64()),
+            "start_us": pa.array([TS0, TS0 + 200], pa.int64()),
+            "end_us": pa.array([TS0 + 100, TS0 + 300], pa.int64()),
+        }
+    )
+    out = range_join(_ds(left), _ds(right)).to_pandas().set_index("event_id")
+    # both ends inclusive; the gap row (ts=+101) matches nothing
+    assert out.loc[1, "session_no"] == 0
+    assert out.loc[2, "session_no"] == 0
+    assert 3 not in out.index
+    assert out.loc[4, "session_no"] == 1
+
+
+def test_rolling_window_prefix_and_order(ray_session):
+    from marginalia_ray.ops.relational import rolling_window
+
+    tbl = pa.table(
+        {
+            "event_id": pa.array([3, 1, 2], pa.int64()),
+            "user_id": pa.array([1, 1, 1], pa.int64()),
+            # same ts for events 1 and 2: event_id breaks the order
+            "ts": _ts([TS0 + 10, TS0, TS0]),
+            "value": pa.array([30.0, 10.0, 20.0], pa.float64()),
+        }
+    )
+    out = rolling_window(_ds(tbl)).to_pandas().set_index("event_id")
+    assert out.loc[1, "ravg"] == pytest.approx(10.0)
+    assert out.loc[2, "ravg"] == pytest.approx(15.0)
+    assert out.loc[3, "ravg"] == pytest.approx(20.0)
+
+
+def test_topk_per_group_combiner_matches_global(ray_session):
+    """Split the same rows across many blocks: the per-batch combiner must
+    not change the global answer."""
+    import ray.data
+
+    from marginalia_ray.ops.relational import topk_per_group
+
+    rng = np.random.RandomState(7)
+    n = 400
+    tbl = pa.table(
+        {
+            "event_id": pa.array(np.arange(n), pa.int64()),
+            "user_id": pa.array(rng.randint(0, 5, n), pa.int64()),
+            "value": pa.array(rng.rand(n).round(3), pa.float64()),
+        }
+    )
+    whole = topk_per_group(_ds(tbl)).to_pandas()
+    split = topk_per_group(ray.data.from_arrow(tbl).repartition(16)).to_pandas()
+    key = ["user_id", "rn"]
+    whole = whole.sort_values(key).reset_index(drop=True)
+    split = split.sort_values(key).reset_index(drop=True)
+    assert whole.equals(split)
+    assert (whole.groupby("user_id")["rn"].max() <= 3).all()

@@ -18,9 +18,11 @@ Decode support, container-native (no external codec libraries):
     embedding; inter-frame codecs (H.264/VP9) remain gated behind
     ``fake=True`` / NotImplementedError.
 
-Payloads in unrecognized formats (progressive JPEG, MP3, ...) fall back to the
-``fake=True`` deterministic pseudo-decode (seeded by content hash) so
-pipelines keep streaming, or raise with ``fake=False``.
+Payloads in unrecognized formats (progressive JPEG, Vorbis, ...) fall back to
+the ``fake=True`` deterministic pseudo-decode (seeded by content hash) so
+pipelines keep streaming, or raise with ``fake=False``.  MP3 is a hybrid:
+duration/sample-rate metadata come from a REAL frame-header walk
+(mp3_stream_info); only its MFCC stays pseudo.
 
 Scale design: payload columns are fat, so these stages run with SMALL
 batch sizes (default 16) and actor pools; the binary column is dropped
@@ -205,10 +207,10 @@ def _image_embedding(px: np.ndarray, dim: int) -> np.ndarray:
 
 
 def decode_image_payload(data: bytes):
-    """(w, h, channels, pixels) for PNG / PPM / BMP.  Raises ValueError for
-    unrecognized formats AND for corrupt/unsupported files of a recognized
-    format (truncated chunks, paletted PNGs, 16-bit PPMs, ...) so callers
-    have one fallback path."""
+    """(w, h, channels, pixels) for PNG (incl. paletted) / PPM / BMP.
+    Raises ValueError for unrecognized formats AND for corrupt/unsupported
+    files of a recognized format (truncated chunks, interlaced PNGs,
+    16-bit PPMs, ...) so callers have one fallback path."""
     import struct
     import zlib
 
@@ -355,7 +357,12 @@ def mp3_stream_info(data: bytes, max_frames: int = 200_000):
     """REAL MPEG-audio frame-header walk (no payload decode): returns
     (duration_s, sample_rate, n_frames).  Skips a leading ID3v2 tag,
     resyncs on garbage, sums per-frame durations so VBR streams report
-    the true length.  Raises ValueError if no valid frame is found."""
+    the true length.  Raises ValueError if no valid frame is found.
+
+    Only COMPLETE frames count (a truncated final frame is ignored);
+    if the max_frames walk cap (a DoS guard) is hit, the remaining
+    bytes' duration is extrapolated from the walked frames' mean
+    bytes/sec, so very long streams still report ~the full length."""
     pos = 0
     if data[:3] == b"ID3" and len(data) >= 10:
         size = ((data[6] & 0x7F) << 21) | ((data[7] & 0x7F) << 14) | \
@@ -395,12 +402,21 @@ def mp3_stream_info(data: bytes, max_frames: int = 200_000):
         if flen <= 4:
             pos += 1
             continue
+        if pos + flen > n:
+            break  # truncated final frame: header present, payload cut
+        if frames == 0:
+            first_frame_pos = pos
         frames += 1
         duration += samples / rate
         rate_out = rate
         pos += flen
     if frames == 0:
         raise ValueError("no mpeg audio frames")
+    if frames >= max_frames and pos < n:
+        # walk cap hit: extrapolate the unwalked tail at the walked
+        # frames' mean bytes/sec (exact for CBR, close for VBR)
+        walked = max(pos - first_frame_pos, 1)
+        duration += (n - pos) * duration / walked
     return duration, rate_out, frames
 
 

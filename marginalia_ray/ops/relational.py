@@ -67,6 +67,46 @@ def sample_by_key(ds, fraction: float, key_col: str = "doc_id"):
     return ds.map_batches(_batch, batch_format="pyarrow")
 
 
+def _to_epoch_us(arr, name: str):
+    """timestamp/date -> epoch-micros int64; integer columns pass through
+    as int64 (contract: already epoch micros); anything else is a loud
+    TypeError — a blind cast would either crash inside a Ray task
+    (date32) or silently compare milliseconds against microseconds."""
+    t = arr.type
+    if pa.types.is_timestamp(t) or pa.types.is_date(t):
+        return pc.cast(pc.cast(arr, pa.timestamp("us")), pa.int64())
+    if pa.types.is_integer(t):
+        return pc.cast(arr, pa.int64())
+    raise TypeError(
+        f"column {name!r}: expected timestamp/date or epoch-micros integer, got {t}"
+    )
+
+
+def _norm_payload(arr, name: str):
+    """Validate + normalize a join payload column to non-null int64.
+
+    The co-partition join carries payloads through a union whose other
+    side holds typed nulls, and the group kernels round-trip through
+    numpy — only integer/timestamp payloads survive that exactly.
+    Floats/strings raise (join on an id and fetch other columns with a
+    post-join lookup); source nulls raise (they would be
+    indistinguishable from the other side's fill)."""
+    t = arr.type
+    if pa.types.is_timestamp(t) or pa.types.is_date(t):
+        arr = pc.cast(pc.cast(arr, pa.timestamp("us")), pa.int64())
+    elif pa.types.is_integer(t):
+        arr = pc.cast(arr, pa.int64())
+    else:
+        raise TypeError(
+            f"payload column {name!r}: only integer/timestamp payloads ride "
+            f"through the co-partition join (got {t}); join on an id and "
+            "fetch wide columns with a post-join lookup"
+        )
+    if arr.null_count:
+        raise TypeError(f"payload column {name!r} contains nulls")
+    return arr
+
+
 def _tag_union(left, right, key_pairs, ts_pairs, left_cols, right_cols):
     """Normalize two Datasets into ONE schema and union them, tagged by
     side — the co-partition primitive under asof_join / range_join.
@@ -74,28 +114,25 @@ def _tag_union(left, right, key_pairs, ts_pairs, left_cols, right_cols):
     Ray's ``Dataset.union`` requires block-schema agreement, and feeding
     heterogeneous map_groups output into later stages is exactly the
     empty-schema-block failure mode of round 2's minhash join; building
-    the common schema explicitly (absent columns become typed nulls)
-    keeps every block typed no matter which side or partition it came
-    from.  key/ts columns are cast to int64 ("_key", "_ts_us" epoch
-    micros) so the downstream group kernels are pure numpy."""
+    the common schema explicitly (absent columns become typed int64
+    nulls, owned payloads validated + normalized to int64 by
+    _norm_payload) keeps every block identically typed no matter which
+    side or partition it came from.  key/ts columns are cast to int64
+    ("_key", "_ts_us" epoch micros) so the group kernels are pure
+    numpy."""
     all_cols = list(left_cols) + list(right_cols)
 
     def _mk(side, key_col, ts_col, own_cols):
         def _norm(batch: pa.Table) -> pa.Table:
             n = batch.num_rows
-            ts = batch[ts_col]
-            if pa.types.is_timestamp(ts.type):
-                ts = pc.cast(pc.cast(ts, pa.timestamp("us")), pa.int64())
-            else:
-                ts = pc.cast(ts, pa.int64())
             cols = {
                 "_key": pc.cast(batch[key_col], pa.int64()),
-                "_ts_us": ts,
+                "_ts_us": _to_epoch_us(batch[ts_col], ts_col),
                 "_side": pa.array(np.full(n, side, dtype=np.int8)),
             }
             for c in all_cols:
                 if c in own_cols:
-                    cols[c] = batch[c]
+                    cols[c] = _norm_payload(batch[c], c)
                 else:
                     cols[c] = pa.nulls(n, pa.int64())
             return pa.table(cols)
@@ -107,6 +144,28 @@ def _tag_union(left, right, key_pairs, ts_pairs, left_cols, right_cols):
     return left.map_batches(
         _mk(0, lk, lt, set(left_cols)), batch_format="pyarrow"
     ).union(right.map_batches(_mk(1, rk, rt, set(right_cols)), batch_format="pyarrow"))
+
+
+def _group_payload(group: pa.Table, col: str, mask) -> np.ndarray:
+    """Extract a payload column's rows for one side as int64 numpy.
+    fill_null(0) only neutralizes the OTHER side's typed nulls (masked
+    out right after) — owned-side nulls were rejected at _tag_union."""
+    return (
+        pc.fill_null(group[col], 0)
+        .to_numpy(zero_copy_only=False)[mask]
+        .astype(np.int64)
+    )
+
+
+def _emit_left(group: pa.Table, l_cols, lmask, hit, l_ts) -> dict:
+    """Output columns shared by both join kernels: the matched left
+    rows' payloads + (key, ts_us)."""
+    cols = {}
+    for c in l_cols:
+        cols[c] = pa.array(_group_payload(group, c, lmask)[hit])
+    cols["key"] = pa.array(group["_key"].to_numpy(zero_copy_only=False)[lmask][hit])
+    cols["ts_us"] = pa.array(l_ts[hit])
+    return cols
 
 
 def asof_join(
@@ -133,6 +192,8 @@ def asof_join(
     bucket upstream if that breaks.
 
     Output: left_cols + (_key as key, _ts_us) + right_cols + right_ts_us.
+    Payload columns must be non-null integer/timestamp (validated loudly
+    at _tag_union); carry wide/float columns with a post-join lookup.
     """
     tagged = _tag_union(left, right, on, ts, left_cols, right_cols)
     l_cols = list(left_cols)
@@ -153,14 +214,7 @@ def asof_join(
         if not lmask.any() or not rmask.any():
             return out_schema.empty_table()
         r_ts = ts_us[rmask]
-        # fill_null before to_numpy: the union schema holds the other
-        # side's payload as typed nulls, and a null-bearing int64 column
-        # would otherwise round-trip through float64 (lossy above 2^53 —
-        # hash-width doc ids)
-        r_payload = [
-            pc.fill_null(group[c], 0).to_numpy(zero_copy_only=False)[rmask]
-            for c in r_cols
-        ]
+        r_payload = [_group_payload(group, c, rmask) for c in r_cols]
         # sort right by (ts, payload...): after this, searchsorted's
         # "last index with ts <= t" is also the max-payload tie winner
         order = np.lexsort(tuple(reversed(r_payload)) + (r_ts,))
@@ -170,17 +224,9 @@ def asof_join(
         idx = np.searchsorted(r_ts, l_ts, side="right") - 1
         hit = idx >= 0
         idx = idx[hit]
-        cols = {}
-        for c in l_cols:
-            cols[c] = pa.array(
-                pc.fill_null(group[c], 0)
-                .to_numpy(zero_copy_only=False)[lmask][hit]
-                .astype(np.int64)
-            )
-        cols["key"] = pa.array(group["_key"].to_numpy(zero_copy_only=False)[lmask][hit])
-        cols["ts_us"] = pa.array(l_ts[hit])
+        cols = _emit_left(group, l_cols, lmask, hit, l_ts)
         for c, p in zip(r_cols, r_payload):
-            cols[c] = pa.array(p[idx].astype(np.int64))
+            cols[c] = pa.array(p[idx])
         cols["right_ts_us"] = pa.array(r_ts[idx])
         return pa.table(cols, schema=out_schema)
 
@@ -227,15 +273,8 @@ def range_join(
         if not lmask.any() or not rmask.any():
             return out_schema.empty_table()
         starts = ts_us[rmask]
-        ends = (
-            pc.fill_null(group[right_end], 0)
-            .to_numpy(zero_copy_only=False)[rmask]
-            .astype(np.int64)
-        )
-        r_payload = [
-            pc.fill_null(group[c], 0).to_numpy(zero_copy_only=False)[rmask]
-            for c in r_cols
-        ]
+        ends = _group_payload(group, right_end, rmask)
+        r_payload = [_group_payload(group, c, rmask) for c in r_cols]
         order = np.argsort(starts, kind="stable")
         starts, ends = starts[order], ends[order]
         r_payload = [p[order] for p in r_payload]
@@ -243,17 +282,9 @@ def range_join(
         idx = np.searchsorted(starts, l_ts, side="right") - 1
         hit = (idx >= 0) & (l_ts <= ends[np.maximum(idx, 0)])
         idx = idx[hit]
-        cols = {}
-        for c in l_cols:
-            cols[c] = pa.array(
-                pc.fill_null(group[c], 0)
-                .to_numpy(zero_copy_only=False)[lmask][hit]
-                .astype(np.int64)
-            )
-        cols["key"] = pa.array(group["_key"].to_numpy(zero_copy_only=False)[lmask][hit])
-        cols["ts_us"] = pa.array(l_ts[hit])
+        cols = _emit_left(group, l_cols, lmask, hit, l_ts)
         for c, p in zip(r_cols, r_payload):
-            cols[c] = pa.array(p[idx].astype(np.int64))
+            cols[c] = pa.array(p[idx])
         return pa.table(cols, schema=out_schema)
 
     return tagged.groupby("_key").map_groups(_merge, batch_format="pyarrow")
@@ -279,10 +310,7 @@ def rolling_window(
     w = int(window)
 
     def _roll(group: pa.Table) -> pa.Table:
-        ts = group[ts_col]
-        if pa.types.is_timestamp(ts.type):
-            ts = pc.cast(pc.cast(ts, pa.timestamp("us")), pa.int64())
-        ts_us = ts.to_numpy(zero_copy_only=False)
+        ts_us = _to_epoch_us(group[ts_col], ts_col).to_numpy(zero_copy_only=False)
         tie = group[tie_col].to_numpy(zero_copy_only=False)
         val = group[val_col].to_numpy(zero_copy_only=False).astype(np.float64)
         order = np.lexsort((tie, ts_us))
@@ -323,12 +351,25 @@ def topk_per_group(
 
     Scale path: a per-BATCH top-k combiner runs before the shuffle, so at
     most k rows per (key, batch) enter the groupby — the shuffle moves
-    O(k * distinct_keys) rows, not the corpus."""
+    O(k * distinct_keys) rows, not the corpus.
+
+    Values rank through float64 (int64 values above 2^53 would compare
+    lossily — use a scaled or split key for such columns); key/tie must
+    be numeric (numpy lexsort)."""
     kk = int(k)
 
     def _partial(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
-            return batch.select([key_col, val_col, tie_col])
+            # keep the empty block's schema identical to the non-empty
+            # output (val cast to float64), or the downstream shuffle
+            # sees heterogeneous block schemas
+            return pa.table(
+                {
+                    key_col: batch[key_col],
+                    val_col: pc.cast(batch[val_col], pa.float64()),
+                    tie_col: batch[tie_col],
+                }
+            )
         key = batch[key_col].to_numpy(zero_copy_only=False)
         val = batch[val_col].to_numpy(zero_copy_only=False).astype(np.float64)
         tie = batch[tie_col].to_numpy(zero_copy_only=False)

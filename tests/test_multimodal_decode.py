@@ -504,8 +504,6 @@ def test_corrupt_mjpg_frame_falls_back_to_fake():
 def test_mp3_stream_info_metadata():
     """CBR MPEG-1 Layer III synthetic stream: frame-header walk reports
     the true duration and sample rate without decoding payloads."""
-    import struct
-
     from marginalia_ray.ops.multimodal import AudioFeatureStage, mp3_stream_info
 
     # 128 kbps, 44100 Hz, no padding: frame length = 1152*16000/44100 = 417

@@ -113,6 +113,54 @@ def test_rolling_window_prefix_and_order(ray_session):
     assert out.loc[3, "ravg"] == pytest.approx(20.0)
 
 
+def test_asof_join_rejects_float_payload_and_accepts_date32(ray_session):
+    """Float payloads would silently truncate through the int64 union —
+    must raise; date32 ts columns must cast cleanly to epoch micros."""
+    from marginalia_ray.ops.relational import asof_join
+
+    left = pa.table(
+        {
+            "event_id": pa.array([1], pa.int64()),
+            "user_id": pa.array([7], pa.int64()),
+            "ts": _ts([TS0 + 86_400_000_000 * 400]),
+        }
+    )
+    right_float = pa.table(
+        {
+            "o_orderkey": pa.array([1.9], pa.float64()),
+            "o_custkey": pa.array([7], pa.int64()),
+            "o_orderdate": _ts([TS0]),
+        }
+    )
+    with pytest.raises((TypeError, Exception)) as ei:
+        asof_join(_ds(left), _ds(right_float)).count()
+    assert "payload column" in str(ei.value)
+
+    right_date = pa.table(
+        {
+            "o_orderkey": pa.array([10], pa.int64()),
+            "o_custkey": pa.array([7], pa.int64()),
+            "o_orderdate": pa.array([19700], pa.date32()),  # ~2023-12
+        }
+    )
+    out = asof_join(_ds(left), _ds(right_date)).to_pandas()
+    assert len(out) == 1
+    assert out.loc[0, "right_ts_us"] == 19700 * 86_400_000_000
+
+
+def test_mp3_truncated_final_frame_not_counted():
+    from marginalia_ray.ops.multimodal import mp3_stream_info
+
+    hdr = bytes([0xFF, 0xFB, 0x90, 0x00])  # MPEG1 L3 128k 44100
+    flen = 1152 * 128000 // (8 * 44100)
+    frame = hdr + b"\x00" * (flen - 4)
+    data = frame * 3 + hdr + b"\x00" * 10  # 4th frame truncated
+    dur, rate, frames = mp3_stream_info(data)
+    assert frames == 3
+    assert rate == 44100
+    assert dur == pytest.approx(3 * 1152 / 44100)
+
+
 def test_topk_per_group_combiner_matches_global(ray_session):
     """Split the same rows across many blocks: the per-batch combiner must
     not change the global answer."""

@@ -7,7 +7,7 @@ here (or in the library code) calls ``ray.init()`` / ``ray.shutdown()``.
 -> tokenizer actor pool -> journal -> one-shuffle inverted-index build ->
 BM25 search) on sf0.001.  ``queries()`` exposes each implemented operator
 over the sf tables; ``oracle_sql()`` holds a DuckDB equivalent for EVERY
-query (27/27): pure relational/text ops directly, the ANN/sketch family
+query (31/31): pure relational/text ops directly, the ANN/sketch family
 via inlined deterministic constants (LSH hyperplanes, IVF centroids, the
 mod-2^64 simhash token-hash chain), and marginalia_search via the
 checked-in golden rank table.
@@ -28,6 +28,7 @@ IVF_PROBE = 4
 BM25_TERMS = ["spark", "join", "window"]
 JACCARD_THRESHOLD = 0.5
 COSINE_THRESHOLD = 0.4
+TFIDF_K = 5
 
 
 def _docs(sf_dir: str):
@@ -127,6 +128,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from marginalia_ray.ops.bm25 import bm25_topk
     from marginalia_ray.ops.dedup import (
         exact_dedup,
+        exact_substring_pairs,
         jaccard_pairs,
         minhash_lsh_pairs,
         simhash_pairs,
@@ -140,11 +142,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         doc_quality,
         fingerprint,
         gopher_quality,
+        hash_split,
         lang_id,
         ngram_overlap,
+        pii_scrub,
         repetition_metrics,
         stopword_ratio,
         term_doc_freq,
+        tfidf_topk,
         token_count,
     )
 
@@ -274,6 +279,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return topk_per_group(ev)
 
+    def q_pii(sf_dir: str):
+        # the synthetic fixture carries no PII, so the query decorates each
+        # doc with deterministic doc_id-derived PII (email/phone/IPv4) and
+        # scrubs it — the oracle applies the identical decoration in SQL
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        def _decorate(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"]
+            ids_i = ids.to_numpy(zero_copy_only=False)
+            phone = pa.array((1000 + ids_i % 9000).astype("int64"))
+            ip1 = pa.array((ids_i % 256).astype("int64"))
+            ip2 = pa.array(((ids_i // 256) % 256).astype("int64"))
+            s = pc.binary_join_element_wise(
+                batch["text"],
+                pa.scalar(" contact user"),
+                pc.cast(ids, pa.string()),
+                pa.scalar("@example.com call 555-867-"),
+                pc.cast(phone, pa.string()),
+                pa.scalar(" from 10."),
+                pc.cast(ip1, pa.string()),
+                pa.scalar("."),
+                pc.cast(ip2, pa.string()),
+                pa.scalar(".7"),
+                pa.scalar(""),  # element-wise separator
+            )
+            return pa.table({"doc_id": ids, "text": s})
+
+        return pii_scrub(_docs(sf_dir).map_batches(_decorate, batch_format="pyarrow"))
+
     return {
         "domain_stats": q_domain_stats,
         "sessionize": q_sessionize,
@@ -303,6 +339,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_quality": lambda sf: gopher_quality(_docs(sf)),
         "repetition_metrics": lambda sf: repetition_metrics(_docs(sf)),
         "bm25_topk": lambda sf: bm25_topk(_docs(sf), BM25_TERMS, k=10),
+        "pii_scrub": q_pii,
+        "hash_split": lambda sf: hash_split(_docs(sf)),
+        "tfidf_topk": lambda sf: tfidf_topk(_docs(sf), k=TFIDF_K),
+        "exact_substring_pairs": lambda sf: exact_substring_pairs(_docs(sf)),
         "marginalia_search": q_index_search,
     }
 
@@ -610,6 +650,91 @@ def _marginalia_search_sql() -> str:
     )
 
 
+def _pii_sql() -> str:
+    """Mirrors queries()['pii_scrub']: decorate each doc with doc_id-derived
+    PII, then count (on the decorated text) and sequentially replace each
+    PII_PATTERNS regex.  DuckDB's regexp functions are RE2, the same engine
+    as Arrow's — match semantics identical by construction."""
+    from marginalia_ray.ops.text_ops import PII_PATTERNS
+
+    repl = "text"
+    for _, pat, tag in PII_PATTERNS:
+        p = pat.replace("'", "''")
+        repl = f"regexp_replace({repl}, '{p}', '{tag}', 'g')"
+    counts = ",\n   ".join(
+        f"len(regexp_extract_all(text, '{pat}'))::BIGINT AS n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    )
+    return f"""
+ WITH dec AS (SELECT doc_id,
+   text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com call 555-867-' ||
+   CAST(1000 + doc_id % 9000 AS VARCHAR) || ' from 10.' || CAST(doc_id % 256 AS VARCHAR) ||
+   '.' || CAST((doc_id // 256) % 256 AS VARCHAR) || '.7' AS text FROM documents)
+ SELECT doc_id, {repl} AS clean_text,
+   {counts}
+ FROM dec"""
+
+
+def _hash_split_sql() -> str:
+    """Mirrors ops/text_ops.hash_split: fmix64(doc_id) % 100 in exact
+    uint64 arithmetic — HUGEINT (int128) can't hold x*C for x,C < 2^64,
+    so each multiply-mod-2^64 stage splits x into 32-bit halves:
+    (x*C) mod 2^64 = ((xh*C mod 2^32) << 32 + xl*C) mod 2^64."""
+    M64 = 18446744073709551616
+    C1, C2 = 0xFF51AFD7ED558CCD, 0xC4CEB9FE1A85EC53
+
+    def mul(c: int) -> str:
+        return (
+            f"((((x // 4294967296) * {c}) % 4294967296) * 4294967296"
+            f" + (x % 4294967296) * {c}) % {M64}"
+        )
+
+    return f"""
+ WITH s0 AS (SELECT doc_id, ((doc_id::HUGEINT % {M64}) + {M64}) % {M64} AS x FROM documents),
+ s1 AS (SELECT doc_id, xor(x, x >> 33) AS x FROM s0),
+ s2 AS (SELECT doc_id, {mul(C1)} AS x FROM s1),
+ s3 AS (SELECT doc_id, xor(x, x >> 33) AS x FROM s2),
+ s4 AS (SELECT doc_id, {mul(C2)} AS x FROM s3),
+ s5 AS (SELECT doc_id, xor(x, x >> 33) AS x FROM s4)
+ SELECT doc_id, (x % 100)::BIGINT AS bucket,
+   CASE WHEN x % 100 < 80 THEN 'train' WHEN x % 100 < 90 THEN 'valid' ELSE 'test' END AS split
+ FROM s5"""
+
+
+def _tfidf_sql() -> str:
+    """Mirrors ops/text_ops.tfidf_topk: score = tf * (ln(N) - ln(df))
+    (exactly that float expression, so both sides round identically),
+    rank by (rounded score desc, term asc), keep rank <= k."""
+    return f"""
+ WITH tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents),
+ n AS (SELECT count(*) AS n FROM documents),
+ tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+ df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+ scored AS (SELECT tf.doc_id, tf.term, tf.tf,
+        round(tf.tf * (ln(n.n::DOUBLE) - ln(df.df::DOUBLE)), 6) AS tfidf
+   FROM tf, df, n WHERE tf.term = df.term)
+ SELECT * FROM (
+   SELECT doc_id, term, tf, tfidf,
+          row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term)::BIGINT AS "rank"
+   FROM scored) WHERE "rank" <= {TFIDF_K}"""
+
+
+def _substring_sql() -> str:
+    """Mirrors ops/dedup.exact_substring_pairs at window=8: pairs sharing
+    >= 1 distinct 8-token substring.  The SQL compares the window token
+    STRINGS; the Ray op compares 64-bit rolling hashes of the same windows
+    — equal by construction absent a 2^-64-probability collision."""
+    return f"""
+ WITH tok AS (SELECT doc_id, {_TOK} AS ts FROM documents),
+ w AS (SELECT doc_id, array_to_string(ts[i:i+7], ' ') AS win
+       FROM tok, unnest(range(1, len(ts) - 6)) AS u(i)
+       WHERE len(ts) >= 8),
+ dw AS (SELECT DISTINCT doc_id, win FROM w)
+ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_shared
+ FROM dw a JOIN dw b ON a.win = b.win AND a.doc_id < b.doc_id
+ GROUP BY 1, 2"""
+
+
 def oracle_sql() -> dict[str, str]:
     sw = ",".join(f"'{w}'" for w in __import__("marginalia_ray.ops.text_ops", fromlist=["STOPWORDS"]).STOPWORDS)
     tl = ",".join(f"'{t}'" for t in BM25_TERMS)
@@ -721,5 +846,9 @@ def oracle_sql() -> dict[str, str]:
         "knn_cosine_lsh": _knn_lsh_sql(),
         "knn_cosine_ivf": _knn_ivf_sql(),
         "simhash_pairs": _simhash_sql(),
+        "pii_scrub": _pii_sql(),
+        "hash_split": _hash_split_sql(),
+        "tfidf_topk": _tfidf_sql(),
+        "exact_substring_pairs": _substring_sql(),
         "marginalia_search": _marginalia_search_sql(),
     }

@@ -661,3 +661,88 @@ def simhash_pairs(ds, max_hamming: int = 3, text_col: str = "text", id_col: str 
         .min("hamming")
     )
     return pairs.rename_columns({"min(hamming)": "hamming"})
+
+
+# ---- exact-substring duplicate pairs --------------------------------------
+
+
+def exact_substring_pairs(
+    ds,
+    window: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_docs_per_gram: int = 1000,
+):
+    """Exact-substring duplicate detection (the suffix-array dedup of Lee
+    et al. 2021 "Deduplicating Training Data Makes Language Models Better",
+    re-expressed shuffle-style): pairs of documents sharing at least one
+    exact `window`-token substring, with the count of DISTINCT shared
+    windows.
+
+    Instead of a suffix array (which needs a global sort over every token
+    position), each doc emits its distinct 64-bit rolling window hashes —
+    64-bit because hashes are compared ACROSS documents, where the 32-bit
+    birthday term would produce spurious pairs at ~10^6 windows — and the
+    same salted one-shuffle pair machinery as jaccard_pairs turns gram
+    co-occurrence into (doc_a, doc_b, n_shared) rows.  Windows hotter than
+    `max_docs_per_gram` (boilerplate) are skipped, the same stop-shingle
+    convention as jaccard_pairs.
+
+    Docs shorter than one window emit nothing (they cannot contain a
+    window-token substring).  Output: (doc_a, doc_b, n_shared), doc_a <
+    doc_b, n_shared >= 1."""
+    from marginalia_ray.ops.text_ops import _dedupe_doc_grams, _window_hashes_batch
+
+    def _grams(batch: pa.Table) -> pa.Table:
+        ids, grams = _window_hashes_batch(
+            batch, text_col, id_col, window=window, include_short=False, bits64=True
+        )
+        ids, grams = _dedupe_doc_grams(ids, grams)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "gram": pa.array(grams.view(np.int64), pa.int64()),
+            }
+        )
+
+    g = ds.map_batches(_grams, batch_format="pyarrow")
+    pairs = _emit_pairs_per_key(
+        g, ["gram"], max_group=max_docs_per_gram, combine=True
+    )
+
+    # finalize: sum per-partition partials into n_shared — the same
+    # _pk2-salted pyarrow group_by as _pairs_to_jaccard (no Dataset.join,
+    # no driver-side dict)
+    num_partitions = _join_partitions()
+
+    def _add_pk2(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("_pk2", pa.array([], pa.int64()))
+        a = batch["doc_a"].to_numpy(zero_copy_only=False).astype(U64)
+        b = batch["doc_b"].to_numpy(zero_copy_only=False).astype(U64)
+        acc = _fmix64_vec(_fmix64_vec(a) ^ b)
+        return batch.append_column(
+            "_pk2", pa.array((acc % U64(num_partitions)).astype(np.int64))
+        )
+
+    def _agg_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_a": pa.array([], pa.int64()),
+                    "doc_b": pa.array([], pa.int64()),
+                    "n_shared": pa.array([], pa.int64()),
+                }
+            )
+        return (
+            block.drop_columns(["_pk2"])
+            .group_by(["doc_a", "doc_b"])
+            .aggregate([("partial", "sum")])
+            .rename_columns(["doc_a", "doc_b", "n_shared"])
+        )
+
+    return (
+        pairs.map_batches(_add_pk2, batch_format="pyarrow")
+        .groupby("_pk2", num_partitions=num_partitions)
+        .map_groups(_agg_block, batch_format="pyarrow")
+    )

@@ -232,12 +232,26 @@ def fingerprint(ds, text_col: str = "text", id_col: str = "doc_id"):
     return ds.map_batches(_batch, batch_format="pyarrow")
 
 
-def _window_hashes_batch(batch: pa.Table, text_col: str, id_col: str):
-    """Per-doc 8-token window hashes (same base/mod arithmetic as
+def _window_hashes_batch(
+    batch: pa.Table,
+    text_col: str,
+    id_col: str,
+    window: int = _FP_WINDOW,
+    include_short: bool = True,
+    bits64: bool = False,
+):
+    """Per-doc `window`-token window hashes (same base/mod arithmetic as
     `fingerprint`), vectorized ACROSS the batch: windows are computed over
     the concatenated token-value array and windows that span a document
-    boundary are masked out.  Docs shorter than one window contribute their
-    single folded polynomial (the `fingerprint` short-doc rule).
+    boundary are masked out.  With include_short, docs shorter than one
+    window contribute their single folded polynomial (the `fingerprint`
+    short-doc rule); otherwise they are dropped (the exact-substring-pairs
+    rule, matching a SQL oracle's `len(tokens) >= window` guard).
+
+    bits64 widens the window hash from mod 2^32 to mod 2^64 (natural
+    uint64 wraparound) — needed when window hashes are compared ACROSS
+    documents (pair emission): at ~10^6 distinct windows the 32-bit
+    birthday term is O(100) spurious matches, while 2^64 keeps it ~1e-8.
 
     Returns (doc_ids, grams) as parallel int64/uint64 arrays — one row per
     (doc, window), NOT yet deduplicated."""
@@ -247,8 +261,12 @@ def _window_hashes_batch(batch: pa.Table, text_col: str, id_col: str):
     n = len(th)
     if n == 0:
         return np.empty(0, np.int64), np.empty(0, np.uint64)
-    W = _FP_WINDOW
-    powers = np.power(_FP_WIN_BASE, np.arange(W, dtype=np.uint64)) & _FP_MASK
+    W = window
+    mask = np.uint64(0xFFFF_FFFF_FFFF_FFFF) if bits64 else _FP_MASK
+    powers = np.empty(W, dtype=np.uint64)
+    powers[0] = 1
+    for k in range(1, W):
+        powers[k] = (powers[k - 1] * _FP_WIN_BASE) & mask
 
     out_ids = [np.empty(0, np.int64)]
     out_h = [np.empty(0, np.uint64)]
@@ -259,19 +277,20 @@ def _window_hashes_batch(batch: pa.Table, text_col: str, id_col: str):
             acc += th[k : m + k] * powers[W - 1 - k]
         valid = ids_np[:m] == ids_np[W - 1 :]
         out_ids.append(ids_np[:m][valid])
-        out_h.append(acc[valid] & _FP_MASK)
+        out_h.append(acc[valid] & mask)
 
-    # short docs (< W tokens): folded polynomial over all their tokens
-    bounds = np.flatnonzero(np.r_[True, ids_np[1:] != ids_np[:-1], True])
-    lens = np.diff(bounds)
-    short = np.flatnonzero(lens < W)
-    for si in short:
-        s, e = bounds[si], bounds[si + 1]
-        fp = np.uint64(0)
-        for v in th[s:e]:
-            fp = (fp * _FP_WIN_BASE + v) & _FP_MASK
-        out_ids.append(ids_np[s : s + 1])
-        out_h.append(np.array([fp], dtype=np.uint64))
+    if include_short:
+        # short docs (< W tokens): folded polynomial over all their tokens
+        bounds = np.flatnonzero(np.r_[True, ids_np[1:] != ids_np[:-1], True])
+        lens = np.diff(bounds)
+        short = np.flatnonzero(lens < W)
+        for si in short:
+            s, e = bounds[si], bounds[si + 1]
+            fp = np.uint64(0)
+            for v in th[s:e]:
+                fp = (fp * _FP_WIN_BASE + v) & mask
+            out_ids.append(ids_np[s : s + 1])
+            out_h.append(np.array([fp], dtype=np.uint64))
     return np.concatenate(out_ids), np.concatenate(out_h)
 
 
@@ -543,3 +562,183 @@ def doc_quality(ds, text_col: str = "text", id_col: str = "doc_id"):
         return pa.table({id_col: batch[id_col], "quality": pa.array(q, pa.float64())})
 
     return ds.map_batches(_batch, batch_format="pyarrow")
+
+
+# ---- PII scrubbing -------------------------------------------------------
+
+# (name, RE2 pattern, replacement) — applied IN ORDER.  RE2 is the regex
+# engine on both sides of the correctness gate (Arrow's
+# replace_substring_regex and DuckDB's regexp_replace are both RE2), so
+# match semantics are identical by construction.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+)
+
+
+def pii_scrub(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """PII redaction (the standard pre-training scrub step, e.g. BigScience
+    ROOTS / Dolma): replace emails, NANP-style phone numbers and IPv4
+    addresses with typed placeholders and count each category.
+
+    One streaming vectorized map — no shuffle, no state; counts are taken
+    on the ORIGINAL text (non-overlapping RE2 matches), replacements are
+    applied sequentially in PII_PATTERNS order.
+
+    Output: (doc_id, clean_text, n_email, n_phone, n_ip)."""
+
+    def _batch(batch: pa.Table) -> pa.Table:
+        txt = batch[text_col]
+        counts = {
+            name: pc.cast(pc.count_substring_regex(txt, pat), pa.int64())
+            for name, pat, _ in PII_PATTERNS
+        }
+        out = txt
+        for _, pat, repl in PII_PATTERNS:
+            out = pc.replace_substring_regex(out, pat, repl)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "clean_text": out,
+                "n_email": counts["email"],
+                "n_phone": counts["phone"],
+                "n_ip": counts["ip"],
+            }
+        )
+
+    return ds.map_batches(_batch, batch_format="pyarrow")
+
+
+# ---- deterministic train/valid/test split --------------------------------
+
+_SPLIT_BUCKETS = 100
+
+
+def hash_split(ds, id_col: str = "doc_id", train: int = 80, valid: int = 10):
+    """Deterministic dataset split by hashed id (the standard train/valid/
+    test assignment for training corpora): bucket = fmix64(doc_id) % 100,
+    split = train if bucket < `train`, valid if bucket < train+`valid`,
+    else test.  fmix64 (murmur3 finalizer) decorrelates buckets from
+    sequential ids, so the split is uniform regardless of id assignment
+    order — and being a pure function of the id it is stable across runs,
+    re-shards and cluster sizes (a doc never migrates between splits when
+    the corpus grows).  One vectorized map, no shuffle.
+
+    Output: (doc_id, bucket, split)."""
+    lo, hi = train, train + valid
+
+    def _batch(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        bucket = (_FMIX_SPLIT(ids) % np.uint64(_SPLIT_BUCKETS)).astype(np.int64)
+        split = np.where(bucket < lo, "train", np.where(bucket < hi, "valid", "test"))
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "bucket": pa.array(bucket, pa.int64()),
+                "split": pa.array(split.astype(object), pa.string()),
+            }
+        )
+
+    return ds.map_batches(_batch, batch_format="pyarrow")
+
+
+def _FMIX_SPLIT(x: np.ndarray) -> np.ndarray:
+    """murmur3 fmix64, vectorized (duplicated from ops/dedup to keep the
+    module import graph acyclic; the constants are the public murmur3
+    finalizer's)."""
+    x = x.astype(np.uint64).copy()
+    x ^= x >> np.uint64(33)
+    x *= np.uint64(0xFF51AFD7ED558CCD)
+    x ^= x >> np.uint64(33)
+    x *= np.uint64(0xC4CEB9FE1A85EC53)
+    x ^= x >> np.uint64(33)
+    return x
+
+
+# ---- per-doc TF-IDF top-k terms -------------------------------------------
+
+
+def tfidf_topk(
+    ds,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_vocab: int = 10_000_000,
+):
+    """Top-k terms per document by TF-IDF (tf * ln(N / df), rounded to
+    6 dp; ties broken by term ascending).
+
+    Scale shape: document frequencies are computed with the partial-
+    aggregated term_doc_freq pass (one small shuffle over the VOCABULARY,
+    not the corpus), merged on the driver under a hard cap (`max_vocab`,
+    loud error above — the ngram_overlap broadcast convention) and
+    broadcast once via ray.put; the scoring pass is then one streaming
+    map_batches per batch: per-doc tf via pyarrow group_by (docs never
+    span batches), an in-process Arrow join against the broadcast df
+    table, vectorized score + sort + rank.  No corpus-wide shuffle.
+
+    Output: (doc_id, term, tf, tfidf, rank) with rank in 1..k."""
+    n_docs = ds.count()
+
+    df_parts = []
+    total = 0
+    for b in term_doc_freq(ds, text_col, id_col).iter_batches(batch_format="pyarrow"):
+        df_parts.append(b)
+        total += b.num_rows
+        if total > max_vocab:
+            raise ValueError(
+                f"tfidf_topk: vocabulary exceeds max_vocab={max_vocab}; "
+                "raise the cap or pre-filter terms (min_df)"
+            )
+    df_table = (
+        pa.concat_tables(df_parts)
+        if df_parts
+        else pa.table({"term": pa.array([], pa.string()), "doc_freq": pa.array([], pa.int64())})
+    )
+    df_ref = ray.put(df_table)
+    ln_n = float(np.log(max(n_docs, 1)))
+
+    def _score(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                "term": pa.array([], pa.string()),
+                "tf": pa.array([], pa.int64()),
+                "tfidf": pa.array([], pa.float64()),
+                "rank": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        ids, toks = explode_tokens(batch, text_col, id_col)
+        if len(ids) == 0:
+            return empty
+        tf = (
+            pa.table({id_col: ids, "term": toks})
+            .group_by([id_col, "term"])
+            .aggregate([([], "count_all")])
+            .rename_columns([id_col, "term", "tf"])
+        )
+        dfs = ray.get(df_ref)
+        joined = tf.join(dfs, keys="term", join_type="inner")
+        score = np.round(
+            joined["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+            * (ln_n - np.log(joined["doc_freq"].to_numpy(zero_copy_only=False).astype(np.float64))),
+            6,
+        )
+        joined = joined.drop_columns(["doc_freq"]).append_column(
+            "tfidf", pa.array(score, pa.float64())
+        )
+        joined = joined.sort_by(
+            [(id_col, "ascending"), ("tfidf", "descending"), ("term", "ascending")]
+        )
+        gid = joined[id_col].to_numpy(zero_copy_only=False)
+        n = len(gid)
+        starts = np.r_[True, gid[1:] != gid[:-1]]
+        idx = np.arange(n, dtype=np.int64)
+        rank = idx - np.maximum.accumulate(np.where(starts, idx, -1)) + 1
+        joined = joined.append_column("rank", pa.array(rank, pa.int64()))
+        return joined.filter(pa.array(rank <= k))
+
+    return ds.map_batches(_score, batch_format="pyarrow")

@@ -29,6 +29,7 @@ BM25_TERMS = ["spark", "join", "window"]
 JACCARD_THRESHOLD = 0.5
 COSINE_THRESHOLD = 0.4
 TFIDF_K = 5
+SEMDEDUP_THRESHOLD = 0.35
 
 
 def _docs(sf_dir: str):
@@ -310,6 +311,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return pii_scrub(_docs(sf_dir).map_batches(_decorate, batch_format="pyarrow"))
 
+    def q_fuzzy_components(sf_dir: str):
+        # minhash+LSH pairs (verified-exact, same recall contract as the
+        # minhash_dedup query) -> large-star/small-star connected
+        # components -> every doc labeled with its dup-cluster minimum
+        from marginalia_ray.ops.graph import fuzzy_dedup_components
+
+        return fuzzy_dedup_components(
+            _docs(sf_dir), threshold=JACCARD_THRESHOLD, method="minhash"
+        )
+
+    def q_semantic_dedup(sf_dir: str):
+        # seeded centroids (the knn_cosine_ivf convention) so the op is a
+        # pure function of the data and the DuckDB oracle can mirror it
+        from marginalia_ray.ops.similarity import semantic_dedup
+
+        return semantic_dedup(
+            _emb(sf_dir), threshold=SEMDEDUP_THRESHOLD, centroids=_ivf_centroids()
+        )
+
     return {
         "domain_stats": q_domain_stats,
         "sessionize": q_sessionize,
@@ -343,6 +363,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_split": lambda sf: hash_split(_docs(sf)),
         "tfidf_topk": lambda sf: tfidf_topk(_docs(sf), k=TFIDF_K),
         "exact_substring_pairs": lambda sf: exact_substring_pairs(_docs(sf)),
+        "fuzzy_dedup_components": q_fuzzy_components,
+        "semantic_dedup": q_semantic_dedup,
         "marginalia_search": q_index_search,
     }
 
@@ -608,6 +630,58 @@ def _repetition_sql() -> str:
  FROM documents d JOIN dl ON d.doc_id = dl.doc_id LEFT JOIN tw ON d.doc_id = tw.doc_id"""
 
 
+def _fuzzy_components_sql() -> str:
+    """Mirrors queries()['fuzzy_dedup_components']: the exact-Jaccard pair
+    graph (the same CTE chain as the jaccard_pairs oracle — minhash+LSH
+    with exact verification emits identical pairs at oracle scale, the
+    established minhash_dedup convention), closed transitively with a
+    recursive min-label walk: component = min doc_id reachable through
+    near-dup edges; singletons are their own component."""
+    return f"""
+ WITH RECURSIVE
+ tok AS (SELECT doc_id, {_TOK} AS ts FROM documents),
+ idx AS (SELECT doc_id, ts, unnest(generate_series(1, len(ts)-2)) AS i FROM tok),
+ sh AS (SELECT DISTINCT doc_id, ts[i]||' '||ts[i+1]||' '||ts[i+2] AS shingle FROM idx),
+ sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+ inter AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) i
+           FROM sh a JOIN sh b ON a.shingle=b.shingle AND a.doc_id<b.doc_id GROUP BY 1,2),
+ pairs AS (SELECT doc_a, doc_b FROM inter
+           JOIN sz x ON doc_a=x.doc_id JOIN sz y ON doc_b=y.doc_id
+           WHERE i::DOUBLE/(x.n+y.n-i) >= {JACCARD_THRESHOLD}),
+ edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+           UNION ALL SELECT doc_b, doc_a FROM pairs),
+ walk(node, reach) AS (
+   SELECT doc_id, doc_id FROM documents
+   UNION
+   SELECT w.node, e.v FROM walk w JOIN edges e ON e.u = w.reach)
+ SELECT node AS doc_id, min(reach)::BIGINT AS component FROM walk GROUP BY node"""
+
+
+def _semantic_dedup_sql() -> str:
+    """Mirrors ops/similarity.semantic_dedup with the seeded centroids
+    inlined (the knn_cosine_ivf convention): assignment = nearest centroid
+    (ties to the lower cid, like argmax), dup = any strictly-lower-id
+    same-cluster neighbor at cosine >= threshold."""
+    cents = _ivf_centroids()
+    rows = ",".join(
+        f"({i}, [{','.join(repr(float(x)) for x in cents[i])}]::DOUBLE[])"
+        for i in range(cents.shape[0])
+    )
+    return f"""
+ WITH cents AS (SELECT * FROM (VALUES {rows}) AS c(cid, cv)),
+ assign AS (SELECT vec_id, cid, ve FROM (
+    SELECT e.vec_id, c.cid, CAST(e.embedding AS DOUBLE[]) AS ve,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv) DESC, c.cid) rn
+    FROM embeddings e, cents c) WHERE rn = 1),
+ dup AS (SELECT DISTINCT a.vec_id FROM assign a JOIN assign b
+         ON a.cid = b.cid AND b.vec_id < a.vec_id
+         AND list_cosine_similarity(a.ve, b.ve) >= {SEMDEDUP_THRESHOLD})
+ SELECT a.vec_id, a.cid::BIGINT AS cluster,
+        (CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS keep
+ FROM assign a LEFT JOIN dup d ON a.vec_id = d.vec_id"""
+
+
 def _marginalia_search_sql() -> str:
     """Golden rank-parity oracle for the flagship query.
 
@@ -850,5 +924,7 @@ def oracle_sql() -> dict[str, str]:
         "hash_split": _hash_split_sql(),
         "tfidf_topk": _tfidf_sql(),
         "exact_substring_pairs": _substring_sql(),
+        "fuzzy_dedup_components": _fuzzy_components_sql(),
+        "semantic_dedup": _semantic_dedup_sql(),
         "marginalia_search": _marginalia_search_sql(),
     }

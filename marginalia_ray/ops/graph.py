@@ -1,0 +1,306 @@
+"""Distributed connected components over a pair graph, and the fuzzy-dedup
+"apply" step built on it.
+
+Pair-emitting dedup ops (jaccard_pairs / minhash_lsh_pairs / simhash_pairs /
+exact_substring_pairs) stop at (doc_a, doc_b) edges; to actually DROP
+duplicates a pipeline must group transitively-connected docs into clusters
+and keep one survivor per cluster — near-dup similarity is not transitive,
+so pairs alone under-delete (A~B, B~C but A!~C must still collapse to one
+survivor; this is the "clustering" step of Lee et al. 2021 / Gopher /
+SlimPajama dedup).
+
+Connected components is computed with the alternating large-star /
+small-star algorithm (Kiveris et al. 2014, "Connected Components in
+MapReduce and Beyond"): each round is ONE hash shuffle of the edge list
+(groupby the star key), converges in O(log^2 n) rounds, and at the fixpoint
+every node holds a direct edge to its component minimum.  No driver-side
+graph state: each round's edge set lives in the object store and the driver
+only sees (count, checksum) scalars for the convergence test.  Edge lists
+for dedup graphs are tiny relative to the corpus (only near-dup candidates
+appear), so the per-round materialize is cheap by construction.
+
+Scale notes (100 TB):
+  * every round is a single groupby-shuffle over EDGES, not documents;
+  * star processing within a partition is vectorized numpy segment-min
+    (no per-group Python calls — partitions are salted hash blocks, each
+    block handles all its keys at once);
+  * skewed "celebrity" nodes (a boilerplate doc near-dup to millions) make
+    one group large but stars strictly shrink them toward the component
+    min; the cap belongs upstream in pair emission (max_docs_per_shingle),
+    which all pair ops in this repo already enforce.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from marginalia_ray.ops.dedup import U64, _fmix64_vec, _join_partitions
+
+_EDGE_SCHEMA = {"lo": pa.int64(), "hi": pa.int64()}
+
+
+def _edge_table(lo: np.ndarray, hi: np.ndarray) -> pa.Table:
+    return pa.table({"lo": pa.array(lo, pa.int64()), "hi": pa.array(hi, pa.int64())})
+
+
+def _empty_edges() -> pa.Table:
+    return pa.table({k: pa.array([], t) for k, t in _EDGE_SCHEMA.items()})
+
+
+def _uniq_edges(lo: np.ndarray, hi: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Dedupe (lo, hi) pairs within one block via a single lexsort."""
+    if len(lo) == 0:
+        return lo, hi
+    order = np.lexsort((hi, lo))
+    lo, hi = lo[order], hi[order]
+    keep = np.r_[True, (lo[1:] != lo[:-1]) | (hi[1:] != hi[:-1])]
+    return lo[keep], hi[keep]
+
+
+def _group_starts(keys: np.ndarray) -> np.ndarray:
+    return np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
+
+
+def _groupby_key_blocks(edges, key_expr, block_fn, num_partitions: int):
+    """Hash-partition edges by a derived key column and run a vectorized
+    block function over each partition (all edges of a key co-located).
+    The repo-wide salted-groupby pattern: never per-group map_groups calls,
+    never Dataset.join."""
+
+    def _add_pk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("_pk", pa.array([], pa.int64()))
+        k = key_expr(batch).astype(U64)
+        pk = (_fmix64_vec(k) % U64(num_partitions)).astype(np.int64)
+        return batch.append_column("_pk", pa.array(pk))
+
+    return (
+        edges.map_batches(_add_pk, batch_format="pyarrow")
+        .groupby("_pk", num_partitions=num_partitions)
+        .map_groups(block_fn, batch_format="pyarrow")
+    )
+
+
+def _large_star_block(block: pa.Table) -> pa.Table:
+    """Large-star over one partition of BIDIRECTIONAL (u, v) rows grouped
+    by u: for each u, m = min(N(u) + {u}); emit canonical (m, v) for every
+    strictly-larger neighbor v > u.  Connects high neighbors to the local
+    minimum; strictly reduces star height (Kiveris et al. Thm 1)."""
+    if block.num_rows == 0:
+        return _empty_edges()
+    u = block["u"].to_numpy(zero_copy_only=False)
+    v = block["v"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((v, u))
+    u, v = u[order], v[order]
+    starts = _group_starts(u)
+    # per-group min over sorted-by-(u,v) rows is the first v of the group,
+    # folded with u itself
+    gmin = np.minimum.reduceat(v, starts)
+    m_group = np.minimum(gmin, u[starts])
+    gid = np.cumsum(np.r_[0, np.diff(u) != 0])
+    m = m_group[gid]
+    sel = v > u
+    lo, hi = _uniq_edges(m[sel], v[sel])
+    # m <= u < v always, so (lo, hi) is canonical and self-loop-free
+    return _edge_table(lo, hi)
+
+
+def _small_star_block(block: pa.Table) -> pa.Table:
+    """Small-star over one partition of CANONICAL (lo, hi) rows grouped by
+    hi: for each hi, m = min of its smaller neighbors; re-point every other
+    small neighbor and hi itself at m."""
+    if block.num_rows == 0:
+        return _empty_edges()
+    lo = block["lo"].to_numpy(zero_copy_only=False)
+    hi = block["hi"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((lo, hi))
+    lo, hi = lo[order], hi[order]
+    starts = _group_starts(hi)
+    m_group = np.minimum.reduceat(lo, starts)
+    gid = np.cumsum(np.r_[0, np.diff(hi) != 0])
+    m = m_group[gid]
+    sel = lo != m
+    out_lo = np.concatenate([m[sel], m_group])
+    out_hi = np.concatenate([lo[sel], hi[starts]])
+    lo2, hi2 = _uniq_edges(out_lo, out_hi)
+    return _edge_table(lo2, hi2)
+
+
+def _edge_checksum(edges) -> int:
+    """Order-independent xor checksum of a materialized edge set — the
+    strong half of the convergence test (the cheap half is the free
+    metadata count()).  One streaming pass; only tiny per-block partials
+    reach the driver."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"s": pa.array([], pa.int64())})
+        lo = batch["lo"].to_numpy(zero_copy_only=False).astype(U64)
+        hi = batch["hi"].to_numpy(zero_copy_only=False).astype(U64)
+        chk = int(np.bitwise_xor.reduce(_fmix64_vec(_fmix64_vec(lo) ^ hi)))
+        return pa.table({"s": pa.array([chk - (1 << 63)], pa.int64())})
+
+    s = 0
+    for b in edges.map_batches(_partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for x in b["s"].to_numpy(zero_copy_only=False):
+            s ^= int(x) & ((1 << 64) - 1)
+    return s
+
+
+def _local_cc_block(block: pa.Table) -> pa.Table:
+    """Single-task connected components over one edge block: dense-remap
+    node ids, then vectorized min-label propagation with pointer doubling —
+    O((E+V) log V) numpy, no Python per-edge loop.  Emits star edges
+    (component min -> member) for every non-root member."""
+    if block.num_rows == 0:
+        return _empty_edges()
+    lo = block["lo"].to_numpy(zero_copy_only=False)
+    hi = block["hi"].to_numpy(zero_copy_only=False)
+    nodes, inv = np.unique(np.concatenate([lo, hi]), return_inverse=True)
+    l_idx, h_idx = inv[: len(lo)], inv[len(lo) :]
+    label = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        nl = label.copy()
+        np.minimum.at(nl, h_idx, label[l_idx])
+        np.minimum.at(nl, l_idx, label[h_idx])
+        nl = np.minimum(nl, nl[nl])  # pointer doubling
+        if np.array_equal(nl, label):
+            break
+        label = nl
+    member = np.flatnonzero(label != np.arange(len(nodes)))
+    return _edge_table(nodes[label[member]], nodes[member])
+
+
+def connected_components(
+    edges,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_rounds: int = 64,
+    local_cap: int = 2_000_000,
+):
+    """Edge Dataset (a_col, b_col) -> star-edge Dataset (lo=component
+    root candidate, hi=member).  At convergence every non-root node has
+    exactly one edge to its component minimum.  Nodes with no edges simply
+    don't appear (the caller unions its node list; see `components_apply`).
+
+    Each round materializes the (small) edge set — required for an
+    iterative algorithm on a lazy Dataset, and documented as safe because
+    dedup edge lists are candidate pairs, not the corpus.  The shuffle
+    partition count scales with the edge count (~100k edges/partition, up
+    to the repo-wide cap), so tiny graphs pay one task per round while
+    100-TB candidate graphs still spread across the cluster."""
+
+    def _canon(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _empty_edges()
+        a = batch[a_col].to_numpy(zero_copy_only=False)
+        b = batch[b_col].to_numpy(zero_copy_only=False)
+        keep = a != b
+        a, b = a[keep], b[keep]
+        lo, hi = _uniq_edges(np.minimum(a, b), np.maximum(a, b))
+        return _edge_table(lo, hi)
+
+    def _bidir(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"u": pa.array([], pa.int64()), "v": pa.array([], pa.int64())})
+        lo = batch["lo"].to_numpy(zero_copy_only=False)
+        hi = batch["hi"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "u": pa.array(np.concatenate([lo, hi]), pa.int64()),
+                "v": pa.array(np.concatenate([hi, lo]), pa.int64()),
+            }
+        )
+
+    e = edges.map_batches(_canon, batch_format="pyarrow").materialize()
+    n_prev = e.count()
+    if n_prev <= local_cap:
+        # hybrid fast path (the standard Spark/MapReduce CC optimization):
+        # a dedup candidate graph is usually far smaller than the corpus —
+        # solve it in ONE task instead of paying per-round shuffle fixed
+        # costs; ~2M edges is ~32 MB, trivially within a worker heap
+        return e.repartition(1).map_batches(
+            _local_cc_block, batch_format="pyarrow", batch_size=None
+        )
+    num_partitions = max(1, min(_join_partitions(), -(-n_prev // 100_000)))
+    chk_prev: int | None = None
+    for _ in range(max_rounds):
+        bidir = e.map_batches(_bidir, batch_format="pyarrow")
+        after_large = _groupby_key_blocks(
+            bidir, lambda b: b["u"].to_numpy(zero_copy_only=False), _large_star_block,
+            num_partitions,
+        )
+        e2 = _groupby_key_blocks(
+            after_large, lambda b: b["hi"].to_numpy(zero_copy_only=False),
+            _small_star_block, num_partitions,
+        ).materialize()
+        n_cur = e2.count()
+        if n_cur == n_prev:
+            # counts stable: confirm with the strong (one-pass) checksum
+            if chk_prev is None:
+                chk_prev = _edge_checksum(e)
+            chk_cur = _edge_checksum(e2)
+            if chk_cur == chk_prev:
+                return e2
+            chk_prev = chk_cur
+        else:
+            chk_prev = None
+        e, n_prev = e2, n_cur
+    raise RuntimeError(
+        f"connected_components: no convergence after {max_rounds} rounds "
+        f"(edges={n_prev}) — pathological graph, check pair-emission caps"
+    )
+
+
+def components_apply(node_ds, star_edges, id_col: str = "doc_id"):
+    """Label every node with its component minimum: union the star edges
+    (hi -> lo) with the identity labels (node -> node) and take the min
+    label per node — one groupby shuffle over n_nodes + n_edges rows.
+    Output: (id_col, component); component == own id for survivors."""
+
+    def _ident(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col]
+        return pa.table({id_col: ids, "component": ids})
+
+    def _from_edges(batch: pa.Table) -> pa.Table:
+        return pa.table({id_col: batch["hi"], "component": batch["lo"]})
+
+    labeled = node_ds.map_batches(_ident, batch_format="pyarrow").union(
+        star_edges.map_batches(_from_edges, batch_format="pyarrow")
+    )
+    out = labeled.groupby(id_col).min("component")
+    return out.rename_columns({"min(component)": "component"})
+
+
+def fuzzy_dedup_components(
+    ds,
+    threshold: float = 0.5,
+    method: str = "minhash",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **pair_kwargs,
+):
+    """End-to-end fuzzy-dedup clustering: near-dup pairs (MinHash+LSH with
+    exact Jaccard verification by default, or exact jaccard_pairs) ->
+    connected components -> every document labeled with its duplicate
+    cluster's minimum id.  A training pipeline keeps rows where
+    doc_id == component (or samples one per component).
+
+    Output: (doc_id, component) for EVERY input document — singletons are
+    their own component."""
+    from marginalia_ray.ops.dedup import jaccard_pairs, minhash_lsh_pairs
+
+    if method == "minhash":
+        pairs = minhash_lsh_pairs(ds, threshold=threshold, text_col=text_col,
+                                  id_col=id_col, **pair_kwargs)
+    elif method == "jaccard":
+        pairs = jaccard_pairs(ds, threshold=threshold, text_col=text_col,
+                              id_col=id_col, **pair_kwargs)
+    else:
+        raise ValueError(f"fuzzy_dedup_components: unknown method {method!r}")
+
+    stars = connected_components(pairs, a_col="doc_a", b_col="doc_b")
+    return components_apply(ds.select_columns([id_col]), stars, id_col=id_col)

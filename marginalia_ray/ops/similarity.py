@@ -320,3 +320,76 @@ def knn_cosine_lsh(
 
     restricted = ds.map_batches(_filt, batch_format="pyarrow")
     return knn_cosine(restricted, query_vectors, query_ids, k=k, vec_col=vec_col, id_col=id_col)
+
+
+# ---- SemDeDup: semantic deduplication --------------------------------------
+
+
+def semantic_dedup(
+    ds,
+    threshold: float = 0.35,
+    n_lists: int = 16,
+    sample_rows: int = 2048,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: np.ndarray | None = None,
+    col_chunk: int = 4096,
+):
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication"): cluster embeddings with a
+    coarse quantizer, then within each cluster drop every item that has a
+    strictly-lower-id neighbor at cosine >= threshold.  (The paper keeps
+    the member farthest from the centroid; this variant keeps the lowest
+    id — deterministic and SQL-mirrorable, the repo-wide survivor rule.)
+
+    Scale shape: the centroid table is tiny and broadcast (ray.put);
+    assignment is one matmul per streaming batch; the within-cluster
+    O(c^2) pass — the algorithm's own definition — runs per cluster after
+    ONE groupby shuffle, with the matmul chunked (`col_chunk`) so memory
+    stays bounded for big clusters.  n_lists controls the c^2 term: at
+    100 TB you raise it so clusters stay ~sqrt-sized, exactly the paper's
+    k knob.
+
+    Output: (vec_id, cluster, keep) for every input row, keep in {0,1}."""
+    if centroids is None:
+        sample_t = ds.limit(sample_rows).to_pandas()
+        sample = np.stack([np.asarray(v, dtype=np.float64) for v in sample_t[vec_col]])
+        sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-30)
+        centroids = _kmeans_fit(sample, n_lists)
+    cn = centroids / np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-30)
+    cent_ref = ray.put(cn)
+
+    def _assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        ids, vn = _ids_vecs(batch, vec_col, id_col)
+        # argmax takes the first maximum -> ties break to the lower
+        # cluster id, mirroring SQL `ORDER BY sim DESC, cid`
+        cluster = (vn @ c.T).argmax(axis=1).astype(np.int64)
+        return batch.append_column("cluster", pa.array(cluster))
+
+    def _prune(group: pa.Table) -> pa.Table:
+        ids, vn = _ids_vecs(group, vec_col, id_col)
+        cluster = group["cluster"][0].as_py()
+        order = np.argsort(ids, kind="stable")
+        ids, vn = ids[order], vn[order]
+        n = len(ids)
+        dup = np.zeros(n, dtype=bool)
+        rows = np.arange(n)
+        for s in range(0, n, col_chunk):
+            e = min(s + col_chunk, n)
+            scores = vn @ vn[s:e].T  # (n, e-s)
+            hit = (scores >= threshold) & (rows[:, None] < np.arange(s, e)[None, :])
+            dup[s:e] = hit.any(axis=0)
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "cluster": pa.array(np.full(n, cluster, dtype=np.int64)),
+                "keep": pa.array((~dup).astype(np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(_assign, batch_format="pyarrow")
+        .groupby("cluster")
+        .map_groups(_prune, batch_format="pyarrow")
+    )

@@ -7,7 +7,7 @@ here (or in the library code) calls ``ray.init()`` / ``ray.shutdown()``.
 -> tokenizer actor pool -> journal -> one-shuffle inverted-index build ->
 BM25 search) on sf0.001.  ``queries()`` exposes each implemented operator
 over the sf tables; ``oracle_sql()`` holds a DuckDB equivalent for EVERY
-query (31/31): pure relational/text ops directly, the ANN/sketch family
+query (33/33): pure relational/text ops directly, the ANN/sketch family
 via inlined deterministic constants (LSH hyperplanes, IVF centroids, the
 mod-2^64 simhash token-hash chain), and marginalia_search via the
 checked-in golden rank table.

@@ -311,6 +311,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return pii_scrub(_docs(sf_dir).map_batches(_decorate, batch_format="pyarrow"))
 
+    def q_c4(sf_dir: str):
+        # the fixture is single-line prose, so the query decorates it into
+        # multi-line form deterministically (split at ' and ', plus a
+        # 'lorem ipsum' page-poison on doc_id % 7 == 0) — the oracle
+        # applies the identical decoration in SQL
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from marginalia_ray.ops.text_ops import c4_filter
+
+        def _decorate(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"]
+            s = pc.replace_substring(batch["text"], " and ", ".\n")
+            s = pc.replace_substring(s, " the ", ".\n")
+            ids_i = ids.to_numpy(zero_copy_only=False)
+            suffix = np.where(ids_i % 7 == 0, "\nlorem ipsum", "")
+            s = pc.binary_join_element_wise(
+                s, pa.scalar("."), pa.array(suffix.astype(object)), ""
+            )
+            return pa.table({"doc_id": ids, "text": s})
+
+        return c4_filter(_docs(sf_dir).map_batches(_decorate, batch_format="pyarrow"))
+
     def q_fuzzy_components(sf_dir: str):
         # minhash+LSH pairs (verified-exact, same recall contract as the
         # minhash_dedup query) -> large-star/small-star connected
@@ -363,6 +387,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_split": lambda sf: hash_split(_docs(sf)),
         "tfidf_topk": lambda sf: tfidf_topk(_docs(sf), k=TFIDF_K),
         "exact_substring_pairs": lambda sf: exact_substring_pairs(_docs(sf)),
+        "c4_filter": q_c4,
         "fuzzy_dedup_components": q_fuzzy_components,
         "semantic_dedup": q_semantic_dedup,
         "marginalia_search": q_index_search,
@@ -628,6 +653,34 @@ def _repetition_sql() -> str:
  tw AS (SELECT doc_id, round(max(c)::DOUBLE / sum(c), 6) AS top_word_frac FROM wc GROUP BY doc_id)
  SELECT d.doc_id, dl.dup_line_frac, coalesce(tw.top_word_frac, 0.0) AS top_word_frac
  FROM documents d JOIN dl ON d.doc_id = dl.doc_id LEFT JOIN tw ON d.doc_id = tw.doc_id"""
+
+
+def _c4_sql() -> str:
+    """Mirrors queries()['c4_filter']: the same deterministic decoration,
+    then the C4 line rules (terminal punctuation, >= 5 words, no
+    'javascript') and page rules ('{', 'lorem ipsum', >= 3 kept lines).
+    RE2 on both sides."""
+    from marginalia_ray.ops.text_ops import C4_MIN_LINES, C4_MIN_WORDS
+
+    keep_line = (
+        "l -> regexp_matches(l, '[.!?\"]$') "
+        f"AND len(regexp_extract_all(l, '\\S+')) >= {C4_MIN_WORDS} "
+        "AND NOT contains(lower(l), 'javascript')"
+    )
+    return f"""
+ WITH dec AS (SELECT doc_id,
+        replace(replace(text, ' and ', '.' || chr(10)), ' the ', '.' || chr(10)) || '.' ||
+        CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'lorem ipsum' ELSE '' END AS text
+      FROM documents),
+ split AS (SELECT doc_id, text, string_split(text, chr(10)) AS ls FROM dec),
+ kept AS (SELECT doc_id, text, ls, list_filter(ls, {keep_line}) AS ks FROM split)
+ SELECT doc_id,
+        coalesce(array_to_string(ks, chr(10)), '') AS clean_text,
+        len(ks)::BIGINT AS n_kept,
+        len(ls)::BIGINT AS n_total,
+        (CASE WHEN contains(lower(text), 'lorem ipsum') OR contains(text, '{{')
+              OR len(ks) < {C4_MIN_LINES} THEN 0 ELSE 1 END)::BIGINT AS keep
+ FROM kept"""
 
 
 def _fuzzy_components_sql() -> str:
@@ -924,6 +977,7 @@ def oracle_sql() -> dict[str, str]:
         "hash_split": _hash_split_sql(),
         "tfidf_topk": _tfidf_sql(),
         "exact_substring_pairs": _substring_sql(),
+        "c4_filter": _c4_sql(),
         "fuzzy_dedup_components": _fuzzy_components_sql(),
         "semantic_dedup": _semantic_dedup_sql(),
         "marginalia_search": _marginalia_search_sql(),

@@ -742,3 +742,76 @@ def tfidf_topk(
         return joined.filter(pa.array(rank <= k))
 
     return ds.map_batches(_score, batch_format="pyarrow")
+
+
+# ---- C4-style page cleaning -------------------------------------------------
+
+C4_MIN_WORDS = 5  # a line must have >= 5 words (Raffel et al. 2020 §2.2)
+C4_MIN_LINES = 3  # a page must retain >= 3 lines
+
+
+def c4_filter(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """The C4 cleaning heuristics (Raffel et al. 2020, "Exploring the
+    Limits of Transfer Learning...", §2.2), line-level rules vectorized
+    end-to-end: keep lines that (a) end in terminal punctuation
+    ('.', '!', '?', '"'), (b) have >= C4_MIN_WORDS whitespace-separated
+    words, (c) don't mention 'javascript' (case-insensitive); drop whole
+    pages containing '{' or 'lorem ipsum', or retaining < C4_MIN_LINES
+    lines.  (The paper's bad-words list and its 3-sentence-span dedup are
+    separate ops: the latter is exact_substring_pairs.)
+
+    One streaming map, no shuffle, no Python row loop: lines explode via
+    Arrow list offsets, per-line predicates are RE2 kernels, and kept
+    lines reassemble through LargeListArray.from_arrays + binary_join.
+
+    Output: (doc_id, clean_text, n_kept, n_total, keep) with keep in
+    {0,1}; clean_text is the kept lines joined by newline (even for
+    keep=0 rows, so the column is a pure function of the text)."""
+
+    def _batch(batch: pa.Table) -> pa.Table:
+        txt = batch[text_col]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        big = pc.cast(txt, pa.large_string())
+        lines = pc.split_pattern(big, "\n")
+        flat = pc.list_flatten(lines)
+        counts = pc.list_value_length(lines).to_numpy(zero_copy_only=False).astype(np.int64)
+
+        ends = pc.match_substring_regex(flat, r'[.!?"]$')
+        words = pc.count_substring_regex(flat, r"\S+")
+        enough = pc.greater_equal(words, pa.scalar(C4_MIN_WORDS))
+        nojs = pc.invert(pc.match_substring(pc.utf8_lower(flat), "javascript"))
+        keep_line = pc.and_(pc.and_(ends, enough), nojs)
+
+        keep_np = keep_line.to_numpy(zero_copy_only=False)
+        parents = np.repeat(np.arange(len(counts)), counts)
+        n_kept = (
+            np.bincount(parents[keep_np], minlength=len(counts)).astype(np.int64)
+            if len(parents)
+            else np.zeros(len(counts), np.int64)
+        )
+        kept_vals = flat.filter(keep_line)
+        if isinstance(kept_vals, pa.ChunkedArray):
+            kept_vals = kept_vals.combine_chunks()
+        offsets = pa.array(np.r_[0, np.cumsum(n_kept)], pa.int64())
+        clean = pc.binary_join(
+            pa.LargeListArray.from_arrays(offsets, kept_vals),
+            pa.scalar("\n", pa.large_string()),
+        )
+
+        low = pc.utf8_lower(big)
+        page_bad = pc.or_(
+            pc.match_substring(low, "lorem ipsum"), pc.match_substring(big, "{")
+        ).to_numpy(zero_copy_only=False)
+        keep_doc = ((~page_bad) & (n_kept >= C4_MIN_LINES)).astype(np.int64)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "clean_text": pc.cast(clean, pa.string()),
+                "n_kept": pa.array(n_kept),
+                "n_total": pa.array(counts),
+                "keep": pa.array(keep_doc),
+            }
+        )
+
+    return ds.map_batches(_batch, batch_format="pyarrow")

@@ -116,3 +116,31 @@ def test_exact_substring_pairs_hot_gram_cap(ray_session):
     assert exact_substring_pairs(ds, max_docs_per_gram=3).take_all() == []
     # raising the cap brings back all C(5,2)=10 pairs
     assert len(exact_substring_pairs(ds, max_docs_per_gram=10).take_all()) == 10
+
+
+def test_c4_filter_rules(ray_session):
+    import ray.data
+
+    from marginalia_ray.ops.text_ops import c4_filter
+
+    good = "this line has plenty of words and ends properly."
+    rows = [
+        # 3 good lines -> kept page
+        {"doc_id": 1, "text": f"{good}\n{good}\n{good}"},
+        # only 2 good lines -> dropped page (min 3)
+        {"doc_id": 2, "text": f"{good}\n{good}\nno punct line here ok"},
+        # javascript line filtered; page has brace -> dropped
+        {"doc_id": 3, "text": f"{good}\nenable JavaScript to view this page.\nx {{ y"},
+        # lorem ipsum poison -> dropped even with 3 good lines
+        {"doc_id": 4, "text": f"{good}\n{good}\n{good}\nlorem ipsum"},
+        # short line (<5 words) filtered
+        {"doc_id": 5, "text": f"{good}\ntoo short.\n{good}\n{good}"},
+    ]
+    out = {r["doc_id"]: r for r in c4_filter(ray.data.from_items(rows)).take_all()}
+    assert out[1]["keep"] == 1 and out[1]["n_kept"] == 3 and out[1]["n_total"] == 3
+    assert out[1]["clean_text"] == f"{good}\n{good}\n{good}"
+    assert out[2]["keep"] == 0 and out[2]["n_kept"] == 2
+    assert out[3]["keep"] == 0  # brace page
+    assert out[3]["n_kept"] == 1  # javascript line dropped (case-insensitive)
+    assert out[4]["keep"] == 0  # lorem ipsum page
+    assert out[5]["keep"] == 1 and out[5]["n_kept"] == 3 and out[5]["n_total"] == 4

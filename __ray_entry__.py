@@ -30,6 +30,15 @@ JACCARD_THRESHOLD = 0.5
 COSINE_THRESHOLD = 0.4
 TFIDF_K = 5
 SEMDEDUP_THRESHOLD = 0.35
+DECON_N = 8  # decontamination n-gram size
+DECON_BENCH_MOD = 50  # benchmark side: doc_id % 50 == 0
+DECON_PLANT_MOD = 11  # planted contamination passage: doc_id % 11 == 0
+DECON_PASSAGE = "canary passage alpha beta gamma delta epsilon zeta eta theta"
+PACK_BUDGET = 512
+PCT_LO, PCT_HI = 0.05, 0.95
+SDEDUP_MAX_DOCS = 3
+SDEDUP_PLANT_MOD = 4  # boilerplate sentence planted on doc_id % 4 == 0
+SDEDUP_BOILER = "subscribe to our newsletter today"
 
 
 def _docs(sf_dir: str):
@@ -335,6 +344,73 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return c4_filter(_docs(sf_dir).map_batches(_decorate, batch_format="pyarrow"))
 
+    def q_decontaminate(sf_dir: str):
+        # plant a known contamination passage on doc_id % 11 == 0; the
+        # benchmark side is doc_id % 50 == 0 (doc 0 carries the passage,
+        # so every planted doc is cross-contaminated) — the oracle
+        # applies the identical decoration in SQL
+        import numpy as np
+        import pyarrow as pa
+
+        from marginalia_ray.ops.curation import decontaminate
+
+        def _decorate(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            suffix = np.where(ids % DECON_PLANT_MOD == 0, " " + DECON_PASSAGE, "")
+            txt = pc.binary_join_element_wise(
+                pc.utf8_lower(batch["text"]), pa.array(suffix.astype(object)), ""
+            )
+            return pa.table({"doc_id": batch["doc_id"], "text": txt})
+
+        def _bench_only(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            return batch.filter(pa.array(ids % DECON_BENCH_MOD == 0))
+
+        dec = _docs(sf_dir).map_batches(_decorate, batch_format="pyarrow")
+        bench = dec.map_batches(_bench_only, batch_format="pyarrow")
+        return decontaminate(dec, bench, n=DECON_N)
+
+    def q_token_budget_pack(sf_dir: str):
+        from marginalia_ray.ops.curation import token_budget_pack
+
+        return token_budget_pack(_docs(sf_dir), budget=PACK_BUDGET)
+
+    def q_length_percentile(sf_dir: str):
+        import ray.data
+
+        from marginalia_ray.ops.curation import length_percentile
+
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+        )
+        return length_percentile(ds, col="n_chars", lo=PCT_LO, hi=PCT_HI)
+
+    def q_sentence_dedup(sf_dir: str):
+        # decorate the single-line fixture into sentences (' merge ' and
+        # ' data ' become boundaries) and plant a boilerplate sentence on
+        # doc_id % 4 == 0 so the hot-sentence path fires; the oracle
+        # applies the identical decoration in SQL
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from marginalia_ray.ops.curation import sentence_dedup
+
+        def _decorate(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            s = pc.replace_substring(batch["text"], " merge ", ". ")
+            s = pc.replace_substring(s, " data ", ". ")
+            suffix = np.where(ids % SDEDUP_PLANT_MOD == 0, ". " + SDEDUP_BOILER, "")
+            s = pc.binary_join_element_wise(s, pa.array(suffix.astype(object)), "")
+            return pa.table({"doc_id": batch["doc_id"], "text": s})
+
+        return sentence_dedup(
+            _docs(sf_dir).map_batches(_decorate, batch_format="pyarrow"),
+            max_docs=SDEDUP_MAX_DOCS,
+        )
+
     def q_fuzzy_components(sf_dir: str):
         # minhash+LSH pairs (verified-exact, same recall contract as the
         # minhash_dedup query) -> large-star/small-star connected
@@ -388,6 +464,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_topk": lambda sf: tfidf_topk(_docs(sf), k=TFIDF_K),
         "exact_substring_pairs": lambda sf: exact_substring_pairs(_docs(sf)),
         "c4_filter": q_c4,
+        "decontaminate": q_decontaminate,
+        "token_budget_pack": q_token_budget_pack,
+        "length_percentile": q_length_percentile,
+        "sentence_dedup": q_sentence_dedup,
         "fuzzy_dedup_components": q_fuzzy_components,
         "semantic_dedup": q_semantic_dedup,
         "marginalia_search": q_index_search,
@@ -681,6 +761,84 @@ def _c4_sql() -> str:
         (CASE WHEN contains(lower(text), 'lorem ipsum') OR contains(text, '{{')
               OR len(ks) < {C4_MIN_LINES} THEN 0 ELSE 1 END)::BIGINT AS keep
  FROM kept"""
+
+
+def _decontaminate_sql() -> str:
+    """Mirrors queries()['decontaminate']: identical decoration (lowercase
+    + planted passage), 8-gram construction via list slices, benchmark =
+    doc_id % 50 == 0, n_hits = distinct grams shared with the benchmark."""
+    return f"""
+ WITH base AS (SELECT doc_id,
+        lower(text) || CASE WHEN doc_id % {DECON_PLANT_MOD} = 0
+                            THEN ' {DECON_PASSAGE}' ELSE '' END AS text
+      FROM documents),
+ tok AS (SELECT doc_id, {_TOK} AS ts FROM base),
+ grams AS (SELECT doc_id, array_to_string(ts[i:i+{DECON_N - 1}], ' ') AS gram
+           FROM tok, unnest(range(1, len(ts) - {DECON_N - 2})) AS r(i)),
+ dg AS (SELECT DISTINCT doc_id, gram FROM grams),
+ bench AS (SELECT DISTINCT gram FROM dg WHERE doc_id % {DECON_BENCH_MOD} = 0),
+ h AS (SELECT doc_id, count(*)::BIGINT AS n_hits
+       FROM dg JOIN bench USING(gram) GROUP BY doc_id)
+ SELECT d.doc_id, coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+        (CASE WHEN coalesce(h.n_hits, 0) > 0 THEN 1 ELSE 0 END)::BIGINT AS contaminated
+ FROM documents d LEFT JOIN h USING(doc_id)"""
+
+
+def _token_budget_pack_sql() -> str:
+    """Mirrors queries()['token_budget_pack']: ordered prefix sum of token
+    counts, bin = floor(tokens_before / budget)."""
+    return f"""
+ WITH tok AS (SELECT doc_id,
+        len(regexp_extract_all(lower(text), '[a-z0-9]+'))::BIGINT AS n_tokens
+      FROM documents)
+ SELECT doc_id, n_tokens,
+        CAST(floor(coalesce(sum(n_tokens) OVER
+          (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+          0) / {PACK_BUDGET}) AS BIGINT) AS bin
+ FROM tok"""
+
+
+def _length_percentile_sql() -> str:
+    """Mirrors queries()['length_percentile']: SQL percent_rank over
+    n_chars, keep on the rounded rank (the Ray side rounds first too)."""
+    return f"""
+ SELECT doc_id, n_chars,
+        round(percent_rank() OVER (ORDER BY n_chars), 6) AS pct_rank,
+        (CASE WHEN round(percent_rank() OVER (ORDER BY n_chars), 6)
+                   BETWEEN {PCT_LO} AND {PCT_HI}
+              THEN 1 ELSE 0 END)::BIGINT AS keep
+ FROM documents"""
+
+
+def _sentence_dedup_sql() -> str:
+    """Mirrors queries()['sentence_dedup']: identical decoration, split on
+    '.', trim spaces, drop empties, remove sentences in > max_docs
+    distinct docs, re-join survivors with '. ' in original order."""
+    return f"""
+ WITH dec AS (SELECT doc_id,
+        replace(replace(text, ' merge ', '. '), ' data ', '. ') ||
+        CASE WHEN doc_id % {SDEDUP_PLANT_MOD} = 0
+             THEN '. {SDEDUP_BOILER}' ELSE '' END AS text
+      FROM documents),
+ lists AS (SELECT doc_id,
+        list_transform(string_split(text, '.'), x -> trim(x, ' ')) AS ls
+      FROM dec),
+ s AS (SELECT doc_id, ls[i] AS sent, i AS ord
+       FROM lists, unnest(range(1, len(ls) + 1)) AS r(i)),
+ ne AS (SELECT * FROM s WHERE sent <> ''),
+ hot AS (SELECT sent FROM (SELECT sent, count(DISTINCT doc_id) AS c
+                           FROM ne GROUP BY sent) WHERE c > {SDEDUP_MAX_DOCS}),
+ kept AS (SELECT doc_id, sent, ord FROM ne
+          WHERE sent NOT IN (SELECT sent FROM hot)),
+ k AS (SELECT doc_id, string_agg(sent, '. ' ORDER BY ord) AS clean_text,
+              count(*)::BIGINT AS n_kept
+       FROM kept GROUP BY doc_id),
+ t AS (SELECT doc_id, count(*)::BIGINT AS n FROM ne GROUP BY doc_id)
+ SELECT d.doc_id,
+        coalesce(k.clean_text, '') AS clean_text,
+        coalesce(k.n_kept, 0)::BIGINT AS n_kept,
+        (coalesce(t.n, 0) - coalesce(k.n_kept, 0))::BIGINT AS n_removed
+ FROM documents d LEFT JOIN k USING(doc_id) LEFT JOIN t USING(doc_id)"""
 
 
 def _fuzzy_components_sql() -> str:
@@ -978,6 +1136,10 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_topk": _tfidf_sql(),
         "exact_substring_pairs": _substring_sql(),
         "c4_filter": _c4_sql(),
+        "decontaminate": _decontaminate_sql(),
+        "token_budget_pack": _token_budget_pack_sql(),
+        "length_percentile": _length_percentile_sql(),
+        "sentence_dedup": _sentence_dedup_sql(),
         "fuzzy_dedup_components": _fuzzy_components_sql(),
         "semantic_dedup": _semantic_dedup_sql(),
         "marginalia_search": _marginalia_search_sql(),

@@ -1,0 +1,413 @@
+"""Corpus-curation operators for LLM training-data pipelines:
+benchmark decontamination, token-budget sequence packing, percentile
+length filtering, and global duplicate-sentence removal.
+
+All four follow the repo's scale rules: vectorized Arrow kernels per
+batch, partial aggregation before any shuffle, small sides broadcast via
+ray.put with loud caps on every driver-side collection.  Public-knowledge
+semantics only (the decontamination rule is the n-gram-overlap test of
+Brown et al. 2020 appendix C / Gao et al. 2020; sentence dedup is the
+NeMo-Curator-style hot-sentence removal; packing is the standard
+token-budget binning used to build training shards).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+from marginalia_ray.ops.text_ops import TOKEN_MATCH, explode_tokens
+
+
+def _doc_grams(batch: pa.Table, n: int, text_col: str, id_col: str):
+    """Distinct (doc_id, n-gram) pairs of a batch, vectorized: explode
+    tokens, build grams from n shifted slices joined by ' ', mask windows
+    that cross a document boundary, dedup within the batch."""
+    ids, toks = explode_tokens(batch, text_col, id_col)
+    m = len(toks)
+    if m < n:
+        return (
+            pa.array([], batch[id_col].type),
+            pa.array([], pa.string()),
+        )
+    k = m - n + 1
+    parts = [toks.slice(i, k) for i in range(n)]
+    grams = pc.binary_join_element_wise(*parts, " ")
+    ids_np = ids.to_numpy(zero_copy_only=False)
+    valid = pa.array(ids_np[:k] == ids_np[n - 1 :])
+    pairs = (
+        pa.table({"d": ids.slice(0, k).filter(valid), "g": grams.filter(valid)})
+        .group_by(["d", "g"])
+        .aggregate([])
+    )
+    return pairs["d"], pairs["g"]
+
+
+def decontaminate(
+    ds,
+    bench_ds,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bench_grams: int = 20_000_000,
+):
+    """Benchmark decontamination (the n-gram overlap test used to scrub
+    eval sets from training corpora, Brown et al. 2020 App. C): count,
+    per corpus document, how many of its DISTINCT token n-grams appear in
+    the benchmark set's n-grams.
+
+    Output: (doc_id, n_hits, contaminated) for EVERY input doc, with
+    contaminated = 1 iff n_hits > 0.
+
+    Scale shape: the benchmark side (eval sets — MMLU-sized, not
+    corpus-sized) is reduced to its distinct grams and broadcast once via
+    ray.put; the corpus side is a single streaming map with a vectorized
+    pc.is_in probe — no shuffle, no join.  A benchmark bigger than
+    max_bench_grams fails loudly rather than silently OOMing the driver.
+    """
+    gram_parts = []
+    total = 0
+    for b in bench_ds.map_batches(
+        lambda t: pa.table({"g": _doc_grams(t, n, text_col, id_col)[1]}),
+        batch_format="pyarrow",
+    ).iter_batches(batch_format="pyarrow"):
+        if b.num_rows:
+            col = b["g"]
+            arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            gram_parts.append(pc.unique(arr))
+            total += len(gram_parts[-1])
+            if total > max_bench_grams:
+                raise RuntimeError(
+                    f"decontaminate: benchmark produced >{max_bench_grams} "
+                    "distinct grams — not a benchmark-sized side. Raise "
+                    "max_bench_grams or shard the benchmark."
+                )
+    bench = (
+        pc.unique(pa.concat_arrays([a.cast(pa.string()) for a in gram_parts]))
+        if gram_parts
+        else pa.array([], pa.string())
+    )
+    bench_ref = ray.put(bench)
+
+    def _probe(batch: pa.Table) -> pa.Table:
+        doc_ids = batch[id_col]
+        if isinstance(doc_ids, pa.ChunkedArray):
+            doc_ids = doc_ids.combine_chunks()
+        out_ids = doc_ids.to_numpy(zero_copy_only=False)
+        hits = np.zeros(len(out_ids), np.int64)
+        d, g = _doc_grams(batch, n, text_col, id_col)
+        if len(d):
+            hit_mask = pc.is_in(g, value_set=ray.get(bench_ref))
+            d_np = d.to_numpy(zero_copy_only=False)[
+                hit_mask.to_numpy(zero_copy_only=False)
+            ]
+            # map hit doc ids back to batch row order (ids unique per batch)
+            order = np.argsort(out_ids, kind="stable")
+            pos = order[np.searchsorted(out_ids[order], d_np)]
+            np.add.at(hits, pos, 1)
+        return pa.table(
+            {
+                id_col: doc_ids,
+                "n_hits": pa.array(hits),
+                "contaminated": pa.array((hits > 0).astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(_probe, batch_format="pyarrow")
+
+
+def token_budget_pack(
+    ds,
+    budget: int = 2048,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+    max_bucket_docs: int = 5_000_000,
+):
+    """Token-budget sequence packing: assign each document (in doc_id
+    order) to the training shard ("bin") in which its running token total
+    starts — bin = floor(tokens_before_me / budget), where tokens_before
+    is the exact prefix sum over all docs with a smaller doc_id.
+
+    A global ordered prefix sum, done scalably in two passes with no sort:
+      1. project to the tiny (doc_id, n_tokens) table, partial-aggregate
+         per-range-bucket token sums (doc_id space split uniformly into
+         n_buckets), prefix-sum the n_buckets bucket totals on the driver
+         and broadcast the per-bucket starting offsets;
+      2. groupby(bucket).map_groups: order within the bucket, local
+         cumsum + the bucket's broadcast offset.
+    The partitioning assumption (documented, enforced by max_bucket_docs)
+    is that one doc_id range bucket's (id, count) pairs fit in one task —
+    at 100 TB pick n_buckets ~ corpus_docs / 1e6.
+
+    Output: (doc_id, n_tokens, bin).
+    """
+
+    def _tok(batch: pa.Table) -> pa.Table:
+        nt = pc.count_substring_regex(pc.utf8_lower(batch[text_col]), TOKEN_MATCH)
+        return pa.table({id_col: batch[id_col], "n_tokens": pc.cast(nt, pa.int64())})
+
+    from ray.data.aggregate import Max, Min
+
+    tok = ds.map_batches(_tok, batch_format="pyarrow").materialize()
+    lohi = tok.aggregate(Min(id_col), Max(id_col))
+    lo, hi = int(lohi[f"min({id_col})"]), int(lohi[f"max({id_col})"])
+    span = max(hi - lo + 1, 1)
+    width = max((span + n_buckets - 1) // n_buckets, 1)
+
+    def _bucket_of(ids_np: np.ndarray) -> np.ndarray:
+        return (ids_np - lo) // width
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        ids_np = batch[id_col].to_numpy(zero_copy_only=False)
+        nt = batch["n_tokens"].to_numpy(zero_copy_only=False)
+        bk = _bucket_of(ids_np)
+        t = pa.table({"bucket": pa.array(bk), "s": pa.array(nt)})
+        g = t.group_by("bucket").aggregate([("s", "sum")])
+        return g.rename_columns(["bucket", "partial"])
+
+    sums = np.zeros(n_buckets + 1, np.int64)
+    for b in (
+        tok.map_batches(_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .sum("partial")
+        .iter_batches(batch_format="pyarrow")
+    ):
+        if b.num_rows:
+            bks = b["bucket"].to_numpy(zero_copy_only=False)
+            sums[bks + 1] = b["sum(partial)"].to_numpy(zero_copy_only=False)
+    offsets_ref = ray.put(np.cumsum(sums)[:-1])  # tokens before each bucket
+
+    def _add_bucket(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("bucket", pa.array([], pa.int64()))
+        bk = _bucket_of(batch[id_col].to_numpy(zero_copy_only=False))
+        return batch.append_column("bucket", pa.array(bk.astype(np.int64)))
+
+    def _pack_group(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "bin": pa.array([], pa.int64()),
+                }
+            )
+        if batch.num_rows > max_bucket_docs:
+            raise RuntimeError(
+                "token_budget_pack: a doc_id range bucket holds "
+                f">{max_bucket_docs} docs; raise n_buckets."
+            )
+        ids_np = batch[id_col].to_numpy(zero_copy_only=False)
+        nt = batch["n_tokens"].to_numpy(zero_copy_only=False)
+        order = np.argsort(ids_np, kind="stable")
+        before = np.zeros(len(ids_np), np.int64)
+        before[order] = np.r_[0, np.cumsum(nt[order])[:-1]]
+        bucket = int(batch["bucket"][0].as_py())
+        before += ray.get(offsets_ref)[bucket]
+        return pa.table(
+            {
+                id_col: pa.array(ids_np),
+                "n_tokens": pa.array(nt),
+                "bin": pa.array(before // budget),
+            }
+        )
+
+    return (
+        tok.map_batches(_add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_pack_group, batch_format="pyarrow")
+    )
+
+
+def length_percentile(
+    ds,
+    col: str = "n_chars",
+    id_col: str = "doc_id",
+    lo: float = 0.05,
+    hi: float = 0.95,
+    max_distinct: int = 4_000_000,
+):
+    """Exact percentile-rank length filter: pct_rank(doc) =
+    (#docs with a strictly smaller value) / (N - 1) — SQL's
+    percent_rank() — and keep = 1 iff lo <= pct_rank <= hi.  The standard
+    'trim the length-distribution tails' curation step, exact (not
+    t-digest) so it is oracle-checkable.
+
+    Scale shape: one partial-aggregated groupby(value).count — the
+    distinct-value table (bounded: document lengths, capped loudly at
+    max_distinct) comes to the driver as a sorted CDF and is broadcast;
+    the assignment pass is a streaming searchsorted map.
+
+    Output: (doc_id, <col>, pct_rank rounded to 6 dp, keep).
+    """
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        g = pa.table({"v": batch[col]}).group_by("v").aggregate([([], "count_all")])
+        return g.rename_columns(["v", "partial"])
+
+    vals_parts, cnt_parts, total_distinct = [], [], 0
+    for b in (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby("v")
+        .sum("partial")
+        .iter_batches(batch_format="pyarrow")
+    ):
+        if b.num_rows:
+            vals_parts.append(b["v"].to_numpy(zero_copy_only=False))
+            cnt_parts.append(b["sum(partial)"].to_numpy(zero_copy_only=False))
+            total_distinct += b.num_rows
+            if total_distinct > max_distinct:
+                raise RuntimeError(
+                    f"length_percentile: >{max_distinct} distinct values in "
+                    f"'{col}' — not a bounded-domain column; bin it first."
+                )
+    if not vals_parts:
+        return ds.map_batches(
+            lambda t: pa.table(
+                {
+                    id_col: t[id_col],
+                    col: t[col],
+                    "pct_rank": pa.array([] if t.num_rows == 0 else [0.0] * t.num_rows),
+                    "keep": pa.array([] if t.num_rows == 0 else [1] * t.num_rows, pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    vals = np.concatenate(vals_parts)
+    cnts = np.concatenate(cnt_parts)
+    order = np.argsort(vals)
+    vals, cnts = vals[order], cnts[order]
+    below = np.r_[0, np.cumsum(cnts)[:-1]].astype(np.float64)
+    n_total = int(cnts.sum())
+    denom = max(n_total - 1, 1)
+    cdf_ref = ray.put((vals, below))
+
+    def _assign(batch: pa.Table) -> pa.Table:
+        v = batch[col].to_numpy(zero_copy_only=False)
+        cv, cb = ray.get(cdf_ref)
+        pct = np.round(cb[np.searchsorted(cv, v)] / denom, 6)
+        keep = ((pct >= lo) & (pct <= hi)).astype(np.int64)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                col: batch[col],
+                "pct_rank": pa.array(pct, pa.float64()),
+                "keep": pa.array(keep),
+            }
+        )
+
+    return ds.map_batches(_assign, batch_format="pyarrow")
+
+
+def sentence_dedup(
+    ds,
+    max_docs: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hot: int = 50_000_000,
+):
+    """Global duplicate-sentence removal (boilerplate scrubbing à la
+    NeMo-Curator / RefinedWeb): a sentence ('.'-separated span, trimmed
+    of spaces) that occurs in MORE THAN max_docs distinct documents is
+    removed from every document; survivors are re-joined with '. ' in
+    their original order.
+
+    Scale shape: pass 1 counts distinct docs per sentence with per-batch
+    partial aggregation (docs never span batches) and one groupby(sent)
+    shuffle of partial rows; ONLY the hot sentences (count > max_docs —
+    boilerplate-sized, capped loudly at max_hot) come to the driver and
+    are broadcast; pass 2 is a streaming map that filters each doc's
+    sentence list with a vectorized pc.is_in.
+
+    Output: (doc_id, clean_text, n_kept, n_removed).
+    """
+
+    def _split(batch: pa.Table):
+        txt = batch[text_col]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        lists = pc.split_pattern(pc.cast(txt, pa.large_string()), ".")
+        flat = pc.utf8_trim(pc.list_flatten(lists), " ")
+        parents = pc.list_parent_indices(lists)
+        return lists, flat, parents
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        _, flat, parents = _split(batch)
+        ids_col = batch[id_col]
+        if isinstance(ids_col, pa.ChunkedArray):
+            ids_col = ids_col.combine_chunks()
+        ids = ids_col.take(parents)
+        mask = pc.not_equal(flat, "")
+        pairs = (
+            pa.table({"d": ids.filter(mask), "sent": flat.filter(mask)})
+            .group_by(["d", "sent"])
+            .aggregate([])
+        )
+        part = pairs.group_by("sent").aggregate([("d", "count")])
+        return part.rename_columns(["sent", "partial"])
+
+    hot_parts = []
+    n_hot = 0
+    counts = (
+        ds.map_batches(_partial, batch_format="pyarrow").groupby("sent").sum("partial")
+    )
+    for b in counts.iter_batches(batch_format="pyarrow"):
+        if b.num_rows:
+            mask = pc.greater(b["sum(partial)"], max_docs)
+            hot = b["sent"].filter(mask)
+            hot = hot.combine_chunks() if isinstance(hot, pa.ChunkedArray) else hot
+            if len(hot):
+                hot_parts.append(hot.cast(pa.string()))
+                n_hot += len(hot)
+                if n_hot > max_hot:
+                    raise RuntimeError(
+                        f"sentence_dedup: >{max_hot} hot sentences — raise "
+                        "max_docs or max_hot."
+                    )
+    hot_arr = (
+        pa.concat_arrays(hot_parts) if hot_parts else pa.array([], pa.string())
+    )
+    hot_ref = ray.put(hot_arr)
+
+    def _scrub(batch: pa.Table) -> pa.Table:
+        lists, flat, parents = _split(batch)
+        n_rows = batch.num_rows
+        counts_np = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        nonempty = pc.not_equal(flat, "")
+        is_hot = pc.is_in(flat, value_set=ray.get(hot_ref))
+        keep = pc.and_(nonempty, pc.invert(is_hot))
+        keep_np = keep.to_numpy(zero_copy_only=False)
+        ne_np = nonempty.to_numpy(zero_copy_only=False)
+        par = parents.to_numpy(zero_copy_only=False)
+        n_sent = (
+            np.bincount(par[ne_np], minlength=n_rows).astype(np.int64)
+            if len(par)
+            else np.zeros(n_rows, np.int64)
+        )
+        n_kept = (
+            np.bincount(par[keep_np], minlength=n_rows).astype(np.int64)
+            if len(par)
+            else np.zeros(n_rows, np.int64)
+        )
+        kept_vals = flat.filter(keep)
+        if isinstance(kept_vals, pa.ChunkedArray):
+            kept_vals = kept_vals.combine_chunks()
+        offs = pa.array(np.r_[0, np.cumsum(n_kept)], pa.int64())
+        clean = pc.binary_join(
+            pa.LargeListArray.from_arrays(offs, kept_vals),
+            pa.scalar(". ", pa.large_string()),
+        )
+        _ = counts_np  # lists lengths only needed via parents above
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "clean_text": pc.cast(clean, pa.string()),
+                "n_kept": pa.array(n_kept),
+                "n_removed": pa.array(n_sent - n_kept),
+            }
+        )
+
+    return ds.map_batches(_scrub, batch_format="pyarrow")

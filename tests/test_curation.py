@@ -1,0 +1,129 @@
+"""Unit tests for the corpus-curation operators (ops/curation.py):
+decontaminate, token_budget_pack, length_percentile, sentence_dedup."""
+
+import numpy as np
+import pytest
+
+
+def _ds(rows):
+    import ray.data
+
+    return ray.data.from_items(rows)
+
+
+class TestDecontaminate:
+    def test_planted_overlap(self, ray_session):
+        from marginalia_ray.ops.curation import decontaminate
+
+        passage = "a b c d e f g h"  # exactly one 8-gram
+        rows = [
+            {"doc_id": 1, "text": f"x y z {passage} q r"},  # contaminated
+            {"doc_id": 2, "text": "totally different words here with no overlap at all"},
+            {"doc_id": 3, "text": passage},  # exact benchmark doc
+        ]
+        bench = _ds([{"doc_id": 100, "text": passage}])
+        out = {r["doc_id"]: r for r in decontaminate(_ds(rows), bench, n=8).take_all()}
+        assert out[1]["contaminated"] == 1 and out[1]["n_hits"] == 1
+        assert out[2]["contaminated"] == 0 and out[2]["n_hits"] == 0
+        assert out[3]["contaminated"] == 1
+
+    def test_short_docs_never_match(self, ray_session):
+        from marginalia_ray.ops.curation import decontaminate
+
+        rows = [{"doc_id": 1, "text": "only three words"}]
+        bench = _ds([{"doc_id": 9, "text": "only three words"}])
+        out = decontaminate(_ds(rows), bench, n=8).take_all()
+        assert out[0]["n_hits"] == 0  # both sides too short for an 8-gram
+
+    def test_bench_cap(self, ray_session):
+        from marginalia_ray.ops.curation import decontaminate
+
+        bench = _ds([{"doc_id": 1, "text": " ".join(f"w{i}" for i in range(200))}])
+        with pytest.raises(RuntimeError, match="distinct grams"):
+            decontaminate(_ds([{"doc_id": 2, "text": "x"}]), bench, n=2,
+                          max_bench_grams=10).take_all()
+
+
+class TestTokenBudgetPack:
+    def test_matches_serial_prefix_sum(self, ray_session):
+        from marginalia_ray.ops.curation import token_budget_pack
+
+        rng = np.random.default_rng(7)
+        rows = [
+            {"doc_id": int(i), "text": " ".join(["tok"] * int(rng.integers(1, 40)))}
+            for i in range(300)
+        ]
+        out = sorted(
+            token_budget_pack(_ds(rows), budget=100, n_buckets=8).take_all(),
+            key=lambda r: r["doc_id"],
+        )
+        cum = 0
+        for r in out:
+            assert r["bin"] == cum // 100
+            cum += r["n_tokens"]
+
+    def test_bucket_overflow_raises(self, ray_session):
+        from marginalia_ray.ops.curation import token_budget_pack
+
+        rows = [{"doc_id": i, "text": "a b"} for i in range(50)]
+        with pytest.raises(Exception, match="range bucket"):
+            token_budget_pack(_ds(rows), budget=10, n_buckets=1,
+                              max_bucket_docs=10).take_all()
+
+
+class TestLengthPercentile:
+    def test_percent_rank_with_ties(self, ray_session):
+        from marginalia_ray.ops.curation import length_percentile
+
+        # values: 10,10,20,30 -> pct ranks 0,0,2/3,1
+        rows = [
+            {"doc_id": 1, "n_chars": 10},
+            {"doc_id": 2, "n_chars": 10},
+            {"doc_id": 3, "n_chars": 20},
+            {"doc_id": 4, "n_chars": 30},
+        ]
+        out = {r["doc_id"]: r for r in
+               length_percentile(_ds(rows), lo=0.0, hi=0.9).take_all()}
+        assert out[1]["pct_rank"] == 0.0 and out[2]["pct_rank"] == 0.0
+        assert out[3]["pct_rank"] == round(2 / 3, 6)
+        assert out[4]["pct_rank"] == 1.0
+        assert out[4]["keep"] == 0 and out[3]["keep"] == 1
+
+    def test_single_row(self, ray_session):
+        from marginalia_ray.ops.curation import length_percentile
+
+        out = length_percentile(_ds([{"doc_id": 1, "n_chars": 5}])).take_all()
+        assert out[0]["pct_rank"] == 0.0 and out[0]["keep"] == 0  # 0.0 < lo=0.05
+
+
+class TestSentenceDedup:
+    def test_hot_sentence_removed_order_kept(self, ray_session):
+        from marginalia_ray.ops.curation import sentence_dedup
+
+        boiler = "subscribe now"
+        rows = [
+            {"doc_id": i, "text": f"unique sentence {i}. {boiler}. tail {i}"}
+            for i in range(5)
+        ]
+        out = {r["doc_id"]: r for r in
+               sentence_dedup(_ds(rows), max_docs=3).take_all()}
+        for i in range(5):
+            assert out[i]["clean_text"] == f"unique sentence {i}. tail {i}"
+            assert out[i]["n_kept"] == 2 and out[i]["n_removed"] == 1
+
+    def test_below_threshold_untouched(self, ray_session):
+        from marginalia_ray.ops.curation import sentence_dedup
+
+        rows = [{"doc_id": i, "text": "shared. own %d" % i} for i in range(3)]
+        out = sentence_dedup(_ds(rows), max_docs=3).take_all()
+        assert all(r["n_removed"] == 0 for r in out)  # 3 docs is not > 3
+
+    def test_empty_and_all_removed(self, ray_session):
+        from marginalia_ray.ops.curation import sentence_dedup
+
+        rows = [{"doc_id": i, "text": "gone"} for i in range(4)] + [
+            {"doc_id": 9, "text": ""}
+        ]
+        out = {r["doc_id"]: r for r in sentence_dedup(_ds(rows), max_docs=3).take_all()}
+        assert out[0]["clean_text"] == "" and out[0]["n_removed"] == 1
+        assert out[9]["clean_text"] == "" and out[9]["n_kept"] == 0 and out[9]["n_removed"] == 0

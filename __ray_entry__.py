@@ -25,6 +25,8 @@ KNN_QUERY_IDS = list(range(8))
 KNN_K = 5
 IVF_LISTS = 16
 IVF_PROBE = 4
+PQ_M = 8  # product-quantization subspaces (64-d -> 8 sub-vectors of 8)
+PQ_CODES = 16  # codebook entries per subspace
 BM25_TERMS = ["spark", "join", "window"]
 JACCARD_THRESHOLD = 0.5
 COSINE_THRESHOLD = 0.4
@@ -344,6 +346,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return c4_filter(_docs(sf_dir).map_batches(_decorate, batch_format="pyarrow"))
 
+    def q_knn_pq(sf_dir: str):
+        # seeded random codebooks (the knn_cosine_ivf convention): the op
+        # becomes a pure function of the data, so the oracle can inline
+        # the same codebooks as SQL literals
+        from marginalia_ray.ops.similarity import knn_cosine_pq
+
+        qm, qids = _query_vectors(sf_dir)
+        return knn_cosine_pq(
+            _emb(sf_dir), qm, qids, k=KNN_K, m=PQ_M, n_codes=PQ_CODES,
+            codebooks=_pq_codebooks(),
+        )
+
     def q_decontaminate(sf_dir: str):
         # plant a known contamination passage on doc_id % 11 == 0; the
         # benchmark side is doc_id % 50 == 0 (doc 0 carries the passage,
@@ -450,6 +464,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine": q_knn,
         "knn_cosine_lsh": q_knn_lsh,
         "knn_cosine_ivf": q_knn_ivf,
+        "knn_cosine_pq": q_knn_pq,
         "embedding_dedup": lambda sf: embedding_cosine_pairs(
             _emb(sf), threshold=COSINE_THRESHOLD
         ),
@@ -565,6 +580,51 @@ def _ngram_overlap_sql() -> str:
  SELECT doc_id, n_grams::BIGINT AS n_grams, n_hits::BIGINT AS n_hits,
    round(n_hits::DOUBLE / n_grams, 6) AS contam_frac
  FROM a"""
+
+
+def _pq_codebooks():
+    import numpy as np
+
+    return np.random.RandomState(17).standard_normal((PQ_M, PQ_CODES, 64 // PQ_M))
+
+
+def _knn_pq_sql() -> str:
+    """Mirrors ops/similarity.knn_cosine_pq with the seeded codebooks
+    inlined as SQL literals: L2-normalize, per-subspace nearest codebook
+    entry (list_distance argmin), ADC score = sum over subspaces of
+    (query-subvector . chosen entry), rounded to 6 dp before ranking."""
+    cbs = _pq_codebooks()
+    rows = ",".join(
+        f"({j}, {c}, [{','.join(repr(float(x)) for x in cbs[j, c])}]::DOUBLE[])"
+        for j in range(PQ_M)
+        for c in range(PQ_CODES)
+    )
+    sub = 64 // PQ_M
+    qid = ",".join(str(i) for i in KNN_QUERY_IDS)
+    return f"""
+ WITH cb AS (SELECT * FROM (VALUES {rows}) AS cb(j, cid, cv)),
+ nv AS (SELECT vec_id,
+          list_transform(CAST(embedding AS DOUBLE[]), x ->
+            x / greatest(sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                                 CAST(embedding AS DOUBLE[]))), 1e-30)) AS en
+        FROM embeddings),
+ sj AS (SELECT unnest(range(0, {PQ_M})) AS j),
+ subs AS (SELECT vec_id, j, nv.en[j*{sub}+1 : j*{sub}+{sub}] AS sv FROM nv, sj),
+ codes AS (SELECT vec_id, j, cid FROM (
+     SELECT s.vec_id, s.j, c.cid,
+       row_number() OVER (PARTITION BY s.vec_id, s.j
+         ORDER BY list_distance(s.sv, c.cv) ASC, c.cid) AS rn
+     FROM subs s JOIN cb c ON s.j = c.j) WHERE rn = 1),
+ qsubs AS (SELECT vec_id AS qid, j, sv FROM subs WHERE vec_id IN ({qid})),
+ score AS (SELECT q.qid, co.vec_id, round(sum(list_inner_product(q.sv, cb.cv)), 6) AS score
+           FROM qsubs q
+           JOIN codes co ON q.j = co.j
+           JOIN cb ON cb.j = co.j AND cb.cid = co.cid
+           GROUP BY q.qid, co.vec_id)
+ SELECT query_id, neighbor_id, score FROM (
+   SELECT qid AS query_id, vec_id AS neighbor_id, score,
+     row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rn
+   FROM score WHERE qid <> vec_id) WHERE rn <= {KNN_K}"""
 
 
 def _ivf_centroids():
@@ -1130,6 +1190,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_metrics": _repetition_sql(),
         "knn_cosine_lsh": _knn_lsh_sql(),
         "knn_cosine_ivf": _knn_ivf_sql(),
+        "knn_cosine_pq": _knn_pq_sql(),
         "simhash_pairs": _simhash_sql(),
         "pii_scrub": _pii_sql(),
         "hash_split": _hash_split_sql(),

@@ -393,3 +393,110 @@ def semantic_dedup(
         .groupby("cluster")
         .map_groups(_prune, batch_format="pyarrow")
     )
+
+
+def knn_cosine_pq(
+    ds,
+    query_vectors: np.ndarray,
+    query_ids: list[int],
+    k: int = 5,
+    m: int = 8,
+    n_codes: int = 16,
+    codebooks: np.ndarray | None = None,
+    sample_rows: int = 2048,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    exclude_self: bool = True,
+):
+    """Product-quantization ADC top-k (Jégou et al. 2011): vectors are
+    L2-normalized, split into `m` subspaces, and each subspace quantized
+    to its nearest of `n_codes` codebook entries; a query's approximate
+    cosine is the Asymmetric Distance Computation sum of per-subspace
+    (query-subvector . chosen-codebook-entry) inner products.
+
+    THE compression path for a 100-TB embedding scan: a 64-float vector
+    becomes m=8 single-byte codes (32x smaller), the codebooks + per-query
+    lookup tables are broadcast once, and scoring a batch is m table
+    gathers + a sum — no full-precision vectors move after encoding.
+
+    `codebooks` (shape (m, n_codes, dim/m)) may be caller-provided —
+    seeded random codebooks make the op a deterministic pure function of
+    the data (the knn_cosine_ivf convention) so a SQL oracle can mirror
+    it; default fits one k-means per subspace on a bounded sample.
+
+    Output: (query_id, neighbor_id, score) — k rows per query, score is
+    the ADC approximation rounded to 6 dp; ordering and ties follow the
+    ROUNDED score (desc), then neighbor id (asc), so results are stable
+    across summation orders."""
+    q = np.asarray(query_vectors, dtype=np.float64)
+    qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-30)
+    dim = qn.shape[1]
+    if dim % m:
+        raise ValueError(f"knn_cosine_pq: dim {dim} not divisible by m={m}")
+    sub = dim // m
+
+    if codebooks is None:
+        sample_t = ds.limit(sample_rows).to_pandas()
+        s = np.stack([np.asarray(v, dtype=np.float64) for v in sample_t[vec_col]])
+        s /= np.maximum(np.linalg.norm(s, axis=1, keepdims=True), 1e-30)
+        codebooks = np.stack(
+            [
+                _kmeans_fit(s[:, j * sub : (j + 1) * sub], n_codes, seed=11 + j)
+                for j in range(m)
+            ]
+        )
+    cb = np.asarray(codebooks, dtype=np.float64)
+    if cb.shape != (m, n_codes, sub):
+        raise ValueError(f"knn_cosine_pq: codebooks shape {cb.shape} != {(m, n_codes, sub)}")
+    # per-query ADC lookup tables: (nq, m, n_codes)
+    tables = np.einsum("qms,mcs->qmc", qn.reshape(-1, m, sub), cb)
+    bc_ref = ray.put((cb, tables, np.asarray(query_ids, dtype=np.int64)))
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        cbk, tabs, qids = ray.get(bc_ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = _stack(batch[vec_col])
+        vn = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-30)
+        sv = vn.reshape(len(ids), m, sub)
+        # encode: nearest codebook entry per subspace by squared L2
+        codes = np.empty((len(ids), m), np.int64)
+        for j in range(m):
+            d2 = ((sv[:, j, None, :] - cbk[j][None, :, :]) ** 2).sum(-1)
+            codes[:, j] = np.argmin(d2, axis=1)
+        # ADC: score[q, i] = sum_j tabs[q, j, codes[i, j]]
+        scores = np.zeros((len(qids), len(ids)), np.float64)
+        for j in range(m):
+            scores += tabs[:, j, :][:, codes[:, j]]
+        scores = np.round(scores, 6)
+        if exclude_self:
+            scores = np.where(qids[:, None] == ids[None, :], -np.inf, scores)
+        kk = min(k, scores.shape[1])
+        order = np.lexsort((ids[None, :].repeat(len(qids), 0), -scores), axis=1)[:, :kk]
+        out_s = np.take_along_axis(scores, order, axis=1).ravel()
+        keep = np.isfinite(out_s)
+        return pa.table(
+            {
+                "query_id": pa.array(np.repeat(qids, kk)[keep]),
+                "neighbor_id": pa.array(ids[order].ravel()[keep]),
+                "score": pa.array(out_s[keep], pa.float64()),
+            }
+        )
+
+    def _merge(group: pa.Table) -> pa.Table:
+        qid = group["query_id"][0].as_py()
+        n = group["neighbor_id"].to_numpy(zero_copy_only=False)
+        s = group["score"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((n, -s))[:k]
+        return pa.table(
+            {
+                "query_id": pa.array(np.full(len(order), qid, dtype=np.int64)),
+                "neighbor_id": pa.array(n[order]),
+                "score": pa.array(s[order], pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(_merge, batch_format="pyarrow")
+    )

@@ -39,6 +39,7 @@ DECON_PASSAGE = "canary passage alpha beta gamma delta epsilon zeta eta theta"
 PACK_BUDGET = 512
 PCT_LO, PCT_HI = 0.05, 0.95
 SDEDUP_MAX_DOCS = 3
+STRAT_N = 4  # stratified sample size per key
 SDEDUP_PLANT_MOD = 4  # boilerplate sentence planted on doc_id % 4 == 0
 SDEDUP_BOILER = "subscribe to our newsletter today"
 
@@ -425,6 +426,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
             max_docs=SDEDUP_MAX_DOCS,
         )
 
+    def q_bigram_perplexity(sf_dir: str):
+        from marginalia_ray.ops.curation import bigram_perplexity
+
+        return bigram_perplexity(_docs(sf_dir))
+
+    def q_stratified_sample(sf_dir: str):
+        import ray.data
+
+        from marginalia_ray.ops.curation import stratified_sample_n
+
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+        )
+        return stratified_sample_n(ds, key_col="lang", n=STRAT_N)
+
     def q_fuzzy_components(sf_dir: str):
         # minhash+LSH pairs (verified-exact, same recall contract as the
         # minhash_dedup query) -> large-star/small-star connected
@@ -483,6 +499,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_budget_pack": q_token_budget_pack,
         "length_percentile": q_length_percentile,
         "sentence_dedup": q_sentence_dedup,
+        "bigram_perplexity": q_bigram_perplexity,
+        "stratified_sample_n": q_stratified_sample,
         "fuzzy_dedup_components": q_fuzzy_components,
         "semantic_dedup": q_semantic_dedup,
         "marginalia_search": q_index_search,
@@ -901,6 +919,53 @@ def _sentence_dedup_sql() -> str:
  FROM documents d LEFT JOIN k USING(doc_id) LEFT JOIN t USING(doc_id)"""
 
 
+def _bigram_perplexity_sql() -> str:
+    """Mirrors ops/curation.bigram_perplexity: add-one-smoothed bigram LM
+    trained on the corpus, nll = mean -ln((C(w1 w2)+1)/(C(w1)+V))."""
+    return f"""
+ WITH tok AS (SELECT doc_id, {_TOK} AS ts FROM documents),
+ uni AS (SELECT w, count(*)::BIGINT AS c
+         FROM (SELECT unnest(ts) AS w FROM tok) GROUP BY w),
+ v AS (SELECT count(*)::BIGINT AS nv FROM uni),
+ bi AS (SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2
+        FROM tok, unnest(range(1, len(ts))) AS r(i)),
+ bic AS (SELECT w1, w2, count(*)::BIGINT AS c2 FROM bi GROUP BY w1, w2),
+ scored AS (SELECT b.doc_id, -ln((bic.c2 + 1.0) / (uni.c + v.nv)) AS nl
+            FROM bi b JOIN bic ON b.w1 = bic.w1 AND b.w2 = bic.w2
+                      JOIN uni ON b.w1 = uni.w, v),
+ agg AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams, avg(nl) AS m
+         FROM scored GROUP BY doc_id)
+ SELECT d.doc_id, coalesce(a.n_bigrams, 0)::BIGINT AS n_bigrams,
+        coalesce(round(a.m, 6), 0.0) AS nll
+ FROM documents d LEFT JOIN agg a USING(doc_id)"""
+
+
+def _stratified_sample_sql() -> str:
+    """Mirrors ops/curation.stratified_sample_n: per-lang top-STRAT_N by
+    (fmix64(doc_id), doc_id) — the same exact-uint64 fmix chain as
+    _hash_split_sql."""
+    M64 = 18446744073709551616
+    C1, C2 = 0xFF51AFD7ED558CCD, 0xC4CEB9FE1A85EC53
+
+    def mul(c: int) -> str:
+        return (
+            f"((((x // 4294967296) * {c}) % 4294967296) * 4294967296"
+            f" + (x % 4294967296) * {c}) % {M64}"
+        )
+
+    return f"""
+ WITH s0 AS (SELECT doc_id, lang, ((doc_id::HUGEINT % {M64}) + {M64}) % {M64} AS x FROM documents),
+ s1 AS (SELECT doc_id, lang, xor(x, x >> 33) AS x FROM s0),
+ s2 AS (SELECT doc_id, lang, {mul(C1)} AS x FROM s1),
+ s3 AS (SELECT doc_id, lang, xor(x, x >> 33) AS x FROM s2),
+ s4 AS (SELECT doc_id, lang, {mul(C2)} AS x FROM s3),
+ s5 AS (SELECT doc_id, lang, xor(x, x >> 33) AS x FROM s4),
+ r AS (SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY x, doc_id) AS rk
+       FROM s5)
+ SELECT doc_id, lang, rk::BIGINT AS rk FROM r WHERE rk <= {STRAT_N}"""
+
+
 def _fuzzy_components_sql() -> str:
     """Mirrors queries()['fuzzy_dedup_components']: the exact-Jaccard pair
     graph (the same CTE chain as the jaccard_pairs oracle — minhash+LSH
@@ -1201,6 +1266,8 @@ def oracle_sql() -> dict[str, str]:
         "token_budget_pack": _token_budget_pack_sql(),
         "length_percentile": _length_percentile_sql(),
         "sentence_dedup": _sentence_dedup_sql(),
+        "bigram_perplexity": _bigram_perplexity_sql(),
+        "stratified_sample_n": _stratified_sample_sql(),
         "fuzzy_dedup_components": _fuzzy_components_sql(),
         "semantic_dedup": _semantic_dedup_sql(),
         "marginalia_search": _marginalia_search_sql(),

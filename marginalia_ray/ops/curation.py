@@ -411,3 +411,225 @@ def sentence_dedup(
         )
 
     return ds.map_batches(_scrub, batch_format="pyarrow")
+
+
+def bigram_perplexity(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_vocab: int = 2_000_000,
+    max_bigrams: int = 20_000_000,
+):
+    """Language-model quality scoring: train an add-one-smoothed bigram
+    model on the corpus itself and score every document by its mean
+    negative log-likelihood (the perplexity-filter step of CCNet /
+    Wenzek et al. 2020, with the corpus standing in for the reference
+    LM).  P(w2|w1) = (C(w1 w2) + 1) / (C(w1) + V).
+
+    Output: (doc_id, n_bigrams, nll) — nll is the mean -ln P over the
+    doc's adjacent-token pairs rounded to 6 dp (0.0 for docs with < 2
+    tokens).
+
+    Scale shape: unigram/bigram counts are built with per-batch partial
+    aggregation and one groupby shuffle each; both tables come to the
+    driver under loud caps (the broadcast-LM regime — correct while the
+    model vocabulary is node-sized, which holds for the word-level LMs
+    this mirrors; a corpus whose bigram table exceeds the cap needs the
+    hash-partition-join variant instead) and are broadcast once.  Scoring
+    is a single streaming map: pc.index_in against the vocab, integer
+    bigram keys, np.searchsorted against the sorted count table."""
+
+    def _uni_partial(batch: pa.Table) -> pa.Table:
+        _, toks = explode_tokens(batch, text_col, id_col)
+        g = pa.table({"w": toks}).group_by("w").aggregate([([], "count_all")])
+        return g.rename_columns(["w", "partial"])
+
+    def _bi_partial(batch: pa.Table) -> pa.Table:
+        ids, toks = explode_tokens(batch, text_col, id_col)
+        m = len(toks)
+        if m < 2:
+            return pa.table(
+                {"w1": pa.array([], pa.string()), "w2": pa.array([], pa.string()),
+                 "partial": pa.array([], pa.int64())}
+            )
+        par = ids.to_numpy(zero_copy_only=False)
+        adj = pa.array(par[:-1] == par[1:])
+        t = pa.table(
+            {"w1": toks.slice(0, m - 1).filter(adj), "w2": toks.slice(1, m - 1).filter(adj)}
+        )
+        g = t.group_by(["w1", "w2"]).aggregate([([], "count_all")])
+        return g.rename_columns(["w1", "w2", "partial"])
+
+    uni_w, uni_c, n_uni = [], [], 0
+    for b in (
+        ds.map_batches(_uni_partial, batch_format="pyarrow")
+        .groupby("w")
+        .sum("partial")
+        .iter_batches(batch_format="pyarrow")
+    ):
+        if b.num_rows:
+            col = b["w"].combine_chunks() if isinstance(b["w"], pa.ChunkedArray) else b["w"]
+            uni_w.append(col.cast(pa.string()))
+            uni_c.append(b["sum(partial)"].to_numpy(zero_copy_only=False))
+            n_uni += b.num_rows
+            if n_uni > max_vocab:
+                raise RuntimeError(
+                    f"bigram_perplexity: vocabulary >{max_vocab}; use the "
+                    "hash-partition-join variant or pre-filter terms."
+                )
+    if not uni_w:
+        return ds.map_batches(
+            lambda t: pa.table(
+                {
+                    id_col: t[id_col],
+                    "n_bigrams": pa.array([0] * t.num_rows, pa.int64()),
+                    "nll": pa.array([0.0] * t.num_rows, pa.float64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    vocab = pa.concat_arrays(uni_w)
+    counts = np.concatenate(uni_c).astype(np.int64)
+    # canonical vocab order so term ids are deterministic
+    order = pc.array_sort_indices(vocab).to_numpy(zero_copy_only=False)
+    vocab = vocab.take(pa.array(order))
+    counts = counts[order]
+    V = len(counts)
+
+    bi_keys_parts, bi_cnt_parts, n_bi = [], [], 0
+    for b in (
+        ds.map_batches(_bi_partial, batch_format="pyarrow")
+        .groupby(["w1", "w2"])
+        .sum("partial")
+        .iter_batches(batch_format="pyarrow")
+    ):
+        if b.num_rows:
+            i1 = pc.index_in(b["w1"], value_set=vocab).to_numpy(zero_copy_only=False)
+            i2 = pc.index_in(b["w2"], value_set=vocab).to_numpy(zero_copy_only=False)
+            bi_keys_parts.append(i1.astype(np.int64) * V + i2.astype(np.int64))
+            bi_cnt_parts.append(b["sum(partial)"].to_numpy(zero_copy_only=False))
+            n_bi += b.num_rows
+            if n_bi > max_bigrams:
+                raise RuntimeError(
+                    f"bigram_perplexity: bigram table >{max_bigrams}; use "
+                    "the hash-partition-join variant."
+                )
+    bkeys = np.concatenate(bi_keys_parts) if bi_keys_parts else np.zeros(0, np.int64)
+    bcnts = np.concatenate(bi_cnt_parts) if bi_cnt_parts else np.zeros(0, np.int64)
+    bo = np.argsort(bkeys)
+    lm_ref = ray.put((vocab, counts, bkeys[bo], bcnts[bo].astype(np.int64)))
+
+    def _score(batch: pa.Table) -> pa.Table:
+        voc, uc, bk, bc = ray.get(lm_ref)
+        doc_ids = batch[id_col]
+        if isinstance(doc_ids, pa.ChunkedArray):
+            doc_ids = doc_ids.combine_chunks()
+        out_ids = doc_ids.to_numpy(zero_copy_only=False)
+        n_big = np.zeros(len(out_ids), np.int64)
+        nll = np.zeros(len(out_ids), np.float64)
+        ids, toks = explode_tokens(batch, text_col, id_col)
+        m = len(toks)
+        if m >= 2:
+            par = ids.to_numpy(zero_copy_only=False)
+            tid = pc.index_in(toks, value_set=voc).to_numpy(zero_copy_only=False)
+            tid = tid.astype(np.int64)
+            adj = par[:-1] == par[1:]
+            w1, w2, bpar = tid[:-1][adj], tid[1:][adj], par[:-1][adj]
+            if len(w1):
+                key = w1 * V + w2
+                pos = np.searchsorted(bk, key)
+                pos_c = np.minimum(pos, max(len(bk) - 1, 0))
+                c2 = np.where(
+                    (len(bk) > 0) & (bk[pos_c] == key), bc[pos_c], 0
+                ).astype(np.float64)
+                c1 = np.where(w1 >= 0, uc[np.maximum(w1, 0)], 0).astype(np.float64)
+                nl = -np.log((c2 + 1.0) / (c1 + V))
+                # map doc ids of bigrams back to batch row order
+                order_b = np.argsort(out_ids, kind="stable")
+                rowpos = order_b[np.searchsorted(out_ids[order_b], bpar)]
+                np.add.at(nll, rowpos, nl)
+                np.add.at(n_big, rowpos, 1)
+        mean = np.round(np.where(n_big > 0, nll / np.maximum(n_big, 1), 0.0), 6)
+        return pa.table(
+            {
+                id_col: doc_ids,
+                "n_bigrams": pa.array(n_big),
+                "nll": pa.array(mean, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(_score, batch_format="pyarrow")
+
+
+def stratified_sample_n(
+    ds,
+    key_col: str = "lang",
+    n: int = 5,
+    id_col: str = "doc_id",
+):
+    """Exact-n deterministic stratified sample: for every key, the n rows
+    with the smallest (fmix64(id), id) — a stable pseudo-random choice
+    that never changes across runs, re-shards or cluster sizes (the same
+    guarantee as hash_split, per-stratum).
+
+    Scale shape: per-batch combiner keeps at most n rows per key before
+    the shuffle, so the groupby moves O(n_keys * n * n_batches) rows —
+    never the corpus; the final per-key merge re-ranks the survivors.
+
+    Output: (doc_id, <key_col>, rk) with rk in 1..n per key."""
+    from marginalia_ray.ops.text_ops import _FMIX_SPLIT
+
+    def _rank_within(keys: np.ndarray, h: np.ndarray, ids: np.ndarray):
+        """rank of each row within its key by (h, id): 1-based."""
+        order = np.lexsort((ids, h, keys))
+        k_sorted = keys[order]
+        starts = np.r_[True, k_sorted[1:] != k_sorted[:-1]]
+        idx = np.arange(len(order), dtype=np.int64)
+        rk_sorted = idx - np.maximum.accumulate(np.where(starts, idx, -1)) + 1
+        rk = np.empty(len(order), np.int64)
+        rk[order] = rk_sorted
+        return rk
+
+    def _combine(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                key_col: pa.array([], pa.string()),
+                "h": pa.array([], pa.uint64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        h = _FMIX_SPLIT(ids.astype(np.uint64))
+        keys_col = batch[key_col]
+        if isinstance(keys_col, pa.ChunkedArray):
+            keys_col = keys_col.combine_chunks()
+        keys = keys_col.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+        rk = _rank_within(keys.astype(np.int64), h, ids)
+        keep = rk <= n
+        return pa.table(
+            {
+                id_col: pa.array(ids[keep]),
+                key_col: keys_col.filter(pa.array(keep)),
+                "h": pa.array(h[keep], pa.uint64()),
+            }
+        )
+
+    def _final(group: pa.Table) -> pa.Table:
+        ids = group[id_col].to_numpy(zero_copy_only=False)
+        h = group["h"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, h))[:n]
+        return pa.table(
+            {
+                id_col: pa.array(ids[order]),
+                key_col: group[key_col].take(pa.array(order)),
+                "rk": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(_combine, batch_format="pyarrow")
+        .groupby(key_col)
+        .map_groups(_final, batch_format="pyarrow")
+    )

@@ -127,3 +127,79 @@ class TestSentenceDedup:
         out = {r["doc_id"]: r for r in sentence_dedup(_ds(rows), max_docs=3).take_all()}
         assert out[0]["clean_text"] == "" and out[0]["n_removed"] == 1
         assert out[9]["clean_text"] == "" and out[9]["n_kept"] == 0 and out[9]["n_removed"] == 0
+
+
+class TestBigramPerplexity:
+    def test_matches_hand_computation(self, ray_session):
+        import math
+
+        from marginalia_ray.ops.curation import bigram_perplexity
+
+        # corpus: "a b", "a b", "a c" -> V=3
+        # C(a)=3, C(a b)=2, C(a c)=1
+        rows = [
+            {"doc_id": 1, "text": "a b"},
+            {"doc_id": 2, "text": "a b"},
+            {"doc_id": 3, "text": "a c"},
+            {"doc_id": 4, "text": "solo"},  # no bigrams
+        ]
+        out = {r["doc_id"]: r for r in bigram_perplexity(_ds(rows)).take_all()}
+        nll_ab = -math.log((2 + 1) / (3 + 4))  # V=4 (a,b,c,solo)
+        nll_ac = -math.log((1 + 1) / (3 + 4))
+        assert out[1]["n_bigrams"] == 1 and out[1]["nll"] == round(nll_ab, 6)
+        assert out[2]["nll"] == out[1]["nll"]
+        assert out[3]["nll"] == round(nll_ac, 6)
+        assert out[4]["n_bigrams"] == 0 and out[4]["nll"] == 0.0
+        # rarer continuation => higher surprise
+        assert out[3]["nll"] > out[1]["nll"]
+
+    def test_vocab_cap(self, ray_session):
+        import pytest
+
+        from marginalia_ray.ops.curation import bigram_perplexity
+
+        rows = [{"doc_id": 1, "text": " ".join(f"w{i}" for i in range(100))}]
+        with pytest.raises(RuntimeError, match="vocabulary"):
+            bigram_perplexity(_ds(rows), max_vocab=10).take_all()
+
+
+class TestStratifiedSampleN:
+    def test_exact_n_and_determinism(self, ray_session):
+        from marginalia_ray.ops.curation import stratified_sample_n
+
+        rows = [
+            {"doc_id": i, "lang": "en" if i % 3 else "de"} for i in range(60)
+        ]
+        a = sorted(
+            stratified_sample_n(_ds(rows), key_col="lang", n=5).take_all(),
+            key=lambda r: (r["lang"], r["rk"]),
+        )
+        b = sorted(
+            stratified_sample_n(_ds(rows), key_col="lang", n=5).take_all(),
+            key=lambda r: (r["lang"], r["rk"]),
+        )
+        assert a == b  # pure function of ids
+        langs = {}
+        for r in a:
+            langs.setdefault(r["lang"], []).append(r["rk"])
+        assert langs == {"en": [1, 2, 3, 4, 5], "de": [1, 2, 3, 4, 5]}
+
+    def test_small_stratum_returns_all(self, ray_session):
+        from marginalia_ray.ops.curation import stratified_sample_n
+
+        rows = [{"doc_id": 1, "lang": "fr"}, {"doc_id": 2, "lang": "fr"}]
+        out = stratified_sample_n(_ds(rows), key_col="lang", n=5).take_all()
+        assert len(out) == 2 and {r["rk"] for r in out} == {1, 2}
+
+    def test_matches_global_fmix_order(self, ray_session):
+        import numpy as np
+
+        from marginalia_ray.ops.curation import stratified_sample_n
+        from marginalia_ray.ops.text_ops import _FMIX_SPLIT
+
+        rows = [{"doc_id": i, "lang": "en"} for i in range(40)]
+        out = stratified_sample_n(_ds(rows), key_col="lang", n=3).take_all()
+        ids = np.arange(40, dtype=np.uint64)
+        h = _FMIX_SPLIT(ids)
+        expect = set(np.array(sorted(range(40), key=lambda i: (h[i], i)))[:3].tolist())
+        assert {r["doc_id"] for r in out} == expect

@@ -4,7 +4,8 @@
 Decode support, container-native (no external codec libraries):
   * images — REAL decoders for PNG (8-bit gray/RGB/RGBA/paletted,
     non-interlaced; zlib + scanline unfilter), binary PPM/PGM,
-    uncompressed 24-bit BMP,
+    uncompressed 24-bit BMP, GIF87a/89a (LZW, interlace, local/global
+    color tables; first frame),
     and baseline JPEG (ops/jpeg.py: Huffman entropy decode, dequant,
     vectorized 8x8 IDCT, 4:4:4/4:2:2/4:2:0 chroma upsample, restart
     markers); the embedding is a real content feature (normalized grid
@@ -190,6 +191,120 @@ def _decode_bmp(data: bytes):
     return w, h, 3, np.ascontiguousarray(px)
 
 
+def _gif_lzw(data: bytes, min_code: int, n_pixels: int) -> np.ndarray:
+    """GIF LZW decompression (GIF89a spec appendix F): variable-width
+    codes 3..12 bits LSB-first, clear/EOI codes, table grows per output.
+    The per-code Python loop is bounded by n_pixels (already capped by
+    the caller's pixel budget)."""
+    clear = 1 << min_code
+    eoi = clear + 1
+    # bit reader over the concatenated sub-block bytes
+    bits = 0
+    nbits = 0
+    pos = 0
+    width = min_code + 1
+    # table: list of byte-sequences as Python lists of ints
+    base = [[i] for i in range(clear)] + [None, None]
+    table = list(base)
+    out: list[int] = []
+    prev: list[int] | None = None
+    while len(out) < n_pixels:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("gif: truncated LZW stream")
+            bits |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = bits & ((1 << width) - 1)
+        bits >>= width
+        nbits -= width
+        if code == clear:
+            table = list(base)
+            width = min_code + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if code < len(table) and table[code] is not None:
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + [prev[0]]
+        else:
+            raise ValueError("gif: bad LZW code")
+        out.extend(entry)
+        if prev is not None:
+            table.append(prev + [entry[0]])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return np.asarray(out[:n_pixels], np.uint8)
+
+
+def _decode_gif(data: bytes):
+    """GIF87a/89a, first frame: logical screen + global/local color table,
+    LZW-compressed indices, optional interlace.  Animation frames after
+    the first and transparency are ignored (a feature-extraction stage
+    wants one representative frame)."""
+    import struct
+
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not gif")
+    _sw, _sh, packed, _bg, _ar = struct.unpack("<HHBBB", data[6:13])
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(data, np.uint8, count=3 * n, offset=pos).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(data):
+        b = data[pos]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < len(data) and data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise ValueError("gif: unexpected block")
+        _lx, _ty, w, h, ipacked = struct.unpack("<HHHHB", data[pos + 1 : pos + 10])
+        pos += 10
+        ct = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            ct = np.frombuffer(data, np.uint8, count=3 * n, offset=pos).reshape(n, 3)
+            pos += 3 * n
+        if ct is None:
+            raise ValueError("gif: no color table")
+        if w * h > _MAX_PNG_PIXELS or w == 0 or h == 0:
+            raise ValueError("gif: unsupported dimensions")
+        min_code = data[pos]
+        pos += 1
+        chunks = []
+        while pos < len(data) and data[pos] != 0:
+            ln = data[pos]
+            chunks.append(data[pos + 1 : pos + 1 + ln])
+            pos += 1 + ln
+        idx = _gif_lzw(b"".join(chunks), min_code, w * h)
+        if len(idx) < w * h:
+            raise ValueError("gif: short pixel data")
+        if int(idx.max(initial=0)) >= len(ct):
+            raise ValueError("gif: palette index out of range")
+        rows = idx.reshape(h, w)
+        if ipacked & 0x40:  # interlaced: 4-pass row order
+            order = np.concatenate(
+                [np.arange(0, h, 8), np.arange(4, h, 8),
+                 np.arange(2, h, 4), np.arange(1, h, 2)]
+            )
+            deinter = np.empty_like(rows)
+            deinter[order] = rows
+            rows = deinter
+        px = ct[rows]
+        return w, h, 3, np.ascontiguousarray(px)
+    raise ValueError("gif: no image block")
+
+
 def _image_embedding(px: np.ndarray, dim: int) -> np.ndarray:
     """Real content feature: grid of block-mean intensities (dim cells
     over the grayscale image), L2-normalized."""
@@ -207,7 +322,7 @@ def _image_embedding(px: np.ndarray, dim: int) -> np.ndarray:
 
 
 def decode_image_payload(data: bytes):
-    """(w, h, channels, pixels) for PNG (incl. paletted) / PPM / BMP.
+    """(w, h, channels, pixels) for PNG (incl. paletted) / PPM / BMP / GIF.
     Raises ValueError for unrecognized formats AND for corrupt/unsupported
     files of a recognized format (truncated chunks, interlaced PNGs,
     16-bit PPMs, ...) so callers have one fallback path."""
@@ -221,6 +336,8 @@ def decode_image_payload(data: bytes):
             return _decode_ppm(data)
         if data[:2] == b"BM":
             return _decode_bmp(data)
+        if data[:6] in (b"GIF87a", b"GIF89a"):
+            return _decode_gif(data)
         if data[:2] == b"\xff\xd8":
             from marginalia_ray.ops.jpeg import decode_jpeg
 

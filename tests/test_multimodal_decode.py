@@ -568,3 +568,59 @@ def test_paletted_png_decodes():
            + chunk(b"IEND", b""))
     with pytest.raises(ValueError):
         decode_image_payload(bad)
+
+
+class TestGif:
+    def _img(self, w=13, h=9, n_pal=7, seed=3):
+        rng = np.random.RandomState(seed)
+        idx = rng.randint(0, n_pal, (h, w)).astype(np.uint8)
+        pal = rng.randint(0, 256, (n_pal, 3)).astype(np.uint8)
+        return idx, pal
+
+    def test_gif_roundtrip(self):
+        from marginalia_ray.ops.multimodal import decode_image_payload
+        from tests.gif_encoder import encode_gif
+
+        idx, pal = self._img()
+        w, h, c, px = decode_image_payload(encode_gif(idx, pal))
+        assert (w, h, c) == (13, 9, 3)
+        assert (px == pal[idx]).all()
+
+    def test_gif_interlaced(self):
+        from marginalia_ray.ops.multimodal import decode_image_payload
+        from tests.gif_encoder import encode_gif
+
+        idx, pal = self._img(w=8, h=17, seed=5)
+        w, h, c, px = decode_image_payload(encode_gif(idx, pal, interlace=True))
+        assert (px == pal[idx]).all()
+
+    def test_gif_local_color_table(self):
+        from marginalia_ray.ops.multimodal import decode_image_payload
+        from tests.gif_encoder import encode_gif
+
+        idx, pal = self._img(n_pal=4, seed=7)
+        w, h, c, px = decode_image_payload(encode_gif(idx, pal, local_table=True))
+        assert (px == pal[idx]).all()
+
+    def test_gif_lzw_table_growth(self):
+        """Wide image with a long varied run forces code widths past 9
+        bits (table growth + width bumps)."""
+        from marginalia_ray.ops.multimodal import decode_image_payload
+        from tests.gif_encoder import encode_gif
+
+        rng = np.random.RandomState(11)
+        idx = rng.randint(0, 64, (40, 80)).astype(np.uint8)
+        pal = rng.randint(0, 256, (64, 3)).astype(np.uint8)
+        w, h, c, px = decode_image_payload(encode_gif(idx, pal))
+        assert (px == pal[idx]).all()
+
+    def test_gif_truncated_rejected(self):
+        import pytest
+
+        from marginalia_ray.ops.multimodal import decode_image_payload
+        from tests.gif_encoder import encode_gif
+
+        idx, pal = self._img()
+        data = encode_gif(idx, pal)
+        with pytest.raises(ValueError):
+            decode_image_payload(data[: len(data) // 2])

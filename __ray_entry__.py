@@ -426,6 +426,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             max_docs=SDEDUP_MAX_DOCS,
         )
 
+    def q_median_by_key(sf_dir: str):
+        import ray.data
+
+        from marginalia_ray.ops.relational import median_by_key
+
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"]
+        )
+        return median_by_key(ds, key_col="source", val_col="n_chars")
+
     def q_bigram_perplexity(sf_dir: str):
         from marginalia_ray.ops.curation import bigram_perplexity
 
@@ -499,6 +509,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_budget_pack": q_token_budget_pack,
         "length_percentile": q_length_percentile,
         "sentence_dedup": q_sentence_dedup,
+        "median_by_key": q_median_by_key,
         "bigram_perplexity": q_bigram_perplexity,
         "stratified_sample_n": q_stratified_sample,
         "fuzzy_dedup_components": q_fuzzy_components,
@@ -919,6 +930,14 @@ def _sentence_dedup_sql() -> str:
  FROM documents d LEFT JOIN k USING(doc_id) LEFT JOIN t USING(doc_id)"""
 
 
+def _median_by_key_sql() -> str:
+    """Mirrors ops/relational.median_by_key: SQL median (interpolated for
+    even counts) per source over n_chars."""
+    return """
+ SELECT source, count(*)::BIGINT AS n, median(n_chars)::DOUBLE AS median
+ FROM documents GROUP BY source"""
+
+
 def _bigram_perplexity_sql() -> str:
     """Mirrors ops/curation.bigram_perplexity: add-one-smoothed bigram LM
     trained on the corpus, nll = mean -ln((C(w1 w2)+1)/(C(w1)+V))."""
@@ -1266,6 +1285,7 @@ def oracle_sql() -> dict[str, str]:
         "token_budget_pack": _token_budget_pack_sql(),
         "length_percentile": _length_percentile_sql(),
         "sentence_dedup": _sentence_dedup_sql(),
+        "median_by_key": _median_by_key_sql(),
         "bigram_perplexity": _bigram_perplexity_sql(),
         "stratified_sample_n": _stratified_sample_sql(),
         "fuzzy_dedup_components": _fuzzy_components_sql(),

@@ -153,6 +153,11 @@ def token_budget_pack(
 
     tok = ds.map_batches(_tok, batch_format="pyarrow").materialize()
     lohi = tok.aggregate(Min(id_col), Max(id_col))
+    if not lohi or lohi.get(f"min({id_col})") is None:  # empty input
+        return tok.map_batches(
+            lambda t: t.append_column("bin", pa.array([], pa.int64())),
+            batch_format="pyarrow",
+        )
     lo, hi = int(lohi[f"min({id_col})"]), int(lohi[f"max({id_col})"])
     span = max(hi - lo + 1, 1)
     width = max((span + n_buckets - 1) // n_buckets, 1)

@@ -438,3 +438,64 @@ def sessionize(ds, gap_minutes: int = 30, user_col: str = "user_id", ts_col: str
         )
 
     return ds.groupby(user_col).map_groups(_sessions, batch_format="pyarrow")
+
+
+def median_by_key(
+    ds,
+    key_col: str = "source",
+    val_col: str = "n_chars",
+    max_distinct_per_key: int = 5_000_000,
+):
+    """Exact per-key median (SQL median(): lower middle for odd counts,
+    mean of the two middles for even) without sorting the data: per-batch
+    partial (key, value) counts -> one groupby shuffle of DISTINCT
+    (key, value) pairs -> per-key CDF walk.
+
+    The shuffle moves one row per distinct (key, value), never the
+    corpus; the per-key group is the key's distinct-value histogram
+    (bounded domain — document lengths, scores; capped loudly).
+
+    Output: (<key_col>, n, median)."""
+    import ray  # noqa: F401  (module convention; no driver collection here)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        g = (
+            pa.table({key_col: batch[key_col], "v": batch[val_col]})
+            .group_by([key_col, "v"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns([key_col, "v", "partial"])
+
+    counts = (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby([key_col, "v"])
+        .sum("partial")
+    )
+
+    def _median(group: pa.Table) -> pa.Table:
+        if group.num_rows > max_distinct_per_key:
+            raise RuntimeError(
+                f"median_by_key: >{max_distinct_per_key} distinct values "
+                "for one key — bin the value column first."
+            )
+        key = group[key_col][0]
+        v = group["v"].to_numpy(zero_copy_only=False)
+        c = group["sum(partial)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(v)
+        v, c = v[order], c[order]
+        cum = np.cumsum(c)
+        n = int(cum[-1])
+        lo_pos = (n - 1) // 2  # 0-based rank of the lower middle
+        hi_pos = n // 2
+        lo_val = float(v[np.searchsorted(cum, lo_pos + 1)])
+        hi_val = float(v[np.searchsorted(cum, hi_pos + 1)])
+        med = (lo_val + hi_val) / 2.0
+        return pa.table(
+            {
+                key_col: pa.array([key.as_py()], group[key_col].type),
+                "n": pa.array([n], pa.int64()),
+                "median": pa.array([med], pa.float64()),
+            }
+        )
+
+    return counts.groupby(key_col).map_groups(_median, batch_format="pyarrow")

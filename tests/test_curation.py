@@ -203,3 +203,33 @@ class TestStratifiedSampleN:
         h = _FMIX_SPLIT(ids)
         expect = set(np.array(sorted(range(40), key=lambda i: (h[i], i)))[:3].tolist())
         assert {r["doc_id"] for r in out} == expect
+
+
+class TestMedianByKey:
+    def test_odd_even_and_ties(self, ray_session):
+        from marginalia_ray.ops.relational import median_by_key
+
+        rows = (
+            [{"k": "a", "v": x} for x in (5, 1, 3)]            # odd -> 3
+            + [{"k": "b", "v": x} for x in (1, 2, 3, 10)]       # even -> 2.5
+            + [{"k": "c", "v": x} for x in (7, 7, 7, 9)]        # ties -> 7.0
+            + [{"k": "d", "v": 4}]                              # singleton -> 4
+        )
+        out = {r["k"]: r for r in
+               median_by_key(_ds(rows), key_col="k", val_col="v").take_all()}
+        assert out["a"]["median"] == 3.0 and out["a"]["n"] == 3
+        assert out["b"]["median"] == 2.5
+        assert out["c"]["median"] == 7.0
+        assert out["d"]["median"] == 4.0 and out["d"]["n"] == 1
+
+    def test_empty_pack_input(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from marginalia_ray.ops.curation import token_budget_pack
+
+        empty = ray.data.from_arrow(
+            pa.table({"doc_id": pa.array([], pa.int64()),
+                      "text": pa.array([], pa.string())})
+        )
+        assert token_budget_pack(empty).take_all() == []

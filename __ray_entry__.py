@@ -40,6 +40,7 @@ PACK_BUDGET = 512
 PCT_LO, PCT_HI = 0.05, 0.95
 SDEDUP_MAX_DOCS = 3
 STRAT_N = 4  # stratified sample size per key
+FUNNEL_STEPS = ("view", "click", "purchase")
 SDEDUP_PLANT_MOD = 4  # boilerplate sentence planted on doc_id % 4 == 0
 SDEDUP_BOILER = "subscribe to our newsletter today"
 
@@ -426,6 +427,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             max_docs=SDEDUP_MAX_DOCS,
         )
 
+    def q_funnel(sf_dir: str):
+        import ray.data
+
+        from marginalia_ray.ops.relational import funnel_count
+
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+        )
+        return funnel_count(ds, steps=list(FUNNEL_STEPS))
+
     def q_median_by_key(sf_dir: str):
         import ray.data
 
@@ -510,6 +521,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_percentile": q_length_percentile,
         "sentence_dedup": q_sentence_dedup,
         "median_by_key": q_median_by_key,
+        "funnel_count": q_funnel,
         "bigram_perplexity": q_bigram_perplexity,
         "stratified_sample_n": q_stratified_sample,
         "fuzzy_dedup_components": q_fuzzy_components,
@@ -930,6 +942,25 @@ def _sentence_dedup_sql() -> str:
  FROM documents d LEFT JOIN k USING(doc_id) LEFT JOIN t USING(doc_id)"""
 
 
+def _funnel_sql() -> str:
+    """Mirrors ops/relational.funnel_count: greedy earliest-completion
+    walk, step k strictly after step k-1."""
+    a, b, c = FUNNEL_STEPS
+    return f"""
+ WITH s0 AS (SELECT user_id, min(ts) AS t FROM events
+             WHERE event_type = '{a}' GROUP BY user_id),
+ s1 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s0 USING(user_id)
+        WHERE e.event_type = '{b}' AND e.ts > s0.t GROUP BY e.user_id),
+ s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1 USING(user_id)
+        WHERE e.event_type = '{c}' AND e.ts > s1.t GROUP BY e.user_id)
+ SELECT u.user_id,
+   (CASE WHEN s2.t IS NOT NULL THEN 3 WHEN s1.t IS NOT NULL THEN 2
+         WHEN s0.t IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS steps_completed,
+   (CASE WHEN s2.t IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS converted
+ FROM (SELECT DISTINCT user_id FROM events) u
+ LEFT JOIN s0 USING(user_id) LEFT JOIN s1 USING(user_id) LEFT JOIN s2 USING(user_id)"""
+
+
 def _median_by_key_sql() -> str:
     """Mirrors ops/relational.median_by_key: SQL median (interpolated for
     even counts) per source over n_chars."""
@@ -1286,6 +1317,7 @@ def oracle_sql() -> dict[str, str]:
         "length_percentile": _length_percentile_sql(),
         "sentence_dedup": _sentence_dedup_sql(),
         "median_by_key": _median_by_key_sql(),
+        "funnel_count": _funnel_sql(),
         "bigram_perplexity": _bigram_perplexity_sql(),
         "stratified_sample_n": _stratified_sample_sql(),
         "fuzzy_dedup_components": _fuzzy_components_sql(),

@@ -499,3 +499,46 @@ def median_by_key(
         )
 
     return counts.groupby(key_col).map_groups(_median, batch_format="pyarrow")
+
+
+def funnel_count(
+    ds,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+):
+    """Ordered-funnel analysis: per user, how many of `steps` complete in
+    order — the greedy earliest-completion walk (step k counts only if an
+    event of its type occurs STRICTLY after the step k-1 completion
+    time).  The standard product-analytics conversion funnel.
+
+    One groupby(user) shuffle; the per-group walk is len(steps) vectorized
+    scans.  Partitioning assumption (as sessionize): one user's events fit
+    in one group — hot users would be pre-reduced to per-(user, type)
+    candidate timestamps before the shuffle.
+
+    Output: (user_id, steps_completed, converted)."""
+
+    def _walk(group: pa.Table) -> pa.Table:
+        uid = group[user_col][0].as_py()
+        ts = group[ts_col].to_numpy(zero_copy_only=False)
+        ts_i = ts.astype("datetime64[us]").astype(np.int64)
+        types = group[type_col].to_numpy(zero_copy_only=False)
+        done = 0
+        prev = -np.inf
+        for step in steps:
+            cand = ts_i[(types == step) & (ts_i > prev)]
+            if len(cand) == 0:
+                break
+            prev = cand.min()
+            done += 1
+        return pa.table(
+            {
+                user_col: pa.array([uid], group[user_col].type),
+                "steps_completed": pa.array([done], pa.int64()),
+                "converted": pa.array([1 if done == len(steps) else 0], pa.int64()),
+            }
+        )
+
+    return ds.groupby(user_col).map_groups(_walk, batch_format="pyarrow")

@@ -233,3 +233,34 @@ class TestMedianByKey:
                       "text": pa.array([], pa.string())})
         )
         assert token_budget_pack(empty).take_all() == []
+
+
+class TestFunnelCount:
+    def test_order_strictness_and_partials(self, ray_session):
+        from datetime import datetime
+
+        from marginalia_ray.ops.relational import funnel_count
+
+        def ev(u, t, typ):
+            return {"user_id": u, "ts": datetime(2024, 1, 1, 0, 0, t), "event_type": typ}
+
+        rows = (
+            # u1 completes in order
+            [ev(1, 1, "view"), ev(1, 2, "click"), ev(1, 3, "purchase")]
+            # u2: purchase BEFORE click -> only 2 steps
+            + [ev(2, 1, "view"), ev(2, 2, "purchase"), ev(2, 3, "click")]
+            # u3: click at the SAME time as view -> strictness blocks step 2
+            + [ev(3, 1, "view"), ev(3, 1, "click")]
+            # u4: never views -> 0 steps
+            + [ev(4, 1, "click"), ev(4, 2, "purchase")]
+            # u5: completes using a later view (greedy from earliest view fails,
+            # but the walk is defined greedy-earliest: view@1, click@5, purchase@6)
+            + [ev(5, 1, "view"), ev(5, 5, "click"), ev(5, 6, "purchase")]
+        )
+        out = {r["user_id"]: r for r in
+               funnel_count(_ds(rows), steps=["view", "click", "purchase"]).take_all()}
+        assert out[1]["steps_completed"] == 3 and out[1]["converted"] == 1
+        assert out[2]["steps_completed"] == 2 and out[2]["converted"] == 0
+        assert out[3]["steps_completed"] == 1
+        assert out[4]["steps_completed"] == 0
+        assert out[5]["converted"] == 1

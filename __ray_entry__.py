@@ -427,6 +427,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             max_docs=SDEDUP_MAX_DOCS,
         )
 
+    def q_hll(sf_dir: str):
+        import ray.data
+
+        from marginalia_ray.ops.sketch import approx_distinct_by_key
+
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+        )
+        return approx_distinct_by_key(ds, key_col="event_type", val_col="user_id")
+
     def q_funnel(sf_dir: str):
         import ray.data
 
@@ -522,6 +532,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sentence_dedup": q_sentence_dedup,
         "median_by_key": q_median_by_key,
         "funnel_count": q_funnel,
+        "approx_distinct": q_hll,
         "bigram_perplexity": q_bigram_perplexity,
         "stratified_sample_n": q_stratified_sample,
         "fuzzy_dedup_components": q_fuzzy_components,
@@ -942,6 +953,53 @@ def _sentence_dedup_sql() -> str:
  FROM documents d LEFT JOIN k USING(doc_id) LEFT JOIN t USING(doc_id)"""
 
 
+def _hll_sql() -> str:
+    """Mirrors ops/sketch.approx_distinct_by_key (b=8): the same fmix64
+    chain as _hash_split_sql, integer msb via a powers-of-two join (no
+    float log2 on >2^53 integers), HLL estimator with the small-range
+    correction.  The register sums are exact powers of two, so the only
+    cross-engine float risk is last-ulp summation order — absorbed by
+    round 6."""
+    M64 = 18446744073709551616
+    C1, C2 = 0xFF51AFD7ED558CCD, 0xC4CEB9FE1A85EC53
+    P56 = 1 << 56
+    alpha = 0.7213 / (1.0 + 1.079 / 256)
+
+    def mul(c: int) -> str:
+        return (
+            f"((((x // 4294967296) * {c}) % 4294967296) * 4294967296"
+            f" + (x % 4294967296) * {c}) % {M64}"
+        )
+
+    powers = ",".join(f"({i}, {1 << i}::HUGEINT)" for i in range(56))
+    return f"""
+ WITH vals AS (SELECT DISTINCT event_type, user_id FROM events),
+ s0 AS (SELECT event_type, ((user_id::HUGEINT % {M64}) + {M64}) % {M64} AS x FROM vals),
+ s1 AS (SELECT event_type, xor(x, x >> 33) AS x FROM s0),
+ s2 AS (SELECT event_type, {mul(C1)} AS x FROM s1),
+ s3 AS (SELECT event_type, xor(x, x >> 33) AS x FROM s2),
+ s4 AS (SELECT event_type, {mul(C2)} AS x FROM s3),
+ s5 AS (SELECT event_type, xor(x, x >> 33) AS x FROM s4),
+ hb AS (SELECT event_type, (x // {P56})::BIGINT AS bucket, x % {P56} AS rem FROM s5),
+ p AS (SELECT * FROM (VALUES {powers}) AS p(i, v)),
+ rho_t AS (SELECT event_type, bucket, rem,
+             CASE WHEN rem = 0 THEN 57 ELSE 56 - max(p.i) END AS rho
+           FROM hb LEFT JOIN p ON p.v <= hb.rem
+           GROUP BY event_type, bucket, rem),
+ regs AS (SELECT event_type, bucket, max(rho) AS rho
+          FROM rho_t GROUP BY event_type, bucket),
+ agg AS (SELECT event_type, count(*)::BIGINT AS n_present,
+                sum(power(2.0, -rho)) AS s_present
+         FROM regs GROUP BY event_type),
+ est AS (SELECT event_type, (256 - n_present) AS zeros,
+           CAST({alpha!r} AS DOUBLE) * 65536.0 / (s_present + (256 - n_present)) AS e
+         FROM agg)
+ SELECT event_type,
+        round(CASE WHEN e <= 640.0 AND zeros > 0
+                   THEN 256.0 * ln(256.0 / zeros) ELSE e END, 6) AS approx_distinct
+ FROM est"""
+
+
 def _funnel_sql() -> str:
     """Mirrors ops/relational.funnel_count: greedy earliest-completion
     walk, step k strictly after step k-1."""
@@ -1318,6 +1376,7 @@ def oracle_sql() -> dict[str, str]:
         "sentence_dedup": _sentence_dedup_sql(),
         "median_by_key": _median_by_key_sql(),
         "funnel_count": _funnel_sql(),
+        "approx_distinct": _hll_sql(),
         "bigram_perplexity": _bigram_perplexity_sql(),
         "stratified_sample_n": _stratified_sample_sql(),
         "fuzzy_dedup_components": _fuzzy_components_sql(),

@@ -264,3 +264,46 @@ class TestFunnelCount:
         assert out[3]["steps_completed"] == 1
         assert out[4]["steps_completed"] == 0
         assert out[5]["converted"] == 1
+
+
+class TestApproxDistinct:
+    def test_accuracy_small_and_large(self, ray_session):
+        import ray.data
+
+        from marginalia_ray.ops.sketch import approx_distinct_by_key
+
+        rows = (
+            # 'big': 20000 distinct values -> raw-estimator path (E > 2.5m)
+            [{"k": "big", "v": i} for i in range(20000)]
+            # 'small': 40 distinct (each seen 3 times) -> linear counting
+            + [{"k": "small", "v": i % 40} for i in range(120)]
+        )
+        out = {r["k"]: r["approx_distinct"] for r in
+               approx_distinct_by_key(ray.data.from_items(rows), key_col="k",
+                                      val_col="v").take_all()}
+        # m=256 -> standard error ~1.04/sqrt(256) = 6.5%; allow 3 sigma
+        assert abs(out["big"] - 20000) / 20000 < 0.20
+        assert abs(out["small"] - 40) / 40 < 0.20
+
+    def test_duplicates_do_not_move_estimate(self, ray_session):
+        import ray.data
+
+        from marginalia_ray.ops.sketch import approx_distinct_by_key
+
+        a = [{"k": "x", "v": i} for i in range(500)]
+        b = a + [{"k": "x", "v": i} for i in range(500)]  # every value twice
+        ea = approx_distinct_by_key(ray.data.from_items(a), key_col="k",
+                                    val_col="v").take_all()[0]["approx_distinct"]
+        eb = approx_distinct_by_key(ray.data.from_items(b), key_col="k",
+                                    val_col="v").take_all()[0]["approx_distinct"]
+        assert ea == eb
+
+    def test_msb56_exact(self):
+        import numpy as np
+
+        from marginalia_ray.ops.sketch import _msb56
+
+        vals = np.array([1, 2, 3, 255, 256, (1 << 55) + 7, (1 << 56) - 1],
+                        dtype=np.uint64)
+        expect = np.array([0, 1, 1, 7, 8, 55, 55])
+        assert (_msb56(vals) == expect).all()

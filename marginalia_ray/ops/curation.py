@@ -66,6 +66,14 @@ def decontaminate(
     ray.put; the corpus side is a single streaming map with a vectorized
     pc.is_in probe — no shuffle, no join.  A benchmark bigger than
     max_bench_grams fails loudly rather than silently OOMing the driver.
+
+    Sibling of ops/text_ops.ngram_overlap, kept separate deliberately:
+    that op is the same-table rolling-HASH variant (compact uint64
+    broadcast, per-doc contamination FRACTION); this one takes an
+    arbitrary benchmark Dataset and keeps exact gram STRINGS so the
+    membership test (and hence the SQL oracle) is collision-free.  Pick
+    ngram_overlap when the benchmark set is huge and a 2^-64 collision
+    is acceptable; pick this for exact scrubbing decisions.
     """
     gram_parts = []
     total = 0
@@ -195,7 +203,7 @@ def token_budget_pack(
         if batch.num_rows == 0:
             return pa.table(
                 {
-                    id_col: pa.array([], pa.int64()),
+                    id_col: pa.array([], batch[id_col].type if id_col in batch.column_names else pa.int64()),
                     "n_tokens": pa.array([], pa.int64()),
                     "bin": pa.array([], pa.int64()),
                 }
@@ -378,13 +386,13 @@ def sentence_dedup(
     hot_ref = ray.put(hot_arr)
 
     def _scrub(batch: pa.Table) -> pa.Table:
-        lists, flat, parents = _split(batch)
+        from marginalia_ray.ops.text_ops import rejoin_kept
+
+        _, flat, parents = _split(batch)
         n_rows = batch.num_rows
-        counts_np = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
         nonempty = pc.not_equal(flat, "")
         is_hot = pc.is_in(flat, value_set=ray.get(hot_ref))
         keep = pc.and_(nonempty, pc.invert(is_hot))
-        keep_np = keep.to_numpy(zero_copy_only=False)
         ne_np = nonempty.to_numpy(zero_copy_only=False)
         par = parents.to_numpy(zero_copy_only=False)
         n_sent = (
@@ -392,24 +400,11 @@ def sentence_dedup(
             if len(par)
             else np.zeros(n_rows, np.int64)
         )
-        n_kept = (
-            np.bincount(par[keep_np], minlength=n_rows).astype(np.int64)
-            if len(par)
-            else np.zeros(n_rows, np.int64)
-        )
-        kept_vals = flat.filter(keep)
-        if isinstance(kept_vals, pa.ChunkedArray):
-            kept_vals = kept_vals.combine_chunks()
-        offs = pa.array(np.r_[0, np.cumsum(n_kept)], pa.int64())
-        clean = pc.binary_join(
-            pa.LargeListArray.from_arrays(offs, kept_vals),
-            pa.scalar(". ", pa.large_string()),
-        )
-        _ = counts_np  # lists lengths only needed via parents above
+        clean, n_kept = rejoin_kept(flat, keep, par, n_rows, ". ")
         return pa.table(
             {
                 id_col: batch[id_col],
-                "clean_text": pc.cast(clean, pa.string()),
+                "clean_text": clean,
                 "n_kept": pa.array(n_kept),
                 "n_removed": pa.array(n_sent - n_kept),
             }
@@ -596,15 +591,16 @@ def stratified_sample_n(
         return rk
 
     def _combine(batch: pa.Table) -> pa.Table:
-        empty = pa.table(
-            {
-                id_col: pa.array([], pa.int64()),
-                key_col: pa.array([], pa.string()),
-                "h": pa.array([], pa.uint64()),
-            }
-        )
         if batch.num_rows == 0:
-            return empty
+            # derive the empty schema from the input types so empty blocks
+            # unify with non-empty ones (large_string keys, int32 ids, ...)
+            return pa.table(
+                {
+                    id_col: pa.array([], batch[id_col].type),
+                    key_col: pa.array([], batch[key_col].type),
+                    "h": pa.array([], pa.uint64()),
+                }
+            )
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         h = _FMIX_SPLIT(ids.astype(np.uint64))
         keys_col = batch[key_col]

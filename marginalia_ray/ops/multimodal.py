@@ -43,6 +43,7 @@ import ray
 # bound on decoded image area (64 MP): filters 3/4 (avg/Paeth) unfilter in
 # Python, so a crafted giant image must be rejected before the scanline loop
 _MAX_PNG_PIXELS = 64 * 1024 * 1024
+_MAX_GIF_PIXELS = 4 * 1024 * 1024  # LZW is per-code Python work; cap tighter
 
 
 def _content_rng(payload: bytes) -> np.random.RandomState:
@@ -194,8 +195,10 @@ def _decode_bmp(data: bytes):
 def _gif_lzw(data: bytes, min_code: int, n_pixels: int) -> np.ndarray:
     """GIF LZW decompression (GIF89a spec appendix F): variable-width
     codes 3..12 bits LSB-first, clear/EOI codes, table grows per output.
-    The per-code Python loop is bounded by n_pixels (already capped by
-    the caller's pixel budget)."""
+    One Python iteration per CODE (not per pixel): entries are bytes
+    objects sliced straight into a preallocated numpy buffer, so long
+    matches cost one memoryview copy; total work is bounded by the
+    caller's GIF pixel cap."""
     clear = 1 << min_code
     eoi = clear + 1
     # bit reader over the concatenated sub-block bytes
@@ -203,12 +206,12 @@ def _gif_lzw(data: bytes, min_code: int, n_pixels: int) -> np.ndarray:
     nbits = 0
     pos = 0
     width = min_code + 1
-    # table: list of byte-sequences as Python lists of ints
-    base = [[i] for i in range(clear)] + [None, None]
+    base: list[bytes | None] = [bytes([i]) for i in range(clear)] + [None, None]
     table = list(base)
-    out: list[int] = []
-    prev: list[int] | None = None
-    while len(out) < n_pixels:
+    out = np.empty(n_pixels, np.uint8)
+    n_out = 0
+    prev: bytes | None = None
+    while n_out < n_pixels:
         while nbits < width:
             if pos >= len(data):
                 raise ValueError("gif: truncated LZW stream")
@@ -228,16 +231,20 @@ def _gif_lzw(data: bytes, min_code: int, n_pixels: int) -> np.ndarray:
         if code < len(table) and table[code] is not None:
             entry = table[code]
         elif code == len(table) and prev is not None:
-            entry = prev + [prev[0]]
+            entry = prev + prev[:1]
         else:
             raise ValueError("gif: bad LZW code")
-        out.extend(entry)
+        take = min(len(entry), n_pixels - n_out)
+        out[n_out : n_out + take] = np.frombuffer(entry, np.uint8, count=take)
+        n_out += take
         if prev is not None:
-            table.append(prev + [entry[0]])
+            table.append(prev + entry[:1])
             if len(table) == (1 << width) and width < 12:
                 width += 1
         prev = entry
-    return np.asarray(out[:n_pixels], np.uint8)
+    if n_out < n_pixels:
+        raise ValueError("gif: short pixel data")
+    return out
 
 
 def _decode_gif(data: bytes):
@@ -277,7 +284,9 @@ def _decode_gif(data: bytes):
             pos += 3 * n
         if ct is None:
             raise ValueError("gif: no color table")
-        if w * h > _MAX_PNG_PIXELS or w == 0 or h == 0:
+        if w * h > _MAX_GIF_PIXELS or w == 0 or h == 0:
+            # tighter than the PNG cap: LZW decode is one Python step per
+            # code, so a huge GIF costs real actor time — fall back instead
             raise ValueError("gif: unsupported dimensions")
         min_code = data[pos]
         pos += 1

@@ -750,6 +750,31 @@ C4_MIN_WORDS = 5  # a line must have >= 5 words (Raffel et al. 2020 §2.2)
 C4_MIN_LINES = 3  # a page must retain >= 3 lines
 
 
+def rejoin_kept(flat, keep, parents: np.ndarray, n_rows: int, sep: str):
+    """Filter exploded list elements by a boolean mask and re-join the
+    survivors per parent row with `sep` — the shared surgery behind
+    c4_filter and curation.sentence_dedup.
+
+    flat: the flattened (large_)string elements; keep: pa boolean mask;
+    parents: int row index per element.  Returns (clean string array,
+    n_kept int64 numpy array)."""
+    keep_np = keep.to_numpy(zero_copy_only=False)
+    n_kept = (
+        np.bincount(parents[keep_np], minlength=n_rows).astype(np.int64)
+        if len(parents)
+        else np.zeros(n_rows, np.int64)
+    )
+    kept_vals = flat.filter(keep)
+    if isinstance(kept_vals, pa.ChunkedArray):
+        kept_vals = kept_vals.combine_chunks()
+    offsets = pa.array(np.r_[0, np.cumsum(n_kept)], pa.int64())
+    clean = pc.binary_join(
+        pa.LargeListArray.from_arrays(offsets, kept_vals),
+        pa.scalar(sep, pa.large_string()),
+    )
+    return pc.cast(clean, pa.string()), n_kept
+
+
 def c4_filter(ds, text_col: str = "text", id_col: str = "doc_id"):
     """The C4 cleaning heuristics (Raffel et al. 2020, "Exploring the
     Limits of Transfer Learning...", §2.2), line-level rules vectorized
@@ -783,21 +808,8 @@ def c4_filter(ds, text_col: str = "text", id_col: str = "doc_id"):
         nojs = pc.invert(pc.match_substring(pc.utf8_lower(flat), "javascript"))
         keep_line = pc.and_(pc.and_(ends, enough), nojs)
 
-        keep_np = keep_line.to_numpy(zero_copy_only=False)
         parents = np.repeat(np.arange(len(counts)), counts)
-        n_kept = (
-            np.bincount(parents[keep_np], minlength=len(counts)).astype(np.int64)
-            if len(parents)
-            else np.zeros(len(counts), np.int64)
-        )
-        kept_vals = flat.filter(keep_line)
-        if isinstance(kept_vals, pa.ChunkedArray):
-            kept_vals = kept_vals.combine_chunks()
-        offsets = pa.array(np.r_[0, np.cumsum(n_kept)], pa.int64())
-        clean = pc.binary_join(
-            pa.LargeListArray.from_arrays(offsets, kept_vals),
-            pa.scalar("\n", pa.large_string()),
-        )
+        clean, n_kept = rejoin_kept(flat, keep_line, parents, len(counts), "\n")
 
         low = pc.utf8_lower(big)
         page_bad = pc.or_(
@@ -807,7 +819,7 @@ def c4_filter(ds, text_col: str = "text", id_col: str = "doc_id"):
         return pa.table(
             {
                 id_col: batch[id_col],
-                "clean_text": pc.cast(clean, pa.string()),
+                "clean_text": clean,
                 "n_kept": pa.array(n_kept),
                 "n_total": pa.array(counts),
                 "keep": pa.array(keep_doc),

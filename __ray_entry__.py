@@ -41,6 +41,7 @@ PCT_LO, PCT_HI = 0.05, 0.95
 SDEDUP_MAX_DOCS = 3
 STRAT_N = 4  # stratified sample size per key
 FUNNEL_STEPS = ("view", "click", "purchase")
+CMS_QUERY_TERMS = ("spark", "join", "window", "the", "zzz_absent_term")
 SDEDUP_PLANT_MOD = 4  # boilerplate sentence planted on doc_id % 4 == 0
 SDEDUP_BOILER = "subscribe to our newsletter today"
 
@@ -427,6 +428,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             max_docs=SDEDUP_MAX_DOCS,
         )
 
+    def q_cms(sf_dir: str):
+        from marginalia_ray.ops.sketch import cms_term_counts
+
+        return cms_term_counts(_docs(sf_dir), list(CMS_QUERY_TERMS))
+
     def q_hll(sf_dir: str):
         import ray.data
 
@@ -533,6 +539,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "median_by_key": q_median_by_key,
         "funnel_count": q_funnel,
         "approx_distinct": q_hll,
+        "cms_term_counts": q_cms,
         "bigram_perplexity": q_bigram_perplexity,
         "stratified_sample_n": q_stratified_sample,
         "fuzzy_dedup_components": q_fuzzy_components,
@@ -951,6 +958,104 @@ def _sentence_dedup_sql() -> str:
         coalesce(k.n_kept, 0)::BIGINT AS n_kept,
         (coalesce(t.n, 0) - coalesce(k.n_kept, 0))::BIGINT AS n_removed
  FROM documents d LEFT JOIN k USING(doc_id) LEFT JOIN t USING(doc_id)"""
+
+
+def _cms_sql() -> str:
+    """Mirrors ops/sketch.cms_term_counts (width=1024, depth=4): the
+    simhash oracle's token-hash chain (poly_FNV -> fmix64 in HUGEINT
+    arithmetic) produces per-occurrence h; each depth then applies
+    fmix64(h ^ seed_d) % width and counts per (d, bucket).  The query
+    terms' (d, bucket) coordinates are deterministic constants (inlined,
+    the LSH/IVF convention); the counter table itself is computed
+    entirely in SQL."""
+    from marginalia_ray.ops.dedup import _MIX2, _P
+    from marginalia_ray.ops.sketch import CMS_SEEDS
+
+    M = 1 << 64
+    MB = "18446744073709551616::HUGEINT"
+    HALF = 9223372036854775808
+    C1, C2 = 0xFF51AFD7ED558CCD, 0xC4CEB9FE1A85EC53
+    WIDTH, DEPTH = 1024, 4
+    pw = [pow(int(_P), k, M) for k in range(128)]
+    pw_l = "[" + ",".join(str(x) for x in pw) + "]::HUGEINT[]"
+
+    def mulmod(x: str, c: int) -> str:
+        return (
+            f"((({x})//4294967296 * {c}) % 4294967296 * 4294967296"
+            f" + (({x}) % 4294967296) * {c}) % {MB}"
+        )
+
+    def sgn(x: str) -> str:
+        return (
+            f"CASE WHEN ({x}) >= {HALF}::HUGEINT THEN (({x}) - {MB})::BIGINT"
+            f" ELSE ({x})::BIGINT END"
+        )
+
+    def uns(x: str) -> str:
+        return f"CASE WHEN ({x}) < 0 THEN ({x})::HUGEINT + {MB} ELSE ({x})::HUGEINT END"
+
+    xor_shift = uns(f"xor({sgn('h')}, (h // 8589934592)::BIGINT)")
+
+    parts = [
+        f"pw AS (SELECT {pw_l} AS pw)",
+        f"tok AS (SELECT unnest({_TOK}) AS t FROM documents)",
+        f"""poly AS (SELECT list_sum(list_transform(range(1, length(t)+1),
+     i -> (ascii(substr(t,i,1))::HUGEINT * pw[length(t)-i+1]) % {MB})) % {MB} AS p,
+     ({mulmod("length(t)::HUGEINT", int(_MIX2))}) AS lm
+   FROM tok, pw)""",
+        "u0 AS (SELECT " + uns("xor(" + sgn("p") + ", " + sgn("lm") + ")") + " AS h FROM poly)",
+        f"f1 AS (SELECT {xor_shift} AS h FROM u0)",
+        f"f2 AS (SELECT ({mulmod('h', C1)}) AS h FROM f1)",
+        f"f3 AS (SELECT {xor_shift} AS h FROM f2)",
+        f"f4 AS (SELECT ({mulmod('h', C2)}) AS h FROM f3)",
+        f"f5 AS (SELECT {xor_shift} AS h FROM f4)",
+    ]
+    unions = []
+    for d in range(DEPTH):
+        seed = CMS_SEEDS[d]
+        seed_signed = seed - M if seed >= HALF else seed
+        parts.append(
+            f"c{d}0 AS (SELECT {uns(f'xor({sgn(chr(104))}, {seed_signed}::BIGINT)')} AS h FROM f5)"
+        )
+        parts.append(f"c{d}1 AS (SELECT {xor_shift} AS h FROM c{d}0)")
+        parts.append(f"c{d}2 AS (SELECT ({mulmod('h', C1)}) AS h FROM c{d}1)")
+        parts.append(f"c{d}3 AS (SELECT {xor_shift} AS h FROM c{d}2)")
+        parts.append(f"c{d}4 AS (SELECT ({mulmod('h', C2)}) AS h FROM c{d}3)")
+        parts.append(f"c{d}5 AS (SELECT {xor_shift} AS h FROM c{d}4)")
+        unions.append(f"SELECT {d} AS d, (h % {WIDTH})::BIGINT AS bucket FROM c{d}5")
+    parts.append(
+        "cms AS (SELECT d, bucket, count(*)::BIGINT AS c FROM ("
+        + " UNION ALL ".join(unions)
+        + ") GROUP BY d, bucket)"
+    )
+    # query-term coordinates: deterministic constants of the hash chain
+    import numpy as np
+
+    from marginalia_ray.ops.dedup import _fmix64_vec, _token_hash_arrow
+
+    qh = _token_hash_arrow(pa_array_strings(CMS_QUERY_TERMS))
+    seeds = np.array(CMS_SEEDS[:DEPTH], np.uint64)
+    qrows = []
+    for i, term in enumerate(CMS_QUERY_TERMS):
+        buckets = (_fmix64_vec(qh[i] ^ seeds) % np.uint64(WIDTH)).astype(np.int64)
+        for d in range(DEPTH):
+            qrows.append(f"('{term}', {d}, {int(buckets[d])})")
+    parts.append(
+        "q AS (SELECT * FROM (VALUES " + ",".join(qrows) + ") AS q(term, d, bucket))"
+    )
+    return (
+        " WITH "
+        + ",\n ".join(parts)
+        + """
+ SELECT term, min(coalesce(c, 0))::BIGINT AS est_count
+ FROM q LEFT JOIN cms USING(d, bucket) GROUP BY term"""
+    )
+
+
+def pa_array_strings(terms):
+    import pyarrow as pa
+
+    return pa.array(list(terms), pa.string())
 
 
 def _hll_sql() -> str:
@@ -1377,6 +1482,7 @@ def oracle_sql() -> dict[str, str]:
         "median_by_key": _median_by_key_sql(),
         "funnel_count": _funnel_sql(),
         "approx_distinct": _hll_sql(),
+        "cms_term_counts": _cms_sql(),
         "bigram_perplexity": _bigram_perplexity_sql(),
         "stratified_sample_n": _stratified_sample_sql(),
         "fuzzy_dedup_components": _fuzzy_components_sql(),

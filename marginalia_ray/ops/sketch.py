@@ -93,3 +93,77 @@ def approx_distinct_by_key(
         )
 
     return regs.groupby(key_col).map_groups(_estimate, batch_format="pyarrow")
+
+
+CMS_SEEDS = tuple((0x9E3779B97F4A7C15 * (d + 1)) & 0xFFFFFFFFFFFFFFFF for d in range(8))
+
+
+def cms_term_counts(
+    ds,
+    query_terms: list[str],
+    width: int = 1024,
+    depth: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) over corpus token
+    occurrences, queried for `query_terms`: estimate(t) = min over rows d
+    of counter[d][bucket_d(t)], an overestimate within eN/width w.h.p.
+
+    Row hashes: bucket_d(t) = fmix64(token_hash(t) ^ CMS_SEEDS[d]) % width
+    — deterministic, so the whole sketch is a pure function of the corpus
+    and (like HLL) fully SQL-reproducible; counter increments are
+    order-independent sums, so the sketch merges exactly.
+
+    Scale shape: per-batch partial counts shuffle at most depth * width
+    rows per batch; the final counter table (depth * width rows — the
+    sketch, not the data) is the only driver materialization.
+
+    Output: (term, est_count) for each query term, as a pyarrow Table."""
+    from marginalia_ray.ops.dedup import _fmix64_vec, _token_hash_arrow
+    from marginalia_ray.ops.text_ops import explode_tokens
+
+    if depth > len(CMS_SEEDS):
+        raise ValueError(f"cms_term_counts: depth > {len(CMS_SEEDS)}")
+    seeds = np.array(CMS_SEEDS[:depth], np.uint64)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        _, toks = explode_tokens(batch, text_col, id_col)
+        h = _token_hash_arrow(toks)
+        d_col, b_col = [], []
+        for d in range(depth):
+            b = (_fmix64_vec(h ^ seeds[d]) % np.uint64(width)).astype(np.int64)
+            d_col.append(np.full(len(b), d, np.int64))
+            b_col.append(b)
+        t = pa.table(
+            {
+                "d": pa.array(np.concatenate(d_col) if d_col else np.zeros(0, np.int64)),
+                "bucket": pa.array(np.concatenate(b_col) if b_col else np.zeros(0, np.int64)),
+            }
+        )
+        g = t.group_by(["d", "bucket"]).aggregate([([], "count_all")])
+        return g.rename_columns(["d", "bucket", "partial"])
+
+    counters = np.zeros((depth, width), np.int64)
+    for b in (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby(["d", "bucket"])
+        .sum("partial")
+        .iter_batches(batch_format="pyarrow")
+    ):
+        if b.num_rows:
+            dd = b["d"].to_numpy(zero_copy_only=False)
+            bb = b["bucket"].to_numpy(zero_copy_only=False)
+            counters[dd, bb] = b["sum(partial)"].to_numpy(zero_copy_only=False)
+
+    qh = _token_hash_arrow(pa.array(query_terms, pa.string()))
+    ests = []
+    for i in range(len(query_terms)):
+        buckets = (_fmix64_vec(qh[i] ^ seeds) % np.uint64(width)).astype(np.int64)
+        ests.append(int(counters[np.arange(depth), buckets].min()))
+    return pa.table(
+        {
+            "term": pa.array(list(query_terms), pa.string()),
+            "est_count": pa.array(ests, pa.int64()),
+        }
+    )

@@ -307,3 +307,32 @@ class TestApproxDistinct:
                         dtype=np.uint64)
         expect = np.array([0, 1, 1, 7, 8, 55, 55])
         assert (_msb56(vals) == expect).all()
+
+
+class TestCountMinSketch:
+    def test_overestimate_property_and_exact_hits(self, ray_session):
+        import ray.data
+
+        from marginalia_ray.ops.sketch import cms_term_counts
+
+        rows = [{"doc_id": i, "text": "alpha beta " + ("gamma " * (i % 3))}
+                for i in range(200)]
+        out = cms_term_counts(ray.data.from_items(rows),
+                              ["alpha", "beta", "gamma", "missing"]).to_pydict()
+        est = dict(zip(out["term"], out["est_count"]))
+        exact = {"alpha": 200, "beta": 200,
+                 "gamma": sum(i % 3 for i in range(200)), "missing": 0}
+        for t, c in exact.items():
+            assert est[t] >= c  # CMS never underestimates
+        # width=1024 >> 4 distinct terms: no collisions, so estimates exact
+        assert est == exact
+
+    def test_depth_cap(self, ray_session):
+        import pytest
+        import ray.data
+
+        from marginalia_ray.ops.sketch import cms_term_counts
+
+        with pytest.raises(ValueError, match="depth"):
+            cms_term_counts(ray.data.from_items([{"doc_id": 1, "text": "x"}]),
+                            ["x"], depth=99)

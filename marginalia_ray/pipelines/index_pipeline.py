@@ -137,8 +137,14 @@ def _convert_partitioned(
         lin_path = part_dir / "_LINEAGE.json"
         if resume and lin_path.exists():
             with open(lin_path) as f:
-                lineage.append(json.load(f))
-            continue
+                lin = json.load(f)
+            # a checkpoint is only valid for the SAME input file set: if
+            # the corpus gained/lost files (or regrouping moved files
+            # between partitions), skipping on stale lineage would
+            # silently drop or duplicate documents — reconvert instead
+            if lin.get("input_files") == [str(f) for f in group]:
+                lineage.append(lin)
+                continue
         shutil.rmtree(part_dir, ignore_errors=True)
         part_dir.mkdir(parents=True, exist_ok=True)
         tp = time.time()

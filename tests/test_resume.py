@@ -61,3 +61,38 @@ def test_resume_skips_complete_partitions(ray_session, multi_file_pages, tmp_pat
 
     s = IndexSearcher(out)
     assert len(s.search_words(["search"])) > 0
+
+
+def test_resume_invalidates_stale_lineage_on_input_change(ray_session, tmp_path):
+    """A checkpoint is only valid for the same input file set: adding a
+    crawl shard must reconvert the affected partition, not silently skip
+    it on stale lineage."""
+    import shutil as _sh
+
+    from marginalia_ray.pipelines.index_pipeline import run_index_pipeline
+    from marginalia_ray.sources.pages import pages_parquet
+
+    src = pages_parquet(2000, cache_dir=str(tmp_path / "pages_a"))
+    pages_dir = tmp_path / "pages"
+    pages_dir.mkdir()
+    files = sorted(Path(src).glob("*.parquet"))
+    _sh.copy(files[0], pages_dir / "aaa.parquet")
+
+    out = tmp_path / "idx"
+    m1 = run_index_pipeline(
+        str(pages_dir), str(out), n_shards=4, concurrency=2, journal_partitions=1
+    )
+
+    # corpus grows: a second shard lands; the _COMPLETE marker is gone
+    # (the new data invalidates the journal-level checkpoint too)
+    extra = pages_parquet(1000, seed=77, cache_dir=str(tmp_path / "pages_b"))
+    _sh.copy(sorted(Path(extra).glob("*.parquet"))[0], pages_dir / "bbb.parquet")
+    (out / "journal" / "_COMPLETE.json").unlink()
+
+    m2 = run_index_pipeline(
+        str(pages_dir), str(out), n_shards=4, concurrency=2, journal_partitions=1,
+        build_id="build-2",
+    )
+    assert m2["doc_count"] > m1["doc_count"]  # new shard's docs are present
+    lin = json.loads((out / "journal" / "part-0000" / "_LINEAGE.json").read_text())
+    assert len(lin["input_files"]) == 2  # lineage regenerated for the new set

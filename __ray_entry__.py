@@ -604,34 +604,25 @@ def _fingerprint_sql() -> str:
 
 
 def _ngram_overlap_sql() -> str:
-    """Mirrors ops/text_ops.ngram_overlap: distinct 8-token window hashes
-    per doc (fingerprint arithmetic), benchmark set = grams of docs with
-    doc_id % 20 == 0, contam_frac = hit fraction of each doc's distinct
-    grams."""
-    from marginalia_ray.ops.text_ops import _FP_TOKEN_BASE, _FP_WIN_BASE, _FP_WINDOW
+    """Mirrors ops/text_ops.ngram_overlap: distinct 8-token windows per
+    doc (docs shorter than one window contribute their full token string,
+    the fingerprint short-doc fold), benchmark = grams of docs with
+    doc_id % 20 == 0.  The SQL compares window token STRINGS; the Ray op
+    compares 64-bit rolling hashes of the same windows — equal by
+    construction absent a 2^-64 collision (the exact_substring_pairs
+    oracle convention)."""
+    from marginalia_ray.ops.text_ops import _FP_WINDOW
 
-    M = 1 << 32
-    p31 = [pow(_FP_TOKEN_BASE, k, M) for k in range(128)]
-    wp = [pow(int(_FP_WIN_BASE), k, M) for k in range(_FP_WINDOW)]
-    p31_l = "[" + ",".join(str(x) for x in p31) + "]::HUGEINT[]"
-    wp_l = "[" + ",".join(str(x) for x in wp) + "]::HUGEINT[]"
     W = _FP_WINDOW
     return f"""
- WITH pw AS (SELECT {p31_l} AS p31, {wp_l} AS wp),
- tok AS (SELECT doc_id, {_TOK} AS ts FROM documents),
- vals AS (SELECT doc_id,
-   list_transform(ts, t -> list_sum(list_transform(range(1, length(t)+1),
-     i -> (ascii(substr(t, i, 1))::HUGEINT * p31[length(t)-i+1]) % 4294967296)) % 4294967296) AS vs
-   FROM tok, pw),
- w AS (SELECT doc_id, vs, len(vs) AS n FROM vals WHERE len(vs) > 0),
+ WITH tok AS (SELECT doc_id, {_TOK} AS ts FROM documents),
+ w AS (SELECT doc_id, ts, len(ts) AS n FROM tok WHERE len(ts) > 0),
  g AS (SELECT doc_id,
-   CASE WHEN n < {W} THEN
-     [list_sum(list_transform(range(1, n+1), k -> (vs[k] * wp[n-k+1]) % 4294967296)) % 4294967296]
-   ELSE
-     list_distinct(list_transform(range(1, n-{W - 2}), i ->
-       list_sum(list_transform(range(0, {W}), k -> (vs[i+k] * wp[{W}-k]) % 4294967296)) % 4294967296))
+   CASE WHEN n < {W} THEN [array_to_string(ts, ' ')]
+   ELSE list_distinct(list_transform(range(1, n - {W - 2}), i ->
+          array_to_string(ts[i:i+{W - 1}], ' ')))
    END AS gs
-   FROM w, pw),
+   FROM w),
  bench AS (SELECT DISTINCT unnest(gs) AS bg FROM g WHERE doc_id % 20 = 0),
  x AS (SELECT doc_id, unnest(gs) AS gr FROM g),
  a AS (SELECT x.doc_id, count(*) AS n_grams, count(b.bg) AS n_hits
@@ -833,7 +824,7 @@ def _gopher_sql() -> str:
  SELECT doc_id, n_words::BIGINT AS n_words, mean_word_len, symbol_ratio,
         alpha_frac, stop_hits,
         (n_words BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3 AND 10
-         AND symbol_ratio < 0.1 AND alpha_frac > 0.8 AND stop_hits >= 2) AS passes
+         AND symbol_ratio < 0.1 AND alpha_frac >= 0.8 AND stop_hits >= 2) AS passes
  FROM m"""
 
 
@@ -1033,23 +1024,29 @@ def _cms_sql() -> str:
 
     from marginalia_ray.ops.dedup import _fmix64_vec, _token_hash_arrow
 
-    qh = _token_hash_arrow(pa_array_strings(CMS_QUERY_TERMS))
+    import re as _re
+
+    norm = [t.lower() for t in CMS_QUERY_TERMS]
+    qh = _token_hash_arrow(pa_array_strings(norm))
     seeds = np.array(CMS_SEEDS[:DEPTH], np.uint64)
     qrows = []
+    zero_rows = []  # terms the corpus tokenizer can never emit: exact 0
     for i, term in enumerate(CMS_QUERY_TERMS):
+        if not _re.fullmatch("[a-z0-9]+", norm[i]):
+            zero_rows.append(f"SELECT '{term}' AS term, 0::BIGINT AS est_count")
+            continue
         buckets = (_fmix64_vec(qh[i] ^ seeds) % np.uint64(WIDTH)).astype(np.int64)
         for d in range(DEPTH):
             qrows.append(f"('{term}', {d}, {int(buckets[d])})")
     parts.append(
         "q AS (SELECT * FROM (VALUES " + ",".join(qrows) + ") AS q(term, d, bucket))"
     )
-    return (
-        " WITH "
-        + ",\n ".join(parts)
-        + """
+    tail = """
  SELECT term, min(coalesce(c, 0))::BIGINT AS est_count
  FROM q LEFT JOIN cms USING(d, bucket) GROUP BY term"""
-    )
+    if zero_rows:
+        tail += " UNION ALL " + " UNION ALL ".join(zero_rows)
+    return " WITH " + ",\n ".join(parts) + tail
 
 
 def pa_array_strings(terms):

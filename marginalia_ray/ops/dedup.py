@@ -608,9 +608,15 @@ def simhash_batch(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id
     return pa.table({id_col: pa.array(out_id, pa.int64()), "simhash": pa.array(out_sh, pa.uint64())})
 
 
-def simhash_pairs(ds, max_hamming: int = 3, text_col: str = "text", id_col: str = "doc_id"):
+def simhash_pairs(ds, max_hamming: int = 3, text_col: str = "text", id_col: str = "doc_id",
+                  max_docs_per_chunk: int = 1000):
     """Near-dup pairs by SimHash hamming distance <= max_hamming (pigeonhole
-    bucketing on 16-bit chunks => exact for max_hamming <= 3)."""
+    bucketing on 16-bit chunks => exact for max_hamming <= 3, AS LONG AS
+    no 16-bit chunk bucket exceeds max_docs_per_chunk docs: a bucket past
+    the cap is skipped entirely (DoS guard against degenerate corpora
+    where thousands of docs share a chunk — e.g. mass exact duplicates,
+    which exact_dedup should remove FIRST).  Raise the cap for corpora
+    where that recall loss matters)."""
     import ray
 
     hs = ds.map_batches(lambda b: simhash_batch(b, text_col, id_col), batch_format="pyarrow")
@@ -655,7 +661,8 @@ def simhash_pairs(ds, max_hamming: int = 3, text_col: str = "text", id_col: str 
 
     chunked = hs.map_batches(_explode_chunks, batch_format="pyarrow")
     pairs = (
-        _emit_pairs_per_key(chunked, ["chunk_no", "chunk"], extra_col="simhash")
+        _emit_pairs_per_key(chunked, ["chunk_no", "chunk"], extra_col="simhash",
+                            max_group=max_docs_per_chunk)
         .map_batches(_hamming, batch_format="pyarrow")
         .groupby(["doc_a", "doc_b"])
         .min("hamming")

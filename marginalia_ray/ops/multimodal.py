@@ -320,6 +320,11 @@ def _image_embedding(px: np.ndarray, dim: int) -> np.ndarray:
     g = px.astype(np.float32).mean(axis=2)
     rows = max(1, int(np.sqrt(dim / 2)))
     cols = max(1, dim // rows)
+    # images smaller than the grid: shrink the grid to the pixel count —
+    # np.array_split would otherwise yield EMPTY blocks whose mean is NaN,
+    # silently poisoning downstream cosine math (the vector pads with 0)
+    rows = min(rows, g.shape[0])
+    cols = min(cols, g.shape[1])
     cells = [
         float(block.mean())
         for rband in np.array_split(g, rows, axis=0)
@@ -365,7 +370,7 @@ def decode_image_payload(data: bytes):
 class ImageDecodeStage:
     """binary image column -> (id, width, height, channels, embedding).
 
-    PNG / PPM / BMP / baseline-JPEG payloads decode for real
+    PNG / PPM / BMP / GIF / baseline-JPEG payloads decode for real
     (decode_image_payload); other formats (progressive JPEG, WebP)
     pseudo-decode with ``fake=True`` or raise with ``fake=False``.
     """
@@ -390,7 +395,7 @@ class ImageDecodeStage:
                 pass
             if not self.fake:
                 raise NotImplementedError(
-                    "only PNG/PPM/BMP/baseline-JPEG decode natively; "
+                    "only PNG/PPM/BMP/GIF/baseline-JPEG decode natively; "
                     "progressive JPEG / WebP need codec libraries — run "
                     "with fake=True to pseudo-decode unknown formats"
                 )

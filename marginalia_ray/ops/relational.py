@@ -429,7 +429,7 @@ def sessionize(ds, gap_minutes: int = 30, user_col: str = "user_id", ts_col: str
         # engines (datetime dtype canonicalization does not)
         return pa.table(
             {
-                "user_id": pa.array(np.full(n_sess, uid, dtype=np.int64)),
+                user_col: pa.array(np.full(n_sess, uid, dtype=np.int64)),
                 "session_no": pa.array(np.arange(n_sess, dtype=np.int64)),
                 "n_events": pa.array(counts.astype(np.int64)),
                 "start_us": pa.array(starts),

@@ -37,7 +37,7 @@ def knn_cosine(
     """Exact cosine top-k: (query_id, neighbor_id, score) — k rows per query,
     score rounded to 6 dp, ties broken by ascending neighbor id."""
     q = np.asarray(query_vectors, dtype=np.float64)
-    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-30)
     q_ref = ray.put((qn, np.asarray(query_ids, dtype=np.int64)))
 
     def _partial(batch: pa.Table) -> pa.Table:

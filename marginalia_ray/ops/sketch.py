@@ -156,9 +156,20 @@ def cms_term_counts(
             bb = b["bucket"].to_numpy(zero_copy_only=False)
             counters[dd, bb] = b["sum(partial)"].to_numpy(zero_copy_only=False)
 
-    qh = _token_hash_arrow(pa.array(query_terms, pa.string()))
+    # query terms go through the same normalization as corpus tokens
+    # (lowercase, alphanumeric-only): a term the tokenizer could never
+    # emit has an exact count of 0 — hashing its raw form would instead
+    # return an unrelated bucket's collision mass
+    import re as _re
+
+    norm = [t.lower() for t in query_terms]
+    valid = [bool(_re.fullmatch("[a-z0-9]+", t)) for t in norm]
+    qh = _token_hash_arrow(pa.array(norm, pa.string()))
     ests = []
     for i in range(len(query_terms)):
+        if not valid[i]:
+            ests.append(0)
+            continue
         buckets = (_fmix64_vec(qh[i] ^ seeds) % np.uint64(width)).astype(np.int64)
         ests.append(int(counters[np.arange(depth), buckets].min()))
     return pa.table(

@@ -332,7 +332,10 @@ def ngram_overlap(
         sub = batch.filter(pa.array(ids_np % bench_mod == 0))
         if sub.num_rows == 0:
             return pa.table({"gram": pa.array([], pa.uint64())})
-        ids, grams = _window_hashes_batch(sub, text_col, id_col)
+        # 64-bit hashes: these window hashes are compared ACROSS documents
+        # (corpus vs benchmark membership), where 32-bit collisions at a
+        # 50M-gram benchmark would fabricate ~1% spurious hits per gram
+        ids, grams = _window_hashes_batch(sub, text_col, id_col, bits64=True)
         return pa.table({"gram": pa.array(np.unique(grams), pa.uint64())})
 
     bench_parts = [np.empty(0, np.uint64)]
@@ -355,7 +358,9 @@ def ngram_overlap(
 
     def _score(batch: pa.Table) -> pa.Table:
         ref = ray.get(bench_ref)
-        ids, grams = _dedupe_doc_grams(*_window_hashes_batch(batch, text_col, id_col))
+        ids, grams = _dedupe_doc_grams(
+            *_window_hashes_batch(batch, text_col, id_col, bits64=True)
+        )
         if len(ids) == 0:
             return pa.table(
                 {
@@ -463,7 +468,7 @@ def gopher_quality(ds, text_col: str = "text", id_col: str = "doc_id"):
             & (mwl >= GOPHER_MIN_MEAN_WORD_LEN)
             & (mwl <= GOPHER_MAX_MEAN_WORD_LEN)
             & (symbol_ratio < GOPHER_MAX_SYMBOL_RATIO)
-            & (alpha_frac > GOPHER_MIN_ALPHA_FRAC)
+            & (alpha_frac >= GOPHER_MIN_ALPHA_FRAC)
             & (stop_hits >= GOPHER_MIN_STOP_HITS)
         )
         return pa.table(

@@ -336,3 +336,66 @@ class TestCountMinSketch:
         with pytest.raises(ValueError, match="depth"):
             cms_term_counts(ray.data.from_items([{"doc_id": 1, "text": "x"}]),
                             ["x"], depth=99)
+
+
+class TestReviewRegressions:
+    def test_cms_query_normalization(self, ray_session):
+        import ray.data
+
+        from marginalia_ray.ops.sketch import cms_term_counts
+
+        rows = [{"doc_id": i, "text": "The quick fox"} for i in range(10)]
+        out = dict(zip(*cms_term_counts(
+            ray.data.from_items(rows), ["The", "QUICK", "not a token!", "fox"]
+        ).to_pydict().values()))
+        assert out["The"] == 10 and out["QUICK"] == 10 and out["fox"] == 10
+        assert out["not a token!"] == 0  # can never be emitted by the tokenizer
+
+    def test_knn_zero_query_vector_does_not_vanish(self, ray_session):
+        import numpy as np
+        import ray.data
+
+        from marginalia_ray.ops.similarity import knn_cosine
+
+        emb = ray.data.from_items(
+            [{"vec_id": i, "embedding": [float(i + 1)] * 4} for i in range(6)]
+        )
+        q = np.zeros((1, 4))
+        out = knn_cosine(emb, q, [99], k=3).to_pandas()
+        assert len(out) == 3  # zero-norm query degrades, never disappears
+        assert np.isfinite(out["score"]).all()
+
+    def test_sessionize_honors_user_col_name(self, ray_session):
+        from datetime import datetime
+
+        import ray.data
+
+        from marginalia_ray.ops.relational import sessionize
+
+        rows = [
+            {"customer_id": 7, "ts": datetime(2024, 1, 1, 0, 0, i)} for i in range(3)
+        ]
+        out = sessionize(ray.data.from_items(rows), user_col="customer_id").take_all()
+        assert "customer_id" in out[0] and out[0]["customer_id"] == 7
+
+    def test_simhash_chunk_cap_exposed(self, ray_session):
+        import ray.data
+
+        from marginalia_ray.ops.dedup import simhash_pairs
+
+        # 12 exact duplicates: identical simhash -> one bucket of 12 docs
+        rows = [{"doc_id": i, "text": "same words every time here"} for i in range(12)]
+        ds = ray.data.from_items(rows)
+        capped = simhash_pairs(ds, max_docs_per_chunk=5).take_all()
+        assert capped == []  # bucket over the cap is skipped (documented)
+        full = simhash_pairs(ds, max_docs_per_chunk=100).take_all()
+        assert len(full) == 12 * 11 // 2  # raising the cap recovers all pairs
+
+    def test_tiny_image_embedding_finite(self):
+        import numpy as np
+
+        from marginalia_ray.ops.multimodal import _image_embedding
+
+        for shape in [(1, 1, 3), (2, 2, 3), (3, 5, 3)]:
+            v = _image_embedding(np.full(shape, 77, np.uint8), 32)
+            assert v.shape == (32,) and np.isfinite(v).all()

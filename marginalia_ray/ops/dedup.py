@@ -189,6 +189,39 @@ def _join_partitions() -> int:
     return max(2, min(32, ncpu // 2))
 
 
+def _salted_pair_agg(pairs, finalize, num_partitions: int | None = None):
+    """Hash-partition a (doc_a, doc_b, ...) pair table by a fmix64 pair
+    salt and run `finalize` (a per-partition pyarrow kernel; receives the
+    block WITHOUT the salt column, must handle num_rows == 0 with a typed
+    empty table) inside each partition — the repo's shuffle-aggregate for
+    pair tables: pyarrow's C++ group_by per partition, no Dataset.join,
+    no driver-side dict.  Shared by _pairs_to_jaccard and
+    exact_substring_pairs so the salting contract cannot drift."""
+    if num_partitions is None:
+        num_partitions = _join_partitions()
+
+    def _add_pk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("_pk2", pa.array([], pa.int64()))
+        a = batch["doc_a"].to_numpy(zero_copy_only=False).astype(U64)
+        b = batch["doc_b"].to_numpy(zero_copy_only=False).astype(U64)
+        acc = _fmix64_vec(_fmix64_vec(a) ^ b)
+        return batch.append_column(
+            "_pk2", pa.array((acc % U64(num_partitions)).astype(np.int64))
+        )
+
+    def _agg(block: pa.Table) -> pa.Table:
+        if block.num_rows and "_pk2" in block.column_names:
+            block = block.drop_columns(["_pk2"])
+        return finalize(block)
+
+    return (
+        pairs.map_batches(_add_pk, batch_format="pyarrow")
+        .groupby("_pk2", num_partitions=num_partitions)
+        .map_groups(_agg, batch_format="pyarrow")
+    )
+
+
 def _pairs_to_jaccard(pairs, threshold: float):
     """(doc_a, doc_b, n_sh_a, n_sh_b) pair rows -> (doc_a, doc_b, jaccard).
 
@@ -202,18 +235,6 @@ def _pairs_to_jaccard(pairs, threshold: float):
     was measured ~10x slower on the same input (sort machinery + named
     aggregation overhead), and a single-int-key groupby feeds map_groups
     whole partitions."""
-    num_partitions = _join_partitions()
-
-    def _add_pk(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return batch.append_column("_pk2", pa.array([], pa.int64()))
-        a = batch["doc_a"].to_numpy(zero_copy_only=False).astype(U64)
-        b = batch["doc_b"].to_numpy(zero_copy_only=False).astype(U64)
-        acc = _fmix64_vec(_fmix64_vec(a) ^ b)
-        return batch.append_column(
-            "_pk2", pa.array((acc % U64(num_partitions)).astype(np.int64))
-        )
-
     def _agg_block(block: pa.Table) -> pa.Table:
         if block.num_rows == 0:
             return pa.table(
@@ -221,7 +242,7 @@ def _pairs_to_jaccard(pairs, threshold: float):
                  "jaccard": pa.array([], pa.float64())}
             )
         t = (
-            block.drop_columns(["_pk2"])
+            block
             .group_by(["doc_a", "doc_b"])
             .aggregate([("partial", "sum"), ("n_sh_a", "min"), ("n_sh_b", "min")])
         )
@@ -240,11 +261,7 @@ def _pairs_to_jaccard(pairs, threshold: float):
             }
         )
 
-    return (
-        pairs.map_batches(_add_pk, batch_format="pyarrow")
-        .groupby("_pk2", num_partitions=num_partitions)
-        .map_groups(_agg_block, batch_format="pyarrow")
-    )
+    return _salted_pair_agg(pairs, _agg_block)
 
 
 def jaccard_pairs(
@@ -718,20 +735,7 @@ def exact_substring_pairs(
     )
 
     # finalize: sum per-partition partials into n_shared — the same
-    # _pk2-salted pyarrow group_by as _pairs_to_jaccard (no Dataset.join,
-    # no driver-side dict)
-    num_partitions = _join_partitions()
-
-    def _add_pk2(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return batch.append_column("_pk2", pa.array([], pa.int64()))
-        a = batch["doc_a"].to_numpy(zero_copy_only=False).astype(U64)
-        b = batch["doc_b"].to_numpy(zero_copy_only=False).astype(U64)
-        acc = _fmix64_vec(_fmix64_vec(a) ^ b)
-        return batch.append_column(
-            "_pk2", pa.array((acc % U64(num_partitions)).astype(np.int64))
-        )
-
+    # same _pk2-salted pyarrow group_by as _pairs_to_jaccard
     def _agg_block(block: pa.Table) -> pa.Table:
         if block.num_rows == 0:
             return pa.table(
@@ -742,14 +746,10 @@ def exact_substring_pairs(
                 }
             )
         return (
-            block.drop_columns(["_pk2"])
+            block
             .group_by(["doc_a", "doc_b"])
             .aggregate([("partial", "sum")])
             .rename_columns(["doc_a", "doc_b", "n_shared"])
         )
 
-    return (
-        pairs.map_batches(_add_pk2, batch_format="pyarrow")
-        .groupby("_pk2", num_partitions=num_partitions)
-        .map_groups(_agg_block, batch_format="pyarrow")
-    )
+    return _salted_pair_agg(pairs, _agg_block)

@@ -196,36 +196,27 @@ def fingerprint(ds, text_col: str = "text", id_col: str = "doc_id"):
     Arithmetic is mod 2^32 end to end (SQL-oracle replicable)."""
 
     def _batch(batch: pa.Table) -> pa.Table:
-        ids, toks = explode_tokens(batch, text_col, id_col)
-        ids_np = ids.to_numpy(zero_copy_only=False)
-        th = _token_value_mod32(toks)
-        out_id, out_fp = [], []
-        if len(ids_np):
-            bounds = np.flatnonzero(np.r_[True, ids_np[1:] != ids_np[:-1], True])
-            powers = (
-                np.power(_FP_WIN_BASE, np.arange(_FP_WINDOW, dtype=np.uint64)) & _FP_MASK
+        # one batch-vectorized window-hash pass (shared with ngram_overlap /
+        # exact_substring_pairs — the hashing contract lives in ONE kernel),
+        # then a per-doc min-reduce over the (doc, window-hash) rows
+        ids_np, grams = _window_hashes_batch(batch, text_col, id_col)
+        if len(ids_np) == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "fingerprint": pa.array([], pa.int64()),
+                }
             )
-            for s, e in zip(bounds[:-1], bounds[1:]):
-                h = th[s:e]
-                if len(h) < _FP_WINDOW:
-                    fp = np.uint64(0)
-                    for v in h:
-                        fp = (fp * _FP_WIN_BASE + v) & _FP_MASK
-                else:
-                    m = len(h) - _FP_WINDOW + 1
-                    # window hash = sum(h[i+k] * base^(W-1-k)) mod 2^32
-                    acc = np.zeros(m, dtype=np.uint64)
-                    for k in range(_FP_WINDOW):
-                        acc += h[k : m + k] * powers[_FP_WINDOW - 1 - k]
-                    fp = (acc & _FP_MASK).min()
-                out_id.append(int(ids_np[s]))
-                out_fp.append(int(fp))
+        order = np.argsort(ids_np, kind="stable")
+        sid, sg = ids_np[order], grams[order]
+        starts = np.r_[True, sid[1:] != sid[:-1]]
+        fp = np.minimum.reduceat(sg, np.flatnonzero(starts))
         return pa.table(
             {
-                id_col: pa.array(out_id, pa.int64()),
+                id_col: pa.array(sid[starts], pa.int64()),
                 # values are < 2^32: int64 keeps the oracle comparison
                 # type-uniform with DuckDB BIGINT
-                "fingerprint": pa.array(out_fp, pa.int64()),
+                "fingerprint": pa.array(fp.astype(np.int64), pa.int64()),
             }
         )
 

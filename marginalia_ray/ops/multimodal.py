@@ -625,7 +625,8 @@ def _riff_chunks(data: bytes, start: int, end: int):
         pos = body + size + (size & 1)
 
 
-def decode_avi_frames(data: bytes, frame_indices=None):
+def decode_avi_frames(data: bytes, frame_indices=None, sample_fps=None,
+                      max_frames=None):
     """REAL decoder for uncompressed (BI_RGB 24-bit 'DIB ') AVI video:
     RIFF('AVI ') -> LIST hdrl (avih main header, strl/strh+strf stream
     format) -> LIST movi ('00db'/'00dc' raw bottom-up BGR frames with
@@ -633,8 +634,12 @@ def decode_avi_frames(data: bytes, frame_indices=None):
 
     Returns (width, height, fps, n_frames, frames) where frames is a dict
     {frame_index: HxWx3 uint8 RGB} for the requested indices (all frames
-    when frame_indices is None).  Raises ValueError for non-AVI payloads
-    and for compressed codecs (MJPG/H264 need codec libraries)."""
+    when frame_indices is None).  Alternatively pass sample_fps (+ an
+    optional max_frames cap): frames are sampled at ~sample_fps during
+    the SAME movi walk that counts them — one container parse instead of
+    a count pass plus a decode pass.  Raises ValueError for non-AVI
+    payloads and for compressed codecs (MJPG/H264 need codec
+    libraries)."""
     import struct
 
     if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
@@ -678,13 +683,23 @@ def decode_avi_frames(data: bytes, frame_indices=None):
     else:
         raise ValueError("avi: unsupported codec (only DIB and MJPG decode natively)")
 
+    fps_val = (1_000_000.0 / us_per_frame) if us_per_frame else 0.0
+    step = None
+    if sample_fps is not None:
+        step = max(1, int(round(fps_val / max(sample_fps, 1e-9))) or 1)
+
     row = (width * 3 + 3) & ~3
     frames: dict[int, np.ndarray] = {}
     idx = 0
     for fcc, body, size in _riff_chunks(data, movi[0], movi[1]):
         if fcc[2:4] not in (b"db", b"dc"):
             continue
-        if want is None or idx in want:
+        take = (
+            idx % step == 0 and (max_frames is None or len(frames) < max_frames)
+            if step is not None
+            else (want is None or idx in want)
+        )
+        if take:
             if mode == "mjpg":
                 from marginalia_ray.ops.jpeg import decode_jpeg
 
@@ -725,15 +740,17 @@ class VideoFrameSampleStage:
         import zlib
 
         try:
-            w, h, fps, n_frames, _ = decode_avi_frames(p, frame_indices=())
+            # single container walk: frames sampled at ~fps_sample while
+            # the movi chunks are counted (was: a count pass + a decode
+            # pass, parsing every chunk header twice).  The decode must
+            # still fall back: a truncated or corrupt MJPG frame raises
+            # after the header parse succeeded.
+            w, h, fps, n_frames, frames = decode_avi_frames(
+                p, sample_fps=self.fps_sample, max_frames=self.max_frames
+            )
             if n_frames == 0:
                 return False
-            # sample every ~fps/fps_sample-th frame, capped at max_frames
-            step = max(1, int(round(fps / max(self.fps_sample, 1e-9))) or 1)
-            indices = list(range(0, n_frames, step))[: self.max_frames]
-            # the frame decode itself must also fall back: a truncated or
-            # corrupt MJPG frame raises after the header parse succeeded
-            _, _, _, _, frames = decode_avi_frames(p, frame_indices=indices)
+            indices = sorted(frames)
             embs = [_image_embedding(frames[fi], self.embed_dim).tolist()
                     for fi in indices]
         except (ValueError, IndexError, KeyError, struct.error, zlib.error):

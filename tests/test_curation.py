@@ -399,3 +399,60 @@ class TestReviewRegressions:
         for shape in [(1, 1, 3), (2, 2, 3), (3, 5, 3)]:
             v = _image_embedding(np.full(shape, 77, np.uint8), 32)
             assert v.shape == (32,) and np.isfinite(v).all()
+
+
+class TestExperimentRunner:
+    def test_metric_mode(self, ray_session):
+        import pyarrow.compute as pc
+        import ray.data
+
+        from marginalia_ray.experiment import run_experiment
+
+        ds = ray.data.from_items(
+            [{"doc_id": i, "text": "a b c" if i % 2 else "a"} for i in range(20)]
+        )
+
+        def fn(batch):
+            import pyarrow as pa
+
+            n_chars = pc.sum(pc.utf8_length(batch["text"])).as_py() or 0
+            return {"docs": batch.num_rows, "chars": n_chars}
+
+        s = run_experiment(ds, fn)
+        assert s["mode"] == "metrics"
+        assert s["metrics"]["docs"] == 20
+        assert s["metrics"]["chars"] == 10 * 5 + 10 * 1
+
+    def test_row_mode_writes_parquet(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray.data
+
+        from marginalia_ray.experiment import run_experiment
+
+        ds = ray.data.from_items([{"doc_id": i, "text": "x" * i} for i in range(10)])
+
+        def fn(batch):
+            import pyarrow.compute as pc
+
+            return pa.table(
+                {"doc_id": batch["doc_id"],
+                 "n": pc.cast(pc.utf8_length(batch["text"]), pa.int64())}
+            )
+
+        out = tmp_path / "res"
+        s = run_experiment(ds, fn, out_path=str(out))
+        assert s["mode"] == "rows"
+        t = pq.read_table(str(out))
+        assert t.num_rows == 10 and set(t.column_names) == {"doc_id", "n"}
+
+    def test_rows_without_sink_raises(self, ray_session):
+        import pyarrow as pa
+        import pytest
+        import ray.data
+
+        from marginalia_ray.experiment import run_experiment
+
+        ds = ray.data.from_items([{"doc_id": 1, "text": "x"}])
+        with pytest.raises(ValueError, match="out_path"):
+            run_experiment(ds, lambda b: pa.table({"doc_id": b["doc_id"]}))

@@ -44,6 +44,9 @@ FUNNEL_STEPS = ("view", "click", "purchase")
 CMS_QUERY_TERMS = ("spark", "join", "window", "the", "zzz_absent_term")
 SDEDUP_PLANT_MOD = 4  # boilerplate sentence planted on doc_id % 4 == 0
 SDEDUP_BOILER = "subscribe to our newsletter today"
+BLOOM_BITS = 256  # deliberately small so false positives occur at sf scale
+BLOOM_K = 2
+GRPQ_MIN_MEAN = -1.707  # splits the fixture's per-source quality means
 
 
 def _docs(sf_dir: str):
@@ -497,6 +500,54 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _emb(sf_dir), threshold=SEMDEDUP_THRESHOLD, centroids=_ivf_centroids()
         )
 
+    def q_near_dedup_apply(sf_dir: str):
+        # the end-to-end "dedup my corpus": minhash pairs -> connected
+        # components -> anti-filter non-minimum members; returns the
+        # SURVIVING rows with all original columns
+        import ray.data
+
+        from marginalia_ray.ops.graph import near_dedup_apply
+
+        ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+        return near_dedup_apply(ds, threshold=JACCARD_THRESHOLD, method="minhash")
+
+    def q_linear_classifier(sf_dir: str):
+        from marginalia_ray.ops.classify import linear_classifier
+
+        return linear_classifier(_docs(sf_dir))
+
+    def q_bloom_membership(sf_dir: str):
+        # id-level seen-set: Bloom filter over the benchmark id subset
+        # (doc_id % DECON_BENCH_MOD == 0, the decontaminate convention),
+        # probed by every document — n_bits deliberately small so the
+        # textbook false positives actually occur and the oracle proves
+        # it reproduces them exactly
+        import pyarrow as pa
+        import ray.data
+
+        from marginalia_ray.ops.sketch import bloom_filter_membership
+
+        docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+        def _bench_only(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            return batch.filter(pa.array(ids % DECON_BENCH_MOD == 0))
+
+        bench = docs.map_batches(_bench_only, batch_format="pyarrow")
+        return bloom_filter_membership(
+            bench, docs, "doc_id", "doc_id", n_bits=BLOOM_BITS, k=BLOOM_K
+        )
+
+    def q_group_quality_filter(sf_dir: str):
+        import ray.data
+
+        from marginalia_ray.ops.curation import group_quality_filter
+
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+        )
+        return group_quality_filter(ds, min_mean_quality=GRPQ_MIN_MEAN)
+
     return {
         "domain_stats": q_domain_stats,
         "sessionize": q_sessionize,
@@ -544,6 +595,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample_n": q_stratified_sample,
         "fuzzy_dedup_components": q_fuzzy_components,
         "semantic_dedup": q_semantic_dedup,
+        "near_dedup_apply": q_near_dedup_apply,
+        "linear_classifier": q_linear_classifier,
+        "bloom_membership": q_bloom_membership,
+        "group_quality_filter": q_group_quality_filter,
         "marginalia_search": q_index_search,
     }
 
@@ -1176,13 +1231,11 @@ def _stratified_sample_sql() -> str:
  SELECT doc_id, lang, rk::BIGINT AS rk FROM r WHERE rk <= {STRAT_N}"""
 
 
-def _fuzzy_components_sql() -> str:
-    """Mirrors queries()['fuzzy_dedup_components']: the exact-Jaccard pair
-    graph (the same CTE chain as the jaccard_pairs oracle — minhash+LSH
-    with exact verification emits identical pairs at oracle scale, the
-    established minhash_dedup convention), closed transitively with a
-    recursive min-label walk: component = min doc_id reachable through
-    near-dup edges; singletons are their own component."""
+def _components_walk_cte() -> str:
+    """Shared CTE chain: exact-Jaccard near-dup pair graph (the
+    jaccard_pairs oracle chain — minhash+LSH with exact verification emits
+    identical pairs at oracle scale, the established minhash_dedup
+    convention) closed transitively with a recursive min-label walk."""
     return f"""
  WITH RECURSIVE
  tok AS (SELECT doc_id, {_TOK} AS ts FROM documents),
@@ -1199,8 +1252,151 @@ def _fuzzy_components_sql() -> str:
  walk(node, reach) AS (
    SELECT doc_id, doc_id FROM documents
    UNION
-   SELECT w.node, e.v FROM walk w JOIN edges e ON e.u = w.reach)
+   SELECT w.node, e.v FROM walk w JOIN edges e ON e.u = w.reach)"""
+
+
+def _fuzzy_components_sql() -> str:
+    """Mirrors queries()['fuzzy_dedup_components']: component = min doc_id
+    reachable through near-dup edges; singletons are their own
+    component."""
+    return (
+        _components_walk_cte()
+        + """
  SELECT node AS doc_id, min(reach)::BIGINT AS component FROM walk GROUP BY node"""
+    )
+
+
+def _near_dedup_apply_sql() -> str:
+    """Mirrors queries()['near_dedup_apply']: the surviving corpus — rows
+    whose doc_id IS its component minimum (every non-minimum member of a
+    near-dup cluster is dropped), all original columns."""
+    return (
+        _components_walk_cte()
+        + """,
+ comp AS (SELECT node AS doc_id, min(reach) AS component FROM walk GROUP BY node)
+ SELECT d.* FROM documents d JOIN comp c ON d.doc_id = c.doc_id AND c.component = d.doc_id"""
+    )
+
+
+def _hugeint_helpers():
+    """The repo-standard exact-uint64 SQL arithmetic (see _hash_split_sql
+    for the derivation): HUGEINT can't hold x*C for x,C < 2^64, so each
+    multiply-mod-2^64 splits x into 32-bit halves; xor works on signed
+    BIGINT reinterpretations."""
+    M = 1 << 64
+    MB = "18446744073709551616::HUGEINT"
+    HALF = 9223372036854775808
+
+    def mulmod(x: str, c: int) -> str:
+        return (
+            f"((({x})//4294967296 * {c}) % 4294967296 * 4294967296"
+            f" + (({x}) % 4294967296) * {c}) % {MB}"
+        )
+
+    def sgn(x: str) -> str:
+        return (
+            f"CASE WHEN ({x}) >= {HALF}::HUGEINT THEN (({x}) - {MB})::BIGINT"
+            f" ELSE ({x})::BIGINT END"
+        )
+
+    def uns(x: str) -> str:
+        return f"CASE WHEN ({x}) < 0 THEN ({x})::HUGEINT + {MB} ELSE ({x})::HUGEINT END"
+
+    return M, MB, HALF, mulmod, sgn, uns
+
+
+def _linear_classifier_sql() -> str:
+    """Mirrors ops/classify.linear_classifier: the CMS oracle's token-hash
+    chain (poly_FNV -> fmix64 in HUGEINT arithmetic) carrying doc_id, then
+    w = (fmix64(h ^ CLF_SEED) % 2001) - 1000 summed per doc — every value
+    INTEGER, so the comparison is exact; zero-token docs via LEFT JOIN."""
+    from marginalia_ray.ops.classify import CLF_SEED
+    from marginalia_ray.ops.dedup import _MIX2, _P
+
+    M, MB, HALF, mulmod, sgn, uns = _hugeint_helpers()
+    C1, C2 = 0xFF51AFD7ED558CCD, 0xC4CEB9FE1A85EC53
+    pw = [pow(int(_P), k, M) for k in range(128)]
+    pw_l = "[" + ",".join(str(x) for x in pw) + "]::HUGEINT[]"
+    xor_shift = uns(f"xor({sgn('h')}, (h // 8589934592)::BIGINT)")
+    seed_signed = CLF_SEED - M if CLF_SEED >= HALF else CLF_SEED
+
+    parts = [
+        f"pw AS (SELECT {pw_l} AS pw)",
+        f"tok AS (SELECT doc_id, unnest({_TOK}) AS t FROM documents)",
+        f"""poly AS (SELECT doc_id, list_sum(list_transform(range(1, length(t)+1),
+     i -> (ascii(substr(t,i,1))::HUGEINT * pw[length(t)-i+1]) % {MB})) % {MB} AS p,
+     ({mulmod("length(t)::HUGEINT", int(_MIX2))}) AS lm
+   FROM tok, pw)""",
+        "u0 AS (SELECT doc_id, "
+        + uns("xor(" + sgn("p") + ", " + sgn("lm") + ")")
+        + " AS h FROM poly)",
+        f"f1 AS (SELECT doc_id, {xor_shift} AS h FROM u0)",
+        f"f2 AS (SELECT doc_id, ({mulmod('h', C1)}) AS h FROM f1)",
+        f"f3 AS (SELECT doc_id, {xor_shift} AS h FROM f2)",
+        f"f4 AS (SELECT doc_id, ({mulmod('h', C2)}) AS h FROM f3)",
+        f"f5 AS (SELECT doc_id, {xor_shift} AS h FROM f4)",
+        f"w0 AS (SELECT doc_id, {uns(f'xor({sgn(chr(104))}, {seed_signed}::BIGINT)')} AS h FROM f5)",
+        f"w1 AS (SELECT doc_id, {xor_shift} AS h FROM w0)",
+        f"w2 AS (SELECT doc_id, ({mulmod('h', C1)}) AS h FROM w1)",
+        f"w3 AS (SELECT doc_id, {xor_shift} AS h FROM w2)",
+        f"w4 AS (SELECT doc_id, ({mulmod('h', C2)}) AS h FROM w3)",
+        f"w5 AS (SELECT doc_id, {xor_shift} AS h FROM w4)",
+        "w AS (SELECT doc_id, (h % 2001)::BIGINT - 1000 AS w FROM w5)",
+        "m AS (SELECT doc_id, sum(w)::BIGINT AS margin, count(*)::BIGINT AS n_tokens"
+        " FROM w GROUP BY doc_id)",
+    ]
+    return (
+        " WITH "
+        + ",\n ".join(parts)
+        + """
+ SELECT d.doc_id, coalesce(m.margin, 0)::BIGINT AS margin,
+        coalesce(m.n_tokens, 0)::BIGINT AS n_tokens,
+        (CASE WHEN coalesce(m.margin, 0) > 0 THEN 1 ELSE 0 END)::BIGINT AS label
+ FROM documents d LEFT JOIN m USING(doc_id)"""
+    )
+
+
+def _bloom_membership_sql() -> str:
+    """Mirrors ops/sketch.bloom_filter_membership over the benchmark id
+    subset: pos_i(key) = fmix64(key ^ BLOOM_SEEDS[i]) % n_bits in exact
+    HUGEINT arithmetic; maybe_member iff ALL k probe positions appear in
+    the build position set — false positives and all."""
+    from marginalia_ray.ops.sketch import BLOOM_SEEDS
+
+    M, MB, HALF, mulmod, sgn, uns = _hugeint_helpers()
+    C1, C2 = 0xFF51AFD7ED558CCD, 0xC4CEB9FE1A85EC53
+    xor_shift = uns(f"xor({sgn('x')}, (x // 8589934592)::BIGINT)")
+    seed_rows = ",".join(
+        f"({i}, {s - M if s >= HALF else s})" for i, s in enumerate(BLOOM_SEEDS[:BLOOM_K])
+    )
+    return f"""
+ WITH seeds AS (SELECT * FROM (VALUES {seed_rows}) AS s(si, seed)),
+ s0 AS (SELECT doc_id, si, {uns('xor(doc_id, seed)')} AS x FROM documents, seeds),
+ s1 AS (SELECT doc_id, si, {xor_shift} AS x FROM s0),
+ s2 AS (SELECT doc_id, si, {mulmod('x', C1)} AS x FROM s1),
+ s3 AS (SELECT doc_id, si, {xor_shift} AS x FROM s2),
+ s4 AS (SELECT doc_id, si, {mulmod('x', C2)} AS x FROM s3),
+ s5 AS (SELECT doc_id, si, {xor_shift} AS x FROM s4),
+ pos AS (SELECT doc_id, si, (x % {BLOOM_BITS})::BIGINT AS pos FROM s5),
+ build AS (SELECT DISTINCT pos FROM pos WHERE doc_id % {DECON_BENCH_MOD} = 0)
+ SELECT p.doc_id,
+        (CASE WHEN bool_and(b.pos IS NOT NULL) THEN 1 ELSE 0 END)::BIGINT AS maybe_member
+ FROM pos p LEFT JOIN build b USING(pos) GROUP BY p.doc_id"""
+
+
+def _group_quality_filter_sql() -> str:
+    """Mirrors ops/curation.group_quality_filter: per-doc quality in
+    integer micro-units (round(ln(n_tok/(1+n_chars)) * 1e6)), per-source
+    integer sums, keep sources with sum >= thresh_micro * n — the same
+    integer-exact decision as the Ray op."""
+    thresh_micro = int(round(GRPQ_MIN_MEAN * 1_000_000))
+    return f"""
+ WITH q AS (SELECT doc_id, text, source,
+        round(ln(greatest(len({_TOK}), 1)::DOUBLE / (1 + length(text))) * 1000000)::BIGINT AS qm
+   FROM documents),
+ ok AS (SELECT source FROM q GROUP BY source
+        HAVING sum(qm) >= {thresh_micro} * count(*))
+ SELECT q.doc_id, q.text, q.source FROM q JOIN ok USING(source)"""
 
 
 def _semantic_dedup_sql() -> str:
@@ -1484,5 +1680,9 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample_n": _stratified_sample_sql(),
         "fuzzy_dedup_components": _fuzzy_components_sql(),
         "semantic_dedup": _semantic_dedup_sql(),
+        "near_dedup_apply": _near_dedup_apply_sql(),
+        "linear_classifier": _linear_classifier_sql(),
+        "bloom_membership": _bloom_membership_sql(),
+        "group_quality_filter": _group_quality_filter_sql(),
         "marginalia_search": _marginalia_search_sql(),
     }

@@ -634,3 +634,97 @@ def stratified_sample_n(
         .groupby(key_col)
         .map_groups(_final, batch_format="pyarrow")
     )
+
+
+def group_quality_filter(
+    ds,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_mean_quality: float = -4.0,
+    max_groups: int = 50_000_000,
+):
+    """Group-level (domain/source-level) quality gate: drop EVERY document
+    of a group whose mean quality score falls below `min_mean_quality` —
+    the "bad domain" filter of RefinedWeb/FineWeb-style pipelines, where
+    curation decisions are made per origin, not per page (one spammy page
+    is noise; a spammy domain mean is signal).
+
+    Quality is the repo's doc_quality score, ln(n_tokens / (1 + n_chars))
+    (DocumentValuator.getQuality shape), computed inline so the op is one
+    pass + one tiny aggregation:
+
+      1. per-batch PARTIAL (group, sum_q_micro, n) rows — the shuffle
+         moves one row per (batch, group), never the documents;
+      2. the group sums (one row per group — domains, not docs; capped at
+         `max_groups` with a loud error) are collected, the failing set is
+         broadcast via ray.put;
+      3. a streamed anti-filter drops rows of failing groups.
+
+    Per-doc quality is quantized to INTEGER micro-units
+    (round(q * 1e6), the 6-dp convention of doc_quality) before any
+    summation, so the cross-partition aggregation is integer-exact and
+    order-independent — the failing-group decision
+    sum_q_micro < min_mean_quality * 1e6 * n is bit-identical to the SQL
+    oracle's, with no float summation-order dependence.
+
+    Output: surviving rows, all original columns."""
+    from marginalia_ray.ops.text_ops import TOKEN_MATCH as _TM
+
+    thresh_micro = int(round(min_mean_quality * 1_000_000))
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        lower = pc.utf8_lower(batch[text_col])
+        n_tok = np.maximum(
+            pc.count_substring_regex(lower, _TM).to_numpy(zero_copy_only=False), 1
+        ).astype(np.float64)
+        n_chars = (
+            pc.utf8_length(batch[text_col]).to_numpy(zero_copy_only=False).astype(np.float64)
+        )
+        q_micro = np.round(np.log(n_tok / (1.0 + n_chars)) * 1e6).astype(np.int64)
+        t = pa.table(
+            {group_col: batch[group_col], "sum_q": pa.array(q_micro, pa.int64())}
+        )
+        g = t.group_by(group_col).aggregate([("sum_q", "sum"), ("sum_q", "count")])
+        return g.rename_columns([group_col, "sum_q", "n"])
+
+    agg = (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby(group_col)
+        .aggregate(*_sum_aggs())
+    )
+    bad: list = []
+    n_groups = 0
+    for b in agg.iter_batches(batch_format="pyarrow"):
+        if b.num_rows == 0:
+            continue
+        n_groups += b.num_rows
+        if n_groups > max_groups:
+            raise RuntimeError(
+                f"group_quality_filter: >{max_groups} distinct groups — "
+                "the group-mean table no longer fits the driver; raise "
+                "max_groups or aggregate at a coarser key."
+            )
+        sum_q = b["sum_q"].to_numpy(zero_copy_only=False)
+        n = b["n"].to_numpy(zero_copy_only=False)
+        fail = sum_q < thresh_micro * n
+        if fail.any():
+            bad.extend(b[group_col].filter(pa.array(fail)).to_pylist())
+    if not bad:
+        return ds
+    bad_ref = ray.put(set(bad))
+
+    def _anti(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        bad_set = ray.get(bad_ref)
+        keep = pa.array([g not in bad_set for g in batch[group_col].to_pylist()])
+        return batch.filter(keep)
+
+    return ds.map_batches(_anti, batch_format="pyarrow")
+
+
+def _sum_aggs():
+    from ray.data.aggregate import Sum
+
+    return [Sum("sum_q", alias_name="sum_q"), Sum("n", alias_name="n")]

@@ -304,3 +304,65 @@ def fuzzy_dedup_components(
 
     stars = connected_components(pairs, a_col="doc_a", b_col="doc_b")
     return components_apply(ds.select_columns([id_col]), stars, id_col=id_col)
+
+
+def near_dedup_apply(
+    ds,
+    threshold: float = 0.5,
+    method: str = "minhash",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_dropped_ids: int = 20_000_000,
+    **pair_kwargs,
+):
+    """Fuzzy dedup, APPLIED: the surviving corpus rows (all original
+    columns), one survivor (the cluster-minimum id) per near-dup cluster.
+    The end-to-end "dedup my corpus" pipeline a training run actually
+    wants: pairs -> connected components -> drop non-minimum members.
+
+    Scale contract: the only driver-side state is the DROPPED id set —
+    exactly the `hi` side of the converged star edges (every non-root
+    member has one star edge), which is bounded by the near-dup candidate
+    count, NOT the corpus (same cap convention as minhash_lsh_pairs'
+    candidate collect; loud error above `max_dropped_ids`).  Survivors
+    never materialize anywhere — the final step is a streamed anti-filter
+    of the input Dataset against the broadcast dropped-id array."""
+    import ray
+
+    from marginalia_ray.ops.dedup import jaccard_pairs, minhash_lsh_pairs
+
+    if method == "minhash":
+        pairs = minhash_lsh_pairs(ds, threshold=threshold, text_col=text_col,
+                                  id_col=id_col, **pair_kwargs)
+    elif method == "jaccard":
+        pairs = jaccard_pairs(ds, threshold=threshold, text_col=text_col,
+                              id_col=id_col, **pair_kwargs)
+    else:
+        raise ValueError(f"near_dedup_apply: unknown method {method!r}")
+
+    stars = connected_components(pairs, a_col="doc_a", b_col="doc_b")
+    drop_parts = [np.zeros(0, dtype=np.int64)]
+    n_drop = 0
+    for b in stars.iter_batches(batch_format="pyarrow"):
+        if b.num_rows and "hi" in b.column_names:
+            hi = b["hi"].to_numpy(zero_copy_only=False)
+            n_drop += len(hi)
+            if n_drop > max_dropped_ids:
+                raise RuntimeError(
+                    f"near_dedup_apply: >{max_dropped_ids} duplicate ids — "
+                    "corpus too near-dup-heavy for the broadcast anti-filter. "
+                    "Raise max_dropped_ids or pre-pass exact_dedup_apply."
+                )
+            drop_parts.append(hi)
+    dropped = np.unique(np.concatenate(drop_parts))
+    if len(dropped) == 0:
+        return ds
+    drop_ref = ray.put(dropped)
+
+    def _anti(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(~np.isin(ids, ray.get(drop_ref))))
+
+    return ds.map_batches(_anti, batch_format="pyarrow")

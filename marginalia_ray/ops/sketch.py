@@ -97,6 +97,94 @@ def approx_distinct_by_key(
 
 CMS_SEEDS = tuple((0x9E3779B97F4A7C15 * (d + 1)) & 0xFFFFFFFFFFFFFFFF for d in range(8))
 
+# Bloom hash seeds: a distinct family from CMS so the two sketches can
+# coexist over the same keys without correlated collisions
+BLOOM_SEEDS = tuple((0xC2B2AE3D27D4EB4F * (d + 1)) & 0xFFFFFFFFFFFFFFFF for d in range(8))
+
+
+def bloom_filter_membership(
+    build_ds,
+    probe_ds,
+    build_col: str,
+    probe_col: str,
+    n_bits: int = 1 << 16,
+    k: int = 2,
+    out_col: str = "maybe_member",
+):
+    """Bloom-filter membership (Bloom 1970) — the crawl-frontier /
+    seen-URL-set primitive: build a fixed-size bit array over
+    `build_ds[build_col]` (integer keys), broadcast it once, and flag
+    every `probe_ds` row with whether its key MIGHT be in the build set
+    (false positives possible at the textbook rate, never false
+    negatives).  At 100 TB this replaces a full anti-join shuffle with a
+    broadcast O(n_bits/8)-byte array when an approximate restrict is
+    acceptable (e.g. "skip URLs we almost certainly crawled").
+
+    Bit positions: pos_i(key) = fmix64(key ^ BLOOM_SEEDS[i]) % n_bits for
+    i < k — deterministic, so (like HLL/CMS) the filter INCLUDING its
+    false positives is a pure function of the build keys and fully
+    SQL-reproducible.
+
+    Scale shape: the build side emits ONE packed-uint64 partial bitmap
+    row per batch (n_bits/8 bytes, constant in the data size); the driver
+    ORs the streamed partials — driver work is O(n_blocks * n_bits/8),
+    bounded by the FILTER size, never the corpus.  The probe side is a
+    stateless vectorized map against the ray.put bitmap.
+
+    Output: probe rows (all columns) + `out_col` (int64 0/1)."""
+    import ray
+
+    if n_bits % 64:
+        raise ValueError("bloom_filter_membership: n_bits must be a multiple of 64")
+    if k > len(BLOOM_SEEDS):
+        raise ValueError(f"bloom_filter_membership: k > {len(BLOOM_SEEDS)}")
+    from marginalia_ray.ops.dedup import _fmix64_vec
+
+    seeds = np.array(BLOOM_SEEDS[:k], np.uint64)
+    n_words = n_bits // 64
+
+    def _positions(keys: np.ndarray) -> np.ndarray:
+        """(len(keys), k) bit positions."""
+        return (
+            _fmix64_vec((keys[:, None].astype(np.uint64) ^ seeds[None, :]).reshape(-1))
+            % np.uint64(n_bits)
+        ).reshape(len(keys), k)
+
+    def _partial_bitmap(batch: pa.Table) -> pa.Table:
+        words = np.zeros(n_words, np.uint64)
+        if batch.num_rows:
+            pos = _positions(
+                batch[build_col].to_numpy(zero_copy_only=False)
+            ).reshape(-1)
+            np.bitwise_or.at(
+                words, (pos >> np.uint64(6)).astype(np.int64),
+                np.uint64(1) << (pos & np.uint64(63)),
+            )
+        return pa.table({"bitmap": pa.array([words.tobytes()], pa.large_binary())})
+
+    bitmap = np.zeros(n_words, np.uint64)
+    for b in build_ds.map_batches(
+        _partial_bitmap, batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow"):
+        for row in b["bitmap"]:
+            bitmap |= np.frombuffer(row.as_py(), np.uint64)
+    bitmap_ref = ray.put(bitmap)
+
+    def _probe(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column(out_col, pa.array([], pa.int64()))
+        bm = ray.get(bitmap_ref)
+        pos = _positions(batch[probe_col].to_numpy(zero_copy_only=False))
+        hit = (
+            (bm[(pos >> np.uint64(6)).astype(np.int64)]
+             >> (pos & np.uint64(63))) & np.uint64(1)
+        ).astype(bool)
+        return batch.append_column(
+            out_col, pa.array(hit.all(axis=1).astype(np.int64), pa.int64())
+        )
+
+    return probe_ds.map_batches(_probe, batch_format="pyarrow")
+
 
 def cms_term_counts(
     ds,

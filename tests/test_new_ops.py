@@ -1,0 +1,158 @@
+"""Unit tests for the round-3 additions: near_dedup_apply (ops/graph.py),
+linear_classifier (ops/classify.py), bloom_filter_membership
+(ops/sketch.py), group_quality_filter (ops/curation.py)."""
+
+import numpy as np
+import pytest
+
+
+def _ds(rows):
+    import ray.data
+
+    return ray.data.from_items(rows)
+
+
+class TestNearDedupApply:
+    def test_cluster_collapses_to_min(self, ray_session):
+        from marginalia_ray.ops.graph import near_dedup_apply
+
+        base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        rows = [
+            {"doc_id": 1, "text": base, "tag": "a"},
+            {"doc_id": 2, "text": base + " extra", "tag": "b"},  # near-dup of 1
+            {"doc_id": 3, "text": "completely different words in this one here now", "tag": "c"},
+        ]
+        out = near_dedup_apply(_ds(rows), threshold=0.5, method="jaccard").take_all()
+        ids = sorted(r["doc_id"] for r in out)
+        assert ids == [1, 3]
+        # all original columns survive
+        assert {r["doc_id"]: r["tag"] for r in out} == {1: "a", 3: "c"}
+
+    def test_transitive_chain_one_survivor(self, ray_session):
+        # A~B and B~C but A!~C: the whole chain must collapse to min(A)
+        from marginalia_ray.ops.graph import near_dedup_apply
+
+        w = [f"w{i}" for i in range(12)]
+        rows = [
+            {"doc_id": 10, "text": " ".join(w[0:8])},
+            {"doc_id": 11, "text": " ".join(w[2:10])},
+            {"doc_id": 12, "text": " ".join(w[4:12])},
+        ]
+        out = near_dedup_apply(_ds(rows), threshold=0.3, method="jaccard").take_all()
+        assert [r["doc_id"] for r in out] == [10]
+
+    def test_no_dups_is_identity(self, ray_session):
+        from marginalia_ray.ops.graph import near_dedup_apply
+
+        rows = [
+            {"doc_id": 1, "text": "one two three four five"},
+            {"doc_id": 2, "text": "six seven eight nine ten"},
+        ]
+        out = near_dedup_apply(_ds(rows), threshold=0.5, method="jaccard").take_all()
+        assert sorted(r["doc_id"] for r in out) == [1, 2]
+
+    def test_drop_cap_errors_loudly(self, ray_session):
+        from marginalia_ray.ops.graph import near_dedup_apply
+
+        base = "alpha beta gamma delta epsilon zeta eta theta"
+        rows = [{"doc_id": i, "text": base} for i in range(8)]
+        with pytest.raises(RuntimeError, match="duplicate ids"):
+            near_dedup_apply(
+                _ds(rows), threshold=0.5, method="jaccard", max_dropped_ids=3
+            ).take_all()
+
+
+class TestLinearClassifier:
+    def test_margin_matches_serial_reference(self, ray_session):
+        import pyarrow as pa
+
+        from marginalia_ray.ops.classify import CLF_SEED, _W_MOD, linear_classifier
+        from marginalia_ray.ops.dedup import U64, _fmix64_vec, _token_hash_arrow
+
+        rows = [
+            {"doc_id": 1, "text": "Spark and RAY process data, data!"},
+            {"doc_id": 2, "text": ""},
+            {"doc_id": 3, "text": "one token"},
+        ]
+        out = {r["doc_id"]: r for r in linear_classifier(_ds(rows)).take_all()}
+
+        def serial(text):
+            import re
+
+            toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+            if not toks:
+                return 0, 0
+            h = _token_hash_arrow(pa.array(toks, pa.string()))
+            w = (_fmix64_vec(h ^ U64(CLF_SEED)) % U64(_W_MOD)).astype(np.int64) - 1000
+            return int(w.sum()), len(toks)
+
+        for r in rows:
+            m, n = serial(r["text"])
+            assert out[r["doc_id"]]["margin"] == m
+            assert out[r["doc_id"]]["n_tokens"] == n
+            assert out[r["doc_id"]]["label"] == int(m > 0)
+
+    def test_repeated_token_counts_per_occurrence(self, ray_session):
+        from marginalia_ray.ops.classify import linear_classifier
+
+        one = linear_classifier(_ds([{"doc_id": 1, "text": "word"}])).take_all()[0]
+        three = linear_classifier(_ds([{"doc_id": 1, "text": "word word word"}])).take_all()[0]
+        assert three["margin"] == 3 * one["margin"]
+        assert three["n_tokens"] == 3
+
+
+class TestBloomMembership:
+    def test_no_false_negatives(self, ray_session):
+        from marginalia_ray.ops.sketch import bloom_filter_membership
+
+        build = _ds([{"k": i} for i in range(0, 100, 7)])
+        probe = _ds([{"k": i} for i in range(100)])
+        out = {r["k"]: r["maybe_member"] for r in bloom_filter_membership(
+            build, probe, "k", "k", n_bits=1 << 12, k=3
+        ).take_all()}
+        for i in range(0, 100, 7):
+            assert out[i] == 1  # a Bloom filter can NEVER miss a member
+
+    def test_misses_dominate_with_wide_filter(self, ray_session):
+        from marginalia_ray.ops.sketch import bloom_filter_membership
+
+        build = _ds([{"k": 1}, {"k": 2}])
+        probe = _ds([{"k": i} for i in range(1000)])
+        out = bloom_filter_membership(
+            build, probe, "k", "k", n_bits=1 << 16, k=4
+        ).take_all()
+        hits = sum(r["maybe_member"] for r in out)
+        # 8 bits set in 65536: false-positive odds ~ (8/65536)^4 per probe
+        assert hits == 2
+
+    def test_parameter_validation(self, ray_session):
+        from marginalia_ray.ops.sketch import bloom_filter_membership
+
+        with pytest.raises(ValueError, match="multiple of 64"):
+            bloom_filter_membership(_ds([{"k": 1}]), _ds([{"k": 1}]), "k", "k", n_bits=100)
+
+
+class TestGroupQualityFilter:
+    def test_drops_whole_failing_group(self, ray_session):
+        from marginalia_ray.ops.curation import group_quality_filter
+
+        # quality = ln(n_tok / (1 + n_chars)): longer words => lower score
+        good = "ab cd ef gh ij"  # 5 tokens / 14 chars
+        bad = "abcdefghijklmnopqrstuvwxyz0123456789abcdefghijklmnop"  # 1 token
+        rows = [
+            {"doc_id": 1, "text": good, "source": "g"},
+            {"doc_id": 2, "text": good, "source": "g"},
+            {"doc_id": 3, "text": bad, "source": "b"},
+            {"doc_id": 4, "text": good, "source": "b"},  # dragged down by 3
+        ]
+        out = group_quality_filter(
+            _ds(rows), min_mean_quality=-2.0
+        ).take_all()
+        assert sorted(r["doc_id"] for r in out) == [1, 2]
+
+    def test_all_pass_is_identity(self, ray_session):
+        from marginalia_ray.ops.curation import group_quality_filter
+
+        rows = [{"doc_id": 1, "text": "ab cd", "source": "s"}]
+        out = group_quality_filter(_ds(rows), min_mean_quality=-100.0).take_all()
+        assert len(out) == 1

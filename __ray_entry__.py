@@ -538,6 +538,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
             bench, docs, "doc_id", "doc_id", n_bits=BLOOM_BITS, k=BLOOM_K
         )
 
+    def q_similarity_join(sf_dir: str):
+        # entity-resolution style fuzzy join: even-id docs matched against
+        # odd-id docs by n-gram Jaccard (the fixture's planted near-dups
+        # cross the parity split)
+        import pyarrow as pa
+
+        from marginalia_ray.ops.dedup import similarity_join
+
+        def _parity(p: int):
+            def _f(batch: pa.Table) -> pa.Table:
+                ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+                return batch.filter(pa.array(ids % 2 == p))
+
+            return _f
+
+        docs = _docs(sf_dir)
+        return similarity_join(
+            docs.map_batches(_parity(0), batch_format="pyarrow"),
+            docs.map_batches(_parity(1), batch_format="pyarrow"),
+            threshold=JACCARD_THRESHOLD,
+        )
+
     def q_group_quality_filter(sf_dir: str):
         import ray.data
 
@@ -596,6 +618,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_dedup_components": q_fuzzy_components,
         "semantic_dedup": q_semantic_dedup,
         "near_dedup_apply": q_near_dedup_apply,
+        "similarity_join": q_similarity_join,
         "linear_classifier": q_linear_classifier,
         "bloom_membership": q_bloom_membership,
         "group_quality_filter": q_group_quality_filter,
@@ -1278,6 +1301,23 @@ def _near_dedup_apply_sql() -> str:
     )
 
 
+def _similarity_join_sql() -> str:
+    """Mirrors queries()['similarity_join']: exact cross-parity n-gram
+    Jaccard (the jaccard_pairs oracle chain restricted to even-id x
+    odd-id pairs), columns (left_id, right_id, jaccard)."""
+    return f"""
+ WITH tok AS (SELECT doc_id, {_TOK} AS ts FROM documents),
+ idx AS (SELECT doc_id, ts, unnest(generate_series(1, len(ts)-2)) AS i FROM tok),
+ sh AS (SELECT DISTINCT doc_id, ts[i]||' '||ts[i+1]||' '||ts[i+2] AS shingle FROM idx),
+ sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+ inter AS (SELECT a.doc_id left_id, b.doc_id right_id, count(*) i
+           FROM sh a JOIN sh b ON a.shingle = b.shingle
+           WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1 GROUP BY 1, 2)
+ SELECT left_id, right_id, round(i::DOUBLE/(x.n+y.n-i),6) AS jaccard
+ FROM inter JOIN sz x ON left_id=x.doc_id JOIN sz y ON right_id=y.doc_id
+ WHERE i::DOUBLE/(x.n+y.n-i) >= {JACCARD_THRESHOLD}"""
+
+
 def _hugeint_helpers():
     """The repo-standard exact-uint64 SQL arithmetic (see _hash_split_sql
     for the derivation): HUGEINT can't hold x*C for x,C < 2^64, so each
@@ -1681,6 +1721,7 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_dedup_components": _fuzzy_components_sql(),
         "semantic_dedup": _semantic_dedup_sql(),
         "near_dedup_apply": _near_dedup_apply_sql(),
+        "similarity_join": _similarity_join_sql(),
         "linear_classifier": _linear_classifier_sql(),
         "bloom_membership": _bloom_membership_sql(),
         "group_quality_filter": _group_quality_filter_sql(),

@@ -687,6 +687,126 @@ def simhash_pairs(ds, max_hamming: int = 3, text_col: str = "text", id_col: str 
     return pairs.rename_columns({"min(hamming)": "hamming"})
 
 
+# ---- cross-dataset similarity join -----------------------------------------
+
+
+def similarity_join(
+    left,
+    right,
+    threshold: float = 0.5,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_docs_per_shingle: int = 1000,
+):
+    """Fuzzy join of TWO datasets by n-gram Jaccard similarity:
+    (left_id, right_id, jaccard) for every cross-dataset pair at
+    jaccard >= threshold — the entity-resolution / "match the new crawl
+    against the existing corpus" operator, which single-input pair ops
+    (jaccard_pairs etc.) cannot express because they emit within-set
+    pairs.
+
+    Same one-shuffle architecture as jaccard_pairs: both sides shingle
+    into (side, doc_id, shingle, n_sh) rows, a salted groupby(shingle)
+    emits LEFT x RIGHT co-occurrence pairs per shingle (vectorized
+    repeat/tile per group, never within-side pairs), and the salted
+    pair aggregation turns partial counts into intersections.  Shingle
+    groups with more than `max_docs_per_shingle` total docs are skipped
+    (the stop-shingle convention).  The two id spaces are independent —
+    equal ids on both sides are a legitimate match, not a self-pair.
+    """
+    num_partitions = _join_partitions()
+
+    def _shingles(side: int):
+        def _f(batch: pa.Table) -> pa.Table:
+            t = _numeric_shingle_batch(batch, n, text_col, id_col, with_size=True)
+            return t.append_column(
+                "side", pa.array(np.full(t.num_rows, side, dtype=np.int8))
+            )
+
+        return _f
+
+    sh = left.map_batches(_shingles(0), batch_format="pyarrow").union(
+        right.map_batches(_shingles(1), batch_format="pyarrow")
+    )
+
+    def _add_pk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("_pk", pa.array([], pa.int64()))
+        k = batch["shingle"].to_numpy(zero_copy_only=False).astype(U64)
+        return batch.append_column(
+            "_pk", pa.array((_fmix64_vec(k) % U64(num_partitions)).astype(np.int64))
+        )
+
+    def _empty_pairs() -> pa.Table:
+        return pa.table(
+            {
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                "n_sh_a": pa.array([], pa.uint64()),
+                "n_sh_b": pa.array([], pa.uint64()),
+                "partial": pa.array([], pa.int64()),
+            }
+        )
+
+    def _cross_pairs(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return _empty_pairs()
+        block = block.sort_by(
+            [("shingle", "ascending"), ("side", "ascending"), ("doc_id", "ascending")]
+        )
+        sh_np = block["shingle"].to_numpy(zero_copy_only=False)
+        side = block["side"].to_numpy(zero_copy_only=False)
+        ids = block["doc_id"].to_numpy(zero_copy_only=False)
+        nsh = block["n_sh"].to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, sh_np[1:] != sh_np[:-1]])
+        ends = np.append(starts[1:], len(sh_np))
+        a_out, b_out, ea_out, eb_out = [], [], [], []
+        for s, e in zip(starts, ends):
+            if e - s > max_docs_per_shingle:
+                continue
+            sl = side[s:e]
+            split = s + int(np.searchsorted(sl, 1))
+            ln, rn = split - s, e - split
+            if ln == 0 or rn == 0:
+                continue
+            li, ri = ids[s:split], ids[split:e]
+            lh, rh = nsh[s:split], nsh[split:e]
+            # shingles are distinct per (side, doc) upstream, so no
+            # within-group dedup is needed; emit the full cross product
+            a_out.append(np.repeat(li, rn))
+            b_out.append(np.tile(ri, ln))
+            ea_out.append(np.repeat(lh, rn))
+            eb_out.append(np.tile(rh, ln))
+        if not a_out:
+            return _empty_pairs()
+        t = pa.table(
+            {
+                "doc_a": pa.array(np.concatenate(a_out), pa.int64()),
+                "doc_b": pa.array(np.concatenate(b_out), pa.int64()),
+                "n_sh_a": pa.array(np.concatenate(ea_out), pa.uint64()),
+                "n_sh_b": pa.array(np.concatenate(eb_out), pa.uint64()),
+            }
+        )
+        # per-partition combiner, as _emit_pairs_per_key(combine=True)
+        return (
+            t.group_by(t.column_names)
+            .aggregate([([], "count_all")])
+            .rename_columns(t.column_names + ["partial"])
+        )
+
+    pairs = (
+        sh.map_batches(_add_pk, batch_format="pyarrow")
+        .groupby("_pk", num_partitions=num_partitions)
+        .map_groups(
+            lambda b: _cross_pairs(b.drop_columns(["_pk"]) if "_pk" in b.column_names else b),
+            batch_format="pyarrow",
+        )
+    )
+    out = _pairs_to_jaccard(pairs, threshold)
+    return out.rename_columns({"doc_a": "left_id", "doc_b": "right_id"})
+
+
 # ---- exact-substring duplicate pairs --------------------------------------
 
 

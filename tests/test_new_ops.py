@@ -156,3 +156,44 @@ class TestGroupQualityFilter:
         rows = [{"doc_id": 1, "text": "ab cd", "source": "s"}]
         out = group_quality_filter(_ds(rows), min_mean_quality=-100.0).take_all()
         assert len(out) == 1
+
+
+class TestSimilarityJoin:
+    def test_cross_pairs_only(self, ray_session):
+        from marginalia_ray.ops.dedup import similarity_join
+
+        base = "alpha beta gamma delta epsilon zeta eta theta"
+        left = _ds([
+            {"doc_id": 1, "text": base},
+            {"doc_id": 2, "text": "unrelated words entirely different content here"},
+            # near-dup INSIDE left: must NOT pair
+            {"doc_id": 3, "text": base},
+        ])
+        right = _ds([
+            {"doc_id": 10, "text": base + " extra"},
+            {"doc_id": 11, "text": "nothing in common with anything at all"},
+        ])
+        out = similarity_join(left, right, threshold=0.5).take_all()
+        got = sorted((r["left_id"], r["right_id"]) for r in out)
+        assert got == [(1, 10), (3, 10)]
+        for r in out:
+            assert 0.5 <= r["jaccard"] <= 1.0
+
+    def test_equal_ids_are_legitimate_matches(self, ray_session):
+        from marginalia_ray.ops.dedup import similarity_join
+
+        t = "one two three four five six seven"
+        left = _ds([{"doc_id": 7, "text": t}])
+        right = _ds([{"doc_id": 7, "text": t}])
+        out = similarity_join(left, right, threshold=0.9).take_all()
+        assert len(out) == 1 and out[0]["jaccard"] == 1.0
+
+    def test_jaccard_value_matches_exact(self, ray_session):
+        from marginalia_ray.ops.dedup import similarity_join
+
+        # shingles(3) of 5 tokens = 3; of the 6-token superset = 4;
+        # overlap = 3 => jaccard = 3 / (3 + 4 - 3) = 0.75
+        left = _ds([{"doc_id": 1, "text": "a b c d e"}])
+        right = _ds([{"doc_id": 2, "text": "a b c d e f"}])
+        out = similarity_join(left, right, threshold=0.5).take_all()
+        assert len(out) == 1 and out[0]["jaccard"] == 0.75

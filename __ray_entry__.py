@@ -40,6 +40,7 @@ PACK_BUDGET = 512
 PCT_LO, PCT_HI = 0.05, 0.95
 SDEDUP_MAX_DOCS = 3
 STRAT_N = 4  # stratified sample size per key
+MIXTURE_WEIGHTS = {"en": 2, "de": 1, "fr": 1}  # target mixture parts
 FUNNEL_STEPS = ("view", "click", "purchase")
 CMS_QUERY_TERMS = ("spark", "join", "window", "the", "zzz_absent_term")
 SDEDUP_PLANT_MOD = 4  # boilerplate sentence planted on doc_id % 4 == 0
@@ -481,6 +482,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return stratified_sample_n(ds, key_col="lang", n=STRAT_N)
 
+    def q_mixture_sample(sf_dir: str):
+        import ray.data
+
+        from marginalia_ray.ops.curation import mixture_sample
+
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+        )
+        return mixture_sample(ds, MIXTURE_WEIGHTS, key_col="lang")
+
     def q_fuzzy_components(sf_dir: str):
         # minhash+LSH pairs (verified-exact, same recall contract as the
         # minhash_dedup query) -> large-star/small-star connected
@@ -615,6 +626,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_term_counts": q_cms,
         "bigram_perplexity": q_bigram_perplexity,
         "stratified_sample_n": q_stratified_sample,
+        "mixture_sample": q_mixture_sample,
         "fuzzy_dedup_components": q_fuzzy_components,
         "semantic_dedup": q_semantic_dedup,
         "near_dedup_apply": q_near_dedup_apply,
@@ -1254,6 +1266,39 @@ def _stratified_sample_sql() -> str:
  SELECT doc_id, lang, rk::BIGINT AS rk FROM r WHERE rk <= {STRAT_N}"""
 
 
+def _mixture_sample_sql() -> str:
+    """Mirrors ops/curation.mixture_sample: integer-exact target
+    arithmetic (T = min(count // weight), target = weight * T), per-key
+    top-target by the _hash_split_sql fmix64 chain."""
+    M64 = 18446744073709551616
+    C1, C2 = 0xFF51AFD7ED558CCD, 0xC4CEB9FE1A85EC53
+    vals = ",".join(f"('{k}', {w})" for k, w in MIXTURE_WEIGHTS.items())
+
+    def mul(c: int) -> str:
+        return (
+            f"((((x // 4294967296) * {c}) % 4294967296) * 4294967296"
+            f" + (x % 4294967296) * {c}) % {M64}"
+        )
+
+    return f"""
+ WITH w(key, wt) AS (VALUES {vals}),
+ cnt AS (SELECT lang AS key, count(*)::BIGINT AS c FROM documents GROUP BY 1),
+ t AS (SELECT min(coalesce(c, 0) // wt) AS t FROM w LEFT JOIN cnt USING (key)),
+ tgt AS (SELECT key, wt * t.t AS tgt FROM w, t),
+ s0 AS (SELECT doc_id, lang, ((doc_id::HUGEINT % {M64}) + {M64}) % {M64} AS x
+        FROM documents WHERE lang IN (SELECT key FROM w)),
+ s1 AS (SELECT doc_id, lang, xor(x, x >> 33) AS x FROM s0),
+ s2 AS (SELECT doc_id, lang, {mul(C1)} AS x FROM s1),
+ s3 AS (SELECT doc_id, lang, xor(x, x >> 33) AS x FROM s2),
+ s4 AS (SELECT doc_id, lang, {mul(C2)} AS x FROM s3),
+ s5 AS (SELECT doc_id, lang, xor(x, x >> 33) AS x FROM s4),
+ r AS (SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY x, doc_id) AS rk
+       FROM s5)
+ SELECT doc_id, lang, rk::BIGINT AS rk FROM r JOIN tgt ON lang = tgt.key
+ WHERE rk <= tgt.tgt"""
+
+
 def _components_walk_cte() -> str:
     """Shared CTE chain: exact-Jaccard near-dup pair graph (the
     jaccard_pairs oracle chain — minhash+LSH with exact verification emits
@@ -1718,6 +1763,7 @@ def oracle_sql() -> dict[str, str]:
         "cms_term_counts": _cms_sql(),
         "bigram_perplexity": _bigram_perplexity_sql(),
         "stratified_sample_n": _stratified_sample_sql(),
+        "mixture_sample": _mixture_sample_sql(),
         "fuzzy_dedup_components": _fuzzy_components_sql(),
         "semantic_dedup": _semantic_dedup_sql(),
         "near_dedup_apply": _near_dedup_apply_sql(),

@@ -728,3 +728,138 @@ def _sum_aggs():
     from ray.data.aggregate import Sum
 
     return [Sum("sum_q", alias_name="sum_q"), Sum("n", alias_name="n")]
+
+
+def mixture_sample(
+    ds,
+    weights: dict[str, int],
+    key_col: str = "lang",
+    id_col: str = "doc_id",
+    max_keys: int = 1_000_000,
+):
+    """Rebalance the corpus to an exact integer target mixture WITHOUT
+    upsampling — the data-mixture step of Pile/DoReMi-style training
+    pipelines (Gao et al. 2020 §2; Xie et al. 2023 use learned weights,
+    the resampling mechanics are the same).  `weights` gives integer
+    mixture parts per key, e.g. {"en": 2, "de": 1, "fr": 1} = half the
+    output English.  The output takes, per weighted key, exactly
+    w_k * T rows where T = min_k(count_k // w_k) — the largest corpus
+    achievable at the requested ratio by downsampling only.  Keys not in
+    `weights` are dropped.
+
+    Row choice per key is the stratified_sample_n rule: the target_k rows
+    with the smallest (fmix64(id), id) — deterministic across runs,
+    re-shards and cluster sizes, and SQL-replicable (integer-only target
+    arithmetic: `count // weight` has no float boundary to disagree on).
+
+    Scale shape: pass 1 is a count-only aggregation (one row per key,
+    capped at `max_keys`; mixtures are over a handful of named strata);
+    pass 2 re-reads the input with a per-batch combiner that keeps at
+    most target_k rows per key before the shuffle.  When a target is
+    close to its key's full count the combiner cannot reduce (exact
+    sampling degenerates to a per-key sort) — inherent to exact-n
+    semantics; use sample_by_key for rate-based sampling at that end.
+
+    Output: (doc_id, <key_col>, rk) with rk in 1..target_k per key."""
+    from marginalia_ray.ops.text_ops import _FMIX_SPLIT
+
+    active = {k: int(w) for k, w in weights.items() if int(w) > 0}
+    counts: dict = {}
+    n_keys = 0
+    for b in ds.groupby(key_col).count().iter_batches(batch_format="pyarrow"):
+        if b.num_rows == 0:
+            continue
+        n_keys += b.num_rows
+        if n_keys > max_keys:
+            raise RuntimeError(
+                f"mixture_sample: >{max_keys} distinct keys — the per-key "
+                "count table no longer fits the driver; mixture weights are "
+                "meant for a small set of named strata."
+            )
+        for k, c in zip(b[key_col].to_pylist(), b["count()"].to_pylist()):
+            counts[k] = c
+
+    t_global = min((counts.get(k, 0) // w for k, w in active.items()), default=0)
+    targets = {k: w * t_global for k, w in active.items()}
+
+    def _empty() -> pa.Table:
+        return pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                key_col: pa.array([], pa.string()),
+                "h": pa.array([], pa.uint64()),
+            }
+        )
+
+    if t_global <= 0:
+        final_empty = pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                key_col: pa.array([], pa.string()),
+                "rk": pa.array([], pa.int64()),
+            }
+        )
+        return ray.data.from_arrow(final_empty)
+
+    def _combine(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _empty()
+        keys_col = batch[key_col]
+        if isinstance(keys_col, pa.ChunkedArray):
+            keys_col = keys_col.combine_chunks()
+        enc = keys_col.dictionary_encode()
+        dict_vals = enc.dictionary.to_pylist()
+        tgt_by_code = np.array([targets.get(v, 0) for v in dict_vals], np.int64)
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        row_tgt = tgt_by_code[codes]
+        sel = row_tgt > 0
+        if not sel.any():
+            return _empty()
+        ids = batch[id_col].to_numpy(zero_copy_only=False)[sel]
+        codes = codes[sel]
+        row_tgt = row_tgt[sel]
+        h = _FMIX_SPLIT(ids.astype(np.uint64))
+        # rank within key by (h, id), keep rank <= target_k
+        order = np.lexsort((ids, h, codes))
+        k_sorted = codes[order]
+        starts = np.r_[True, k_sorted[1:] != k_sorted[:-1]]
+        idx = np.arange(len(order), dtype=np.int64)
+        rk_sorted = idx - np.maximum.accumulate(np.where(starts, idx, -1)) + 1
+        rk = np.empty(len(order), np.int64)
+        rk[order] = rk_sorted
+        keep = rk <= row_tgt
+        keys_kept = keys_col.filter(pa.array(sel)).filter(pa.array(keep))
+        return pa.table(
+            {
+                id_col: pa.array(ids[keep]),
+                key_col: keys_kept,
+                "h": pa.array(h[keep], pa.uint64()),
+            }
+        )
+
+    def _final(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    key_col: pa.array([], pa.string()),
+                    "rk": pa.array([], pa.int64()),
+                }
+            )
+        tgt = targets.get(group[key_col][0].as_py(), 0)
+        ids = group[id_col].to_numpy(zero_copy_only=False)
+        h = group["h"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, h))[:tgt]
+        return pa.table(
+            {
+                id_col: pa.array(ids[order]),
+                key_col: group[key_col].take(pa.array(order)),
+                "rk": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(_combine, batch_format="pyarrow")
+        .groupby(key_col)
+        .map_groups(_final, batch_format="pyarrow")
+    )

@@ -205,6 +205,71 @@ class TestStratifiedSampleN:
         assert {r["doc_id"] for r in out} == expect
 
 
+class TestMixtureSample:
+    def test_exact_ratio_and_determinism(self, ray_session):
+        from marginalia_ray.ops.curation import mixture_sample
+
+        # 40 en, 21 de, 9 fr -> T = min(40//2, 21//1, 9//1) = 9
+        rows = (
+            [{"doc_id": i, "lang": "en"} for i in range(40)]
+            + [{"doc_id": 100 + i, "lang": "de"} for i in range(21)]
+            + [{"doc_id": 200 + i, "lang": "fr"} for i in range(9)]
+            + [{"doc_id": 300 + i, "lang": "zh"} for i in range(7)]
+        )
+        w = {"en": 2, "de": 1, "fr": 1}
+        a = sorted(
+            mixture_sample(_ds(rows), w).take_all(),
+            key=lambda r: (r["lang"], r["rk"]),
+        )
+        b = sorted(
+            mixture_sample(_ds(rows), w).take_all(),
+            key=lambda r: (r["lang"], r["rk"]),
+        )
+        assert a == b  # pure function of ids
+        sizes = {}
+        for r in a:
+            sizes[r["lang"]] = sizes.get(r["lang"], 0) + 1
+        assert sizes == {"en": 18, "de": 9, "fr": 9}  # exact 2:1:1, zh dropped
+        # rk is 1..target_k per key
+        for lang, tgt in (("en", 18), ("de", 9), ("fr", 9)):
+            assert sorted(r["rk"] for r in a if r["lang"] == lang) == list(
+                range(1, tgt + 1)
+            )
+
+    def test_binding_key_keeps_all_rows(self, ray_session):
+        from marginalia_ray.ops.curation import mixture_sample
+
+        rows = [{"doc_id": i, "lang": "en"} for i in range(10)] + [
+            {"doc_id": 50 + i, "lang": "de"} for i in range(5)
+        ]
+        out = mixture_sample(_ds(rows), {"en": 2, "de": 1}).take_all()
+        de = {r["doc_id"] for r in out if r["lang"] == "de"}
+        assert de == {50, 51, 52, 53, 54}  # binding stratum fully kept
+
+    def test_missing_weighted_key_empties_output(self, ray_session):
+        from marginalia_ray.ops.curation import mixture_sample
+
+        rows = [{"doc_id": i, "lang": "en"} for i in range(10)]
+        out = mixture_sample(_ds(rows), {"en": 1, "xx": 1}).take_all()
+        assert out == []  # xx has zero rows -> no mixture achievable
+
+    def test_matches_per_key_fmix_order(self, ray_session):
+        import numpy as np
+
+        from marginalia_ray.ops.curation import mixture_sample
+        from marginalia_ray.ops.text_ops import _FMIX_SPLIT
+
+        rows = [{"doc_id": i, "lang": "en"} for i in range(30)] + [
+            {"doc_id": 100 + i, "lang": "de"} for i in range(5)
+        ]
+        out = mixture_sample(_ds(rows), {"en": 2, "de": 1}).take_all()
+        # T = min(30//2, 5//1) = 5 -> en target 10
+        en_ids = np.arange(30, dtype=np.uint64)
+        h = _FMIX_SPLIT(en_ids)
+        expect = set(np.array(sorted(range(30), key=lambda i: (h[i], i)))[:10].tolist())
+        assert {r["doc_id"] for r in out if r["lang"] == "en"} == expect
+
+
 class TestMedianByKey:
     def test_odd_even_and_ties(self, ray_session):
         from marginalia_ray.ops.relational import median_by_key

@@ -19,7 +19,12 @@ import sys
 
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(description="marginalia_ray index build")
-    p.add_argument("--pages", required=True, help="input pages parquet dir")
+    p.add_argument("--pages", help="input pages parquet dir")
+    p.add_argument(
+        "--merge", nargs="+", metavar="BUILD_DIR",
+        help="instead of building from pages: k-way-merge >=2 existing "
+        "build dirs (doc-disjoint, same --shards layout) into --out",
+    )
     p.add_argument("--out", required=True, help="output index root")
     p.add_argument("--build-id", default="build-0")
     p.add_argument("--shards", type=int, default=32)
@@ -47,6 +52,16 @@ def main(argv: list[str] | None = None) -> int:
         ray.init(**init_kwargs)
 
     try:
+        if args.merge:
+            from marginalia_ray.index.merge import merge_builds
+
+            manifest = merge_builds(
+                args.merge, args.out, concurrency=args.concurrency
+            )
+            print(json.dumps({k: v for k, v in manifest.items() if k != "runs"}))
+            return 0
+        if not args.pages:
+            p.error("either --pages or --merge is required")
         from marginalia_ray.pipelines.index_pipeline import run_index_pipeline
 
         manifest = run_index_pipeline(

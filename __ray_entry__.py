@@ -41,6 +41,8 @@ PCT_LO, PCT_HI = 0.05, 0.95
 SDEDUP_MAX_DOCS = 3
 STRAT_N = 4  # stratified sample size per key
 MIXTURE_WEIGHTS = {"en": 2, "de": 1, "fr": 1}  # target mixture parts
+TUMBLE_MIN = 60  # tumbling-window width (minutes)
+HOP_MIN = 20  # hopping-window hop (minutes; 3 overlapping windows per event)
 FUNNEL_STEPS = ("view", "click", "purchase")
 CMS_QUERY_TERMS = ("spark", "join", "window", "the", "zzz_absent_term")
 SDEDUP_PLANT_MOD = 4  # boilerplate sentence planted on doc_id % 4 == 0
@@ -289,6 +291,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
             f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
         )
         return rolling_window(ev)
+
+    def q_tumbling_window(sf_dir: str):
+        import ray.data
+
+        from marginalia_ray.ops.relational import hopping_window
+
+        ev = ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+        )
+        return hopping_window(ev, width_minutes=TUMBLE_MIN)
+
+    def q_hopping_window(sf_dir: str):
+        import ray.data
+
+        from marginalia_ray.ops.relational import hopping_window
+
+        ev = ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+        )
+        return hopping_window(ev, width_minutes=TUMBLE_MIN, hop_minutes=HOP_MIN)
 
     def q_topk_group(sf_dir: str):
         import ray.data
@@ -584,6 +606,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "domain_stats": q_domain_stats,
         "sessionize": q_sessionize,
+        "tumbling_window": q_tumbling_window,
+        "hopping_window": q_hopping_window,
         "asof_join": q_asof,
         "range_join_sessions": q_range_join,
         "rolling_window": q_rolling,
@@ -1266,6 +1290,24 @@ def _stratified_sample_sql() -> str:
  SELECT doc_id, lang, rk::BIGINT AS rk FROM r WHERE rk <= {STRAT_N}"""
 
 
+def _window_sql(width_min: int, hop_min: int | None) -> str:
+    """Mirrors ops/relational.hopping_window: value quantized to integer
+    micro-units before summation, window starts at hop multiples."""
+    w = width_min * 60_000_000
+    h = w if hop_min is None else hop_min * 60_000_000
+    k = -(-w // h)
+    return f"""
+ WITH e AS (SELECT epoch_us(ts) AS us, event_type,
+            CAST(round(value * 1000000) AS BIGINT) AS vmicro FROM events),
+ j AS (SELECT unnest(range(0, {k})) AS j),
+ w AS (SELECT ((us // {h}) - j.j) * {h} AS window_start_us, event_type, vmicro
+       FROM e CROSS JOIN j WHERE us < ((us // {h}) - j.j) * {h} + {w})
+ SELECT window_start_us::BIGINT AS window_start_us, event_type,
+        count(*)::BIGINT AS n_events,
+        round(sum(vmicro) / 1000000.0, 6) AS sum_value
+ FROM w GROUP BY 1, 2"""
+
+
 def _mixture_sample_sql() -> str:
     """Mirrors ops/curation.mixture_sample: integer-exact target
     arithmetic (T = min(count // weight), target = weight * T), per-key
@@ -1764,6 +1806,8 @@ def oracle_sql() -> dict[str, str]:
         "bigram_perplexity": _bigram_perplexity_sql(),
         "stratified_sample_n": _stratified_sample_sql(),
         "mixture_sample": _mixture_sample_sql(),
+        "tumbling_window": _window_sql(TUMBLE_MIN, None),
+        "hopping_window": _window_sql(TUMBLE_MIN, HOP_MIN),
         "fuzzy_dedup_components": _fuzzy_components_sql(),
         "semantic_dedup": _semantic_dedup_sql(),
         "near_dedup_apply": _near_dedup_apply_sql(),

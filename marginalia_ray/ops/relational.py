@@ -542,3 +542,93 @@ def funnel_count(
         )
 
     return ds.groupby(user_col).map_groups(_walk, batch_format="pyarrow")
+
+
+def hopping_window(
+    ds,
+    *,
+    width_minutes: int = 60,
+    hop_minutes: int | None = None,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    val_col: str = "value",
+):
+    """Tumbling / hopping time-window aggregate over an event stream:
+    per (window_start, key) event count and value sum, where an event at
+    time t lands in every window [w, w+width) with w a multiple of `hop`
+    (hop == width, the default, is the tumbling case; hop < width makes
+    overlapping windows, each event in ceil(width/hop) of them).
+
+    The streaming-window counterpart of SQL's time_bucket GROUP BY —
+    window assignment is a pure vectorized map (no ordering dependence),
+    so the op is: flat-map each event to its window starts, per-batch
+    partial aggregation, then one small groupby over (window, key) rows —
+    the shuffle moves one row per (batch, window, key), never the events.
+
+    Values are quantized to integer micro-units before any summation
+    (the group_quality_filter convention) so cross-partition sums are
+    order-independent and bit-identical to the SQL oracle.
+
+    Output: (window_start_us, <key_col>, n_events, sum_value)."""
+    from ray.data.aggregate import Sum
+
+    width_us = int(width_minutes) * 60_000_000
+    hop_us = width_us if hop_minutes is None else int(hop_minutes) * 60_000_000
+    if hop_us <= 0 or width_us <= 0:
+        raise ValueError("width_minutes and hop_minutes must be positive")
+    k = -(-width_us // hop_us)  # windows per event (ceil)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "window_start_us": pa.array([], pa.int64()),
+                    key_col: pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                    "vmicro": pa.array([], pa.int64()),
+                }
+            )
+        us = _to_epoch_us(batch[ts_col], ts_col).to_numpy(zero_copy_only=False)
+        vmicro = np.round(
+            batch[val_col].to_numpy(zero_copy_only=False).astype(np.float64) * 1e6
+        ).astype(np.int64)
+        base = us // hop_us  # hop index of the latest window containing t
+        j = np.arange(k, dtype=np.int64)
+        wstart = ((base[:, None] - j[None, :]) * hop_us).reshape(-1)
+        us_rep = np.repeat(us, k)
+        keep = us_rep < wstart + width_us  # only when width % hop != 0
+        t = pa.table(
+            {
+                "window_start_us": pa.array(wstart[keep]),
+                key_col: batch[key_col].take(pa.array(np.repeat(np.arange(len(us)), k)[keep])),
+                "n": pa.array(np.ones(int(keep.sum()), np.int64)),
+                "vmicro": pa.array(np.repeat(vmicro, k)[keep]),
+            }
+        )
+        g = t.group_by(["window_start_us", key_col]).aggregate(
+            [("n", "sum"), ("vmicro", "sum")]
+        )
+        return g.rename_columns(["window_start_us", key_col, "n", "vmicro"])
+
+    agg = (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby(["window_start_us", key_col])
+        .aggregate(
+            Sum("n", alias_name="n_events"), Sum("vmicro", alias_name="vmicro")
+        )
+    )
+
+    def _final(batch: pa.Table) -> pa.Table:
+        sv = np.round(
+            batch["vmicro"].to_numpy(zero_copy_only=False).astype(np.float64) / 1e6, 6
+        )
+        return pa.table(
+            {
+                "window_start_us": batch["window_start_us"],
+                key_col: batch[key_col],
+                "n_events": batch["n_events"],
+                "sum_value": pa.array(sv, pa.float64()),
+            }
+        )
+
+    return agg.map_batches(_final, batch_format="pyarrow")

@@ -184,3 +184,73 @@ def test_topk_per_group_combiner_matches_global(ray_session):
     split = split.sort_values(key).reset_index(drop=True)
     assert whole.equals(split)
     assert (whole.groupby("user_id")["rn"].max() <= 3).all()
+
+
+class TestHoppingWindow:
+    def _events(self, rows):
+        return _ds(
+            pa.table(
+                {
+                    "ts": pa.array([TS0 + r[0] * 60_000_000 for r in rows],
+                                   pa.timestamp("us")),
+                    "event_type": pa.array([r[1] for r in rows]),
+                    "value": pa.array([float(r[2]) for r in rows]),
+                }
+            )
+        )
+
+    def test_tumbling_counts_and_sums(self, ray_session):
+        from marginalia_ray.ops.relational import hopping_window
+
+        # TS0 is 13m20s into its hour: offsets 0, 10, 30 stay in window 0,
+        # offset 61 (74m into the hour) falls in window 1
+        ev = self._events([(0, "a", 1.5), (10, "a", 2.25), (30, "b", 1.0), (61, "a", 4.0)])
+        out = {
+            (r["window_start_us"], r["event_type"]): (r["n_events"], r["sum_value"])
+            for r in hopping_window(ev, width_minutes=60).take_all()
+        }
+        w0 = (TS0 // 3_600_000_000) * 3_600_000_000
+        assert out[(w0, "a")] == (2, 3.75)
+        assert out[(w0, "b")] == (1, 1.0)
+        assert out[(w0 + 3_600_000_000, "a")] == (1, 4.0)
+
+    def test_hopping_event_lands_in_k_windows(self, ray_session):
+        from marginalia_ray.ops.relational import hopping_window
+
+        ev = self._events([(90, "a", 1.0)])  # one event
+        out = hopping_window(ev, width_minutes=60, hop_minutes=20).take_all()
+        # width/hop = 3 overlapping windows contain it
+        assert len(out) == 3
+        starts = sorted(r["window_start_us"] for r in out)
+        assert all(b - a == 20 * 60_000_000 for a, b in zip(starts, starts[1:]))
+        ts = TS0 + 90 * 60_000_000
+        for r in out:
+            assert r["window_start_us"] <= ts < r["window_start_us"] + 3_600_000_000
+
+    def test_non_divisible_width_trims_partial_window(self, ray_session):
+        from marginalia_ray.ops.relational import hopping_window
+
+        # width 50, hop 20 -> ceil = 3 candidate windows, but the earliest
+        # only covers the event when ts - wstart < 50 min
+        ev = self._events([(45, "a", 1.0)])
+        out = hopping_window(ev, width_minutes=50, hop_minutes=20).take_all()
+        ts = TS0 + 45 * 60_000_000
+        for r in out:
+            assert r["window_start_us"] <= ts < r["window_start_us"] + 50 * 60_000_000
+        # exact containment count, computed independently
+        hop, width = 20 * 60_000_000, 50 * 60_000_000
+        n_expect = sum(
+            1
+            for j in range(3)
+            if ts < ((ts // hop) - j) * hop + width
+        )
+        assert len(out) == n_expect
+
+    def test_micro_quantization_is_exact(self, ray_session):
+        from marginalia_ray.ops.relational import hopping_window
+
+        # values that would accumulate float error if summed as doubles
+        ev = self._events([(0, "a", 0.1)] * 1 + [(1, "a", 0.2), (2, "a", 0.3)])
+        (row,) = hopping_window(ev, width_minutes=60).take_all()
+        assert row["sum_value"] == 0.6
+        assert row["n_events"] == 3

@@ -182,6 +182,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         qm, qids = _query_vectors(sf_dir)
         return knn_cosine_lsh(_emb(sf_dir), qm, qids, k=KNN_K, n_planes=6)
 
+    def q_kmeans_assign(sf_dir: str):
+        from marginalia_ray.ops.similarity import kmeans_assign
+
+        return kmeans_assign(_emb(sf_dir), _kmeans_centroids())
+
+    def q_kmeans_update(sf_dir: str):
+        from marginalia_ray.ops.similarity import kmeans_update
+
+        return kmeans_update(_emb(sf_dir), _kmeans_centroids())
+
     def q_knn_ivf(sf_dir: str):
         from marginalia_ray.ops.similarity import knn_cosine_ivf
 
@@ -625,6 +635,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine": q_knn,
         "knn_cosine_lsh": q_knn_lsh,
         "knn_cosine_ivf": q_knn_ivf,
+        "kmeans_assign": q_kmeans_assign,
+        "kmeans_update": q_kmeans_update,
         "knn_cosine_pq": q_knn_pq,
         "embedding_dedup": lambda sf: embedding_cosine_pairs(
             _emb(sf), threshold=COSINE_THRESHOLD
@@ -789,6 +801,69 @@ def _knn_pq_sql() -> str:
    SELECT qid AS query_id, vec_id AS neighbor_id, score,
      row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rn
    FROM score WHERE qid <> vec_id) WHERE rn <= {KNN_K}"""
+
+
+KMEANS_K = 4
+
+
+def _kmeans_centroids():
+    import numpy as np
+
+    return np.random.RandomState(19).standard_normal((KMEANS_K, 64))
+
+
+def _kmeans_dist_exprs() -> list[str]:
+    """One squared-L2 expression per centroid, written as the explicit
+    left-associated 64-term sum so the SQL engine's float accumulation
+    order matches ops/similarity._sq_dists_seq bit-for-bit."""
+    cents = _kmeans_centroids()
+    exprs = []
+    for ki in range(cents.shape[0]):
+        terms = []
+        for j in range(64):
+            c = repr(float(cents[ki, j]))
+            terms.append(f"(emb[{j + 1}]-({c}))*(emb[{j + 1}]-({c}))")
+        exprs.append("+".join(terms))
+    return exprs
+
+
+def _kmeans_cluster_case() -> str:
+    """argmin with ties to the lowest cluster id, as a CASE chain."""
+    k = KMEANS_K
+    whens = []
+    for i in range(k - 1):
+        conds = " AND ".join(f"d{i} <= d{j}" for j in range(i + 1, k))
+        whens.append(f"WHEN {conds} THEN {i}")
+    return f"CASE {' '.join(whens)} ELSE {k - 1} END"
+
+
+def _kmeans_assign_sql() -> str:
+    """Mirrors ops/similarity.kmeans_assign with the seeded centroids
+    inlined (the _knn_ivf_sql pattern)."""
+    ds_ = ", ".join(f"{e} AS d{i}" for i, e in enumerate(_kmeans_dist_exprs()))
+    least = ",".join(f"d{i}" for i in range(KMEANS_K))
+    return f"""
+ WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+ d AS (SELECT vec_id, {ds_} FROM e0)
+ SELECT vec_id, ({_kmeans_cluster_case()})::BIGINT AS cluster,
+        round(least({least}), 6) AS dist
+ FROM d"""
+
+
+def _kmeans_update_sql() -> str:
+    """Mirrors ops/similarity.kmeans_update: micro-quantized component
+    sums per (cluster, dim), mean in the same float op order."""
+    ds_ = ", ".join(f"{e} AS d{i}" for i, e in enumerate(_kmeans_dist_exprs()))
+    return f"""
+ WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+ d AS (SELECT vec_id, emb, {ds_} FROM e0),
+ a AS (SELECT vec_id, emb, ({_kmeans_cluster_case()})::BIGINT AS cluster FROM d),
+ e AS (SELECT cluster, t.j AS dim,
+              CAST(round(list_extract(emb, t.j) * 1000000) AS BIGINT) AS vmicro
+       FROM a, range(1, 65) t(j))
+ SELECT cluster, dim::BIGINT AS dim, count(*)::BIGINT AS n,
+        round(sum(vmicro) / count(*) / 1000000.0, 6) AS value
+ FROM e GROUP BY 1, 2"""
 
 
 def _ivf_centroids():
@@ -1788,6 +1863,8 @@ def oracle_sql() -> dict[str, str]:
         "repetition_metrics": _repetition_sql(),
         "knn_cosine_lsh": _knn_lsh_sql(),
         "knn_cosine_ivf": _knn_ivf_sql(),
+        "kmeans_assign": _kmeans_assign_sql(),
+        "kmeans_update": _kmeans_update_sql(),
         "knn_cosine_pq": _knn_pq_sql(),
         "simhash_pairs": _simhash_sql(),
         "pii_scrub": _pii_sql(),

@@ -500,3 +500,124 @@ def knn_cosine_pq(
         .groupby("query_id")
         .map_groups(_merge, batch_format="pyarrow")
     )
+
+
+def _sq_dists_seq(v: np.ndarray, centroids: np.ndarray) -> np.ndarray:
+    """(n, K) squared-L2 distances accumulated DIM-BY-DIM left-to-right —
+    the same float addition order as a SQL engine evaluating the written-
+    out `(e[1]-c1)^2 + (e[2]-c2)^2 + ...`, so argmin/tie decisions are
+    bit-identical to the oracle (a blas-order einsum may differ in the
+    last ulp and flip near-ties)."""
+    n, dim = v.shape
+    k = len(centroids)
+    d = np.empty((n, k), dtype=np.float64)
+    for ki in range(k):
+        acc = np.zeros(n, dtype=np.float64)
+        for j in range(dim):
+            t = v[:, j] - centroids[ki, j]
+            acc = acc + t * t
+        d[:, ki] = acc
+    return d
+
+
+def kmeans_assign(
+    ds,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Assign every vector to its nearest centroid (squared L2, ties to
+    the lowest cluster id): (id, cluster, dist).  The map half of one
+    Lloyd iteration — broadcast centroid matrix, one vectorized pass, no
+    shuffle.  Compose with kmeans_update for full distributed k-means."""
+    c = np.asarray(centroids, dtype=np.float64)
+    ref = ray.put(c)
+
+    def _batch(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {id_col: pa.array([], pa.int64()),
+                 "cluster": pa.array([], pa.int64()),
+                 "dist": pa.array([], pa.float64())}
+            )
+        cc = ray.get(ref)
+        v = _stack(batch[vec_col])
+        d = _sq_dists_seq(v, cc)
+        cl = d.argmin(axis=1)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "cluster": pa.array(cl.astype(np.int64)),
+                "dist": pa.array(np.round(d[np.arange(len(v)), cl], 6)),
+            }
+        )
+
+    return ds.map_batches(_batch, batch_format="pyarrow")
+
+
+def kmeans_update(
+    ds,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """The reduce half of one Lloyd iteration: new centroid components as
+    per-(cluster, dim) means, LONG format (cluster, dim[1-based], n,
+    value).  Components quantize to integer micro-units before summation
+    (the repo convention) so cross-partition sums are order-independent
+    and the DuckDB oracle matches exactly.  Empty clusters emit no rows.
+
+    Scale shape: assignment + per-batch partial (K x dim) integer sums —
+    the shuffle moves K*dim rows per batch, never the vectors; full
+    k-means = driver loop alternating this with a tiny collect (K*dim
+    values), the standard broadcast-and-reduce formulation."""
+    from ray.data.aggregate import Sum
+
+    c = np.asarray(centroids, dtype=np.float64)
+    k, dim = c.shape
+    ref = ray.put(c)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"cluster": pa.array([], pa.int64()),
+                 "dim": pa.array([], pa.int64()),
+                 "summicro": pa.array([], pa.int64()),
+                 "cnt": pa.array([], pa.int64())}
+            )
+        cc = ray.get(ref)
+        v = _stack(batch[vec_col])
+        cl = _sq_dists_seq(v, cc).argmin(axis=1)
+        vmicro = np.round(v * 1e6).astype(np.int64)
+        sums = np.zeros((k, dim), dtype=np.int64)
+        np.add.at(sums, cl, vmicro)
+        counts = np.bincount(cl, minlength=k)
+        live = np.flatnonzero(counts)
+        return pa.table(
+            {
+                "cluster": pa.array(np.repeat(live, dim).astype(np.int64)),
+                "dim": pa.array(np.tile(np.arange(1, dim + 1), len(live))),
+                "summicro": pa.array(sums[live].reshape(-1)),
+                "cnt": pa.array(np.repeat(counts[live], dim).astype(np.int64)),
+            }
+        )
+
+    agg = (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby(["cluster", "dim"])
+        .aggregate(Sum("summicro", alias_name="summicro"), Sum("cnt", alias_name="n"))
+    )
+
+    def _final(batch: pa.Table) -> pa.Table:
+        s = batch["summicro"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "cluster": batch["cluster"],
+                "dim": batch["dim"],
+                "n": batch["n"],
+                "value": pa.array(np.round(s / n / 1e6, 6)),
+            }
+        )
+
+    return agg.map_batches(_final, batch_format="pyarrow")

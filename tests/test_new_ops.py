@@ -197,3 +197,72 @@ class TestSimilarityJoin:
         right = _ds([{"doc_id": 2, "text": "a b c d e f"}])
         out = similarity_join(left, right, threshold=0.5).take_all()
         assert len(out) == 1 and out[0]["jaccard"] == 0.75
+
+
+class TestKMeans:
+    def _emb_ds(self, vecs, ids=None):
+        import pyarrow as pa
+        import ray.data
+
+        ids = ids or list(range(1, len(vecs) + 1))
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array(ids, pa.int64()),
+                    "embedding": pa.array(
+                        [list(map(float, v)) for v in vecs],
+                        pa.list_(pa.float32()),
+                    ),
+                }
+            )
+        )
+
+    def test_assign_nearest_and_tie_to_lowest(self, ray_session):
+        from marginalia_ray.ops.similarity import kmeans_assign
+
+        cents = np.array([[0.0, 0.0], [10.0, 0.0]])
+        ds = self._emb_ds([[1.0, 0.0], [9.0, 0.0], [5.0, 0.0]])  # last is a tie
+        out = {r["vec_id"]: r for r in kmeans_assign(ds, cents).take_all()}
+        assert out[1]["cluster"] == 0 and out[1]["dist"] == 1.0
+        assert out[2]["cluster"] == 1 and out[2]["dist"] == 1.0
+        assert out[3]["cluster"] == 0 and out[3]["dist"] == 25.0  # tie -> lowest id
+
+    def test_update_means_and_empty_cluster_omitted(self, ray_session):
+        from marginalia_ray.ops.similarity import kmeans_update
+
+        cents = np.array([[0.0, 0.0], [10.0, 10.0], [100.0, 100.0]])
+        ds = self._emb_ds([[1.0, 3.0], [3.0, 1.0], [9.0, 11.0]])
+        rows = kmeans_update(ds, cents).take_all()
+        got = {(r["cluster"], r["dim"]): (r["n"], r["value"]) for r in rows}
+        assert got[(0, 1)] == (2, 2.0) and got[(0, 2)] == (2, 2.0)
+        assert got[(1, 1)] == (1, 9.0) and got[(1, 2)] == (1, 11.0)
+        assert not any(c == 2 for c, _ in got)  # empty cluster: no rows
+
+    def test_lloyd_iteration_reduces_total_distance(self, ray_session):
+        from marginalia_ray.ops.similarity import kmeans_assign, kmeans_update
+
+        rng = np.random.default_rng(3)
+        blob_a = rng.normal(0.0, 0.3, (30, 4))
+        blob_b = rng.normal(5.0, 0.3, (30, 4))
+        vecs = np.vstack([blob_a, blob_b])
+        ds = self._emb_ds(vecs.tolist())
+        cents = rng.normal(2.0, 1.0, (2, 4))  # poor initial centroids
+
+        def total_dist(c):
+            return sum(r["dist"] for r in kmeans_assign(ds, c).take_all())
+
+        d0 = total_dist(cents)
+        upd = kmeans_update(ds, cents).take_all()
+        new = cents.copy()
+        for r in upd:
+            new[r["cluster"], r["dim"] - 1] = r["value"]
+        d1 = total_dist(new)
+        assert d1 < d0
+        # second iteration converges onto the blob means
+        upd2 = kmeans_update(ds, new).take_all()
+        new2 = new.copy()
+        for r in upd2:
+            new2[r["cluster"], r["dim"] - 1] = r["value"]
+        means = sorted(new2[:, 0].tolist())
+        assert abs(means[0] - blob_a[:, 0].mean()) < 0.2
+        assert abs(means[1] - blob_b[:, 0].mean()) < 0.2

@@ -712,14 +712,13 @@ def group_quality_filter(
             bad.extend(b[group_col].filter(pa.array(fail)).to_pylist())
     if not bad:
         return ds
-    bad_ref = ray.put(set(bad))
+    bad_ref = ray.put(pa.array(sorted(set(bad))))
 
     def _anti(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return batch
-        bad_set = ray.get(bad_ref)
-        keep = pa.array([g not in bad_set for g in batch[group_col].to_pylist()])
-        return batch.filter(keep)
+        hit = pc.is_in(batch[group_col], value_set=ray.get(bad_ref))
+        return batch.filter(pc.invert(hit))
 
     return ds.map_batches(_anti, batch_format="pyarrow")
 

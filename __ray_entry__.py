@@ -302,6 +302,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return rolling_window(ev)
 
+    def q_broadcast_join(sf_dir: str):
+        import ray.data
+
+        from marginalia_ray.ops.relational import broadcast_join
+
+        li = ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_linenumber", "l_suppkey"],
+        )
+        supp = ray.data.read_parquet(
+            f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name", "s_nationkey"]
+        )
+        return broadcast_join(li, supp, on="l_suppkey", small_on="s_suppkey")
+
+    def q_hash_join(sf_dir: str):
+        import ray.data
+
+        from marginalia_ray.ops.relational import hash_equi_join
+
+        orders = ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_totalprice"],
+        )
+        cust = ray.data.read_parquet(
+            f"{sf_dir}/customer.parquet",
+            columns=["c_custkey", "c_name", "c_mktsegment"],
+        )
+        return hash_equi_join(orders, cust, on="o_custkey", right_on="c_custkey")
+
     def q_tumbling_window(sf_dir: str):
         import ray.data
 
@@ -616,6 +645,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "domain_stats": q_domain_stats,
         "sessionize": q_sessionize,
+        "broadcast_join": q_broadcast_join,
+        "hash_join": q_hash_join,
         "tumbling_window": q_tumbling_window,
         "hopping_window": q_hopping_window,
         "asof_join": q_asof,
@@ -1883,6 +1914,12 @@ def oracle_sql() -> dict[str, str]:
         "bigram_perplexity": _bigram_perplexity_sql(),
         "stratified_sample_n": _stratified_sample_sql(),
         "mixture_sample": _mixture_sample_sql(),
+        "broadcast_join": """
+ SELECT l_orderkey, l_linenumber, l_suppkey, s_name, s_nationkey
+ FROM lineitem JOIN supplier ON l_suppkey = s_suppkey""",
+        "hash_join": """
+ SELECT o_orderkey, o_custkey, o_totalprice, c_name, c_mktsegment
+ FROM orders JOIN customer ON o_custkey = c_custkey""",
         "tumbling_window": _window_sql(TUMBLE_MIN, None),
         "hopping_window": _window_sql(TUMBLE_MIN, HOP_MIN),
         "fuzzy_dedup_components": _fuzzy_components_sql(),

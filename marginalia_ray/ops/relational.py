@@ -13,6 +13,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+import ray
 
 
 def domain_stats(ds, key_col: str = "source", text_col: str = "text"):
@@ -632,3 +633,199 @@ def hopping_window(
         )
 
     return agg.map_batches(_final, batch_format="pyarrow")
+
+
+def broadcast_join(
+    big,
+    small,
+    on: str,
+    small_on: str | None = None,
+    small_cols: list[str] | None = None,
+    max_small_rows: int = 5_000_000,
+):
+    """Broadcast dimension join: enrich a large streaming dataset with
+    columns from a SMALL unique-keyed table without any shuffle — the
+    canonical small-side pattern (ray.put once, searchsorted gather per
+    batch).  Inner join; the small side's key must be unique (it is a
+    dimension table — duplicate keys raise).
+
+    `small` is a Ray Dataset or pyarrow Table; collected to the driver
+    under `max_small_rows` (loud error above — a big small-side needs
+    hash_equi_join instead).  Output: all big columns + `small_cols`
+    (default: every non-key small column), big-side row order preserved
+    within batches."""
+    key_r = small_on or on
+    if isinstance(small, pa.Table):
+        st = small
+    else:
+        parts = []
+        n = 0
+        for b in small.iter_batches(batch_format="pyarrow"):
+            n += b.num_rows
+            if n > max_small_rows:
+                raise RuntimeError(
+                    f"broadcast_join: small side exceeds {max_small_rows} rows "
+                    "— broadcast no longer fits; use hash_equi_join"
+                )
+            parts.append(b)
+        st = pa.concat_tables(parts) if parts else None
+    if st is None or st.num_rows == 0:
+        raise ValueError("broadcast_join: empty small side")
+    cols = small_cols or [c for c in st.column_names if c != key_r]
+    sk = st[key_r].to_numpy(zero_copy_only=False)
+    order = np.argsort(sk, kind="stable")
+    sk = sk[order]
+    if len(sk) > 1 and (sk[1:] == sk[:-1]).any():
+        raise ValueError(f"broadcast_join: duplicate keys in small side ({key_r})")
+    payload = {c: st[c].take(pa.array(order)) for c in cols}
+    ref = ray.put((sk, payload))
+
+    def _batch(batch: pa.Table) -> pa.Table:
+        sk_, payload_ = ray.get(ref)
+        if batch.num_rows == 0:
+            out = batch
+            for c in cols:
+                out = out.append_column(c, payload_[c].slice(0, 0))
+            return out
+        bk = batch[on].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(sk_, bk)
+        idx_c = np.minimum(idx, len(sk_) - 1)
+        hit = sk_[idx_c] == bk
+        out = batch.filter(pa.array(hit))
+        take = pa.array(idx_c[hit])
+        for c in cols:
+            out = out.append_column(c, payload_[c].take(take))
+        return out
+
+    return big.map_batches(_batch, batch_format="pyarrow")
+
+
+def hash_equi_join(
+    left,
+    right,
+    on: str,
+    right_on: str | None = None,
+    left_cols: list[str] | None = None,
+    right_cols: list[str] | None = None,
+    num_partitions: int | None = None,
+):
+    """Large-large inner equi-join WITHOUT Ray's `Dataset.join` (whose
+    hash aggregator crashes on the schema-less empty blocks that upstream
+    map_groups stages emit — the round-2 minhash regression; this repo's
+    rule is: never feed Ray's join operator, do the join as a groupby).
+
+    Shape: both sides are tagged and reduced to (key, payload columns),
+    hash-partitioned on fmix64(key) % P in ONE union dataset (a single
+    shuffle over the two inputs combined), then each partition builds the
+    match vectorized: sort the right rows by key, searchsorted the left
+    keys into them, emit repeat/take cross-matches (many-to-many
+    supported).  Every empty block carries its full typed schema — the
+    whole point.
+
+    Skew: all rows of one key land in one partition (inherent to exact
+    equi-join); a Zipf-hot key should be pre-aggregated or broadcast
+    (broadcast_join) instead.  Output columns: left_cols + right_cols
+    (key included once, from the left)."""
+    key_r = right_on or on
+    l_schema, r_schema = left.schema(), right.schema()
+    l_cols = left_cols or list(l_schema.names)
+    r_cols = right_cols or [c for c in r_schema.names if c != key_r]
+    if on not in l_cols:
+        l_cols = [on] + l_cols
+    l_types = {n: t for n, t in zip(l_schema.names, l_schema.types)}
+    r_types = {n: t for n, t in zip(r_schema.names, r_schema.types)}
+    out_fields = [(c, l_types[c]) for c in l_cols] + [
+        (c, r_types[c]) for c in r_cols if c not in l_cols
+    ]
+    r_out = [c for c in r_cols if c not in l_cols]
+    if num_partitions is None:
+        num_partitions = _join_parts()
+
+    def _mk_empty() -> pa.Table:
+        return pa.table({c: pa.array([], t) for c, t in out_fields})
+
+    def _tag(side: int, keep: list[str], key_col: str):
+        def _f(batch: pa.Table) -> pa.Table:
+            k = batch[key_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+            pk = (_fmix64(k) % np.uint64(num_partitions)).astype(np.int64)
+            cols = {"_pk": pa.array(pk), "_src": pa.array(np.full(len(k), side, np.int8))}
+            # union schema: both sides carry every output column, the
+            # other side's as typed nulls — blocks always unify
+            for c, t in out_fields:
+                if c == on and side == 1:
+                    cols[c] = batch[key_r].cast(t)
+                elif c in keep and c in batch.column_names:
+                    cols[c] = batch[c].cast(t)
+                else:
+                    cols[c] = pa.nulls(len(k), t)
+            return pa.table(cols)
+
+        return _f
+
+    tagged = left.map_batches(_tag(0, l_cols, on), batch_format="pyarrow").union(
+        right.map_batches(_tag(1, r_out, key_r), batch_format="pyarrow")
+    )
+
+    def _join_group(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return _mk_empty()
+        src = block["_src"].to_numpy(zero_copy_only=False)
+        keys = block[on].to_numpy(zero_copy_only=False)
+        li = np.flatnonzero(src == 0)
+        ri = np.flatnonzero(src == 1)
+        if len(li) == 0 or len(ri) == 0:
+            return _mk_empty()
+        rk = keys[ri]
+        r_order = np.argsort(rk, kind="stable")
+        rk = rk[r_order]
+        lk = keys[li]
+        lo = np.searchsorted(rk, lk, side="left")
+        hi = np.searchsorted(rk, lk, side="right")
+        cnt = hi - lo
+        sel = cnt > 0
+        if not sel.any():
+            return _mk_empty()
+        li, lo, cnt = li[sel], lo[sel], cnt[sel]
+        l_take = pa.array(np.repeat(li, cnt))
+        # right match indices: for each left row, rows lo..lo+cnt
+        r_flat = (
+            np.repeat(lo, cnt)
+            + np.arange(int(cnt.sum()))
+            - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        )
+        r_take = pa.array(ri[r_order[r_flat]])
+        cols = {}
+        for c in l_cols:
+            cols[c] = block[c].take(l_take)
+        for c in r_out:
+            cols[c] = block[c].take(r_take)
+        return pa.table(cols)
+
+    joined = tagged.groupby("_pk", num_partitions=num_partitions).map_groups(
+        _join_group, batch_format="pyarrow"
+    )
+    # anchor the output schema with one explicit typed empty block: when
+    # every partition matches nothing, Ray's groupby otherwise yields only
+    # schema-less empties and the result would lose its columns
+    import ray.data as _rd
+
+    return _rd.from_arrow(_mk_empty()).union(joined)
+
+
+def _fmix64(x: np.ndarray) -> np.ndarray:
+    x = x.copy()
+    x ^= x >> np.uint64(33)
+    x *= np.uint64(0xFF51AFD7ED558CCD)
+    x ^= x >> np.uint64(33)
+    x *= np.uint64(0xC4CEB9FE1A85EC53)
+    x ^= x >> np.uint64(33)
+    return x
+
+
+def _join_parts() -> int:
+    import ray as _ray
+
+    try:
+        return max(2, min(64, int(_ray.cluster_resources().get("CPU", 8)) // 2))
+    except Exception:
+        return 8

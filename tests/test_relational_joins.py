@@ -254,3 +254,65 @@ class TestHoppingWindow:
         (row,) = hopping_window(ev, width_minutes=60).take_all()
         assert row["sum_value"] == 0.6
         assert row["n_events"] == 3
+
+
+class TestBroadcastJoin:
+    def test_inner_semantics_and_order(self, ray_session):
+        from marginalia_ray.ops.relational import broadcast_join
+
+        big = _ds(pa.table({"k": pa.array([3, 1, 9, 1]), "v": pa.array(list("abcd"))}))
+        small = pa.table({"sk": pa.array([1, 2, 3]), "name": pa.array(["one", "two", "three"])})
+        out = broadcast_join(big, small, on="k", small_on="sk").take_all()
+        assert [(r["k"], r["v"], r["name"]) for r in out] == [
+            (3, "a", "three"), (1, "b", "one"), (1, "d", "one")
+        ]  # big order kept, unmatched k=9 dropped
+
+    def test_duplicate_small_key_rejected(self, ray_session):
+        from marginalia_ray.ops.relational import broadcast_join
+
+        big = _ds(pa.table({"k": pa.array([1])}))
+        small = pa.table({"k": pa.array([1, 1]), "x": pa.array([1, 2])})
+        with pytest.raises(ValueError, match="duplicate"):
+            broadcast_join(big, small, on="k").take_all()
+
+    def test_small_side_cap(self, ray_session):
+        from marginalia_ray.ops.relational import broadcast_join
+
+        big = _ds(pa.table({"k": pa.array([1])}))
+        small = _ds(pa.table({"k": pa.array(range(100)), "x": pa.array(range(100))}))
+        with pytest.raises(RuntimeError, match="exceeds"):
+            broadcast_join(big, small, on="k", max_small_rows=10).take_all()
+
+
+class TestHashEquiJoin:
+    def test_many_to_many(self, ray_session):
+        from marginalia_ray.ops.relational import hash_equi_join
+
+        left = _ds(pa.table({"k": pa.array([1, 1, 2, 7]), "lv": pa.array(list("abcd"))}))
+        right = _ds(pa.table({"rk": pa.array([1, 1, 2]), "rv": pa.array(["x", "y", "z"])}))
+        out = hash_equi_join(left, right, on="k", right_on="rk").take_all()
+        got = sorted((r["k"], r["lv"], r["rv"]) for r in out)
+        assert got == [
+            (1, "a", "x"), (1, "a", "y"), (1, "b", "x"), (1, "b", "y"), (2, "c", "z")
+        ]  # 2x2 cross on k=1, unmatched k=7 dropped
+
+    def test_no_matches_is_empty_with_schema(self, ray_session):
+        from marginalia_ray.ops.relational import hash_equi_join
+
+        left = _ds(pa.table({"k": pa.array([1, 2]), "lv": pa.array([10, 20])}))
+        right = _ds(pa.table({"k": pa.array([5, 6]), "rv": pa.array([1.5, 2.5])}))
+        out = hash_equi_join(left, right, on="k")
+        # Ray's to_pandas drops columns for ANY zero-row dataset; the
+        # schema-anchor block keeps Dataset.schema() correct instead
+        assert out.count() == 0
+        assert out.schema().names == ["k", "lv", "rv"]
+
+    def test_column_projection(self, ray_session):
+        from marginalia_ray.ops.relational import hash_equi_join
+
+        left = _ds(pa.table({"k": pa.array([1]), "a": pa.array([2]), "b": pa.array([3])}))
+        right = _ds(pa.table({"k": pa.array([1]), "c": pa.array([4]), "d": pa.array([5])}))
+        out = hash_equi_join(
+            left, right, on="k", left_cols=["k", "a"], right_cols=["d"]
+        ).take_all()
+        assert out == [{"k": 1, "a": 2, "d": 5}]

@@ -331,6 +331,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return hash_equi_join(orders, cust, on="o_custkey", right_on="c_custkey")
 
+    def q_hash_left_join(sf_dir: str):
+        import ray.data
+
+        from marginalia_ray.ops.relational import hash_equi_join
+
+        orders = ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+        )
+        cust = ray.data.read_parquet(
+            f"{sf_dir}/customer.parquet",
+            columns=["c_custkey", "c_name", "c_mktsegment"],
+        ).filter(expr="c_mktsegment == 'BUILDING'")
+        return hash_equi_join(
+            orders, cust, on="o_custkey", right_on="c_custkey",
+            right_cols=["c_name"], how="left",
+        )
+
     def q_tumbling_window(sf_dir: str):
         import ray.data
 
@@ -647,6 +664,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": q_sessionize,
         "broadcast_join": q_broadcast_join,
         "hash_join": q_hash_join,
+        "hash_left_join": q_hash_left_join,
         "tumbling_window": q_tumbling_window,
         "hopping_window": q_hopping_window,
         "asof_join": q_asof,
@@ -1920,6 +1938,10 @@ def oracle_sql() -> dict[str, str]:
         "hash_join": """
  SELECT o_orderkey, o_custkey, o_totalprice, c_name, c_mktsegment
  FROM orders JOIN customer ON o_custkey = c_custkey""",
+        "hash_left_join": """
+ SELECT o_orderkey, o_custkey, c_name
+ FROM orders LEFT JOIN (SELECT * FROM customer WHERE c_mktsegment = 'BUILDING') c
+ ON o_custkey = c_custkey""",
         "tumbling_window": _window_sql(TUMBLE_MIN, None),
         "hopping_window": _window_sql(TUMBLE_MIN, HOP_MIN),
         "fuzzy_dedup_components": _fuzzy_components_sql(),

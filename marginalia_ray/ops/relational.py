@@ -708,8 +708,10 @@ def hash_equi_join(
     left_cols: list[str] | None = None,
     right_cols: list[str] | None = None,
     num_partitions: int | None = None,
+    how: str = "inner",
 ):
-    """Large-large inner equi-join WITHOUT Ray's `Dataset.join` (whose
+    """Large-large equi-join (`how` = 'inner' or 'left') WITHOUT Ray's
+    `Dataset.join` (whose
     hash aggregator crashes on the schema-less empty blocks that upstream
     map_groups stages emit — the round-2 minhash regression; this repo's
     rule is: never feed Ray's join operator, do the join as a groupby).
@@ -725,7 +727,10 @@ def hash_equi_join(
     Skew: all rows of one key land in one partition (inherent to exact
     equi-join); a Zipf-hot key should be pre-aggregated or broadcast
     (broadcast_join) instead.  Output columns: left_cols + right_cols
-    (key included once, from the left)."""
+    (key included once, from the left); 'left' keeps unmatched left rows
+    with typed-null right columns."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
     key_r = right_on or on
     l_schema, r_schema = left.schema(), right.schema()
     l_cols = left_cols or list(l_schema.names)
@@ -766,6 +771,15 @@ def hash_equi_join(
         right.map_batches(_tag(1, r_out, key_r), batch_format="pyarrow")
     )
 
+    r_null_types = {c: t for c, t in out_fields if c in r_out}
+
+    def _left_only(block: pa.Table, idx: np.ndarray) -> pa.Table:
+        take = pa.array(idx)
+        cols = {c: block[c].take(take) for c in l_cols}
+        for c in r_out:
+            cols[c] = pa.nulls(len(idx), r_null_types[c])
+        return pa.table(cols)
+
     def _join_group(block: pa.Table) -> pa.Table:
         if block.num_rows == 0:
             return _mk_empty()
@@ -773,8 +787,10 @@ def hash_equi_join(
         keys = block[on].to_numpy(zero_copy_only=False)
         li = np.flatnonzero(src == 0)
         ri = np.flatnonzero(src == 1)
-        if len(li) == 0 or len(ri) == 0:
+        if len(li) == 0:
             return _mk_empty()
+        if len(ri) == 0:
+            return _left_only(block, li) if how == "left" else _mk_empty()
         rk = keys[ri]
         r_order = np.argsort(rk, kind="stable")
         rk = rk[r_order]
@@ -783,8 +799,11 @@ def hash_equi_join(
         hi = np.searchsorted(rk, lk, side="right")
         cnt = hi - lo
         sel = cnt > 0
+        miss = (
+            _left_only(block, li[~sel]) if how == "left" and (~sel).any() else None
+        )
         if not sel.any():
-            return _mk_empty()
+            return miss if miss is not None else _mk_empty()
         li, lo, cnt = li[sel], lo[sel], cnt[sel]
         l_take = pa.array(np.repeat(li, cnt))
         # right match indices: for each left row, rows lo..lo+cnt
@@ -799,7 +818,10 @@ def hash_equi_join(
             cols[c] = block[c].take(l_take)
         for c in r_out:
             cols[c] = block[c].take(r_take)
-        return pa.table(cols)
+        hit = pa.table(cols)
+        if miss is not None:
+            hit = pa.concat_tables([hit, miss.cast(hit.schema)])
+        return hit
 
     joined = tagged.groupby("_pk", num_partitions=num_partitions).map_groups(
         _join_group, batch_format="pyarrow"

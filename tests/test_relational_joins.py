@@ -316,3 +316,24 @@ class TestHashEquiJoin:
             left, right, on="k", left_cols=["k", "a"], right_cols=["d"]
         ).take_all()
         assert out == [{"k": 1, "a": 2, "d": 5}]
+
+    def test_left_join_keeps_unmatched_with_nulls(self, ray_session):
+        from marginalia_ray.ops.relational import hash_equi_join
+
+        left = _ds(pa.table({"k": pa.array([1, 2, 3]), "lv": pa.array(list("abc"))}))
+        right = _ds(pa.table({"k": pa.array([2]), "rv": pa.array(["hit"])}))
+        out = sorted(
+            hash_equi_join(left, right, on="k", how="left").take_all(),
+            key=lambda r: r["k"],
+        )
+        assert [(r["k"], r["lv"], r["rv"]) for r in out] == [
+            (1, "a", None), (2, "b", "hit"), (3, "c", None)
+        ]
+
+    def test_left_join_with_empty_right(self, ray_session):
+        from marginalia_ray.ops.relational import hash_equi_join
+
+        left = _ds(pa.table({"k": pa.array([5]), "lv": pa.array([9])}))
+        right = _ds(pa.table({"k": pa.array([], pa.int64()), "rv": pa.array([], pa.string())}))
+        out = hash_equi_join(left, right, on="k", how="left").take_all()
+        assert out == [{"k": 5, "lv": 9, "rv": None}]

@@ -348,6 +348,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             right_cols=["c_name"], how="left",
         )
 
+    def q_token_entropy(sf_dir: str):
+        from marginalia_ray.ops.text_ops import token_entropy
+
+        return token_entropy(_docs(sf_dir))
+
     def q_tumbling_window(sf_dir: str):
         import ray.data
 
@@ -674,6 +679,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_apply": q_dedup_apply,
         "sample_by_key": q_sample,
         "token_count": lambda sf: token_count(_docs(sf)),
+        "token_entropy": q_token_entropy,
         "term_doc_freq": lambda sf: term_doc_freq(_docs(sf)),
         "stopword_ratio": lambda sf: stopword_ratio(_docs(sf)),
         "doc_quality": lambda sf: doc_quality(_docs(sf)),
@@ -1938,6 +1944,17 @@ def oracle_sql() -> dict[str, str]:
         "hash_join": """
  SELECT o_orderkey, o_custkey, o_totalprice, c_name, c_mktsegment
  FROM orders JOIN customer ON o_custkey = c_custkey""",
+        "token_entropy": f"""
+ WITH tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents),
+ tf AS (SELECT doc_id, term, count(*)::BIGINT AS c FROM tok GROUP BY 1, 2),
+ tot AS (SELECT doc_id, sum(c)::BIGINT AS s, count(*)::BIGINT AS nd FROM tf GROUP BY 1),
+ contrib AS (SELECT tf.doc_id,
+    CAST(floor((c / s::DOUBLE) * ln(c / s::DOUBLE) * 1000000000 + 0.5) AS BIGINT) AS q
+    FROM tf JOIN tot USING (doc_id)),
+ agg AS (SELECT doc_id, sum(q) AS sq FROM contrib GROUP BY 1)
+ SELECT d.doc_id, coalesce(t.s, 0) AS n_tokens, coalesce(t.nd, 0) AS n_distinct,
+        coalesce(floor(-a.sq / 1000000000.0 * 1000000 + 0.5) / 1000000.0, 0.0) + 0.0 AS entropy
+ FROM documents d LEFT JOIN tot t USING (doc_id) LEFT JOIN agg a USING (doc_id)""",
         "hash_left_join": """
  SELECT o_orderkey, o_custkey, c_name
  FROM orders LEFT JOIN (SELECT * FROM customer WHERE c_mktsegment = 'BUILDING') c

@@ -823,3 +823,71 @@ def c4_filter(ds, text_col: str = "text", id_col: str = "doc_id"):
         )
 
     return ds.map_batches(_batch, batch_format="pyarrow")
+
+
+def token_entropy(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-doc Shannon entropy of the token distribution (nats) — the
+    lexical-diversity quality signal (low entropy = repetitive/template
+    text, one of the MassiveWeb-family filters): (doc_id, n_tokens,
+    n_distinct, entropy).
+
+    One vectorized map, NO shuffle — entropy is per-document.  Each
+    term's contribution p*ln(p) is quantized to nano-units (int64)
+    before the per-doc sum, so the result is independent of term
+    iteration order and matches the SQL oracle exactly (float sums over
+    an unordered GROUP BY would not be).  Empty docs emit entropy 0.0."""
+
+    def _batch(batch: pa.Table) -> pa.Table:
+        n_rows = batch.num_rows
+        if n_rows == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "n_distinct": pa.array([], pa.int64()),
+                    "entropy": pa.array([], pa.float64()),
+                }
+            )
+        lower = pc.utf8_lower(batch[text_col])
+        lists = pc.split_pattern_regex(lower, TOKEN_SPLIT)
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        flat = pc.list_flatten(lists)
+        parents = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+        mask = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        parents = parents[mask]
+        codes = (
+            flat.filter(pa.array(mask))
+            .dictionary_encode()
+            .indices.to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        total = np.bincount(parents, minlength=n_rows).astype(np.float64)
+        sum_q = np.zeros(n_rows, dtype=np.int64)
+        n_distinct = np.zeros(n_rows, dtype=np.int64)
+        if len(codes):
+            # per-(doc, term) counts via one sort over (parent, code) pairs
+            pair = parents.astype(np.int64) * (codes.max() + 1) + codes
+            order = np.argsort(pair, kind="stable")
+            ps = pair[order]
+            starts = np.r_[True, ps[1:] != ps[:-1]]
+            grp_parent = parents[order][starts]
+            cnt = np.diff(np.append(np.flatnonzero(starts), len(ps)))
+            p = cnt / total[grp_parent]
+            # floor(x+0.5): same half-rule in numpy and SQL (np.round is
+            # banker's, DuckDB round() is half-away — they disagree at .5)
+            q = np.floor(p * np.log(p) * 1e9 + 0.5).astype(np.int64)
+            np.add.at(sum_q, grp_parent, q)
+            n_distinct = np.bincount(grp_parent, minlength=n_rows)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_tokens": pa.array(total.astype(np.int64)),
+                "n_distinct": pa.array(n_distinct.astype(np.int64)),
+                "entropy": pa.array(
+                    np.floor(-sum_q / 1e9 * 1e6 + 0.5) / 1e6 + 0.0  # floor-half, kill -0.0
+                ),
+            }
+        )
+
+    return ds.map_batches(_batch, batch_format="pyarrow")

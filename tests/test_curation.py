@@ -521,3 +521,29 @@ class TestExperimentRunner:
         ds = ray.data.from_items([{"doc_id": 1, "text": "x"}])
         with pytest.raises(ValueError, match="out_path"):
             run_experiment(ds, lambda b: pa.table({"doc_id": b["doc_id"]}))
+
+
+class TestTokenEntropy:
+    def test_known_distributions(self, ray_session):
+        import numpy as np
+
+        from marginalia_ray.ops.text_ops import token_entropy
+
+        rows = [
+            {"doc_id": 1, "text": "a a a a"},          # H = 0
+            {"doc_id": 2, "text": "a b a b"},          # H = ln 2
+            {"doc_id": 3, "text": "a b c d"},          # H = ln 4
+            {"doc_id": 4, "text": "!!! ??? ..."},      # no tokens
+        ]
+        out = {r["doc_id"]: r for r in token_entropy(_ds(rows)).take_all()}
+        assert out[1]["entropy"] == 0.0 and out[1]["n_distinct"] == 1
+        assert out[2]["entropy"] == round(float(np.log(2)), 6)
+        assert out[3]["entropy"] == round(float(np.log(4)), 6)
+        assert out[4] == {"doc_id": 4, "n_tokens": 0, "n_distinct": 0, "entropy": 0.0}
+
+    def test_counts(self, ray_session):
+        from marginalia_ray.ops.text_ops import token_entropy
+
+        rows = [{"doc_id": 9, "text": "The quick brown fox the fox"}]
+        (r,) = token_entropy(_ds(rows)).take_all()
+        assert r["n_tokens"] == 6 and r["n_distinct"] == 4

@@ -732,6 +732,13 @@ def hash_equi_join(
     if how not in ("inner", "left"):
         raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
     key_r = right_on or on
+    for side_name, sch, kc in (("left", left.schema(), on), ("right", right.schema(), key_r)):
+        kt = dict(zip(sch.names, sch.types)).get(kc)
+        if kt is None or not pa.types.is_integer(kt):
+            raise TypeError(
+                f"hash_equi_join: {side_name} key {kc!r} must be an integer "
+                f"column (got {kt}); hash string keys to int64 upstream"
+            )
     l_schema, r_schema = left.schema(), right.schema()
     l_cols = left_cols or list(l_schema.names)
     r_cols = right_cols or [c for c in r_schema.names if c != key_r]

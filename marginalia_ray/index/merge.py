@@ -31,6 +31,15 @@ with more shards.  Output posting runs are re-salted into doc-range
 buckets (quantile boundaries over the merged ids) so the merged build
 keeps the same skew properties as a fresh one.
 
+Resume: each completed (kind, shard) writes a `_DONE.json` lineage marker
+(its run metrics + the job key); a re-run of the same merge (same source
+build ids, same bucket target) skips marked shards and only redoes the
+unfinished ones — the same per-partition checkpoint contract as the
+converter's `_LINEAGE.json`.  A half-written shard (no marker) is wiped
+and rebuilt, so stale buckets from a crashed attempt can never be read.
+Changing sources or parameters invalidates the whole output (the job key
+in `_MERGE_JOB.json` no longer matches) and restarts cleanly.
+
 Equivalence: merging builds of journal slices yields per-term posting
 lists (ids and metas) identical to a fresh `build_index` over the
 concatenated journal with the same rankings — verified in
@@ -39,6 +48,9 @@ tests/test_merge.py, including the engine-level query-parity check.
 
 from __future__ import annotations
 
+import json
+import os
+import shutil
 import time
 import uuid
 from pathlib import Path
@@ -57,6 +69,8 @@ from marginalia_ray.index.segment import (
 )
 
 U64 = np.uint64
+
+_LINEAGE_COLS = ("kind", "shard", "bucket", "n_terms", "n_postings", "bytes")
 
 
 def decode_bucket_flat(directory: dict, sections: dict):
@@ -82,12 +96,31 @@ def decode_bucket_flat(directory: dict, sections: dict):
     return terms, ids
 
 
+def _write_json_atomic(path: Path, payload: dict) -> None:
+    tmp = str(path) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(payload, f, indent=1, default=int)
+    os.replace(tmp, path)
+
+
 def _merge_shard(sources: list[str], out_dir: str, kind: str, shard: int,
-                 n_buckets_out: int) -> list[dict]:
+                 n_buckets_out: int, job_key: str, resume: bool) -> list[dict]:
     """Merge one (kind, shard) across all source builds: decode every
     source bucket flat, lexsort by (term, enc id), re-salt into
     `n_buckets_out` doc-range buckets (quantile boundaries over the merged
-    ids so buckets balance), write one run per bucket."""
+    ids so buckets balance), write one run per bucket, then the _DONE
+    lineage marker (the resume checkpoint)."""
+    shard_dir = Path(out_dir) / kind / f"shard={shard:05d}"
+    marker = shard_dir / "_DONE.json"
+    if resume and marker.exists():
+        with open(marker) as f:
+            done = json.load(f)
+        if done.get("job_key") == job_key:
+            return done["runs"]
+    # no valid marker: wipe any half-written attempt so stale bucket
+    # files can never survive into the finished shard
+    shutil.rmtree(shard_dir, ignore_errors=True)
+
     t_parts, i_parts, m_parts = [], [], []
     has_meta = kind == "full"
     for src in sources:
@@ -99,46 +132,48 @@ def _merge_shard(sources: list[str], out_dir: str, kind: str, shard: int,
             if has_meta:
                 m_parts.append(sections["metas"] if sections["metas"] is not None
                                else np.zeros(0, dtype=U64))
-    if not t_parts:
-        return []
-    terms = np.concatenate(t_parts)
-    ids = np.concatenate(i_parts)
-    metas = np.concatenate(m_parts) if has_meta else None
-    order = np.lexsort((ids, terms))
-    terms, ids = terms[order], ids[order]
-    if metas is not None:
-        metas = metas[order]
-    if len(terms) > 1:
-        dup = (terms[1:] == terms[:-1]) & (ids[1:] == ids[:-1])
-        if dup.any():
-            raise RuntimeError(
-                f"merge_builds: {int(dup.sum())} duplicate (term, doc) postings "
-                f"in {kind}/shard={shard} — source builds are not doc-disjoint"
-            )
-    # re-salt: quantile boundaries over this shard's merged enc ids
-    if n_buckets_out > 1 and len(ids):
-        qs = np.quantile(np.unique(ids), np.linspace(0, 1, n_buckets_out + 1)[1:-1])
-        boundaries = np.unique(qs.astype(U64))
-    else:
-        boundaries = np.zeros(0, dtype=U64)
-    bucket = (
-        np.searchsorted(boundaries, ids, side="right").astype(np.int64)
-        if len(boundaries)
-        else np.zeros(len(ids), dtype=np.int64)
-    )
-    rows = []
-    for b in np.unique(bucket):
-        sel = bucket == b
-        # within a bucket the (term, id) lexsort order is preserved by the
-        # boolean mask; buckets are monotone in id so per-term runs
-        # concatenate sorted at read time
-        rows.append(
-            write_run(
-                out_dir, kind, shard, int(b),
-                terms[sel], ids[sel],
-                metas[sel] if metas is not None else None,
-            )
+    rows: list[dict] = []
+    if t_parts:
+        terms = np.concatenate(t_parts)
+        ids = np.concatenate(i_parts)
+        metas = np.concatenate(m_parts) if has_meta else None
+        order = np.lexsort((ids, terms))
+        terms, ids = terms[order], ids[order]
+        if metas is not None:
+            metas = metas[order]
+        if len(terms) > 1:
+            dup = (terms[1:] == terms[:-1]) & (ids[1:] == ids[:-1])
+            if dup.any():
+                raise RuntimeError(
+                    f"merge_builds: {int(dup.sum())} duplicate (term, doc) postings "
+                    f"in {kind}/shard={shard} — source builds are not doc-disjoint"
+                )
+        # re-salt: quantile boundaries over this shard's merged enc ids
+        if n_buckets_out > 1 and len(ids):
+            qs = np.quantile(np.unique(ids), np.linspace(0, 1, n_buckets_out + 1)[1:-1])
+            boundaries = np.unique(qs.astype(U64))
+        else:
+            boundaries = np.zeros(0, dtype=U64)
+        bucket = (
+            np.searchsorted(boundaries, ids, side="right").astype(np.int64)
+            if len(boundaries)
+            else np.zeros(len(ids), dtype=np.int64)
         )
+        for b in np.unique(bucket):
+            sel = bucket == b
+            # within a bucket the (term, id) lexsort order is preserved by
+            # the boolean mask; buckets are monotone in id so per-term runs
+            # concatenate sorted at read time
+            rows.append(
+                write_run(
+                    out_dir, kind, shard, int(b),
+                    terms[sel], ids[sel],
+                    metas[sel] if metas is not None else None,
+                )
+            )
+    shard_dir.mkdir(parents=True, exist_ok=True)
+    _write_json_atomic(marker, {"job_key": job_key, "runs": rows,
+                                "merged_at": time.time()})
     return rows
 
 
@@ -149,12 +184,12 @@ def merge_builds(
     n_buckets_out: int | None = None,
     check_disjoint: bool = True,
     concurrency: int | None = None,
+    resume: bool = True,
 ) -> dict:
     """Merge M immutable index builds into a new build directory readable
     by SegmentShardReader / ForwardIndex / the query engine, and return
-    its manifest.  See module docstring for semantics and scale shape."""
-    import shutil
-
+    its manifest.  See module docstring for semantics, scale shape and
+    the per-shard resume contract."""
     sources = [str(s) for s in source_dirs]
     if len(sources) < 2:
         raise ValueError("merge_builds needs >= 2 source builds")
@@ -168,57 +203,77 @@ def merge_builds(
     if len(shards) != 1:
         raise ValueError(f"merge_builds: sources disagree on n_shards: {shards}")
     n_shards = shards.pop()
-    out_dir = str(out_dir)
-    for sub in ("forward", "full", "prio"):
-        shutil.rmtree(Path(out_dir) / sub, ignore_errors=True)
-    Path(out_dir).mkdir(parents=True, exist_ok=True)
-    t0 = time.time()
-
-    fwd_files = [f for s in sources for f in sorted((Path(s) / "forward").glob("*.parquet"))]
-    fwd = ray.data.read_parquet([str(f) for f in fwd_files])
-    if check_disjoint:
-        def _dups_only(batch: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
-
-            return batch.filter(pc.greater(batch["count()"], 1))
-
-        dup = (
-            ray.data.read_parquet([str(f) for f in fwd_files], columns=["url_id"])
-            .groupby("url_id")
-            .count()
-            .map_batches(_dups_only, batch_format="pyarrow")
-            .count()
-        )
-        if dup:
-            raise RuntimeError(
-                f"merge_builds: {dup} url_ids present in multiple source builds "
-                "— sources must be doc-disjoint (dedup re-crawls upstream)"
-            )
-    fwd_out = Path(out_dir) / "forward"
-    fwd_out.mkdir(parents=True, exist_ok=True)
-    fwd.write_parquet(str(fwd_out))
-
     if n_buckets_out is None:
         # preserve the sources' salting level: the merged shard is the
         # union, so the max source bucket count is the right floor
         n_buckets_out = max(int(m.get("n_buckets", 1)) for m in manifests)
+
+    out_dir = str(out_dir)
+    Path(out_dir).mkdir(parents=True, exist_ok=True)
+    job_key = json.dumps(
+        {"sources": [m["build_id"] for m in manifests],
+         "n_buckets_out": int(n_buckets_out)},
+        sort_keys=True,
+    )
+    job_file = Path(out_dir) / "_MERGE_JOB.json"
+    prior = None
+    if job_file.exists():
+        with open(job_file) as f:
+            prior = json.load(f).get("job_key")
+    if not (resume and prior == job_key):
+        # different (or no) prior job: every output subtree is invalid
+        for sub in ("forward", "full", "prio"):
+            shutil.rmtree(Path(out_dir) / sub, ignore_errors=True)
+        _write_json_atomic(job_file, {"job_key": job_key, "started_at": time.time()})
+    t0 = time.time()
+
+    fwd_files = [f for s in sources for f in sorted((Path(s) / "forward").glob("*.parquet"))]
+    fwd_out = Path(out_dir) / "forward"
+    fwd_marker = fwd_out / "_DONE.json"
+    fwd_done = False
+    if fwd_marker.exists():
+        with open(fwd_marker) as f:
+            fwd_done = json.load(f).get("job_key") == job_key
+    if not fwd_done:
+        shutil.rmtree(fwd_out, ignore_errors=True)
+        if check_disjoint:
+            def _dups_only(batch: pa.Table) -> pa.Table:
+                import pyarrow.compute as pc
+
+                return batch.filter(pc.greater(batch["count()"], 1))
+
+            dup = (
+                ray.data.read_parquet([str(f) for f in fwd_files], columns=["url_id"])
+                .groupby("url_id")
+                .count()
+                .map_batches(_dups_only, batch_format="pyarrow")
+                .count()
+            )
+            if dup:
+                raise RuntimeError(
+                    f"merge_builds: {dup} url_ids present in multiple source builds "
+                    "— sources must be doc-disjoint (dedup re-crawls upstream)"
+                )
+        fwd_out.mkdir(parents=True, exist_ok=True)
+        ray.data.read_parquet([str(f) for f in fwd_files]).write_parquet(str(fwd_out))
+        _write_json_atomic(fwd_marker, {"job_key": job_key, "n_files": len(fwd_files)})
 
     work = [{"kind": k, "shard": s} for k in ("full", "prio") for s in range(n_shards)]
 
     def _task(batch: pa.Table) -> pa.Table:
         out = []
         for kind, shard in zip(batch["kind"].to_pylist(), batch["shard"].to_pylist()):
-            out.extend(_merge_shard(sources, out_dir, kind, int(shard), n_buckets_out))
+            out.extend(
+                _merge_shard(sources, out_dir, kind, int(shard), n_buckets_out,
+                             job_key, resume)
+            )
         if not out:
             return pa.table(
                 {"kind": pa.array([], pa.string()), "shard": pa.array([], pa.int64()),
                  "bucket": pa.array([], pa.int64()), "n_terms": pa.array([], pa.int64()),
                  "n_postings": pa.array([], pa.int64()), "bytes": pa.array([], pa.int64())}
             )
-        return pa.table(
-            {k: pa.array([r[k] for r in out]) for k in
-             ("kind", "shard", "bucket", "n_terms", "n_postings", "bytes")}
-        )
+        return pa.table({k: pa.array([r[k] for r in out]) for k in _LINEAGE_COLS})
 
     kwargs = {"concurrency": concurrency} if concurrency else {}
     lineage = (

@@ -160,3 +160,63 @@ class TestDecodeBucketFlat:
         np.testing.assert_array_equal(t_out, terms)
         np.testing.assert_array_equal(i_out, ids)
         np.testing.assert_array_equal(sections["metas"], metas)
+
+
+class TestMergeResume:
+    def test_rerun_skips_done_shards_and_rebuilds_missing(
+        self, ray_session, tmp_path_factory
+    ):
+        import json
+        import shutil
+        from pathlib import Path
+
+        parts = _slices(2)
+        a = tmp_path_factory.mktemp("rs_a")
+        b = tmp_path_factory.mktemp("rs_b")
+        build_index(ray.data.from_arrow(parts[0]), a, n_shards=4, n_buckets=1)
+        build_index(ray.data.from_arrow(parts[1]), b, n_shards=4, n_buckets=1)
+        out = tmp_path_factory.mktemp("rs_out")
+        m1 = merge_builds([a, b], out)
+        s_before = IndexSearcher(out)
+        ids_before, _ = s_before.postings("full", term_hash("3"))
+
+        # simulate a crashed shard: wipe one shard dir (marker included)
+        victim = Path(out) / "full" / "shard=00002"
+        assert victim.exists()
+        shutil.rmtree(victim)
+        # stamp the other markers so we can prove they were not rewritten
+        stamps = {
+            p: p.stat().st_mtime_ns
+            for p in Path(out).glob("*/shard=*/_DONE.json")
+        }
+        m2 = merge_builds([a, b], out)  # resume=True default
+        # completed shards untouched
+        for p, t in stamps.items():
+            assert p.stat().st_mtime_ns == t, f"{p} was rewritten"
+        # the victim shard is back and identical
+        assert (Path(out) / "full" / "shard=00002" / "_DONE.json").exists()
+        ids_after, _ = IndexSearcher(out).postings("full", term_hash("3"))
+        np.testing.assert_array_equal(ids_before, ids_after)
+        assert m2["doc_count"] == m1["doc_count"]
+
+    def test_param_change_invalidates_resume(self, ray_session, tmp_path_factory):
+        from pathlib import Path
+
+        parts = _slices(2)
+        a = tmp_path_factory.mktemp("pc_a")
+        b = tmp_path_factory.mktemp("pc_b")
+        build_index(ray.data.from_arrow(parts[0]), a, n_shards=2, n_buckets=1)
+        build_index(ray.data.from_arrow(parts[1]), b, n_shards=2, n_buckets=1)
+        out = tmp_path_factory.mktemp("pc_out")
+        merge_builds([a, b], out, n_buckets_out=1)
+        stamps = {
+            p: p.stat().st_mtime_ns
+            for p in Path(out).glob("*/shard=*/_DONE.json")
+        }
+        merge_builds([a, b], out, n_buckets_out=3)  # different job key
+        # every marker rewritten (full rebuild), postings re-salted
+        for p, t in stamps.items():
+            assert p.stat().st_mtime_ns != t
+        s = IndexSearcher(out)
+        ids, _ = s.postings("full", term_hash("2"))
+        assert (np.diff(ids.astype(np.int64)) > 0).all()

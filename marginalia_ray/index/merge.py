@@ -237,14 +237,38 @@ def merge_builds(
     if not fwd_done:
         shutil.rmtree(fwd_out, ignore_errors=True)
         if check_disjoint:
-            def _dups_only(batch: pa.Table) -> pa.Table:
-                import pyarrow.compute as pc
+            # a url may legitimately appear several times WITHIN one build
+            # (re-crawls; ForwardIndex keep-first resolves those at read) —
+            # what must not happen is the same url in DIFFERENT builds, so
+            # count distinct source builds per url: per-build distinct
+            # url_ids, tagged, unioned, then one count per url
+            import pyarrow.compute as pc_
 
-                return batch.filter(pc.greater(batch["count()"], 1))
+            def _tag_build(b: int):
+                def f(batch: pa.Table) -> pa.Table:
+                    return pa.table(
+                        {"url_id": batch["url_id"],
+                         "b": pa.array(np.full(batch.num_rows, b, np.int32))}
+                    )
+
+                return f
+
+            per_build = None
+            for bi, src in enumerate(sources):
+                files = [str(f) for f in sorted((Path(src) / "forward").glob("*.parquet"))]
+                d = (
+                    ray.data.read_parquet(files, columns=["url_id"])
+                    .groupby("url_id")
+                    .count()
+                    .map_batches(_tag_build(bi), batch_format="pyarrow")
+                )
+                per_build = d if per_build is None else per_build.union(d)
+
+            def _dups_only(batch: pa.Table) -> pa.Table:
+                return batch.filter(pc_.greater(batch["count()"], 1))
 
             dup = (
-                ray.data.read_parquet([str(f) for f in fwd_files], columns=["url_id"])
-                .groupby("url_id")
+                per_build.groupby("url_id")
                 .count()
                 .map_batches(_dups_only, batch_format="pyarrow")
                 .count()

@@ -220,3 +220,26 @@ class TestMergeResume:
         s = IndexSearcher(out)
         ids, _ = s.postings("full", term_hash("2"))
         assert (np.diff(ids.astype(np.int64)) > 0).all()
+
+    def test_within_build_recrawl_is_not_cross_build_overlap(
+        self, ray_session, tmp_path_factory
+    ):
+        """A url re-crawled WITHIN one source build (duplicate forward
+        rows; ForwardIndex resolves keep-first) must not trip the
+        doc-disjointness check — only the same url in DIFFERENT builds
+        is a merge error."""
+        import pyarrow as pa
+
+        parts = _slices(2)
+        # duplicate the first journal row of slice A (same doc_id = same url)
+        dup = pa.concat_tables([parts[0], parts[0].slice(0, 1)])
+        a = tmp_path_factory.mktemp("rc_a")
+        b = tmp_path_factory.mktemp("rc_b")
+        build_index(ray.data.from_arrow(dup), a, n_shards=2, n_buckets=1)
+        build_index(ray.data.from_arrow(parts[1]), b, n_shards=2, n_buckets=1)
+        out = tmp_path_factory.mktemp("rc_out")
+        manifest = merge_builds([a, b], out)  # must not raise
+        assert manifest["doc_count"] == 512  # 256 + dup + 255
+        s = IndexSearcher(out)
+        ids, _ = s.postings("full", term_hash("2"))
+        assert (np.diff(ids.astype(np.int64)) > 0).all()  # still unique+sorted

@@ -243,3 +243,38 @@ class TestMergeResume:
         s = IndexSearcher(out)
         ids, _ = s.postings("full", term_hash("2"))
         assert (np.diff(ids.astype(np.int64)) > 0).all()  # still unique+sorted
+
+
+class TestHierarchicalMerge:
+    def test_merge_of_merges_equals_full_build(self, ray_session, tmp_path_factory):
+        """Two-level merge tree — merge(merge(s0,s1), merge(s2,s3)) — must
+        equal the flat build of the union (the 'merge hierarchically'
+        scale path in the module docstring)."""
+        full_dir = tmp_path_factory.mktemp("h_full")
+        build_index(
+            ray.data.from_arrow(make_factors_journal()), full_dir,
+            n_shards=4, n_buckets=1,
+        )
+        leaves = []
+        for k, part in enumerate(_slices(4)):
+            d = tmp_path_factory.mktemp(f"h_s{k}")
+            build_index(ray.data.from_arrow(part), d, n_shards=4, n_buckets=1)
+            leaves.append(d)
+        m01 = tmp_path_factory.mktemp("h_m01")
+        m23 = tmp_path_factory.mktemp("h_m23")
+        merge_builds(leaves[:2], m01)
+        merge_builds(leaves[2:], m23)
+        root = tmp_path_factory.mktemp("h_root")
+        manifest = merge_builds([m01, m23], root)
+        assert manifest["doc_count"] == 511
+
+        sf, sm = IndexSearcher(full_dir), IndexSearcher(root)
+        for t in PROBE_TERMS:
+            ids_f, m_f = sf.postings("full", term_hash(t))
+            ids_m, m_m = sm.postings("full", term_hash(t))
+            np.testing.assert_array_equal(ids_f, ids_m)
+            np.testing.assert_array_equal(m_f, m_m)
+        spec = SearchSpec(subqueries=[Subquery(include=["3", "5", "2"], exclude=["4"])])
+        assert [(r.url_id, r.score) for r in sf.search(spec)] == [
+            (r.url_id, r.score) for r in sm.search(spec)
+        ]

@@ -348,6 +348,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             right_cols=["c_name"], how="left",
         )
 
+    def q_ngram_novelty(sf_dir: str):
+        from marginalia_ray.ops.dedup import ngram_novelty
+
+        return ngram_novelty(_docs(sf_dir))
+
     def q_token_entropy(sf_dir: str):
         from marginalia_ray.ops.text_ops import token_entropy
 
@@ -680,6 +685,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_by_key": q_sample,
         "token_count": lambda sf: token_count(_docs(sf)),
         "token_entropy": q_token_entropy,
+        "ngram_novelty": q_ngram_novelty,
         "term_doc_freq": lambda sf: term_doc_freq(_docs(sf)),
         "stopword_ratio": lambda sf: stopword_ratio(_docs(sf)),
         "doc_quality": lambda sf: doc_quality(_docs(sf)),
@@ -1944,6 +1950,16 @@ def oracle_sql() -> dict[str, str]:
         "hash_join": """
  SELECT o_orderkey, o_custkey, o_totalprice, c_name, c_mktsegment
  FROM orders JOIN customer ON o_custkey = c_custkey""",
+        "ngram_novelty": f"""
+ WITH tok AS (SELECT doc_id, {_TOK} AS ts FROM documents),
+ idx AS (SELECT doc_id, ts, unnest(generate_series(1, len(ts)-2)) AS i FROM tok),
+ sh AS (SELECT DISTINCT doc_id, ts[i]||' '||ts[i+1]||' '||ts[i+2] AS s FROM idx),
+ df AS (SELECT s, count(*) AS df FROM sh GROUP BY 1)
+ SELECT sh.doc_id, count(*)::BIGINT AS n_shingles,
+        sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END)::BIGINT AS n_unique,
+        floor(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END)::DOUBLE / count(*)
+              * 1000000 + 0.5) / 1000000.0 AS novelty
+ FROM sh JOIN df ON sh.s = df.s GROUP BY 1""",
         "token_entropy": f"""
  WITH tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents),
  tf AS (SELECT doc_id, term, count(*)::BIGINT AS c FROM tok GROUP BY 1, 2),

@@ -873,3 +873,79 @@ def exact_substring_pairs(
         )
 
     return _salted_pair_agg(pairs, _agg_block)
+
+
+def ngram_novelty(ds, n: int = 3, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-doc n-gram novelty: the fraction of a document's DISTINCT word
+    n-grams that appear in no other document — the inverse-boilerplate
+    signal (template/chrome-heavy pages score low; RefinedWeb-family
+    pipelines use it to spot mass-produced near-duplicates that survive
+    exact dedup).  Output: (doc_id, n_shingles, n_unique, novelty); docs
+    with fewer than n tokens have no n-grams and emit no row (both
+    engines agree).
+
+    Scale shape: distinct (doc, shingle) pairs -> ONE hash shuffle
+    grouped by shingle — each shingle group knows its corpus df and
+    attributes (doc, df==1) partials in the same pass — then a tiny
+    groupby(doc) sum.  No join, no second pass over text.  Shingles are
+    64-bit hashes (the jaccard_pairs convention: equal to string-shingle
+    grouping absent a 2^-64 collision)."""
+    from ray.data.aggregate import Sum
+
+    def _shingles(batch: pa.Table) -> pa.Table:
+        return _numeric_shingle_batch(batch, n, text_col, id_col)
+
+    def _add_pk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("_pk", pa.array([], pa.int64()))
+        sh = batch["shingle"].to_numpy(zero_copy_only=False).astype(U64)
+        pk = (_fmix64_vec(sh) % U64(_join_partitions())).astype(np.int64)
+        return batch.append_column("_pk", pa.array(pk))
+
+    def _df_partial(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "n_sh": pa.array([], pa.int64()),
+                 "n_uniq": pa.array([], pa.int64())}
+            )
+        sh = block["shingle"].to_numpy(zero_copy_only=False).astype(U64)
+        docs = block["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.argsort(sh, kind="stable")
+        ss = sh[order]
+        starts = np.r_[True, ss[1:] != ss[:-1]]
+        grp = np.cumsum(starts) - 1
+        sizes = np.bincount(grp)
+        uniq_flag = (sizes == 1)[grp].astype(np.int64)
+        d_sorted = docs[order]
+        t = pa.table(
+            {"doc_id": pa.array(d_sorted),
+             "n_sh": pa.array(np.ones(len(d_sorted), np.int64)),
+             "n_uniq": pa.array(uniq_flag)}
+        )
+        g = t.group_by("doc_id").aggregate([("n_sh", "sum"), ("n_uniq", "sum")])
+        return g.rename_columns(["doc_id", "n_sh", "n_uniq"])
+
+    agg = (
+        ds.map_batches(_shingles, batch_format="pyarrow")
+        .map_batches(_add_pk, batch_format="pyarrow")
+        .groupby("_pk", num_partitions=_join_partitions())
+        .map_groups(_df_partial, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Sum("n_sh", alias_name="n_shingles"),
+                   Sum("n_uniq", alias_name="n_unique"))
+    )
+
+    def _final(batch: pa.Table) -> pa.Table:
+        ns = batch["n_shingles"].to_numpy(zero_copy_only=False).astype(np.float64)
+        nu = batch["n_unique"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_shingles": batch["n_shingles"],
+                "n_unique": batch["n_unique"],
+                "novelty": pa.array(np.floor(nu / ns * 1e6 + 0.5) / 1e6),
+            }
+        )
+
+    return agg.map_batches(_final, batch_format="pyarrow")

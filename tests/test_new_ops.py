@@ -266,3 +266,29 @@ class TestKMeans:
         means = sorted(new2[:, 0].tolist())
         assert abs(means[0] - blob_a[:, 0].mean()) < 0.2
         assert abs(means[1] - blob_b[:, 0].mean()) < 0.2
+
+
+class TestNgramNovelty:
+    def test_unique_vs_shared_trigrams(self, ray_session):
+        from marginalia_ray.ops.dedup import ngram_novelty
+
+        shared = "alpha beta gamma delta"  # trigrams: abc, bcd (shared by 1,2)
+        rows = [
+            {"doc_id": 1, "text": shared},
+            {"doc_id": 2, "text": shared + " epsilon"},  # adds 1 unique trigram
+            {"doc_id": 3, "text": "wholly original words appearing nowhere else"},
+        ]
+        out = {r["doc_id"]: r for r in ngram_novelty(_ds(rows)).take_all()}
+        assert out[1]["n_shingles"] == 2 and out[1]["n_unique"] == 0
+        assert out[1]["novelty"] == 0.0
+        assert out[2]["n_shingles"] == 3 and out[2]["n_unique"] == 1
+        assert out[2]["novelty"] == round(1 / 3, 6)
+        assert out[3]["novelty"] == 1.0
+
+    def test_short_docs_emit_no_row(self, ray_session):
+        from marginalia_ray.ops.dedup import ngram_novelty
+
+        rows = [{"doc_id": 1, "text": "two words"}, {"doc_id": 2, "text": "a b c"}]
+        out = {r["doc_id"]: r for r in ngram_novelty(_ds(rows)).take_all()}
+        assert 1 not in out
+        assert out[2]["n_shingles"] == 1

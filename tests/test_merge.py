@@ -278,3 +278,23 @@ class TestHierarchicalMerge:
         assert [(r.url_id, r.score) for r in sf.search(spec)] == [
             (r.url_id, r.score) for r in sm.search(spec)
         ]
+
+
+def test_current_pointer_swap_to_merged_build(ray_session, tmp_path_factory):
+    """S6 atomic switch works for merge output: point CURRENT at the
+    merged build and read through the root like the serving path does."""
+    from pathlib import Path
+
+    from marginalia_ray.index.segment import get_current, set_current
+
+    root = tmp_path_factory.mktemp("swap_root")
+    parts = _slices(2)
+    build_index(ray.data.from_arrow(parts[0]), root / "b0", n_shards=2, n_buckets=1)
+    build_index(ray.data.from_arrow(parts[1]), root / "b1", n_shards=2, n_buckets=1)
+    merge_builds([root / "b0", root / "b1"], root / "merged")
+    set_current(root, "merged")
+    assert get_current(root) == "merged"
+    live = Path(root) / get_current(root)
+    s = IndexSearcher(live)
+    spec = SearchSpec(subqueries=[Subquery(include=["7", "2"], exclude=[])])
+    assert len(s.search(spec)) > 0

@@ -172,3 +172,168 @@ def test_median_by_key_matches_serial(pairs):
     for k, vals in by_key.items():
         assert out[k]["n"] == len(vals)
         assert out[k]["median"] == float(statistics.median(vals))
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 10_000), st.sampled_from(["en", "de", "fr", "zh"])),
+        min_size=1, max_size=50, unique_by=lambda t: t[0],
+    ),
+    st.dictionaries(st.sampled_from(["en", "de", "fr"]),
+                    st.integers(1, 3), min_size=1, max_size=3),
+)
+@settings(max_examples=12, deadline=None)
+def test_mixture_sample_matches_serial(rows, weights):
+    import ray.data
+
+    from marginalia_ray.ops.curation import mixture_sample
+    from marginalia_ray.ops.text_ops import _FMIX_SPLIT
+
+    ds = ray.data.from_items([{"doc_id": i, "lang": l} for i, l in rows])
+    out = mixture_sample(ds, weights, key_col="lang").take_all()
+
+    counts = {}
+    for _, l in rows:
+        counts[l] = counts.get(l, 0) + 1
+    t = min(counts.get(k, 0) // w for k, w in weights.items())
+    targets = {k: w * t for k, w in weights.items()}
+    # serial reference: per key, the target_k ids with smallest (fmix, id)
+    expect = set()
+    for k, tgt in targets.items():
+        ids = sorted(
+            (i for i, l in rows if l == k),
+            key=lambda i: (int(_FMIX_SPLIT(np.array([i], np.uint64))[0]), i),
+        )[:tgt]
+        expect.update((i, k) for i in ids)
+    assert {(r["doc_id"], r["lang"]) for r in out} == expect
+
+
+@given(
+    st.lists(st.tuples(st.integers(0, 2_000), st.sampled_from("ab"),
+                       st.floats(-5, 5, allow_nan=False)),
+             min_size=1, max_size=40),
+    st.integers(1, 90),
+    st.integers(1, 90),
+)
+@settings(max_examples=12, deadline=None)
+def test_hopping_window_matches_serial(rows, width, hop):
+    import pyarrow as pa
+    import ray.data
+
+    from marginalia_ray.ops.relational import hopping_window
+
+    TS0 = 1_700_000_000_000_000
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "ts": pa.array([TS0 + m * 60_000_000 for m, _, _ in rows],
+                               pa.timestamp("us")),
+                "event_type": pa.array([k for _, k, _ in rows]),
+                "value": pa.array([v for _, _, v in rows], pa.float64()),
+            }
+        )
+    )
+    out = {
+        (r["window_start_us"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in hopping_window(ds, width_minutes=width, hop_minutes=hop).take_all()
+    }
+    w_us, h_us = width * 60_000_000, hop * 60_000_000
+    k = -(-w_us // h_us)
+    expect = {}
+    for m, key, v in rows:
+        us = TS0 + m * 60_000_000
+        for j in range(k):
+            ws = (us // h_us - j) * h_us
+            if us < ws + w_us:
+                n, s = expect.get((ws, key), (0, 0))
+                expect[(ws, key)] = (n + 1, s + int(np.round(v * 1e6)))
+    expect = {kk: (n, np.round(s / 1e6, 6)) for kk, (n, s) in expect.items()}
+    assert out == expect
+
+
+@given(
+    st.lists(st.tuples(st.integers(0, 8), st.integers(0, 100)),
+             min_size=1, max_size=30),
+    st.lists(st.tuples(st.integers(0, 8), st.integers(0, 100)),
+             min_size=1, max_size=30),
+)
+@settings(max_examples=12, deadline=None)
+def test_hash_equi_join_matches_serial(lrows, rrows):
+    import pyarrow as pa
+    import ray.data
+
+    from marginalia_ray.ops.relational import hash_equi_join
+
+    left = ray.data.from_arrow(
+        pa.table({"k": pa.array([k for k, _ in lrows], pa.int64()),
+                  "lv": pa.array([v for _, v in lrows], pa.int64())})
+    )
+    right = ray.data.from_arrow(
+        pa.table({"k": pa.array([k for k, _ in rrows], pa.int64()),
+                  "rv": pa.array([v for _, v in rrows], pa.int64())})
+    )
+    inner = sorted(
+        (r["k"], r["lv"], r["rv"])
+        for r in hash_equi_join(left, right, on="k").take_all()
+    )
+    expect = sorted(
+        (lk, lv, rv) for lk, lv in lrows for rk, rv in rrows if lk == rk
+    )
+    assert inner == expect
+    leftj = sorted(
+        (r["k"], r["lv"], r["rv"] if r["rv"] is not None else -1)
+        for r in hash_equi_join(left, right, on="k", how="left").take_all()
+    )
+    expect_l = []
+    rkeys = {k for k, _ in rrows}
+    for lk, lv in lrows:
+        if lk in rkeys:
+            expect_l.extend((lk, lv, rv) for rk, rv in rrows if rk == lk)
+        else:
+            expect_l.append((lk, lv, -1))
+    assert leftj == sorted(expect_l)
+
+
+@given(texts)
+@settings(max_examples=12, deadline=None)
+def test_token_entropy_matches_serial(texts_list):
+    from collections import Counter
+
+    from marginalia_ray.ops.text_ops import token_entropy
+
+    out = {r["doc_id"]: r for r in token_entropy(_docs_ds(texts_list)).take_all()}
+    for i, t in enumerate(texts_list):
+        toks = [w for w in t.lower().split() if w]
+        c = Counter(toks)
+        n = sum(c.values())
+        if n == 0:
+            assert out[i]["entropy"] == 0.0 and out[i]["n_tokens"] == 0
+            continue
+        q = sum(int(np.floor((v / n) * np.log(v / n) * 1e9 + 0.5)) for v in c.values())
+        h = np.floor(-q / 1e9 * 1e6 + 0.5) / 1e6 + 0.0
+        assert out[i]["n_tokens"] == n
+        assert out[i]["n_distinct"] == len(c)
+        assert out[i]["entropy"] == h
+
+
+@given(texts)
+@settings(max_examples=10, deadline=None)
+def test_ngram_novelty_matches_serial(texts_list):
+    from collections import Counter
+
+    from marginalia_ray.ops.dedup import ngram_novelty
+
+    out = {r["doc_id"]: r for r in ngram_novelty(_docs_ds(texts_list)).take_all()}
+    per_doc = []
+    for t in texts_list:
+        toks = t.lower().split()
+        per_doc.append({" ".join(toks[j:j + 3]) for j in range(len(toks) - 2)})
+    df = Counter(s for grams in per_doc for s in grams)
+    for i, grams in enumerate(per_doc):
+        if not grams:
+            assert i not in out
+            continue
+        uniq = sum(1 for s in grams if df[s] == 1)
+        assert out[i]["n_shingles"] == len(grams)
+        assert out[i]["n_unique"] == uniq
+        assert out[i]["novelty"] == np.floor(uniq / len(grams) * 1e6 + 0.5) / 1e6

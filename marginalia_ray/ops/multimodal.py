@@ -793,6 +793,97 @@ class VideoFrameSampleStage:
         )
 
 
+def _bilinear_resize(px: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Vectorized bilinear resample of an (h, w, c) uint8 image to
+    (out_h, out_w, c) — pixel-center aligned (the OpenCV/PIL convention),
+    whole-plane numpy gathers, no Python per-pixel work."""
+    h, w = px.shape[:2]
+    c = px.shape[2] if px.ndim == 3 else 1
+    img = px.reshape(h, w, c).astype(np.float32)
+    # source coordinates of each output pixel center
+    sy = (np.arange(out_h, dtype=np.float32) + 0.5) * (h / out_h) - 0.5
+    sx = (np.arange(out_w, dtype=np.float32) + 0.5) * (w / out_w) - 0.5
+    y0 = np.clip(np.floor(sy), 0, h - 1).astype(np.int64)
+    x0 = np.clip(np.floor(sx), 0, w - 1).astype(np.int64)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = np.clip(sy - y0, 0.0, 1.0)[:, None, None]
+    wx = np.clip(sx - x0, 0.0, 1.0)[None, :, None]
+    top = img[y0][:, x0] * (1 - wx) + img[y0][:, x1] * wx
+    bot = img[y1][:, x0] * (1 - wx) + img[y1][:, x1] * wx
+    out = top * (1 - wy) + bot * wy
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+class ImageResizeStage:
+    """binary image column -> (id, width, height, channels, pixels) with
+    the decoded image bilinearly resampled to (out_width, out_height) —
+    the thumbnail / model-input normalization step of a multimodal
+    training pipeline.  `pixels` is the raw interleaved uint8 buffer
+    (binary column, out_h*out_w*channels bytes): a fixed-shape tensor
+    ready for batched model input, kept opaque to Arrow like every other
+    payload in this module.
+
+    Decodes the same real formats as ImageDecodeStage; undecodable
+    payloads pseudo-resize (content-seeded noise) with ``fake=True`` or
+    raise with ``fake=False``."""
+
+    def __init__(self, out_width: int = 64, out_height: int = 64,
+                 fake: bool = True, payload_col: str = "image",
+                 id_col: str = "doc_id"):
+        self.out_w, self.out_h, self.fake = int(out_width), int(out_height), fake
+        self.payload_col, self.id_col = payload_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch[self.payload_col].to_pylist()
+        bufs, ch = [], []
+        for p in payloads:
+            try:
+                pw, ph, pc, px = decode_image_payload(p)
+                px = np.asarray(px, dtype=np.uint8).reshape(int(ph), int(pw), int(pc))
+                out = _bilinear_resize(px, self.out_w, self.out_h)
+                bufs.append(out.tobytes())
+                ch.append(int(pc))
+                continue
+            except ValueError:
+                pass
+            if not self.fake:
+                raise NotImplementedError(
+                    "only PNG/PPM/BMP/GIF/baseline-JPEG decode natively; "
+                    "run with fake=True to pseudo-resize unknown formats"
+                )
+            rng = _content_rng(p)
+            bufs.append(rng.randint(0, 256, self.out_h * self.out_w * 3,
+                                    dtype=np.int64).astype(np.uint8).tobytes())
+            ch.append(3)
+        return pa.table(
+            {
+                self.id_col: batch[self.id_col],
+                "width": pa.array([self.out_w] * len(bufs), pa.int32()),
+                "height": pa.array([self.out_h] * len(bufs), pa.int32()),
+                "channels": pa.array(ch, pa.int32()),
+                "pixels": pa.array(bufs, pa.binary()),
+            }
+        )
+
+
+def resize_images(ds, out_width: int = 64, out_height: int = 64,
+                  concurrency: int | None = None, batch_size: int = 16,
+                  **stage_kwargs):
+    """Actor-pool bilinear image resize over a binary column (small
+    batches: fat rows in AND out — out rows are out_w*out_h*c bytes)."""
+    if concurrency is None:
+        concurrency = max(2, int(ray.cluster_resources().get("CPU", 8)) - 1)
+    return ds.map_batches(
+        ImageResizeStage,
+        fn_constructor_kwargs=dict(out_width=out_width, out_height=out_height,
+                                   **stage_kwargs),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
 def decode_images(ds, concurrency: int | None = None, batch_size: int = 16, **stage_kwargs):
     """Actor-pool image decode over a binary column (small batches: fat rows)."""
     if concurrency is None:

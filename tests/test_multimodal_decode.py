@@ -624,3 +624,59 @@ class TestGif:
         data = encode_gif(idx, pal)
         with pytest.raises(ValueError):
             decode_image_payload(data[: len(data) // 2])
+
+
+class TestImageResize:
+    def test_solid_color_invariant(self, ray_session):
+        import ray.data
+
+        from marginalia_ray.ops.multimodal import resize_images
+
+        px = np.full((10, 14, 3), [120, 7, 250], dtype=np.uint8)
+        ds = ray.data.from_items([{"doc_id": 1, "image": make_png(px)}])
+        (r,) = resize_images(ds, out_width=4, out_height=6, concurrency=2).take_all()
+        out = np.frombuffer(r["pixels"], np.uint8).reshape(6, 4, 3)
+        assert r["width"] == 4 and r["height"] == 6 and r["channels"] == 3
+        assert (out == [120, 7, 250]).all()  # solid stays solid
+
+    def test_identity_resize_roundtrips(self, ray_session):
+        import ray.data
+
+        from marginalia_ray.ops.multimodal import resize_images
+
+        rng = np.random.RandomState(3)
+        px = rng.randint(0, 256, (8, 9, 3), dtype=np.uint8)
+        ds = ray.data.from_items([{"doc_id": 7, "image": make_png(px)}])
+        (r,) = resize_images(ds, out_width=9, out_height=8, concurrency=2).take_all()
+        out = np.frombuffer(r["pixels"], np.uint8).reshape(8, 9, 3)
+        np.testing.assert_array_equal(out, px)  # same-size resize is identity
+
+    def test_gradient_downsample_monotone(self, ray_session):
+        import ray.data
+
+        from marginalia_ray.ops.multimodal import resize_images
+
+        # horizontal ramp 0..255: downsampled row must stay increasing
+        ramp = np.tile(np.linspace(0, 255, 32, dtype=np.uint8)[None, :, None],
+                       (16, 1, 3))
+        ds = ray.data.from_items([{"doc_id": 2, "image": make_png(ramp)}])
+        (r,) = resize_images(ds, out_width=8, out_height=4, concurrency=2).take_all()
+        out = np.frombuffer(r["pixels"], np.uint8).reshape(4, 8, 3)
+        row = out[0, :, 0].astype(int)
+        assert (np.diff(row) > 0).all()
+        assert row[0] < 40 and row[-1] > 215
+
+    def test_unknown_format_gated(self, ray_session):
+        import pytest
+        import ray.data
+
+        from marginalia_ray.ops.multimodal import resize_images
+
+        junk = b"\x00\x01not an image payload"
+        ds = ray.data.from_items([{"doc_id": 3, "image": junk}])
+        (r,) = resize_images(ds, out_width=4, out_height=4, concurrency=2).take_all()
+        assert len(r["pixels"]) == 4 * 4 * 3  # pseudo path keeps the contract
+        ds2 = ray.data.from_items([{"doc_id": 3, "image": junk}])
+        with pytest.raises(Exception, match="natively"):
+            resize_images(ds2, out_width=4, out_height=4,
+                          fake=False, concurrency=2).take_all()

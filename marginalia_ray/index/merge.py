@@ -239,15 +239,22 @@ def merge_builds(
         if check_disjoint:
             # a url may legitimately appear several times WITHIN one build
             # (re-crawls; ForwardIndex keep-first resolves those at read) —
-            # what must not happen is the same url in DIFFERENT builds, so
-            # count distinct source builds per url: per-build distinct
-            # url_ids, tagged, unioned, then one count per url
+            # what must not happen is the same url in DIFFERENT builds.
+            # url_id is a 32-bit URL hash, so at 1e9-doc scale distinct
+            # URLs WILL collide across slices (~n^2/2^33 expected pairs);
+            # overlap is therefore confirmed on a second signal — the pair
+            # (url_id, domain_id) — before aborting.  A cross-URL hash
+            # collision virtually never also shares the domain hash, while
+            # a genuine re-crawl of the same URL always does.  The forward
+            # index itself tolerates residual collisions keep-first, so
+            # the hard error is reserved for real re-crawl overlap.
             import pyarrow.compute as pc_
 
             def _tag_build(b: int):
                 def f(batch: pa.Table) -> pa.Table:
                     return pa.table(
                         {"url_id": batch["url_id"],
+                         "domain_id": batch["domain_id"],
                          "b": pa.array(np.full(batch.num_rows, b, np.int32))}
                     )
 
@@ -257,8 +264,8 @@ def merge_builds(
             for bi, src in enumerate(sources):
                 files = [str(f) for f in sorted((Path(src) / "forward").glob("*.parquet"))]
                 d = (
-                    ray.data.read_parquet(files, columns=["url_id"])
-                    .groupby("url_id")
+                    ray.data.read_parquet(files, columns=["url_id", "domain_id"])
+                    .groupby(["url_id", "domain_id"])
                     .count()
                     .map_batches(_tag_build(bi), batch_format="pyarrow")
                 )
@@ -268,15 +275,16 @@ def merge_builds(
                 return batch.filter(pc_.greater(batch["count()"], 1))
 
             dup = (
-                per_build.groupby("url_id")
+                per_build.groupby(["url_id", "domain_id"])
                 .count()
                 .map_batches(_dups_only, batch_format="pyarrow")
                 .count()
             )
             if dup:
                 raise RuntimeError(
-                    f"merge_builds: {dup} url_ids present in multiple source builds "
-                    "— sources must be doc-disjoint (dedup re-crawls upstream)"
+                    f"merge_builds: {dup} (url_id, domain_id) pairs present in "
+                    "multiple source builds — sources must be doc-disjoint "
+                    "(dedup re-crawls upstream)"
                 )
         fwd_out.mkdir(parents=True, exist_ok=True)
         ray.data.read_parquet([str(f) for f in fwd_files]).write_parquet(str(fwd_out))

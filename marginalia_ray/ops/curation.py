@@ -781,20 +781,25 @@ def mixture_sample(
     t_global = min((counts.get(k, 0) // w for k, w in active.items()), default=0)
     targets = {k: w * t_global for k, w in active.items()}
 
-    def _empty() -> pa.Table:
+    def _empty(batch: pa.Table) -> pa.Table:
+        # types derived from the input batch (the stratified_sample_n
+        # convention) so empty blocks unify with non-empty ones — a
+        # hardcoded string() key diverges on large_string inputs
         return pa.table(
             {
-                id_col: pa.array([], pa.int64()),
-                key_col: pa.array([], pa.string()),
+                id_col: batch[id_col].slice(0, 0),
+                key_col: batch[key_col].slice(0, 0),
                 "h": pa.array([], pa.uint64()),
             }
         )
 
     if t_global <= 0:
+        sch = ds.schema()
+        in_types = dict(zip(sch.names, sch.types))
         final_empty = pa.table(
             {
-                id_col: pa.array([], pa.int64()),
-                key_col: pa.array([], pa.string()),
+                id_col: pa.array([], in_types[id_col]),
+                key_col: pa.array([], in_types[key_col]),
                 "rk": pa.array([], pa.int64()),
             }
         )
@@ -802,7 +807,7 @@ def mixture_sample(
 
     def _combine(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
-            return _empty()
+            return _empty(batch)
         keys_col = batch[key_col]
         if isinstance(keys_col, pa.ChunkedArray):
             keys_col = keys_col.combine_chunks()
@@ -813,7 +818,7 @@ def mixture_sample(
         row_tgt = tgt_by_code[codes]
         sel = row_tgt > 0
         if not sel.any():
-            return _empty()
+            return _empty(batch)
         ids = batch[id_col].to_numpy(zero_copy_only=False)[sel]
         codes = codes[sel]
         row_tgt = row_tgt[sel]
@@ -838,10 +843,11 @@ def mixture_sample(
 
     def _final(group: pa.Table) -> pa.Table:
         if group.num_rows == 0:
+            # derive types from the (typed, possibly empty) combine output
             return pa.table(
                 {
-                    id_col: pa.array([], pa.int64()),
-                    key_col: pa.array([], pa.string()),
+                    id_col: group[id_col],
+                    key_col: group[key_col],
                     "rk": pa.array([], pa.int64()),
                 }
             )

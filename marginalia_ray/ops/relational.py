@@ -581,10 +581,13 @@ def hopping_window(
 
     def _partial(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
+            # key type derived from the batch (a hardcoded string()
+            # diverges on large_string/dictionary keys and Ray warns on
+            # mixed-schema RefBundles)
             return pa.table(
                 {
                     "window_start_us": pa.array([], pa.int64()),
-                    key_col: pa.array([], pa.string()),
+                    key_col: batch[key_col],
                     "n": pa.array([], pa.int64()),
                     "vmicro": pa.array([], pa.int64()),
                 }
@@ -672,6 +675,11 @@ def broadcast_join(
     if st is None or st.num_rows == 0:
         raise ValueError("broadcast_join: empty small side")
     cols = small_cols or [c for c in st.column_names if c != key_r]
+    if st[key_r].null_count:
+        raise TypeError(
+            f"broadcast_join: null values in small-side key {key_r!r} — "
+            "filter or fill nulls upstream"
+        )
     sk = st[key_r].to_numpy(zero_copy_only=False)
     order = np.argsort(sk, kind="stable")
     sk = sk[order]
@@ -687,6 +695,11 @@ def broadcast_join(
             for c in cols:
                 out = out.append_column(c, payload_[c].slice(0, 0))
             return out
+        if batch[on].null_count:
+            raise TypeError(
+                f"broadcast_join: null values in big-side key {on!r} — "
+                "filter or fill nulls upstream"
+            )
         bk = batch[on].to_numpy(zero_copy_only=False)
         idx = np.searchsorted(sk_, bk)
         idx_c = np.minimum(idx, len(sk_) - 1)
@@ -746,6 +759,19 @@ def hash_equi_join(
         l_cols = [on] + l_cols
     l_types = {n: t for n, t in zip(l_schema.names, l_schema.types)}
     r_types = {n: t for n, t in zip(r_schema.names, r_schema.types)}
+    # fail loud when an EXPLICITLY requested right column collides with a
+    # left name: silently serving the LEFT values for a requested RIGHT
+    # column is a wrong-answer trap.  The join key itself is documented
+    # as emitted once, from the left; with right_cols unset the default
+    # simply takes the non-colliding right columns.
+    if right_cols is not None:
+        collide = [c for c in r_cols if c in l_cols and not (c == on and key_r == on)]
+        if collide:
+            raise ValueError(
+                f"hash_equi_join: requested right column(s) {collide} collide "
+                "with left column names — rename or drop them (only the join "
+                "key is deduplicated, and it is taken from the left)"
+            )
     out_fields = [(c, l_types[c]) for c in l_cols] + [
         (c, r_types[c]) for c in r_cols if c not in l_cols
     ]
@@ -758,7 +784,17 @@ def hash_equi_join(
 
     def _tag(side: int, keep: list[str], key_col: str):
         def _f(batch: pa.Table) -> pa.Table:
-            k = batch[key_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+            key_arr = batch[key_col]
+            if key_arr.null_count:
+                # a null integer key becomes float NaN in to_numpy and
+                # then a garbage uint64 hash — mis-partitioned / spurious
+                # matches.  Mirror _norm_payload's loud null rejection.
+                raise TypeError(
+                    f"hash_equi_join: null values in join key {key_col!r} "
+                    f"({'right' if side else 'left'} side) — filter or "
+                    "fill nulls upstream"
+                )
+            k = key_arr.to_numpy(zero_copy_only=False).astype(np.uint64)
             pk = (_fmix64(k) % np.uint64(num_partitions)).astype(np.int64)
             cols = {"_pk": pa.array(pk), "_src": pa.array(np.full(len(k), side, np.int8))}
             # union schema: both sides carry every output column, the

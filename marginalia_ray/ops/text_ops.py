@@ -840,9 +840,11 @@ def token_entropy(ds, text_col: str = "text", id_col: str = "doc_id"):
     def _batch(batch: pa.Table) -> pa.Table:
         n_rows = batch.num_rows
         if n_rows == 0:
+            # derive id type from the batch so empty blocks unify with
+            # non-empty ones (a hardcoded int64 diverges on int32 ids)
             return pa.table(
                 {
-                    id_col: pa.array([], pa.int64()),
+                    id_col: batch[id_col],
                     "n_tokens": pa.array([], pa.int64()),
                     "n_distinct": pa.array([], pa.int64()),
                     "entropy": pa.array([], pa.float64()),

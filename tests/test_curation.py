@@ -2,6 +2,7 @@
 decontaminate, token_budget_pack, length_percentile, sentence_dedup."""
 
 import numpy as np
+import pyarrow as pa
 import pytest
 
 
@@ -547,3 +548,42 @@ class TestTokenEntropy:
         rows = [{"doc_id": 9, "text": "The quick brown fox the fox"}]
         (r,) = token_entropy(_ds(rows)).take_all()
         assert r["n_tokens"] == 6 and r["n_distinct"] == 4
+
+
+def test_mixture_sample_large_string_key_schema(ray_session):
+    # ADVICE r3: empty combiner blocks hardcoded string()/int64 and broke
+    # schema unification when the key column is large_string
+    import ray.data
+
+    from marginalia_ray.ops.curation import mixture_sample
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(40), pa.int64()),
+            "lang": pa.array(
+                ["en"] * 20 + ["de"] * 10 + ["zz"] * 10, pa.large_string()
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(8)
+    out = mixture_sample(ds, {"en": 2, "de": 1}, key_col="lang").take_all()
+    # T = min(20//2, 10//1) = 10 -> 20 en + 10 de rows
+    langs = sorted(r["lang"] for r in out)
+    assert langs == ["de"] * 10 + ["en"] * 20
+
+
+def test_mixture_sample_no_weighted_keys_empty_typed(ray_session):
+    import ray.data
+
+    from marginalia_ray.ops.curation import mixture_sample
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "lang": pa.array(["zz", "yy"], pa.large_string()),
+        }
+    )
+    out = mixture_sample(ray.data.from_arrow(t), {"en": 1}, key_col="lang")
+    assert out.count() == 0
+    sch = out.schema()
+    assert dict(zip(sch.names, [str(t) for t in sch.types]))["lang"] == "large_string"

@@ -44,7 +44,12 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
 def test_all_oracles(entry_mod, con):
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
-    assert set(oracles) <= set(qs)
+    # equality, not subset: every query MUST carry an oracle and vice
+    # versa, so the two registries can never drift apart silently
+    assert set(oracles) == set(qs), (
+        f"queries-without-oracle: {sorted(set(qs) - set(oracles))}; "
+        f"oracles-without-query: {sorted(set(oracles) - set(qs))}"
+    )
     failures = []
     for name, sql in oracles.items():
         got = _canon(_to_df(qs[name](SF)))

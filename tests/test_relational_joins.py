@@ -337,3 +337,38 @@ class TestHashEquiJoin:
         right = _ds(pa.table({"k": pa.array([], pa.int64()), "rv": pa.array([], pa.string())}))
         out = hash_equi_join(left, right, on="k", how="left").take_all()
         assert out == [{"k": 5, "lv": 9, "rv": None}]
+
+    def test_requested_right_column_collision_raises(self, ray_session):
+        # ADVICE r3: right_cols=['comment'] colliding with a left column
+        # used to silently return the LEFT values; now a loud error
+        from marginalia_ray.ops.relational import hash_equi_join
+
+        left = _ds(pa.table({"k": pa.array([1]), "comment": pa.array(["l"])}))
+        right = _ds(pa.table({"k": pa.array([1]), "comment": pa.array(["r"])}))
+        with pytest.raises(ValueError, match="collide"):
+            hash_equi_join(left, right, on="k", right_cols=["comment"])
+        # default (right_cols unset) keeps the documented drop behavior
+        out = hash_equi_join(left, right, on="k").take_all()
+        assert out == [{"k": 1, "comment": "l"}]
+
+    def test_null_join_key_raises(self, ray_session):
+        from marginalia_ray.ops.relational import hash_equi_join
+
+        left = _ds(pa.table({"k": pa.array([1, None], pa.int64()), "lv": pa.array([1, 2])}))
+        right = _ds(pa.table({"k": pa.array([1]), "rv": pa.array([9])}))
+        with pytest.raises(Exception, match="null"):
+            hash_equi_join(left, right, on="k").take_all()
+
+    def test_broadcast_join_null_key_raises(self, ray_session):
+        from marginalia_ray.ops.relational import broadcast_join
+
+        big = _ds(pa.table({"k": pa.array([1, None], pa.int64()), "v": pa.array([1, 2])}))
+        small = pa.table({"k": pa.array([1]), "w": pa.array([9])})
+        with pytest.raises(Exception, match="null"):
+            broadcast_join(big, small, on="k").take_all()
+        with pytest.raises(TypeError, match="null"):
+            broadcast_join(
+                _ds(pa.table({"k": pa.array([1])})),
+                pa.table({"k": pa.array([1, None], pa.int64()), "w": pa.array([1, 2])}),
+                on="k",
+            )

@@ -499,6 +499,72 @@ def _pair_key_vec(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return _fmix64_vec(_fmix64_vec(a.astype(U64)) ^ b.astype(U64))
 
 
+def semi_join_ids(ds, ids_ds, id_col: str, anti: bool = False,
+                  num_partitions: int | None = None):
+    """Dataset-side (anti-)semi-join: restrict `ds` to rows whose integer
+    `id_col` value does (anti=False) or does not (anti=True) appear in
+    `ids_ds` — a one-column dataset holding the id set.
+
+    This is the above-the-broadcast-cap fallback for the repo's
+    ray.put + np.isin restricts (minhash candidate ids/pair keys,
+    near-dedup dropped ids): when the id set no longer fits the driver,
+    co-partition both sides on fmix64(id) % P in ONE union dataset and
+    filter inside each partition.  Costs one shuffle of `ds`'s payload
+    columns — which is exactly why the broadcast path is kept for the
+    common (small id set) case.  Never Dataset.join (repo rule: its hash
+    aggregator crashes on schema-less empty blocks).  Nulls in the key
+    are rejected loudly (NaN -> garbage hash otherwise)."""
+    if num_partitions is None:
+        num_partitions = _join_partitions()
+    sch = ds.schema()
+    out_fields = list(zip(sch.names, sch.types))
+    id_type = dict(out_fields)[id_col]
+
+    def _pk_of(arr: pa.ChunkedArray | pa.Array, side: str) -> np.ndarray:
+        if arr.null_count:
+            raise TypeError(
+                f"semi_join_ids: null values in {side} key {id_col!r} — "
+                "filter or fill nulls upstream"
+            )
+        k = arr.to_numpy(zero_copy_only=False).astype(U64)
+        return (_fmix64_vec(k) % U64(num_partitions)).astype(np.int64)
+
+    def _tag_left(batch: pa.Table) -> pa.Table:
+        cols = {"_pk": pa.array(_pk_of(batch[id_col], "left"))}
+        for c, t in out_fields:
+            cols[c] = batch[c]
+        cols["_src"] = pa.array(np.zeros(batch.num_rows, np.int8))
+        return pa.table(cols)
+
+    def _tag_ids(batch: pa.Table) -> pa.Table:
+        ids = batch[batch.column_names[0]].cast(id_type)
+        cols = {"_pk": pa.array(_pk_of(ids, "id-set"))}
+        for c, t in out_fields:
+            cols[c] = ids if c == id_col else pa.nulls(batch.num_rows, t)
+        cols["_src"] = pa.array(np.ones(batch.num_rows, np.int8))
+        return pa.table(cols)
+
+    tagged = ds.map_batches(_tag_left, batch_format="pyarrow").union(
+        ids_ds.map_batches(_tag_ids, batch_format="pyarrow")
+    )
+    out_names = [c for c, _ in out_fields]
+
+    def _filter_group(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0 or "_src" not in block.column_names:
+            return pa.table({c: pa.array([], t) for c, t in out_fields})
+        src = block["_src"].to_numpy(zero_copy_only=False)
+        ids = block[id_col].to_numpy(zero_copy_only=False)
+        wanted = np.unique(ids[src == 1])
+        left = src == 0
+        hit = np.isin(ids, wanted)
+        keep = left & (~hit if anti else hit)
+        return block.select(out_names).filter(pa.array(keep))
+
+    return tagged.groupby("_pk", num_partitions=num_partitions).map_groups(
+        _filter_group, batch_format="pyarrow"
+    )
+
+
 def minhash_lsh_pairs(
     ds,
     threshold: float = 0.5,
@@ -517,15 +583,20 @@ def minhash_lsh_pairs(
     complete, hence no SQL oracle.
 
     Finalize (round-3 fix): the distinct (doc_a, doc_b) candidate table is
-    streamed to the driver ONCE (capped at max_candidate_pairs — loud
-    error above it, this is the only driver-growth term) yielding both the
-    distinct candidate doc ids and the 64-bit pair keys; both are
+    materialized once; under max_candidate_pairs it streams to the driver
+    yielding both the distinct candidate doc ids and the 64-bit pair keys,
     broadcast via ray.put.  Exact Jaccard reuses the shingle-shuffle
     machinery of jaccard_pairs over candidate docs only, and the final
     restrict to LSH-bucketed pairs is a vectorized np.isin against the
     broadcast pair-key array — no Dataset.join (Ray's hash join crashed on
     the schema-less empty blocks that groupby().map_groups emits for empty
-    partitions; see round-2 VERDICT #1) and one fewer shuffle."""
+    partitions; see round-2 VERDICT #1) and one fewer shuffle.
+
+    Above max_candidate_pairs (round-4: fallback instead of a hard error —
+    a genuinely near-dup-heavy 100 TB corpus WILL exceed any driver cap)
+    nothing is collected: both restricts switch to the dataset-side
+    semi_join_ids co-partition (one extra shuffle each of the candidate
+    docs' text and of the verified pairs) and results are identical."""
     import ray
 
     # stateless task pool: the permutation params are tiny and deterministic
@@ -545,44 +616,58 @@ def minhash_lsh_pairs(
         .groupby(["doc_a", "doc_b"])
         .count()
         .drop_columns(["count()"])
+        .materialize()  # consumed 1-3x below; never re-runs the LSH pass
     )
+    n_pairs = cands.count()
 
-    id_parts = [np.zeros(0, dtype=np.int64)]
-    key_parts = [np.zeros(0, dtype=U64)]
-    n_pairs = 0
-    for b in cands.iter_batches(batch_format="pyarrow"):
-        if b.num_rows and "doc_a" in b.column_names:
-            a_np = b["doc_a"].to_numpy(zero_copy_only=False)
-            b_np = b["doc_b"].to_numpy(zero_copy_only=False)
-            n_pairs += len(a_np)
-            if n_pairs > max_candidate_pairs:
-                raise RuntimeError(
-                    f"minhash_lsh_pairs: >{max_candidate_pairs} LSH candidate "
-                    "pairs — the corpus is too near-dup-heavy for the driver-side "
-                    "restrict. Raise max_candidate_pairs, raise the LSH threshold "
-                    "(more rows per band), or lower max_docs_per_shingle."
-                )
-            id_parts.append(a_np)
-            id_parts.append(b_np)
-            key_parts.append(_pair_key_vec(a_np, b_np))
-    cand_ids = np.unique(np.concatenate(id_parts))
-    if len(cand_ids) == 0:
+    if n_pairs == 0:
         return ray.data.from_arrow(
             pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
                       "jaccard": pa.array([], pa.float64())})
         )
-    cand_ref = ray.put(cand_ids)
-    pair_key_ref = ray.put(np.unique(np.concatenate(key_parts)))
 
-    def _cand_shingles(batch: pa.Table) -> pa.Table:
-        cd = ray.get(cand_ref)
-        ids_np = batch[id_col].to_numpy(zero_copy_only=False)
-        keep = np.isin(ids_np, cd)
-        return _numeric_shingle_batch(
-            batch.filter(pa.array(keep)), n, text_col, id_col, with_size=True
+    broadcast_ok = n_pairs <= max_candidate_pairs
+    if broadcast_ok:
+        # fast path: candidate set fits the driver — broadcast restricts
+        id_parts = [np.zeros(0, dtype=np.int64)]
+        key_parts = [np.zeros(0, dtype=U64)]
+        for b in cands.iter_batches(batch_format="pyarrow"):
+            if b.num_rows and "doc_a" in b.column_names:
+                a_np = b["doc_a"].to_numpy(zero_copy_only=False)
+                b_np = b["doc_b"].to_numpy(zero_copy_only=False)
+                id_parts.append(a_np)
+                id_parts.append(b_np)
+                key_parts.append(_pair_key_vec(a_np, b_np))
+        cand_ref = ray.put(np.unique(np.concatenate(id_parts)))
+        pair_key_ref = ray.put(np.unique(np.concatenate(key_parts)))
+
+        def _cand_shingles(batch: pa.Table) -> pa.Table:
+            cd = ray.get(cand_ref)
+            ids_np = batch[id_col].to_numpy(zero_copy_only=False)
+            keep = np.isin(ids_np, cd)
+            return _numeric_shingle_batch(
+                batch.filter(pa.array(keep)), n, text_col, id_col, with_size=True
+            )
+
+        cand_sh = ds.map_batches(_cand_shingles, batch_format="pyarrow")
+    else:
+        # scale path: dataset-side semi-join restricts, zero driver growth
+        def _cand_id_col(b: pa.Table) -> pa.Table:
+            merged = np.unique(np.concatenate([
+                b["doc_a"].to_numpy(zero_copy_only=False),
+                b["doc_b"].to_numpy(zero_copy_only=False),
+            ])) if b.num_rows else np.zeros(0, np.int64)
+            return pa.table({id_col: pa.array(merged, pa.int64())})
+
+        cand_ids_ds = cands.map_batches(_cand_id_col, batch_format="pyarrow")
+        cand_docs = semi_join_ids(
+            ds.select_columns([id_col, text_col]), cand_ids_ds, id_col
+        )
+        cand_sh = cand_docs.map_batches(
+            lambda b: _numeric_shingle_batch(b, n, text_col, id_col, with_size=True),
+            batch_format="pyarrow",
         )
 
-    cand_sh = ds.map_batches(_cand_shingles, batch_format="pyarrow")
     pairs = _emit_pairs_per_key(
         cand_sh, ["shingle"], max_group=max_docs_per_shingle, extra_col="n_sh",
         combine=True,
@@ -591,17 +676,43 @@ def minhash_lsh_pairs(
 
     # semi-join back to the LSH candidates: co-candidate docs that never
     # shared a band bucket must not appear in the output
-    def _restrict(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return batch
-        keys = _pair_key_vec(
-            batch["doc_a"].to_numpy(zero_copy_only=False),
-            batch["doc_b"].to_numpy(zero_copy_only=False),
-        )
-        keep = np.isin(keys, ray.get(pair_key_ref))
-        return batch.filter(pa.array(keep))
+    if broadcast_ok:
+        def _restrict(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return batch
+            keys = _pair_key_vec(
+                batch["doc_a"].to_numpy(zero_copy_only=False),
+                batch["doc_b"].to_numpy(zero_copy_only=False),
+            )
+            keep = np.isin(keys, ray.get(pair_key_ref))
+            return batch.filter(pa.array(keep))
 
-    return verified.map_batches(_restrict, batch_format="pyarrow")
+        return verified.map_batches(_restrict, batch_format="pyarrow")
+
+    def _add_key(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b.append_column("_key", pa.array([], pa.uint64()))
+        keys = _pair_key_vec(
+            b["doc_a"].to_numpy(zero_copy_only=False),
+            b["doc_b"].to_numpy(zero_copy_only=False),
+        )
+        return b.append_column("_key", pa.array(keys, pa.uint64()))
+
+    def _key_col(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"_key": pa.array([], pa.uint64())})
+        keys = _pair_key_vec(
+            b["doc_a"].to_numpy(zero_copy_only=False),
+            b["doc_b"].to_numpy(zero_copy_only=False),
+        )
+        return pa.table({"_key": pa.array(keys, pa.uint64())})
+
+    restricted = semi_join_ids(
+        verified.map_batches(_add_key, batch_format="pyarrow"),
+        cands.map_batches(_key_col, batch_format="pyarrow"),
+        "_key",
+    )
+    return restricted.drop_columns(["_key"])
 
 
 # ---- SimHash -----------------------------------------------------------

@@ -322,14 +322,17 @@ def near_dedup_apply(
 
     Scale contract: the only driver-side state is the DROPPED id set —
     exactly the `hi` side of the converged star edges (every non-root
-    member has one star edge), which is bounded by the near-dup candidate
-    count, NOT the corpus (same cap convention as minhash_lsh_pairs'
-    candidate collect; loud error above `max_dropped_ids`).  Survivors
-    never materialize anywhere — the final step is a streamed anti-filter
-    of the input Dataset against the broadcast dropped-id array."""
+    member has one star edge), bounded by the near-dup candidate count,
+    NOT the corpus (same cap convention as minhash_lsh_pairs' candidate
+    collect).  Under `max_dropped_ids` the set is broadcast and the final
+    step is a streamed anti-filter; above it (round-4: fallback, not a
+    hard error) nothing is collected — the anti-filter becomes a
+    dataset-side anti-semi-join co-partitioned on the id (one extra
+    shuffle of the corpus payload), identical results.  Survivors never
+    materialize anywhere."""
     import ray
 
-    from marginalia_ray.ops.dedup import jaccard_pairs, minhash_lsh_pairs
+    from marginalia_ray.ops.dedup import jaccard_pairs, minhash_lsh_pairs, semi_join_ids
 
     if method == "minhash":
         pairs = minhash_lsh_pairs(ds, threshold=threshold, text_col=text_col,
@@ -340,20 +343,28 @@ def near_dedup_apply(
     else:
         raise ValueError(f"near_dedup_apply: unknown method {method!r}")
 
-    stars = connected_components(pairs, a_col="doc_a", b_col="doc_b")
+    stars = connected_components(pairs, a_col="doc_a", b_col="doc_b").materialize()
+    n_drop = stars.count()
+    if n_drop == 0:
+        return ds
+
+    if n_drop > max_dropped_ids:
+        # scale path: anti-semi-join against the dropped-id dataset —
+        # zero driver growth, one extra shuffle of the corpus payload
+        def _hi_col(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0 or "hi" not in b.column_names:
+                return pa.table({id_col: pa.array([], pa.int64())})
+            return pa.table({id_col: b["hi"].cast(pa.int64())})
+
+        return semi_join_ids(
+            ds, stars.map_batches(_hi_col, batch_format="pyarrow"), id_col,
+            anti=True,
+        )
+
     drop_parts = [np.zeros(0, dtype=np.int64)]
-    n_drop = 0
     for b in stars.iter_batches(batch_format="pyarrow"):
         if b.num_rows and "hi" in b.column_names:
-            hi = b["hi"].to_numpy(zero_copy_only=False)
-            n_drop += len(hi)
-            if n_drop > max_dropped_ids:
-                raise RuntimeError(
-                    f"near_dedup_apply: >{max_dropped_ids} duplicate ids — "
-                    "corpus too near-dup-heavy for the broadcast anti-filter. "
-                    "Raise max_dropped_ids or pre-pass exact_dedup_apply."
-                )
-            drop_parts.append(hi)
+            drop_parts.append(b["hi"].to_numpy(zero_copy_only=False))
     dropped = np.unique(np.concatenate(drop_parts))
     if len(dropped) == 0:
         return ds

@@ -125,3 +125,33 @@ def test_semantic_dedup_keep_rule(ray_session):
     assert out[2]["keep"] == 0  # lower-id exact duplicate exists in its cluster
     assert out[2]["cluster"] == out[1]["cluster"]
     assert out[4]["keep"] == 1  # opposite direction, never above threshold
+
+
+def test_near_dedup_apply_cap_fallback_matches_broadcast(ray_session):
+    """Round-3 VERDICT #3: above max_dropped_ids the anti-filter becomes a
+    dataset-side anti-semi-join — same survivors, no driver growth, no
+    hard error."""
+    import ray.data
+
+    from marginalia_ray.ops.graph import near_dedup_apply
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [{"doc_id": i, "text": base + " ok" * (i % 3)} for i in range(1, 9)]
+    rows += [
+        {"doc_id": 100 + i, "text": f"completely different words number {i} " * 6}
+        for i in range(4)
+    ]
+    ds = ray.data.from_items(rows).repartition(5)
+    fast = sorted(
+        r["doc_id"]
+        for r in near_dedup_apply(ds, threshold=0.5, method="jaccard").take_all()
+    )
+    slow = sorted(
+        r["doc_id"]
+        for r in near_dedup_apply(
+            ds, threshold=0.5, method="jaccard", max_dropped_ids=1
+        ).take_all()
+    )
+    assert fast == slow
+    assert set(r["doc_id"] for r in rows) - set(fast)  # something was dropped
+    assert all(100 + i in fast for i in range(4))  # uniques survive

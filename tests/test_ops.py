@@ -51,15 +51,47 @@ def test_minhash_many_tiny_partitions(ray_session):
     assert all(a < 100 and b < 100 for a, b in got)
 
 
-def test_minhash_candidate_pair_cap(ray_session):
+def test_minhash_cap_fallback_matches_broadcast(ray_session):
+    """Round-3 ADVICE/VERDICT #3: above max_candidate_pairs the op must
+    switch to the dataset-side semi-join restrict (zero driver growth)
+    and return EXACTLY the broadcast path's pairs, not hard-fail."""
     import ray.data
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 8
+    rows = [{"doc_id": i, "text": base + f" tail{i}"} for i in range(8)]
+    rows += [{"doc_id": 100 + i, "text": f"unique document number {i} " * 20} for i in range(4)]
+    ds = ray.data.from_items(rows).repartition(6)
 
     from marginalia_ray.ops.dedup import minhash_lsh_pairs
 
-    base = "shared text body for every single one of these documents " * 10
-    ds = ray.data.from_items([{"doc_id": i, "text": base} for i in range(10)])
-    with pytest.raises(RuntimeError, match="candidate"):
-        minhash_lsh_pairs(ds, threshold=0.5, max_candidate_pairs=3).to_pandas()
+    fast = minhash_lsh_pairs(ds, threshold=0.5).to_pandas()
+    slow = minhash_lsh_pairs(ds, threshold=0.5, max_candidate_pairs=3).to_pandas()
+    key = ["doc_a", "doc_b", "jaccard"]
+    assert sorted(map(tuple, fast[key].values.tolist())) == sorted(
+        map(tuple, slow[key].values.tolist())
+    )
+    assert len(fast) >= 28  # 8 near-dup docs -> all C(8,2) pairs
+
+
+def test_semi_join_ids_roundtrip(ray_session):
+    import ray.data
+
+    from marginalia_ray.ops.dedup import semi_join_ids
+
+    ds = ray.data.from_items(
+        [{"k": i, "v": f"row{i}"} for i in range(50)]
+    ).repartition(7)
+    wanted = ray.data.from_items([{"k": i} for i in range(0, 50, 3)])
+    got = sorted(r["k"] for r in semi_join_ids(ds, wanted, "k").take_all())
+    assert got == list(range(0, 50, 3))
+    anti = sorted(r["k"] for r in semi_join_ids(ds, wanted, "k", anti=True).take_all())
+    assert anti == [i for i in range(50) if i % 3]
+    # null keys rejected loudly
+    bad = ray.data.from_arrow(
+        pa.table({"k": pa.array([1, None], pa.int64()), "v": pa.array(["a", "b"])})
+    )
+    with pytest.raises(Exception, match="null"):
+        semi_join_ids(bad, wanted, "k").take_all()
 
 
 def test_simhash_exact_and_near_dups(ray_session):

@@ -30,48 +30,6 @@ from marginalia_ray.stages.tokenizer import TokenizerStage
 JOURNAL_COLS = ["doc_id", "doc_meta", "term_hashes", "kw_metas"]
 
 
-def _wait_for_cpu_drain(
-    frac: float = 0.9, timeout: float = 15.0, settle: float = 0.75
-) -> None:
-    """Wait for the previous stage's actor pool to release its CPU slots;
-    otherwise the next Dataset's tasks queue behind dying actors.
-
-    Ray Data exposes no teardown-completion signal for map_batches actor
-    pools (they shut down asynchronously after the dataset finishes), so
-    this observes the release: return as soon as either (a) frac of the
-    cluster is free — the idle-box fast path, or (b) available CPUs have
-    stopped INCREASING for `settle` seconds — on a busy multi-tenant
-    cluster (where 90% free never happens) this terminates as soon as the
-    pool's slots have been handed back, instead of burning the timeout."""
-    try:
-        total = ray.cluster_resources().get("CPU", 1)
-        best = ray.available_resources().get("CPU", 0)
-    except Exception:
-        return
-    t0 = time.time()
-    last_rise = t0
-    seen_rise = False  # settle exit only counts after one observed rise:
-    # teardown often takes >settle to START releasing slots, and an
-    # immediate no-rise exit would make the whole wait a no-op (ADVICE r2)
-    min_wait = 2.0
-    while time.time() - t0 < timeout:
-        # fast path: box already (near-)free — <=2 held slots can't queue
-        # a meaningful amount of work behind dying actors
-        if best >= frac * total or best >= total - 2:
-            return
-        if (
-            time.time() - last_rise >= settle
-            and (seen_rise or time.time() - t0 >= min_wait)
-        ):
-            return
-        time.sleep(0.25)
-        cur = ray.available_resources().get("CPU", 0)
-        if cur > best + 0.5:
-            best = cur
-            last_rise = time.time()
-            seen_rise = True
-
-
 def convert_pages(
     pages: "ray.data.Dataset",
     *,
@@ -249,8 +207,15 @@ def run_index_pipeline(
                 use_html="html" in avail,
                 persist_path=out_root / "tfreq.parquet",
             )
-            doc_count = ray.data.read_parquet(str(pages_path)).count()
-            _wait_for_cpu_drain()
+            # corpus size for IDF straight from parquet footers: free, and
+            # no Ray job means no actor-pool barrier between tfreq and
+            # convert (the old count() forced a drain-wait here)
+            import pyarrow.parquet as _pqc
+
+            doc_count = sum(
+                _pqc.ParquetFile(f).metadata.num_rows
+                for f in pads.dataset(str(pages_path)).files
+            )
         lineage = _convert_partitioned(
             str(pages_path), journal_dir, cols,
             journal_partitions, resume,
@@ -271,7 +236,6 @@ def run_index_pipeline(
         os.replace(tmp, journal_done)
 
     convert_sec = time.time() - t0
-    _wait_for_cpu_drain()
     t1 = time.time()
 
     if rank_domains and domain_rankings is None:

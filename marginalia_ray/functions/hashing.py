@@ -114,6 +114,7 @@ def murmur3_64(data: bytes) -> int:
     return murmur3_128(data)[0]
 
 
+@lru_cache(maxsize=1 << 18)
 def term_hash(word: str) -> int:
     """Term id of a keyword: 64-bit murmur3 of its UTF-8 bytes.
 

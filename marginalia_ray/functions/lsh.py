@@ -69,13 +69,37 @@ class EasyLSH:
         return val
 
 
+# word -> (field index, ±1) — the addUnordered update is a pure function of
+# the token, so the memoized pair reproduces EasyLSH.addUnordered exactly
+_UNORD_MEMO: dict[str, tuple[int, int]] = {}
+
+
+def _unord_update(w: str) -> tuple[int, int]:
+    v = _UNORD_MEMO.get(w)
+    if v is None:
+        if len(_UNORD_MEMO) > 1_000_000:
+            _UNORD_MEMO.clear()
+        hc = java_string_hash(w)
+        u = hc & INT_MASK
+        field = (hc >> 2) ^ (u >> 8) ^ (u >> 14) ^ (u >> 20) ^ (u >> 26)
+        v = (field & 63, 1 - (hc & 2))
+        _UNORD_MEMO[w] = v
+    return v
+
+
 def lsh_of_words(words) -> int:
     """DocumentLanguageData.localitySensitiveHashCode: addUnordered of every
-    token (original case) in every sentence."""
-    h = EasyLSH()
+    token (original case) in every sentence.  Memoized per token (Zipfian
+    repeats); bit-identical to the EasyLSH loop."""
+    fields = [0] * 64
+    upd = _unord_update
     for w in words:
-        h.add_unordered(w)
-    return h.get()
+        i, val = upd(w)
+        fields[i] += val
+    val = 0
+    for f in fields:
+        val = ((val << 1) | ((f & INT_MASK) >> 31)) & 0xFFFF_FFFF_FFFF_FFFF
+    return val
 
 
 def hamming(a: int, b: int) -> int:

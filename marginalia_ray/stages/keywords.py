@@ -204,6 +204,20 @@ def get_nouns(sent: DocumentSentence) -> list[Span]:
     return spans
 
 
+def proper_name_forms(sent: DocumentSentence) -> list[tuple[int, int, str, str]]:
+    """(start, end, word, stemmed) for every proper-name span, cached on the
+    sentence — position_bitmask, name_like_keywords and the simple-words
+    loop all walk the same spans, so the span-string assembly runs once."""
+    cached = sent.span_cache.get("proper_forms")
+    if cached is not None:
+        return cached
+    wfs = sent.word_from_span
+    sfs = sent.stemmed_from_span
+    forms = [(s, e, wfs(s, e), sfs(s, e)) for s, e in get_proper_names(sent)]
+    sent.span_cache["proper_forms"] = forms
+    return forms
+
+
 def get_keywords_from_sentence(sent: DocumentSentence) -> list[Span]:
     """KeywordExtractor.getKeywordsFromSentence."""
     cached = sent.span_cache.get("keywords")
@@ -317,8 +331,7 @@ def position_bitmask(dld: DocumentLanguageData) -> dict[str, int]:
     for sent in dld.title_sentences:
         for st in sent.stemmed:
             mask[st] = mget(st, 0) | 1
-        for s, e in get_proper_names(sent):
-            st = sent.stemmed_from_span(s, e)
+        for _s, _e, _w, st in proper_name_forms(sent):
             mask[st] = mget(st, 0) | 1
 
     line_length_ctr = 0
@@ -333,8 +346,7 @@ def position_bitmask(dld: DocumentLanguageData) -> dict[str, int]:
         bit = (1 << pos()) & full
         for st in sent.stemmed:
             mask[st] = mget(st, 0) | bit
-        for s, e in get_proper_names(sent):
-            st = sent.stemmed_from_span(s, e)
+        for _s, _e, _w, st in proper_name_forms(sent):
             mask[st] = mget(st, 0) | bit
         # LinePosition.next
         if len(sent) > 10:
@@ -364,22 +376,35 @@ class TfIdfCounts:
         self._tv_memo: dict = {}
         self._bind_log_cache()
         counts: dict[str, int] = {}
-        spans: list = []  # (sent, s, e, key) — reused below, one span pass
+        # (sent, [(s,e)], [key]) per sentence — reused below, one span pass
+        sent_spans: list = []
         cget = counts.get
-        spans_append = spans.append
         for sent in dld.sentences:
+            sp = get_keywords_from_sentence(sent)
+            if not sp:
+                continue
             sfs = sent.stemmed_from_span
-            for s, e in get_keywords_from_sentence(sent):
-                key = sfs(s, e)
+            keys = [sfs(s, e) for s, e in sp]
+            sent_spans.append((sent, sp, keys))
+            for key in keys:
                 counts[key] = cget(key, 0) + 1
-                spans_append((sent, s, e, key))
         self.counts = counts
         max_val = max(counts.values(), default=0)
 
         self.tfidf: dict[str, int] = {}
         high_instances = set()
+        # inline the (1, cnt) memo hit for single-word keys — the common
+        # case — to skip the _term_value call; same values either way
+        memo = self._tv_memo if not self.dict_freqs else None
+        mget = memo.get if memo is not None else None
+        tv = self._term_value
         for key, cnt in counts.items():
-            v = self._term_value(key, cnt, max_val)
+            if mget is not None and "_" not in key:
+                v = mget((1, cnt))
+                if v is None:
+                    v = tv(key, cnt, max_val)
+            else:
+                v = tv(key, cnt, max_val)
             self.tfidf[key] = v
             if cnt > 1 and v > 100:
                 high_instances.add(key)
@@ -387,12 +412,15 @@ class TfIdfCounts:
         # reps: (word, stemmed) pairs whose stemmed span is high-tfidf
         self.high_reps: list[tuple[str, str]] = []
         seen = set()
-        for sent, s, e, st in spans:
-            if st in high_instances:
-                w = sent.word_from_span(s, e)
-                if (w, st) not in seen:
-                    seen.add((w, st))
-                    self.high_reps.append((w, st))
+        if high_instances:
+            for sent, sp, keys in sent_spans:
+                wfs = sent.word_from_span
+                for (s, e), st in zip(sp, keys):
+                    if st in high_instances:
+                        w = wfs(s, e)
+                        if (w, st) not in seen:
+                            seen.add((w, st))
+                            self.high_reps.append((w, st))
 
     def _bind_log_cache(self):
         """Per-process memo of log(dict_freq(term)/doc_count) — the inner
@@ -489,13 +517,12 @@ def name_like_keywords(dld: DocumentLanguageData, min_count: int = 2):
     instances: dict[str, set[tuple[str, str]]] = {}
     order: dict[str, int] = {}
     for sent in dld.sentences:
-        for s, e in get_proper_names(sent):
+        for s, e, w, st in proper_name_forms(sent):
             if e - s <= 1 and sent.words[s].isupper():
                 continue
-            st = sent.stemmed_from_span(s, e)
             counts[st] = counts.get(st, 0) + 1
             order.setdefault(st, len(order))
-            instances.setdefault(st, set()).add((sent.word_from_span(s, e), st))
+            instances.setdefault(st, set()).add((w, st))
 
     def has_enough(st: str) -> bool:
         c = counts[st]
@@ -513,13 +540,16 @@ def subject_like_keywords(dld: DocumentLanguageData, tfidf: TfIdfCounts):
     """SubjectLikeKeywords — noun spans followed by verb + DT/RB/VB/JJ/P/NN."""
     instances: dict[str, set[tuple[str, str]]] = {}
     for sent in dld.sentences:
+        n = len(sent)
+        seps = sent.separators
+        tags = sent.pos_tags
         for s, e in get_nouns(sent):
-            if e + 2 >= len(sent):
+            if e + 2 >= n:
                 continue
-            if sent.separators[e] == COMMA or sent.separators[e + 1] == COMMA:
+            if seps[e] == COMMA or seps[e + 1] == COMMA:
                 continue
-            nt = sent.pos_tags[e]
-            nnt = sent.pos_tags[e + 1]
+            nt = tags[e]
+            nnt = tags[e + 1]
             if _is_verb(nt) and _is_det_adv_verb_noun(nnt):
                 st = sent.stemmed_from_span(s, e)
                 instances.setdefault(st, set()).add((sent.word_from_span(s, e), st))
@@ -590,11 +620,21 @@ def url_keywords(path: str, domain: str) -> tuple[set[str], set[str]]:
 _WORD_PATTERN = re.compile(r"[\da-zA-Z]{1,15}([.\-_/:+*][\da-zA-Z]{1,10}){0,4}")
 
 
+_WORD_PATTERN_MEMO: dict[str, bool] = {}
+
+
 def matches_word_pattern(s: str) -> bool:
     """DocumentKeywordExtractor.matchesWordPattern (full-match of the
-    documented regex the unrolled Java loop implements)."""
-    m = _WORD_PATTERN.match(s)
-    return m is not None and m.end() == len(s)
+    documented regex the unrolled Java loop implements).  Memoized globally:
+    words repeat Zipfian across documents and the match is pure."""
+    v = _WORD_PATTERN_MEMO.get(s)
+    if v is None:
+        if len(_WORD_PATTERN_MEMO) > 1_000_000:
+            _WORD_PATTERN_MEMO.clear()
+        m = _WORD_PATTERN.match(s)
+        v = m is not None and m.end() == len(s)
+        _WORD_PATTERN_MEMO[s] = v
+    return v
 
 
 # ---- orchestration -----------------------------------------------------
@@ -674,17 +714,24 @@ def extract_keywords(
     b = KeywordsBuilder()
 
     # createSimpleWords
+    mm_get = _meta_memo.get
     for sent in dld.sentences:
         if b.size() > 1500:
             break
+        stop = sent.stop
+        words_lc = sent.words_lc
+        stemmed = sent.stemmed
         for i in range(len(sent)):
-            if sent.stop[i]:
+            if stop[i]:
                 continue
-            w = sent.words_lc[i]
+            w = words_lc[i]
             if matches_word_pattern(w):
-                b.add(w, meta_for(sent.stemmed[i]))
-        for s, e in get_proper_names(sent):
-            b.add(sent.word_from_span(s, e), meta_for(sent.stemmed_from_span(s, e)))
+                st = stemmed[i]
+                m = mm_get(st)
+                b.add(w, m if m is not None else meta_for(st))
+        for _s, _e, w, st in proper_name_forms(sent):
+            m = mm_get(st)
+            b.add(w, m if m is not None else meta_for(st))
 
     # createWordsFromSet for tfidf-high, title, subject-like, name-like
     for reps in (tfidf.high_reps, t_reps, s_reps, n_reps):

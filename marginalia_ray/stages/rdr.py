@@ -274,7 +274,16 @@ class RdrTagger:
         n = len(words)
         if n == 0:
             return []
-        init = [self._initial(w) for w in words]
+        cache = self._init_cache
+        init = []
+        for w in words:
+            t = cache.get(w)
+            if t is None:
+                if len(cache) > 1_000_000:
+                    cache.clear()
+                t = initial_tag(w, self.dictionary)
+                cache[w] = t
+            init.append(t)
         tree = self.tree
         dispatch = tree.dispatch
         tags: list[str] = []

@@ -93,17 +93,27 @@ def split_segment(segment: str) -> tuple[list[str], list[int]]:
     pos = 0
     for m in _WORD_BREAK.finditer(flat):
         start = m.start()
+        end = m.end()
         if pos != start:
             w = flat[pos:start]
-            if len(w) < MAX_WORD_LENGTH and w.strip(_NOISE_STR):
+            # all-noise test: strip can only empty w when the first (and
+            # last) chars are noise — skip the per-word strip alloc otherwise
+            if len(w) < MAX_WORD_LENGTH and (
+                w[0] not in _NOISE or w.strip(_NOISE_STR)
+            ):
                 if len(w) > 1:
                     if w[0] == "'":
                         w = w[1:]
                     if len(w) > 1 and w[-1] == "'":
                         w = w[:-1]
                 ret_w.append(w)
-                ret_s.append(SPACE if flat[start : m.end()].strip() == "" else COMMA)
-        pos = m.end()
+                # dominant case: a single-space separator (C-level == check
+                # before the substring+strip fallback; same classification)
+                if end - start == 1 and flat[start] == " ":
+                    ret_s.append(SPACE)
+                else:
+                    ret_s.append(SPACE if flat[start:end].strip() == "" else COMMA)
+        pos = end
     if pos <= len(flat):
         w = flat[pos:]
         if w and not w.isspace() and len(w) < MAX_WORD_LENGTH and w.strip(_NOISE_STR):
@@ -180,20 +190,26 @@ class DocumentSentence:
         st = self._span_stems.get(key)
         if st is None:
             if self._stemmed_norm is None:
+                tags = self.pos_tags
                 self._stemmed_norm = [
-                    _normalize_joiner(s) if self._include_in_stemming(i) else None
+                    None
+                    if tags[i] in _STEM_EXCLUDED
+                    else s.replace("+", "_").replace(".", "_").replace("-", "_")
                     for i, s in enumerate(self.stemmed)
                 ]
             norm = self._stemmed_norm
             if end - start > 1:
-                st = "_".join(p for p in norm[start:end] if p is not None)
+                st = "_".join([p for p in norm[start:end] if p is not None])
             else:
                 st = norm[start] if norm[start] is not None else ""
             self._span_stems[key] = st
         return st
 
     def _include_in_stemming(self, i: int) -> bool:
-        return self.pos_tags[i] not in ("IN", "TO", "CC", "DT")
+        return self.pos_tags[i] not in _STEM_EXCLUDED
+
+
+_STEM_EXCLUDED = frozenset(("IN", "TO", "CC", "DT"))
 
 
 def _trim_junk(s: str) -> str:
@@ -204,6 +220,23 @@ def _normalize_joiner(s: str) -> str:
     return s.replace("+", "_").replace(".", "_").replace("-", "_")
 
 
+# Global per-word memo for the lc+stem chain below — words repeat Zipfian
+# across documents, and (lc, stem) is a pure function of the surface word,
+# so the cached pair is bit-identical to recomputing.
+_WORD_FORMS: dict[str, tuple[str, str]] = {}
+
+
+def _word_forms(w: str) -> tuple[str, str]:
+    v = _WORD_FORMS.get(w)
+    if v is None:
+        if len(_WORD_FORMS) > 1_000_000:
+            _WORD_FORMS.clear()
+        lc = to_lower_strip_possessive(w)
+        v = (lc, stem(strip_possessive(lc)) or "NN")
+        _WORD_FORMS[w] = v
+    return v
+
+
 def make_sentence(raw: str, keep_original: bool) -> DocumentSentence:
     words, seps = split_segment(raw)
     if len(words) > MAX_SENTENCE_LENGTH:
@@ -212,8 +245,13 @@ def make_sentence(raw: str, keep_original: bool) -> DocumentSentence:
     # strip trailing dots (SentenceExtractor.java:166-169)
     words = [w.rstrip(".") if w.endswith(".") else w for w in words]
     tags = default_tagger().tag_sentence(words)
-    lc = [to_lower_strip_possessive(w) for w in words]
-    stems = [stem(strip_possessive(w)) or "NN" for w in lc]
+    lc = []
+    stems = []
+    wf = _word_forms
+    for w in words:
+        a, b = wf(w)
+        lc.append(a)
+        stems.append(b)
     return DocumentSentence(
         original=sanitize_string(raw) if keep_original else "",
         words=words,

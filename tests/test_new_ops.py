@@ -51,15 +51,18 @@ class TestNearDedupApply:
         out = near_dedup_apply(_ds(rows), threshold=0.5, method="jaccard").take_all()
         assert sorted(r["doc_id"] for r in out) == [1, 2]
 
-    def test_drop_cap_errors_loudly(self, ray_session):
+    def test_drop_cap_falls_back_to_semi_join(self, ray_session):
+        """Above max_dropped_ids the anti-filter switches to the dataset-side
+        co-partitioned semi-join (round-3 VERDICT #3) instead of the old hard
+        RuntimeError — same keep-first survivor either way."""
         from marginalia_ray.ops.graph import near_dedup_apply
 
         base = "alpha beta gamma delta epsilon zeta eta theta"
         rows = [{"doc_id": i, "text": base} for i in range(8)]
-        with pytest.raises(RuntimeError, match="duplicate ids"):
-            near_dedup_apply(
-                _ds(rows), threshold=0.5, method="jaccard", max_dropped_ids=3
-            ).take_all()
+        out = near_dedup_apply(
+            _ds(rows), threshold=0.5, method="jaccard", max_dropped_ids=3
+        ).take_all()
+        assert [r["doc_id"] for r in out] == [0]
 
 
 class TestLinearClassifier:

@@ -23,7 +23,15 @@ Payloads in unrecognized formats (progressive JPEG, Vorbis, ...) fall back to
 the ``fake=True`` deterministic pseudo-decode (seeded by content hash) so
 pipelines keep streaming, or raise with ``fake=False``.  MP3 is a hybrid:
 duration/sample-rate metadata come from a REAL frame-header walk
-(mp3_stream_info); only its MFCC stays pseudo.
+(mp3_stream_info; Xing/Info + VBRI VBR headers give exact duration in
+O(1) without walking the payload); only its MFCC stays pseudo.  Full
+Layer III payload decode is DATA-gated, not code-gated: the bitstream
+structure (side info, requantization, IMDCT, polyphase) is all public
+ISO 11172-3 math, but the decode is bit-defined by Annex B tables — the
+512-entry synthesis window D and 32 Huffman code tables — which are
+spec-document assets unavailable offline (same class as the reference's
+downloaded English.RDR model, run/setup.sh).  Guessing those tables from
+memory would produce silently wrong audio; the honest gate stays.
 
 Scale design: payload columns are fat, so these stages run with SMALL
 batch sizes (default 16) and actor pools; the binary column is dropped
@@ -484,11 +492,41 @@ _MP3_BITRATE = {
 _MP3_RATES = {3: [44100, 48000, 32000], 2: [22050, 24000, 16000], 0: [11025, 12000, 8000]}
 
 
+def _vbr_header_frames(data: bytes, pos: int, flen: int, ver_bits: int,
+                       chan_mode: int) -> int | None:
+    """Frame count from a Xing/Info or VBRI VBR header in the first frame,
+    or None.  Layouts are the public de-facto standard: Xing/Info sits
+    right after the side info (MPEG1: 17 B mono / 32 B stereo; MPEG2/2.5:
+    9/17), magic + 4-byte big-endian flags, frames field when flags bit 0
+    is set.  VBRI (Fraunhofer) sits at a fixed 32 bytes past the header:
+    magic, version(2), delay(2), quality(2), bytes(4), frames(4)."""
+    end = min(pos + flen, len(data))
+    if ver_bits == 3:  # MPEG1
+        side = 17 if chan_mode == 3 else 32
+    else:
+        side = 9 if chan_mode == 3 else 17
+    xoff = pos + 4 + side
+    if xoff + 12 <= end and data[xoff : xoff + 4] in (b"Xing", b"Info"):
+        flags = int.from_bytes(data[xoff + 4 : xoff + 8], "big")
+        if flags & 1:
+            return int.from_bytes(data[xoff + 8 : xoff + 12], "big")
+        return None
+    voff = pos + 4 + 32
+    if voff + 18 <= end and data[voff : voff + 4] == b"VBRI":
+        return int.from_bytes(data[voff + 14 : voff + 18], "big")
+    return None
+
+
 def mp3_stream_info(data: bytes, max_frames: int = 200_000):
     """REAL MPEG-audio frame-header walk (no payload decode): returns
     (duration_s, sample_rate, n_frames).  Skips a leading ID3v2 tag,
     resyncs on garbage, sums per-frame durations so VBR streams report
     the true length.  Raises ValueError if no valid frame is found.
+
+    If the FIRST frame carries a Xing/Info or VBRI header (the standard
+    VBR duration headers), the declared frame count gives the exact
+    duration in O(1) — the multi-megabyte payload walk is skipped
+    entirely, which is the behavior that matters at corpus scale.
 
     Only COMPLETE frames count (a truncated final frame is ignored);
     if the max_frames walk cap (a DoS guard) is hit, the remaining
@@ -537,6 +575,12 @@ def mp3_stream_info(data: bytes, max_frames: int = 200_000):
             break  # truncated final frame: header present, payload cut
         if frames == 0:
             first_frame_pos = pos
+            chan_mode = (data[pos + 3] >> 6) & 3
+            declared = _vbr_header_frames(data, pos, flen, ver_bits, chan_mode)
+            if declared is not None and declared > 0:
+                # exact VBR duration from the header; the Xing/VBRI frame
+                # itself is not audio, its count covers the rest
+                return declared * samples / rate, rate, declared
         frames += 1
         duration += samples / rate
         rate_out = rate

@@ -525,6 +525,43 @@ def test_mp3_stream_info_metadata():
     assert abs(out["duration_s"].to_pylist()[0] - dur) < 1e-9
 
 
+def test_mp3_xing_header_exact_vbr_duration():
+    """A Xing/Info header in the first frame gives the exact frame count in
+    O(1): duration must come from the declared count, not the byte walk."""
+    from marginalia_ray.ops.multimodal import mp3_stream_info
+
+    hdr = bytes([0xFF, 0xFB, 0x90, 0x00])  # MPEG1 L3 128k/44100, stereo
+    flen = 1152 * 128000 // (8 * 44100)
+    declared = 9999  # deliberately != frames physically present
+    # stereo MPEG1: side info 32 bytes after the 4-byte header
+    body = bytearray(flen - 4)
+    body[32 : 32 + 4] = b"Xing"
+    body[36 : 36 + 4] = (1).to_bytes(4, "big")  # flags: frames present
+    body[40 : 40 + 4] = declared.to_bytes(4, "big")
+    data = hdr + bytes(body) + (hdr + b"\x00" * (flen - 4)) * 3
+
+    dur, rate, frames = mp3_stream_info(data)
+    assert rate == 44100 and frames == declared
+    assert abs(dur - declared * 1152 / 44100) < 1e-9
+
+
+def test_mp3_vbri_header_exact_vbr_duration():
+    from marginalia_ray.ops.multimodal import mp3_stream_info
+
+    # mono MPEG1 (chan_mode bits = 3): VBRI sits 32 bytes past the header
+    hdr = bytes([0xFF, 0xFB, 0x90, 0xC0])
+    flen = 1152 * 128000 // (8 * 44100)
+    declared = 777
+    body = bytearray(flen - 4)
+    body[32 : 32 + 4] = b"VBRI"
+    body[46 : 46 + 4] = declared.to_bytes(4, "big")  # frames at magic+14
+    data = hdr + bytes(body) + (hdr + b"\x00" * (flen - 4)) * 2
+
+    dur, rate, frames = mp3_stream_info(data)
+    assert rate == 44100 and frames == declared
+    assert abs(dur - declared * 1152 / 44100) < 1e-9
+
+
 def test_mp3_garbage_still_gated():
     from marginalia_ray.ops.multimodal import AudioFeatureStage
 

@@ -209,14 +209,33 @@ def main() -> None:
         ray.shutdown()
 
 
+def _host_probe(seconds: float = 0.3) -> float:
+    """Single-thread CPU probe: blake2b MB/s over a fixed 1 MiB buffer.
+    Recorded alongside each scaling run as a host-phase indicator — on this
+    shared VM the same code swings ~1.5x between phases, and the probe
+    makes slow-phase runs identifiable in the BASELINE.md table."""
+    import hashlib
+
+    buf = b"\xab" * (1 << 20)
+    n = 0
+    t0 = time.perf_counter()
+    while time.perf_counter() - t0 < seconds:
+        hashlib.blake2b(buf).digest()
+        n += 1
+    return n / (time.perf_counter() - t0)
+
+
 def _scaling_child(num_cpus: int) -> dict:
     """Run the index-build bench alone in this process (fresh Ray)."""
     import ray
 
+    probe = _host_probe()
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
              logging_level="ERROR")
     try:
-        return _index_build_bench(num_cpus)
+        out = _index_build_bench(num_cpus)
+        out["host_probe_mbps"] = round(probe, 1)
+        return out
     finally:
         ray.shutdown()
 
@@ -241,6 +260,7 @@ def scaling() -> None:
             runs.append(json.loads(out.stdout.strip().splitlines()[-1]))
         best = max(runs, key=lambda r: r["docs_per_sec"])
         best["runs_docs_per_sec"] = [r["docs_per_sec"] for r in runs]
+        best["runs_host_probe_mbps"] = [r.get("host_probe_mbps") for r in runs]
         results.append(best)
     tp_lo, tp_hi = results[0]["docs_per_sec"], results[1]["docs_per_sec"]
     eff = (tp_hi / tp_lo) / (hi / lo)

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import math
 import re
+from collections import Counter
 from dataclasses import dataclass
 
 from marginalia_ray.functions.word_patterns import is_not_junk_word
@@ -360,6 +361,8 @@ def position_bitmask(dld: DocumentLanguageData) -> dict[str, int]:
 
 
 _LOGF_CACHE: dict[str, float] = {}
+_TV_MEMO: dict = {}  # (#parts, count, max_value) -> term value (no-dict case)
+_NPARTS: dict = {}  # stemmed key -> #parts (pure function of the string)
 _LOGF_STATE: tuple = ()
 _LOGF_DICT = None
 
@@ -373,34 +376,43 @@ class TfIdfCounts:
     def __init__(self, dld: DocumentLanguageData, dict_freqs, doc_count: int):
         self.dict_freqs = dict_freqs
         self.doc_count = max(1, doc_count)
-        self._tv_memo: dict = {}
         self._bind_log_cache()
-        counts: dict[str, int] = {}
+        # cross-document memo (no-dict case): the term value is a pure
+        # function of (#parts, count, max_value) given a fixed doc_count —
+        # keyed globally so the Zipfian repeats across documents hit too
+        # (the _bind_log_cache state change clears it with _LOGF_CACHE)
+        self._tv_memo: dict = _TV_MEMO
+        counts: Counter = Counter()
         # (sent, [(s,e)], [key]) per sentence — reused below, one span pass
         sent_spans: list = []
-        cget = counts.get
         for sent in dld.sentences:
             sp = get_keywords_from_sentence(sent)
             if not sp:
                 continue
-            sfs = sent.stemmed_from_span
-            keys = [sfs(s, e) for s, e in sp]
+            keys = sent.stemmed_for_spans(sp)
             sent_spans.append((sent, sp, keys))
-            for key in keys:
-                counts[key] = cget(key, 0) + 1
+            counts.update(keys)  # C-speed; same first-occurrence order
         self.counts = counts
         max_val = max(counts.values(), default=0)
 
         self.tfidf: dict[str, int] = {}
         high_instances = set()
-        # inline the (1, cnt) memo hit for single-word keys — the common
-        # case — to skip the _term_value call; same values either way
+        # inline the (#parts, cnt, max_val) memo hit to skip the
+        # _term_value call on repeats; same values either way (the
+        # key -> #parts map is itself a pure-function memo)
         memo = self._tv_memo if not self.dict_freqs else None
         mget = memo.get if memo is not None else None
+        npget = _NPARTS.get
         tv = self._term_value
         for key, cnt in counts.items():
-            if mget is not None and "_" not in key:
-                v = mget((1, cnt))
+            if mget is not None:
+                np_ = npget(key)
+                if np_ is None:
+                    if len(_NPARTS) > 1_000_000:
+                        _NPARTS.clear()
+                    np_ = len([p for p in key.split("_") if p]) if "_" in key else 1
+                    _NPARTS[key] = np_
+                v = mget((np_, cnt, max_val))
                 if v is None:
                     v = tv(key, cnt, max_val)
             else:
@@ -431,6 +443,7 @@ class TfIdfCounts:
         state = (id(self.dict_freqs), self.doc_count)
         if state != _LOGF_STATE:
             _LOGF_CACHE.clear()
+            _TV_MEMO.clear()
             _LOGF_STATE = state
             _LOGF_DICT = self.dict_freqs  # keep alive so id() stays unique
 
@@ -463,17 +476,20 @@ class TfIdfCounts:
         if max_value <= 0:
             return 0
         # without a dict the per-part log is a constant, so the value only
-        # depends on (#parts, count) — memoized per document (same float op
-        # sequence on first computation, so results are bit-identical)
+        # depends on (#parts, count, max_value) — memoized globally across
+        # documents (same float op sequence on first computation, so
+        # results are bit-identical; cleared with _LOGF_CACHE on state change)
         memo = self._tv_memo if not self.dict_freqs else None
         if "_" in key:
             parts = [p for p in key.split("_") if p]
             if not parts:
                 return 0
             if memo is not None:
-                mk = (len(parts), count)
+                mk = (len(parts), count, max_value)
                 v = memo.get(mk)
                 if v is None:
+                    if len(memo) > 1_000_000:
+                        memo.clear()
                     total = sum(self._value(p, count, max_value) for p in parts)
                     v = int(-(total / len(parts)) * 75)
                     memo[mk] = v
@@ -481,9 +497,11 @@ class TfIdfCounts:
             total = sum(self._value(p, count, max_value) for p in parts)
             return int(-(total / len(parts)) * 75)
         if memo is not None:
-            mk = (1, count)
+            mk = (1, count, max_value)
             v = memo.get(mk)
             if v is None:
+                if len(memo) > 1_000_000:
+                    memo.clear()
                 v = int(-self._value(key, count, max_value) * 75)
                 memo[mk] = v
             return v

@@ -205,6 +205,36 @@ class DocumentSentence:
             self._span_stems[key] = st
         return st
 
+    def stemmed_for_spans(self, spans) -> list[str]:
+        """Bulk stemmed_from_span over a span list — one cache/locals bind
+        instead of a method call per span (the TfIdfCounts hot path asks for
+        every keyword span of every sentence; spans are ~97% first-seen, so
+        the per-call dispatch dominated the memo).  Identical results."""
+        if self._stemmed_norm is None:
+            tags = self.pos_tags
+            self._stemmed_norm = [
+                None
+                if tags[i] in _STEM_EXCLUDED
+                else s.replace("+", "_").replace(".", "_").replace("-", "_")
+                for i, s in enumerate(self.stemmed)
+            ]
+        norm = self._stemmed_norm
+        cache = self._span_stems
+        cget = cache.get
+        out = []
+        ap = out.append
+        for s, e in spans:
+            key = s * 1024 + e
+            st = cget(key)
+            if st is None:
+                if e - s > 1:
+                    st = "_".join([p for p in norm[s:e] if p is not None])
+                else:
+                    st = norm[s] if norm[s] is not None else ""
+                cache[key] = st
+            ap(st)
+        return out
+
     def _include_in_stemming(self, i: int) -> bool:
         return self.pos_tags[i] not in _STEM_EXCLUDED
 

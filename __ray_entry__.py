@@ -30,6 +30,7 @@ PQ_M = 8  # product-quantization subspaces (64-d -> 8 sub-vectors of 8)
 PQ_CODES = 16  # codebook entries per subspace
 BM25_TERMS = ["spark", "join", "window"]
 JACCARD_THRESHOLD = 0.5
+CONTAINMENT_THRESHOLD = 0.5
 COSINE_THRESHOLD = 0.4
 TFIDF_K = 5
 SEMDEDUP_THRESHOLD = 0.35
@@ -149,6 +150,7 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     from marginalia_ray.ops.bm25 import bm25_topk
     from marginalia_ray.ops.dedup import (
+        containment_pairs,
         exact_dedup,
         exact_substring_pairs,
         jaccard_pairs,
@@ -163,6 +165,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from marginalia_ray.ops.text_ops import (
         doc_quality,
         fingerprint,
+        winnow_fingerprints,
         gopher_quality,
         hash_split,
         lang_id,
@@ -706,6 +709,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": lambda sf: doc_quality(_docs(sf)),
         "exact_dedup": lambda sf: exact_dedup(_docs(sf)),
         "jaccard_pairs": lambda sf: jaccard_pairs(_docs(sf), threshold=JACCARD_THRESHOLD),
+        "containment_pairs": lambda sf: containment_pairs(
+            _docs(sf), threshold=CONTAINMENT_THRESHOLD
+        ),
         "minhash_dedup": lambda sf: minhash_lsh_pairs(_docs(sf), threshold=JACCARD_THRESHOLD),
         "simhash_pairs": lambda sf: simhash_pairs(_docs(sf)),
         "knn_cosine": q_knn,
@@ -719,6 +725,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "lang_id": lambda sf: lang_id(_docs(sf)),
         "doc_fingerprint": lambda sf: fingerprint(_docs(sf)),
+        "winnow_fingerprints": lambda sf: winnow_fingerprints(_docs(sf)),
         "ngram_overlap": lambda sf: ngram_overlap(_docs(sf)),
         "gopher_quality": lambda sf: gopher_quality(_docs(sf)),
         "repetition_metrics": lambda sf: repetition_metrics(_docs(sf)),
@@ -793,6 +800,59 @@ def _fingerprint_sql() -> str:
        list_sum(list_transform(range(0, {W}), k -> (vs[i+k] * wp[{W}-k]) % 4294967296)) % 4294967296))
    END::BIGINT AS fingerprint
  FROM w, pw"""
+
+
+def _winnow_sql() -> str:
+    """Mirrors ops/text_ops.winnow_fingerprints: the _fingerprint_sql gram
+    chain (token value = byte polynomial base 31 mod 2^32, gram = 8-token
+    polynomial base 1000003 mod 2^32, short docs folded to one gram), then
+    winnowing selection — in every window of {WW} consecutive grams pick
+    the min, ties to the RIGHTMOST position; docs with <= WW grams form
+    one whole-doc window.  DISTINCT selected hashes per doc."""
+    from marginalia_ray.ops.text_ops import (
+        _FP_TOKEN_BASE,
+        _FP_WIN_BASE,
+        _FP_WINDOW,
+        _WINNOW_WINDOW,
+    )
+
+    M = 1 << 32
+    p31 = [pow(_FP_TOKEN_BASE, k, M) for k in range(128)]
+    wp = [pow(int(_FP_WIN_BASE), k, M) for k in range(_FP_WINDOW)]
+    p31_l = "[" + ",".join(str(x) for x in p31) + "]::HUGEINT[]"
+    wp_l = "[" + ",".join(str(x) for x in wp) + "]::HUGEINT[]"
+    W = _FP_WINDOW
+    WW = _WINNOW_WINDOW
+    return f"""
+ WITH pw AS (SELECT {p31_l} AS p31, {wp_l} AS wp),
+ tok AS (SELECT doc_id, {_TOK} AS ts FROM documents),
+ vals AS (SELECT doc_id,
+   list_transform(ts, t -> list_sum(list_transform(range(1, length(t)+1),
+     i -> (ascii(substr(t, i, 1))::HUGEINT * p31[length(t)-i+1]) % 4294967296)) % 4294967296) AS vs
+   FROM tok, pw),
+ w AS (SELECT doc_id, vs, len(vs) AS n FROM vals WHERE len(vs) > 0),
+ g AS (SELECT doc_id,
+   CASE WHEN n < {W} THEN
+     [list_sum(list_transform(range(1, n+1), k -> (vs[k] * wp[n-k+1]) % 4294967296)) % 4294967296]
+   ELSE
+     list_transform(range(1, n-{W - 2}), i ->
+       list_sum(list_transform(range(0, {W}), k -> (vs[i+k] * wp[{W}-k]) % 4294967296)) % 4294967296)
+   END AS gs
+   FROM w, pw),
+ mm AS (SELECT doc_id, gs, len(gs) AS m FROM g),
+ sel AS (SELECT doc_id, gs,
+   CASE WHEN m <= {WW} THEN
+     [list_max(list_transform(range(1, m+1), p ->
+        CASE WHEN gs[p] = list_min(gs) THEN p ELSE 0 END))]
+   ELSE
+     list_transform(range(1, m-{WW - 2}), s ->
+       list_max(list_transform(range(s, s+{WW}), p ->
+         CASE WHEN gs[p] = list_min(list_transform(range(s, s+{WW}), q -> gs[q]))
+              THEN p ELSE 0 END)))
+   END AS sels
+   FROM mm)
+ SELECT DISTINCT doc_id, gs[p]::BIGINT AS fingerprint
+ FROM sel, unnest(sels) AS u(p)"""
 
 
 def _ngram_overlap_sql() -> str:
@@ -1833,6 +1893,17 @@ def oracle_sql() -> dict[str, str]:
  SELECT doc_a, doc_b, round(i::DOUBLE/(x.n+y.n-i),6) AS jaccard
  FROM inter JOIN sz x ON doc_a=x.doc_id JOIN sz y ON doc_b=y.doc_id
  WHERE i::DOUBLE/(x.n+y.n-i) >= {JACCARD_THRESHOLD}"""
+    containment = f"""
+ WITH tok AS (SELECT doc_id, {_TOK} AS ts FROM documents),
+ idx AS (SELECT doc_id, ts, unnest(generate_series(1, len(ts)-2)) AS i FROM tok),
+ sh AS (SELECT DISTINCT doc_id, ts[i]||' '||ts[i+1]||' '||ts[i+2] AS shingle FROM idx),
+ sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+ inter AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) i
+           FROM sh a JOIN sh b ON a.shingle=b.shingle AND a.doc_id<b.doc_id GROUP BY 1,2)
+ SELECT doc_a, doc_b, round(i::DOUBLE/x.n,6) AS cont_a_in_b,
+        round(i::DOUBLE/y.n,6) AS cont_b_in_a
+ FROM inter JOIN sz x ON doc_a=x.doc_id JOIN sz y ON doc_b=y.doc_id
+ WHERE greatest(round(i::DOUBLE/x.n,6), round(i::DOUBLE/y.n,6)) >= {CONTAINMENT_THRESHOLD}"""
     return {
         "domain_stats": """
  SELECT source AS domain, count(*)::BIGINT AS n_docs, round(avg(length(text)),6) AS avg_chars
@@ -1895,6 +1966,8 @@ def oracle_sql() -> dict[str, str]:
  SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id, count(*)::BIGINT AS n_dups
  FROM documents GROUP BY 1""",
         "jaccard_pairs": jaccard,
+        "containment_pairs": containment,
+        "winnow_fingerprints": _winnow_sql(),
         # minhash+LSH is verified-exact; at this scale its fixed-seed recall
         # over the planted near-dups is 1.0, so the exact-Jaccard SQL is the
         # oracle (probabilistic completeness documented in ops/dedup.py)

@@ -291,6 +291,65 @@ def jaccard_pairs(
     return _pairs_to_jaccard(pairs, threshold)
 
 
+def containment_pairs(
+    ds,
+    threshold: float = 0.5,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_docs_per_shingle: int = 1000,
+):
+    """Asymmetric n-gram containment pairs (Broder '97's containment
+    c(A,B) = |sh(A) ∩ sh(B)| / |sh(A)|): (doc_a, doc_b, cont_a_in_b,
+    cont_b_in_a) with doc_a < doc_b, kept when EITHER direction >=
+    threshold.  The decontamination / quote-detection primitive Jaccard
+    misses: a benchmark question fully quoted inside a long document has
+    containment ~1 but Jaccard ~|A|/|B| ~ 0.
+
+    Same fully-distributed ONE-shuffle machinery as jaccard_pairs (the
+    per-doc shingle-set sizes ride along the pair rows; intersections are
+    summed per hash partition) — only the final division differs."""
+
+    def _agg_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return pa.table(
+                {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
+                 "cont_a_in_b": pa.array([], pa.float64()),
+                 "cont_b_in_a": pa.array([], pa.float64())}
+            )
+        t = (
+            block
+            .group_by(["doc_a", "doc_b"])
+            .aggregate([("partial", "sum"), ("n_sh_a", "min"), ("n_sh_b", "min")])
+        )
+        a = t["doc_a"].to_numpy(zero_copy_only=False)
+        b = t["doc_b"].to_numpy(zero_copy_only=False)
+        i = t["partial_sum"].to_numpy(zero_copy_only=False).astype(np.float64)
+        na = t["n_sh_a_min"].to_numpy(zero_copy_only=False).astype(np.float64)
+        nb = t["n_sh_b_min"].to_numpy(zero_copy_only=False).astype(np.float64)
+        c_ab = np.round(i / na, 6)
+        c_ba = np.round(i / nb, 6)
+        keep = np.maximum(c_ab, c_ba) >= threshold
+        return pa.table(
+            {
+                "doc_a": pa.array(a[keep]),
+                "doc_b": pa.array(b[keep]),
+                "cont_a_in_b": pa.array(c_ab[keep], pa.float64()),
+                "cont_b_in_a": pa.array(c_ba[keep], pa.float64()),
+            }
+        )
+
+    sh = ds.map_batches(
+        lambda b: _numeric_shingle_batch(b, n, text_col, id_col, with_size=True),
+        batch_format="pyarrow",
+    )
+    pairs = _emit_pairs_per_key(
+        sh, ["shingle"], max_group=max_docs_per_shingle, extra_col="n_sh",
+        combine=True,
+    )
+    return _salted_pair_agg(pairs, _agg_block)
+
+
 # ---- MinHash + LSH -----------------------------------------------------
 
 

@@ -893,3 +893,79 @@ def token_entropy(ds, text_col: str = "text", id_col: str = "doc_id"):
         )
 
     return ds.map_batches(_batch, batch_format="pyarrow")
+
+
+# ---- winnowing ----------------------------------------------------------
+
+_WINNOW_WINDOW = 4  # winnowing windows of 4 k-gram hashes
+
+
+def winnow_fingerprints(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    winnow_window: int = _WINNOW_WINDOW,
+):
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD '03 — the MOSS algorithm): slide a window of `winnow_window`
+    consecutive k-gram hashes (k-gram = the shared `_FP_WINDOW`-token
+    polynomial window hash, mod 2^32) over each document; in every window
+    select the MINIMUM hash, ties broken by the RIGHTMOST position; the
+    document's fingerprint set is the distinct selected hashes.  Output
+    (doc_id, fingerprint), one row per distinct selected hash.
+
+    Guarantee (the paper's §4): any shared token run of at least
+    winnow_window + _FP_WINDOW - 1 tokens between two documents yields at
+    least one shared fingerprint — unlike `fingerprint`'s single global
+    min, this detects LOCAL overlap, at ~1/((winnow_window+1)/2) the
+    density of keeping every gram.
+
+    Short docs: fewer grams than a window -> ONE window over all grams
+    (still one fingerprint per doc); docs under _FP_WINDOW tokens use the
+    folded-polynomial single gram (the `fingerprint` convention, shared
+    kernel).  Per-doc selection only compares hashes WITHIN a document,
+    so mod-2^32 arithmetic stays SQL-oracle replicable.
+    """
+    WW = int(winnow_window)
+    if WW < 1:
+        raise ValueError("winnow_window must be >= 1")
+
+    def _batch(batch: pa.Table) -> pa.Table:
+        ids_np, grams = _window_hashes_batch(batch, text_col, id_col)
+        if len(ids_np) == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "fingerprint": pa.array([], pa.int64()),
+                }
+            )
+        # rows per doc are contiguous and in position order (long docs in
+        # the windows section, short docs appended; a doc is in exactly one)
+        bounds = np.flatnonzero(np.r_[True, ids_np[1:] != ids_np[:-1], True])
+        out_ids = []
+        out_fp = []
+        swv = np.lib.stride_tricks.sliding_window_view
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            h = grams[s:e]
+            m = len(h)
+            if m <= WW:
+                sel = np.array([m - 1 - int(np.argmin(h[::-1]))])
+            else:
+                win = swv(h, WW)[:, ::-1]
+                j = np.argmin(win, axis=1)
+                sel = np.unique(np.arange(m - WW + 1) + (WW - 1 - j))
+            fps = np.unique(h[sel])
+            out_ids.append(np.full(len(fps), ids_np[s], np.int64))
+            out_fp.append(fps)
+        return pa.table(
+            {
+                id_col: pa.array(np.concatenate(out_ids)),
+                # values < 2^32: int64 keeps the oracle comparison
+                # type-uniform with DuckDB BIGINT
+                "fingerprint": pa.array(
+                    np.concatenate(out_fp).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return ds.map_batches(_batch, batch_format="pyarrow")

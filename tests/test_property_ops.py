@@ -337,3 +337,87 @@ def test_ngram_novelty_matches_serial(texts_list):
         assert out[i]["n_shingles"] == len(grams)
         assert out[i]["n_unique"] == uniq
         assert out[i]["novelty"] == np.floor(uniq / len(grams) * 1e6 + 0.5) / 1e6
+
+
+@given(texts)
+@settings(max_examples=10, deadline=None)
+def test_containment_pairs_matches_serial(texts_list):
+    from marginalia_ray.ops.dedup import containment_pairs
+
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["cont_a_in_b"], r["cont_b_in_a"])
+        for r in containment_pairs(_docs_ds(texts_list), threshold=0.3,
+                                   n=2).take_all()
+    }
+
+    def shingles(t):
+        ws = t.split()
+        return {tuple(ws[i : i + 2]) for i in range(len(ws) - 1)}
+
+    want = {}
+    sh = [shingles(t) for t in texts_list]
+    for a in range(len(texts_list)):
+        for b in range(a + 1, len(texts_list)):
+            if not sh[a] or not sh[b]:
+                continue
+            i = len(sh[a] & sh[b])
+            if i == 0:
+                continue
+            c_ab = round(i / len(sh[a]), 6)
+            c_ba = round(i / len(sh[b]), 6)
+            if max(c_ab, c_ba) >= 0.3:
+                want[(a, b)] = (c_ab, c_ba)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-9)
+
+
+@given(texts, st.integers(min_value=1, max_value=6))
+@settings(max_examples=10, deadline=None)
+def test_winnow_fingerprints_matches_serial(texts_list, ww):
+    from marginalia_ray.ops.text_ops import (
+        _FP_MASK,
+        _FP_WIN_BASE,
+        _FP_WINDOW,
+        _token_value_mod32,
+        winnow_fingerprints,
+    )
+    import pyarrow as pa
+
+    got = {}
+    for r in winnow_fingerprints(_docs_ds(texts_list),
+                                 winnow_window=ww).take_all():
+        got.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+
+    # serial winnowing reference: per-window rightmost argmin, python loops
+    want = {}
+    for i, t in enumerate(texts_list):
+        toks = [w for w in t.split() if w]
+        if not toks:
+            continue
+        tv = [int(v) for v in _token_value_mod32(pa.array(toks))]
+        W, B, MASK = _FP_WINDOW, int(_FP_WIN_BASE), int(_FP_MASK)
+        if len(tv) < W:
+            g = 0
+            for v in tv:
+                g = (g * B + v) & MASK
+            grams = [g]
+        else:
+            grams = []
+            for s in range(len(tv) - W + 1):
+                g = 0
+                for v in tv[s : s + W]:
+                    g = (g * B + v) & MASK
+                grams.append(g)
+        m = len(grams)
+        sel = set()
+        if m <= ww:
+            mn = min(grams)
+            sel.add(max(p for p in range(m) if grams[p] == mn))
+        else:
+            for s in range(m - ww + 1):
+                window = grams[s : s + ww]
+                mn = min(window)
+                sel.add(s + max(p for p in range(ww) if window[p] == mn))
+        want[i] = {grams[p] for p in sel}
+    assert got == want

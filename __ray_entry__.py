@@ -688,6 +688,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "linear_classifier": q_linear_classifier,
         "bloom_membership": q_bloom_membership,
         "group_quality_filter": q_group_quality_filter,
+        "containment_pairs": lambda sf: containment_pairs(
+            _docs(sf), threshold=CONTAINMENT_THRESHOLD
+        ),
+        "winnow_fingerprints": lambda sf: winnow_fingerprints(_docs(sf)),
         "domain_stats": q_domain_stats,
         "sessionize": q_sessionize,
         "broadcast_join": q_broadcast_join,
@@ -709,9 +713,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": lambda sf: doc_quality(_docs(sf)),
         "exact_dedup": lambda sf: exact_dedup(_docs(sf)),
         "jaccard_pairs": lambda sf: jaccard_pairs(_docs(sf), threshold=JACCARD_THRESHOLD),
-        "containment_pairs": lambda sf: containment_pairs(
-            _docs(sf), threshold=CONTAINMENT_THRESHOLD
-        ),
         "minhash_dedup": lambda sf: minhash_lsh_pairs(_docs(sf), threshold=JACCARD_THRESHOLD),
         "simhash_pairs": lambda sf: simhash_pairs(_docs(sf)),
         "knn_cosine": q_knn,
@@ -725,7 +726,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "lang_id": lambda sf: lang_id(_docs(sf)),
         "doc_fingerprint": lambda sf: fingerprint(_docs(sf)),
-        "winnow_fingerprints": lambda sf: winnow_fingerprints(_docs(sf)),
         "ngram_overlap": lambda sf: ngram_overlap(_docs(sf)),
         "gopher_quality": lambda sf: gopher_quality(_docs(sf)),
         "repetition_metrics": lambda sf: repetition_metrics(_docs(sf)),

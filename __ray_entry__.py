@@ -29,6 +29,10 @@ IVF_PROBE = 4
 PQ_M = 8  # product-quantization subspaces (64-d -> 8 sub-vectors of 8)
 PQ_CODES = 16  # codebook entries per subspace
 BM25_TERMS = ["spark", "join", "window"]
+RRF_TERMS_B = ["customer", "stream", "hash"]  # second ranking for rrf_fusion
+RRF_N = 20  # per-list depth fed into the fusion
+PMI_MIN_COUNT = 5
+PMI_K = 20
 JACCARD_THRESHOLD = 0.5
 CONTAINMENT_THRESHOLD = 0.5
 COSINE_THRESHOLD = 0.4
@@ -148,13 +152,14 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from marginalia_ray.ops.bm25 import bm25_topk
+    from marginalia_ray.ops.bm25 import bm25_topk, rrf_fusion
     from marginalia_ray.ops.dedup import (
         containment_pairs,
         exact_dedup,
         exact_substring_pairs,
         jaccard_pairs,
         minhash_lsh_pairs,
+        normalized_dedup,
         simhash_pairs,
     )
     from marginalia_ray.ops.similarity import (
@@ -673,6 +678,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return group_quality_filter(ds, min_mean_quality=GRPQ_MIN_MEAN)
 
+    def q_pmi(sf_dir: str):
+        from marginalia_ray.ops.curation import pmi_collocations
+
+        return pmi_collocations(_docs(sf_dir), min_count=PMI_MIN_COUNT, k=PMI_K)
+
     # ordering is deliberate: the driver samples a prefix of this dict,
     # and rounds 1-3 never sampled the last ten entries (including the
     # flagship marginalia_search) — so the previously-unchecked queries
@@ -692,6 +702,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs(sf), threshold=CONTAINMENT_THRESHOLD
         ),
         "winnow_fingerprints": lambda sf: winnow_fingerprints(_docs(sf)),
+        "normalized_dedup": lambda sf: normalized_dedup(_docs(sf)),
+        "pmi_collocations": q_pmi,
+        "rrf_fusion": lambda sf: rrf_fusion(
+            _docs(sf), BM25_TERMS, RRF_TERMS_B, k=10, n=RRF_N
+        ),
         "domain_stats": q_domain_stats,
         "sessionize": q_sessionize,
         "broadcast_join": q_broadcast_join,
@@ -1879,6 +1894,25 @@ def _substring_sql() -> str:
  GROUP BY 1, 2"""
 
 
+def _bm25_ranked_sql(terms: list[str], n: int) -> str:
+    """Parenthesized subquery: (doc_id, rn) — BM25 rank over `terms`,
+    row_number by (s desc, doc_id), s>0, top n.  Same formula/float
+    association as the bm25_topk oracle."""
+    tl = ",".join(f"'{t}'" for t in terms)
+    return f"""
+ (WITH tok AS (SELECT doc_id, {_TOK} AS ts FROM documents),
+ stats AS (SELECT count(*) AS n_docs, avg(len(ts)) AS avgdl FROM tok),
+ tf AS (SELECT doc_id, len(ts) AS dl, t AS term, len(list_filter(ts, x->x=t)) AS tf
+        FROM tok, (SELECT unnest([{tl}]) AS t)),
+ df AS (SELECT term, sum(CASE WHEN tf>0 THEN 1 ELSE 0 END) AS df FROM tf GROUP BY term),
+ scored AS (SELECT tf.doc_id,
+        sum(CASE WHEN tf.tf>0 THEN ln(1+(stats.n_docs-df.df+0.5)/(df.df+0.5))
+                 * tf.tf/(tf.tf+1.2*(1-0.75+0.75*tf.dl/stats.avgdl)) ELSE 0 END) AS s
+   FROM tf, stats, df WHERE tf.term=df.term GROUP BY tf.doc_id)
+ SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS rn
+ FROM scored WHERE s>0 QUALIFY rn <= {n})"""
+
+
 def oracle_sql() -> dict[str, str]:
     sw = ",".join(f"'{w}'" for w in __import__("marginalia_ray.ops.text_ops", fromlist=["STOPWORDS"]).STOPWORDS)
     tl = ",".join(f"'{t}'" for t in BM25_TERMS)
@@ -1965,6 +1999,28 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": """
  SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id, count(*)::BIGINT AS n_dups
  FROM documents GROUP BY 1""",
+        "normalized_dedup": """
+ SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS norm_hash,
+        min(doc_id) AS keep_doc_id, count(*)::BIGINT AS n_dups
+ FROM documents GROUP BY 1""",
+        "pmi_collocations": f"""
+ WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents),
+ uni AS (SELECT t AS term, count(*)::BIGINT AS c FROM tok, unnest(ts) AS u(t) GROUP BY 1),
+ big AS (SELECT ts[i] AS w1, ts[i+1] AS w2, count(*)::BIGINT AS c
+         FROM tok, unnest(generate_series(1, len(ts)-1)) AS g(i) GROUP BY 1, 2),
+ tot AS (SELECT (SELECT sum(c) FROM uni)::DOUBLE AS n, (SELECT sum(c) FROM big)::DOUBLE AS m),
+ p AS (SELECT b.w1, b.w2, b.c AS c_xy,
+              round(ln((b.c * tot.n * tot.n) / (tot.m * u1.c * u2.c)), 6) AS pmi
+       FROM big b, tot, uni u1, uni u2
+       WHERE u1.term = b.w1 AND u2.term = b.w2 AND b.c >= {PMI_MIN_COUNT})
+ SELECT w1, w2, c_xy, pmi FROM p ORDER BY pmi DESC, w1, w2 LIMIT {PMI_K}""",
+        "rrf_fusion": f"""
+ WITH ra AS {_bm25_ranked_sql(BM25_TERMS, RRF_N)},
+ rb AS {_bm25_ranked_sql(RRF_TERMS_B, RRF_N)},
+ u AS (SELECT doc_id, 1.0/(60+rn) AS w FROM ra
+       UNION ALL SELECT doc_id, 1.0/(60+rn) FROM rb),
+ f AS (SELECT doc_id, round(sum(w), 6) AS rrf_score FROM u GROUP BY doc_id)
+ SELECT doc_id, rrf_score FROM f ORDER BY rrf_score DESC, doc_id LIMIT 10""",
         "jaccard_pairs": jaccard,
         "containment_pairs": containment,
         "winnow_fingerprints": _winnow_sql(),

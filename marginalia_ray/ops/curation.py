@@ -868,3 +868,162 @@ def mixture_sample(
         .groupby(key_col)
         .map_groups(_final, batch_format="pyarrow")
     )
+
+
+def pmi_collocations(
+    ds,
+    min_count: int = 5,
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+):
+    """Bigram collocation mining by pointwise mutual information (Church &
+    Hanks 1990): pmi(x,y) = ln( p(x,y) / (p(x)p(y)) ) with p(x,y) = c_xy/M
+    over adjacent-token pairs and p(x) = c_x/N over tokens.  Returns the
+    top-k bigrams with c_xy >= min_count as (w1, w2, c_xy, pmi) ordered by
+    (pmi desc, w1, w2), pmi rounded to 6 dp.
+
+    Scale shape (unlike bigram_perplexity, nothing is ever collected to
+    the driver — the vocabulary never needs to fit anywhere):
+      * ONE corpus-sized shuffle: each batch emits combined per-batch
+        partial counts — unigram rows tagged w2='' and bigram rows — into
+        a single groupby((w1,w2)).sum.
+      * corpus totals N/M are a tiny per-block aggregate of the count
+        table.
+      * c_x / c_y attach to the (min_count-filtered) bigram rows via two
+        hash_equi_join passes on the fmix64 token hash — the large-large
+        join path; a 64-bit hash collision between two distinct vocabulary
+        terms (probability ~V^2/2^65) would double-count one bigram's
+        neighbour count.
+    """
+    from marginalia_ray.ops.dedup import _token_hash_arrow
+    from marginalia_ray.ops.relational import hash_equi_join
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        ids, toks = explode_tokens(batch, text_col, id_col)
+        m = len(toks)
+        empty = pa.table(
+            {
+                "w1": pa.array([], pa.string()),
+                "w2": pa.array([], pa.string()),
+                "partial": pa.array([], pa.int64()),
+            }
+        )
+        if m == 0:
+            return empty
+        # unigram rows: w2 = '' (a real token can never be empty —
+        # explode_tokens filters empties), built without a Python loop
+        uni = pa.table(
+            {"w1": toks, "w2": pc.utf8_slice_codeunits(toks, 0, 0)}
+        )
+        tabs = [uni]
+        if m >= 2:
+            par = ids.to_numpy(zero_copy_only=False)
+            adj = pa.array(par[:-1] == par[1:])
+            tabs.append(
+                pa.table(
+                    {
+                        "w1": toks.slice(0, m - 1).filter(adj),
+                        "w2": toks.slice(1, m - 1).filter(adj),
+                    }
+                )
+            )
+        g = (
+            pa.concat_tables(tabs)
+            .group_by(["w1", "w2"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["w1", "w2", "partial"])
+
+    counts = (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby(["w1", "w2"])
+        .sum("partial")
+        .rename_columns({"sum(partial)": "c"})
+        .materialize()  # vocab+bigram-table sized (<< corpus), read 4x below
+    )
+
+    def _tot(batch: pa.Table) -> pa.Table:
+        isuni = pc.equal(batch["w2"], "")
+        c = batch["c"]
+        zero = pa.scalar(0, pa.int64())
+        n = pc.sum(pc.if_else(isuni, c, zero)).as_py() or 0
+        m = pc.sum(pc.if_else(isuni, zero, c)).as_py() or 0
+        return pa.table({"n_part": [n], "m_part": [m]})
+
+    tot = counts.map_batches(_tot, batch_format="pyarrow").sum(["n_part", "m_part"])
+    n_tok = float(tot["sum(n_part)"] or 0.0)
+    m_big = float(tot["sum(m_part)"] or 0.0)
+
+    def _uni_side(alias: str):
+        def _f(batch: pa.Table) -> pa.Table:
+            keep = pc.equal(batch["w2"], "")
+            b = batch.filter(keep)
+            h = _token_hash_arrow(b["w1"]).view(np.int64)
+            return pa.table({"hu": pa.array(h), alias: b["c"]})
+
+        return counts.map_batches(_f, batch_format="pyarrow")
+
+    def _bi_side(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.not_equal(batch["w2"], ""),
+            pc.greater_equal(batch["c"], min_count),
+        )
+        b = batch.filter(keep)
+        h1 = _token_hash_arrow(b["w1"]).view(np.int64)
+        h2 = _token_hash_arrow(b["w2"]).view(np.int64)
+        return pa.table(
+            {
+                "h1": pa.array(h1),
+                "h2": pa.array(h2),
+                "w1": b["w1"],
+                "w2": b["w2"],
+                "c_xy": b["c"],
+            }
+        )
+
+    bigrams = counts.map_batches(_bi_side, batch_format="pyarrow")
+    j1 = hash_equi_join(
+        bigrams,
+        _uni_side("c_x"),
+        on="h1",
+        right_on="hu",
+        left_cols=["h1", "h2", "w1", "w2", "c_xy"],
+        right_cols=["c_x"],
+        num_partitions=num_partitions,
+    )
+    j2 = hash_equi_join(
+        j1,
+        _uni_side("c_y"),
+        on="h2",
+        right_on="hu",
+        left_cols=["h2", "w1", "w2", "c_xy", "c_x"],
+        right_cols=["c_y"],
+        num_partitions=num_partitions,
+    )
+
+    # same float association as the oracle SQL:
+    # ln((c_xy * n * n) / ((m * c_x) * c_y))
+    n_c, m_c = max(n_tok, 1.0), max(m_big, 1.0)
+
+    def _pmi(batch: pa.Table) -> pa.Table:
+        c_xy = batch["c_xy"].to_numpy(zero_copy_only=False).astype(np.float64)
+        c_x = batch["c_x"].to_numpy(zero_copy_only=False).astype(np.float64)
+        c_y = batch["c_y"].to_numpy(zero_copy_only=False).astype(np.float64)
+        with np.errstate(divide="ignore"):
+            pmi = np.round(np.log((c_xy * n_c * n_c) / (m_c * c_x * c_y)), 6)
+        return pa.table(
+            {
+                "w1": batch["w1"],
+                "w2": batch["w2"],
+                "c_xy": batch["c_xy"],
+                "pmi": pa.array(pmi, pa.float64()),
+            }
+        )
+
+    return (
+        j2.map_batches(_pmi, batch_format="pyarrow")
+        .sort(["pmi", "w1", "w2"], descending=[True, False, False])
+        .limit(k)
+    )

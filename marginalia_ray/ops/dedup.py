@@ -91,6 +91,29 @@ def exact_dedup_apply(ds, text_col: str = "text", id_col: str = "doc_id"):
     )
 
 
+def normalized_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Normalized exact dedup (the CCNet/RefinedWeb pre-hash normalization:
+    lowercase, collapse every non-alphanumeric run to a single space, trim)
+    -> (norm_hash, keep_doc_id, n_dups).
+
+    Catches the trivial near-dups exact_dedup misses (case, punctuation,
+    whitespace churn) at exactly the same cost: the normalization is three
+    vectorized Arrow kernels per batch, then the identical single
+    hash-key groupby.  md5 so the DuckDB oracle can reproduce the key."""
+
+    def _hash(batch: pa.Table) -> pa.Table:
+        t = pc.utf8_lower(batch[text_col])
+        t = pc.replace_substring_regex(t, "[^a-z0-9]+", " ")
+        t = pc.utf8_trim(t, " ")
+        return pa.table({"norm_hash": _md5_hex(t), id_col: batch[id_col]})
+
+    return (
+        ds.map_batches(_hash, batch_format="pyarrow")
+        .groupby("norm_hash")
+        .aggregate(*_min_count_aggs(id_col))
+    )
+
+
 # ---- shingling ---------------------------------------------------------
 
 _P = U64(0x100000001B3)  # FNV-64 prime; odd => invertible mod 2^64

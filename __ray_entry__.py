@@ -683,6 +683,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return pmi_collocations(_docs(sf_dir), min_count=PMI_MIN_COUNT, k=PMI_K)
 
+    def q_quantile_by_key(sf_dir: str):
+        import ray.data
+
+        from marginalia_ray.ops.relational import quantile_by_key
+
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["source", "n_chars"]
+        )
+        return quantile_by_key(ds, q=0.9)
+
+    def q_novel_against_corpus(sf_dir: str):
+        import pyarrow.compute as pc
+        import ray.data
+
+        from marginalia_ray.ops.dedup import novel_against_corpus
+
+        def _parity(rem: int):
+            def _f(batch):
+                return batch.filter(
+                    pc.equal(pc.bit_wise_and(batch["doc_id"], 1), rem)
+                )
+
+            return _f
+
+        docs = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        return novel_against_corpus(
+            docs.map_batches(_parity(1), batch_format="pyarrow"),
+            docs.map_batches(_parity(0), batch_format="pyarrow"),
+        )
+
     # ordering is deliberate: the driver samples a prefix of this dict,
     # and rounds 1-3 never sampled the last ten entries (including the
     # flagship marginalia_search) — so the previously-unchecked queries
@@ -707,6 +739,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rrf_fusion": lambda sf: rrf_fusion(
             _docs(sf), BM25_TERMS, RRF_TERMS_B, k=10, n=RRF_N
         ),
+        "quantile_by_key": q_quantile_by_key,
+        "novel_against_corpus": q_novel_against_corpus,
         "domain_stats": q_domain_stats,
         "sessionize": q_sessionize,
         "broadcast_join": q_broadcast_join,
@@ -2014,6 +2048,13 @@ def oracle_sql() -> dict[str, str]:
        FROM big b, tot, uni u1, uni u2
        WHERE u1.term = b.w1 AND u2.term = b.w2 AND b.c >= {PMI_MIN_COUNT})
  SELECT w1, w2, c_xy, pmi FROM p ORDER BY pmi DESC, w1, w2 LIMIT {PMI_K}""",
+        "quantile_by_key": """
+ SELECT source, count(*)::BIGINT AS n, round(quantile_cont(n_chars, 0.9), 6) AS q90
+ FROM documents GROUP BY source""",
+        "novel_against_corpus": """
+ SELECT doc_id, md5(text) AS text_hash FROM documents
+ WHERE doc_id % 2 = 1
+   AND md5(text) NOT IN (SELECT md5(text) FROM documents WHERE doc_id % 2 = 0)""",
         "rrf_fusion": f"""
  WITH ra AS {_bm25_ranked_sql(BM25_TERMS, RRF_N)},
  rb AS {_bm25_ranked_sql(RRF_TERMS_B, RRF_N)},

@@ -877,6 +877,7 @@ def pmi_collocations(
     text_col: str = "text",
     id_col: str = "doc_id",
     num_partitions: int | None = None,
+    fast_path_rows: int = 2_000_000,
 ):
     """Bigram collocation mining by pointwise mutual information (Church &
     Hanks 1990): pmi(x,y) = ln( p(x,y) / (p(x)p(y)) ) with p(x,y) = c_xy/M
@@ -955,6 +956,46 @@ def pmi_collocations(
     tot = counts.map_batches(_tot, batch_format="pyarrow").sum(["n_part", "m_part"])
     n_tok = float(tot["sum(n_part)"] or 0.0)
     m_big = float(tot["sum(m_part)"] or 0.0)
+    n_c, m_c = max(n_tok, 1.0), max(m_big, 1.0)
+
+    # fast path: when the COUNT TABLE (vocab + bigram types, never the
+    # corpus) is small, finish on the driver in one numpy pass — the
+    # bounded-collect convention of bigram_perplexity.  The join path
+    # below is the scale route for corpora whose bigram-type table
+    # exceeds the bound.
+    if counts.count() <= fast_path_rows:
+        import ray.data as _rd
+
+        tbl = pa.concat_tables(
+            counts.iter_batches(batch_size=None, batch_format="pyarrow")
+        )
+        w1 = tbl["w1"].combine_chunks().cast(pa.string())
+        w2 = tbl["w2"].combine_chunks().cast(pa.string())
+        c = tbl["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        isuni = pc.equal(w2, "").to_numpy(zero_copy_only=False)
+        uni_t = np.asarray(w1.filter(pa.array(isuni)))
+        uni_c = c[isuni]
+        uorder = np.argsort(uni_t)
+        uni_t, uni_c = uni_t[uorder], uni_c[uorder]
+        bsel = (~isuni) & (c >= min_count)
+        b1 = np.asarray(w1.filter(pa.array(bsel)))
+        b2 = np.asarray(w2.filter(pa.array(bsel)))
+        c_xy = c[bsel].astype(np.float64)
+        c_x = uni_c[np.searchsorted(uni_t, b1)].astype(np.float64)
+        c_y = uni_c[np.searchsorted(uni_t, b2)].astype(np.float64)
+        with np.errstate(divide="ignore"):
+            pmi = np.round(np.log((c_xy * n_c * n_c) / (m_c * c_x * c_y)), 6)
+        res = pa.table(
+            {
+                "w1": pa.array(b1, pa.string()),
+                "w2": pa.array(b2, pa.string()),
+                "c_xy": pa.array(c[bsel], pa.int64()),
+                "pmi": pa.array(pmi, pa.float64()),
+            }
+        ).sort_by(
+            [("pmi", "descending"), ("w1", "ascending"), ("w2", "ascending")]
+        )
+        return _rd.from_arrow(res.slice(0, k))
 
     def _uni_side(alias: str):
         def _f(batch: pa.Table) -> pa.Table:
@@ -1005,8 +1046,6 @@ def pmi_collocations(
 
     # same float association as the oracle SQL:
     # ln((c_xy * n * n) / ((m * c_x) * c_y))
-    n_c, m_c = max(n_tok, 1.0), max(m_big, 1.0)
-
     def _pmi(batch: pa.Table) -> pa.Table:
         c_xy = batch["c_xy"].to_numpy(zero_copy_only=False).astype(np.float64)
         c_x = batch["c_x"].to_numpy(zero_copy_only=False).astype(np.float64)

@@ -91,6 +91,55 @@ def exact_dedup_apply(ds, text_col: str = "text", id_col: str = "doc_id"):
     )
 
 
+def novel_against_corpus(
+    new_ds,
+    seen_ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Incremental-ingestion dedup: which rows of `new_ds` are NOT already
+    in `seen_ds` by exact content (md5)?  Returns (doc_id, text_hash) of
+    the novel new-side rows — the anti-membership step an incremental
+    crawl runs before converting/indexing a fresh shard against an
+    existing corpus.
+
+    Scale shape: one union shuffle keyed on the content hash (the same
+    tagged-union groupby used by the equi-joins — never Ray's `Dataset.join`);
+    each group drops its new-side rows iff any seen-side row shares the
+    md5.  Exact string-key anti-join — no 64-bit-collision false drops."""
+
+    def _tag(side: int):
+        def _f(batch: pa.Table) -> pa.Table:
+            n = len(batch)
+            return pa.table(
+                {
+                    "_h": _md5_hex(batch[text_col]),
+                    id_col: batch[id_col],
+                    "_side": pa.array(np.full(n, side, np.int8)),
+                }
+            )
+
+        return _f
+
+    def _anti(group: pa.Table) -> pa.Table:
+        side = group["_side"].to_numpy(zero_copy_only=False)
+        empty = pa.table(
+            {
+                id_col: pa.array([], group[id_col].type),
+                "text_hash": pa.array([], pa.string()),
+            }
+        )
+        if (side == 1).any():
+            return empty
+        keep = group.filter(pa.array(side == 0))
+        return pa.table({id_col: keep[id_col], "text_hash": keep["_h"]})
+
+    tagged = new_ds.map_batches(_tag(0), batch_format="pyarrow").union(
+        seen_ds.map_batches(_tag(1), batch_format="pyarrow")
+    )
+    return tagged.groupby("_h").map_groups(_anti, batch_format="pyarrow")
+
+
 def normalized_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
     """Normalized exact dedup (the CCNet/RefinedWeb pre-hash normalization:
     lowercase, collapse every non-alphanumeric run to a single space, trim)

@@ -502,6 +502,67 @@ def median_by_key(
     return counts.groupby(key_col).map_groups(_median, batch_format="pyarrow")
 
 
+def quantile_by_key(
+    ds,
+    q: float = 0.9,
+    key_col: str = "source",
+    val_col: str = "n_chars",
+    max_distinct_per_key: int = 5_000_000,
+):
+    """Exact per-key interpolated quantile (SQL quantile_cont semantics:
+    pos = q*(n-1), linear interpolation between the two bracketing
+    order statistics) — median_by_key generalized to any q, same scale
+    shape: the shuffle moves one row per distinct (key, value), never
+    the corpus, and the per-key group is the key's value histogram.
+
+    Output: (<key_col>, n, q<percent>)."""
+    if not 0.0 <= q <= 1.0:
+        raise ValueError(f"quantile_by_key: q must be in [0,1], got {q}")
+    out_col = f"q{int(round(q * 100))}"
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        g = (
+            pa.table({key_col: batch[key_col], "v": batch[val_col]})
+            .group_by([key_col, "v"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns([key_col, "v", "partial"])
+
+    counts = (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby([key_col, "v"])
+        .sum("partial")
+    )
+
+    def _quant(group: pa.Table) -> pa.Table:
+        if group.num_rows > max_distinct_per_key:
+            raise RuntimeError(
+                f"quantile_by_key: >{max_distinct_per_key} distinct values "
+                "for one key — bin the value column first."
+            )
+        key = group[key_col][0]
+        v = group["v"].to_numpy(zero_copy_only=False)
+        c = group["sum(partial)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(v)
+        v, c = v[order], c[order]
+        cum = np.cumsum(c)
+        n = int(cum[-1])
+        pos = q * (n - 1)  # same double math as DuckDB quantile_cont
+        lo_pos, hi_pos = int(np.floor(pos)), int(np.ceil(pos))
+        lo_val = float(v[np.searchsorted(cum, lo_pos + 1)])
+        hi_val = float(v[np.searchsorted(cum, hi_pos + 1)])
+        val = lo_val + (hi_val - lo_val) * (pos - lo_pos)
+        return pa.table(
+            {
+                key_col: pa.array([key.as_py()], group[key_col].type),
+                "n": pa.array([n], pa.int64()),
+                out_col: pa.array([round(val, 6)], pa.float64()),
+            }
+        )
+
+    return counts.groupby(key_col).map_groups(_quant, batch_format="pyarrow")
+
+
 def funnel_count(
     ds,
     steps: list[str],

@@ -55,6 +55,20 @@ class TestPmiCollocations:
         assert got[("x", "y")] == (6, exp)
         assert ("p", "q") not in got  # never adjacent
 
+    def test_join_scale_path_matches_fast_path(self, ray_session):
+        # fast_path_rows=0 forces the distributed hash-join route; it must
+        # produce exactly the driver-side fast path's answer
+        from marginalia_ray.ops.curation import pmi_collocations
+
+        rows = [{"doc_id": i, "text": "x y p f q g x y"} for i in range(6)]
+        fast = pmi_collocations(_ds(rows), min_count=5, k=50).take_all()
+        slow = pmi_collocations(
+            _ds(rows), min_count=5, k=50, fast_path_rows=0
+        ).take_all()
+        key = lambda r: (r["w1"], r["w2"])  # noqa: E731
+        assert sorted(fast, key=key) == sorted(slow, key=key)
+        assert len(fast) > 0
+
     def test_min_count_filters(self, ray_session):
         from marginalia_ray.ops.curation import pmi_collocations
 
@@ -69,6 +83,65 @@ class TestPmiCollocations:
         out = pmi_collocations(_ds(rows), min_count=5, k=50).take_all()
         keys = [(r["pmi"], r["w1"], r["w2"]) for r in out]
         assert keys == sorted(keys, key=lambda t: (-t[0], t[1], t[2]))
+
+
+class TestQuantileByKey:
+    def test_interpolated_quantile(self, ray_session):
+        from marginalia_ray.ops.relational import quantile_by_key
+
+        rows = [{"source": "a", "n_chars": v} for v in (10, 20, 30, 40)] + [
+            {"source": "b", "n_chars": 7}
+        ]
+        out = quantile_by_key(_ds(rows), q=0.5, val_col="n_chars").take_all()
+        got = {r["source"]: (r["n"], r["q50"]) for r in out}
+        # q=0.5, n=4: pos = 1.5 -> 20 + (30-20)*0.5 = 25
+        assert got == {"a": (4, 25.0), "b": (1, 7.0)}
+
+    def test_q90_matches_numpy(self, ray_session):
+        import numpy as np
+
+        from marginalia_ray.ops.relational import quantile_by_key
+
+        vals = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5]
+        rows = [{"source": "s", "n_chars": v} for v in vals]
+        out = quantile_by_key(_ds(rows), q=0.9).take_all()
+        assert out[0]["q90"] == round(float(np.quantile(vals, 0.9)), 6)
+
+    def test_bad_q_raises(self, ray_session):
+        from marginalia_ray.ops.relational import quantile_by_key
+
+        with pytest.raises(ValueError):
+            quantile_by_key(_ds([{"source": "a", "n_chars": 1}]), q=1.5)
+
+
+class TestNovelAgainstCorpus:
+    def test_only_unseen_texts_survive(self, ray_session):
+        from marginalia_ray.ops.dedup import novel_against_corpus
+
+        seen = _ds(
+            [
+                {"doc_id": 1, "text": "alpha beta"},
+                {"doc_id": 2, "text": "gamma delta"},
+            ]
+        )
+        new = _ds(
+            [
+                {"doc_id": 10, "text": "alpha beta"},  # seen — dropped
+                {"doc_id": 11, "text": "epsilon zeta"},  # novel
+                {"doc_id": 12, "text": "epsilon zeta"},  # novel dup: BOTH kept
+            ]
+        )
+        out = novel_against_corpus(new, seen).take_all()
+        assert sorted(r["doc_id"] for r in out) == [11, 12]
+
+    def test_exact_not_normalized(self, ray_session):
+        # membership is exact content: a case variant is NOT seen
+        from marginalia_ray.ops.dedup import novel_against_corpus
+
+        seen = _ds([{"doc_id": 1, "text": "alpha beta"}])
+        new = _ds([{"doc_id": 2, "text": "Alpha Beta"}])
+        out = novel_against_corpus(new, seen).take_all()
+        assert [r["doc_id"] for r in out] == [2]
 
 
 class TestRrfFusion:

@@ -966,9 +966,18 @@ def pmi_collocations(
     if counts.count() <= fast_path_rows:
         import ray.data as _rd
 
-        tbl = pa.concat_tables(
-            counts.iter_batches(batch_size=None, batch_format="pyarrow")
-        )
+        batches = list(counts.iter_batches(batch_size=None, batch_format="pyarrow"))
+        if not batches:  # zero tokens in the whole corpus
+            batches = [
+                pa.table(
+                    {
+                        "w1": pa.array([], pa.string()),
+                        "w2": pa.array([], pa.string()),
+                        "c": pa.array([], pa.int64()),
+                    }
+                )
+            ]
+        tbl = pa.concat_tables(batches)
         w1 = tbl["w1"].combine_chunks().cast(pa.string())
         w2 = tbl["w2"].combine_chunks().cast(pa.string())
         c = tbl["c"].to_numpy(zero_copy_only=False).astype(np.int64)

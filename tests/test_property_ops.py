@@ -421,3 +421,73 @@ def test_winnow_fingerprints_matches_serial(texts_list, ww):
                 sel.add(s + max(p for p in range(ww) if window[p] == mn))
         want[i] = {grams[p] for p in sel}
     assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["a", "b", "c"]), st.integers(0, 100)),
+        min_size=1,
+        max_size=40,
+    ),
+    st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+)
+@settings(max_examples=12, deadline=None)
+def test_quantile_by_key_matches_numpy(pairs, q):
+    import ray.data
+
+    from marginalia_ray.ops.relational import quantile_by_key
+
+    ds = ray.data.from_items(
+        [{"source": k, "n_chars": v} for k, v in pairs]
+    )
+    out = {r["source"]: r for r in quantile_by_key(ds, q=q).take_all()}
+    by_key = {}
+    for k, v in pairs:
+        by_key.setdefault(k, []).append(v)
+    for k, vals in by_key.items():
+        assert out[k]["n"] == len(vals)
+        want = round(float(np.quantile(np.array(vals, dtype=np.float64), q)), 6)
+        assert out[k][f"q{int(round(q * 100))}"] == pytest.approx(want, abs=1e-6)
+
+
+@given(texts, texts)
+@settings(max_examples=10, deadline=None)
+def test_novel_against_corpus_matches_set_logic(new_texts, seen_texts):
+    import ray.data
+
+    from marginalia_ray.ops.dedup import novel_against_corpus
+
+    new = ray.data.from_items(
+        [{"doc_id": i, "text": t} for i, t in enumerate(new_texts)]
+    )
+    seen = ray.data.from_items(
+        [{"doc_id": 1000 + i, "text": t} for i, t in enumerate(seen_texts)]
+    )
+    got = sorted(r["doc_id"] for r in novel_against_corpus(new, seen).take_all())
+    seen_set = set(seen_texts)
+    want = sorted(i for i, t in enumerate(new_texts) if t not in seen_set)
+    assert got == want
+
+
+@given(texts)
+@settings(max_examples=10, deadline=None)
+def test_pmi_matches_serial_counter(texts_list):
+    from collections import Counter
+
+    from marginalia_ray.ops.curation import pmi_collocations
+
+    out = pmi_collocations(_docs_ds(texts_list), min_count=1, k=10_000).take_all()
+    got = {(r["w1"], r["w2"]): (r["c_xy"], r["pmi"]) for r in out}
+    uni, big = Counter(), Counter()
+    for t in texts_list:
+        toks = t.split()
+        uni.update(toks)
+        big.update(zip(toks, toks[1:]))
+    n, m = float(sum(uni.values())), float(sum(big.values()))
+    want = {
+        (w1, w2): (c, round(math.log((c * n * n) / (m * uni[w1] * uni[w2])), 6))
+        for (w1, w2), c in big.items()
+    }
+    assert {k: v[0] for k, v in got.items()} == {k: v[0] for k, v in want.items()}
+    for key, (_, p) in want.items():
+        assert got[key][1] == pytest.approx(p, abs=1e-6)

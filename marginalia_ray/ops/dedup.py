@@ -532,7 +532,7 @@ def _sig_vec(hashes: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 def _emit_pairs_per_key(ds, key_cols: list[str], num_partitions: int | None = None,
                         max_group: int = 1000, extra_col: str | None = None,
-                        combine: bool = False):
+                        combine: bool = False, dedup: bool = False):
     """Partition by a salt of the (integer) key columns, then emit
     co-occurrence (doc_a, doc_b) pairs per key group VECTORIZED within each
     partition — avoids per-tiny-group map_groups overhead (LSH bucket
@@ -542,7 +542,17 @@ def _emit_pairs_per_key(ds, key_cols: list[str], num_partitions: int | None = No
     pairs produced by many keys in the same partition collapse into one
     row with a `partial` count (the classic combiner — pairs sharing many
     shingles otherwise multiply the shuffle volume by the overlap size).
-    Output then has a `partial` column the caller must Sum."""
+    Output then has a `partial` column the caller must Sum.
+
+    dedup=True instead emits DISTINCT pairs per partition (no counts):
+    the right choice when the caller only needs pair membership — it
+    removes the global (doc_a, doc_b) dedup shuffle; residual cross-
+    partition duplicates (the same pair found under keys hashing to
+    different partitions) are bounded by the key multiplicity (e.g. the
+    LSH band count) and callers dedup them with np.unique / semi-join
+    internals."""
+    if combine and dedup:
+        raise ValueError("_emit_pairs_per_key: combine and dedup are exclusive")
     if num_partitions is None:
         # hash-shuffle aggregators are actors: cap partitions by cluster CPUs
         num_partitions = _join_partitions()
@@ -616,6 +626,8 @@ def _emit_pairs_per_key(ds, key_cols: list[str], num_partitions: int | None = No
                 .aggregate([([], "count_all")])
                 .rename_columns(t.column_names + ["partial"])
             )
+        elif dedup:
+            t = t.group_by(t.column_names).aggregate([])
         return t
 
     return parted.groupby("_pk", num_partitions=num_partitions).map_groups(
@@ -742,13 +754,15 @@ def minhash_lsh_pairs(
         kwargs["concurrency"] = concurrency
     lsh = ds.map_batches(_lsh_batch, batch_format="pyarrow", **kwargs)
 
-    cands = (
-        _emit_pairs_per_key(lsh, ["band", "bucket"])
-        .groupby(["doc_a", "doc_b"])
-        .count()
-        .drop_columns(["count()"])
-        .materialize()  # consumed 1-3x below; never re-runs the LSH pass
-    )
+    # partition-distinct candidate pairs: no global (doc_a, doc_b) dedup
+    # shuffle — the broadcast path dedups on the driver with np.unique and
+    # semi_join_ids dedups its id set internally, so residual cross-
+    # partition duplicates (bounded by the band count) are harmless.
+    cands = _emit_pairs_per_key(
+        lsh, ["band", "bucket"], dedup=True
+    ).materialize()  # consumed 1-3x below; never re-runs the LSH pass
+    # n_pairs counts partition-distinct rows — an upper bound on distinct
+    # candidate pairs and the actual driver-collect size the cap protects
     n_pairs = cands.count()
 
     if n_pairs == 0:

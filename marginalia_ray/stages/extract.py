@@ -638,7 +638,16 @@ def extract_document(
         open_graph_description,
     )
 
-    description = open_graph_description(root, ()) or meta_description(root, ())
+    # round-4 parity: the reference always routes the description through
+    # the active specialization (HtmlDocumentProcessorPlugin.java:158);
+    # the default chain order is domFilter, tagDensity, og, meta, fallback
+    # (SummaryExtractor.java:31-36).  The DOM-statistics heuristics run on
+    # the pre-prune tree (the reference's doc.clone()) and never mutate;
+    # the mutating fallback stays the post-prune body text below.
+    from marginalia_ray.stages.summary_dom import (
+        dom_filter_summary,
+        tag_density_summary,
+    )
 
     # M17: generator dispatch -> per-CMS specialization.  The specialized
     # summary runs pre-prune (the reference passes the original doc); the
@@ -649,7 +658,14 @@ def extract_document(
     gen_type, gen_keywords = extract_generator(root, html)
     spec = select(gen_keywords)
     is_default_spec = type(spec) is DefaultSpecialization
-    if not is_default_spec and not description.strip():
+    if is_default_spec:
+        description = (
+            dom_filter_summary(root)
+            or tag_density_summary(root)
+            or open_graph_description(root, ())
+            or meta_description(root, ())
+        )
+    else:
         description = spec.get_summary(root, set())
 
     should_index = True

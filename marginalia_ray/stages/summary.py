@@ -5,9 +5,11 @@ Ports of /root/reference/code/features-convert/summary-extraction/src/main/java/
     truncated-character cleanup, abbreviation): SummaryExtractor.java:38-54
   - MetaDescriptionHeuristic / OpenGraphDescriptionHeuristic (meta tags)
   - FallbackHeuristic (a-tag-density subtree removal): FallbackHeuristic.java
-The DomFilter/TagDensity heuristics (importantWords-weighted density scans)
-are represented by the a-tag-density filter; the chain is a plain list of
-callables — the reference's user-extension surface (SURVEY.md §2.11)."""
+  - DomFilterHeuristic / TagDensityHeuristic (full ports, round 4):
+    stages/summary_dom.py — SummarizingDOMFilter statistics walk with the
+    importantWords relevance re-rank, and the block density scan.
+The chain is a plain list of callables — the reference's user-extension
+surface (SURVEY.md §2.11)."""
 
 from __future__ import annotations
 
@@ -96,7 +98,22 @@ def fallback_summary(root: Node, important_words: Collection[str]) -> str:
     return body.get_text()
 
 
+def dom_filter_heuristic(root: Node, important_words: Collection[str]) -> str:
+    from marginalia_ray.stages.summary_dom import dom_filter_summary
+
+    return dom_filter_summary(root, important_words, MAX_SUMMARY_LENGTH)
+
+
+def tag_density_heuristic(root: Node, important_words: Collection[str]) -> str:
+    from marginalia_ray.stages.summary_dom import tag_density_summary
+
+    return tag_density_summary(root, important_words, MAX_SUMMARY_LENGTH)
+
+
+# the reference chain order: SummaryExtractor.java:31-36
 DEFAULT_HEURISTICS: list[Callable[[Node, Collection[str]], str]] = [
+    dom_filter_heuristic,
+    tag_density_heuristic,
     open_graph_description,
     meta_description,
     fallback_summary,

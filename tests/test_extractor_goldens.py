@@ -109,3 +109,30 @@ class TestUrlKeywords:
         for w in ["creepy", "website", "similarity", "69", "log"]:
             assert stem(w) in url
         assert stem("memex") not in url
+
+
+class TestHtmlTagCleaner:
+    """SentenceExtractorHtmlTagCleanerTest.java:19-27 mirrored: brief
+    <code> tags inline with junk trimmed; the junk regex is the
+    reference's codeTagJunkPattern verbatim (extract.py _CODE_JUNK)."""
+
+    def _clean(self, html: str) -> str:
+        import re
+
+        from marginalia_ray.stages.extract import clean_tags
+
+        root = parse_html(f"<html><body>{html}</body></html>")
+        clean_tags(root)
+        return re.sub(r"\s+", " ", root.get_text()).strip()
+
+    def test_brief_code_tag(self):
+        assert self._clean("<code>hello</code>") == "hello"
+        assert self._clean("<code>System.out.println</code>") == "System out println"
+        assert self._clean("<code>hello()</code>") == "hello"
+        assert self._clean("<code>&lt;hello&gt;</code>") == "hello"
+        assert self._clean("<code>hello(p,q)</code>") == "hello"
+        assert self._clean("<code>hello(p,q);</code>") == "hello"
+
+    def test_long_code_tag_removed(self):
+        body = "x" * 40
+        assert self._clean(f"keep <code>{body}</code> this") == "keep this"

@@ -252,3 +252,49 @@ class TestBlockMaxSkip:
         r1 = [(r.url_id, round(r.score, 9)) for r in s1.search(spec)]
         r2 = [(r.url_id, round(r.score, 9)) for r in s2.search(spec)]
         assert r1 == r2
+
+
+class TestTermCoherenceGolden:
+    """Mirror of the reference's TermCoherenceFactorTest.java:17-42: the
+    coherence factor over a (n_terms, n_docs) word-meta matrix must be
+    exactly 1.0 when both terms set every one of the 56 position bits,
+    and exactly 0.0 when neither sets any."""
+
+    def _metas(self, pos_a: int, pos_b: int) -> np.ndarray:
+        from marginalia_ray.model.codecs import encode_word_meta
+
+        return np.array(
+            [
+                [encode_word_meta(positions=pos_a, flags=0)],
+                [encode_word_meta(positions=pos_b, flags=0)],
+            ],
+            dtype=np.uint64,
+        )
+
+    def test_all_bits_set_is_one(self):
+        from marginalia_ray.query.ranking import term_coherence
+
+        full = (1 << 56) - 1
+        assert term_coherence(self._metas(full, full))[0] == pytest.approx(1.0)
+
+    def test_no_bits_set_is_zero(self):
+        from marginalia_ray.query.ranking import term_coherence
+
+        assert term_coherence(self._metas(0, 0))[0] == pytest.approx(0.0)
+
+    def test_disjoint_masks_cancel(self):
+        # AND semantics: terms that never share a position give zero
+        from marginalia_ray.query.ranking import term_coherence
+
+        assert term_coherence(self._metas(0b1111, 0b1111 << 4))[0] == pytest.approx(0.0)
+
+    def test_bits_set_scaling_monotone(self):
+        # TermCoherenceFactorTest.testBitMatchScaling: (k/56)^0.25 rises
+        from marginalia_ray.query.ranking import term_coherence
+
+        vals = [
+            term_coherence(self._metas((1 << k) - 1, (1 << k) - 1))[0]
+            for k in range(1, 48)
+        ]
+        assert all(b > a for a, b in zip(vals, vals[1:]))
+        assert vals[0] == pytest.approx((1 / 56.0) ** 0.25)

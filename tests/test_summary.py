@@ -4,9 +4,22 @@ from marginalia_ray.stages.summary import extract_summary
 
 
 def test_meta_description_wins():
+    # body text too short for the density heuristics (TagDensityHeuristic
+    # requires > 32 chars of qualifying block text), so the chain falls
+    # through to the meta tag — the reference's order: domFilter,
+    # tagDensity, og, meta, fallback (SummaryExtractor.java:31-36)
     html = """<html><head><meta name="description" content="A fine page about things."></head>
-    <body><p>Body text that is long and boring.</p></body></html>"""
+    <body><p>Short body text here.</p></body></html>"""
     assert extract_summary(html) == "A fine page about things."
+
+
+def test_tag_density_beats_meta_for_article_text():
+    # the reference prefers real article text over the meta tag when a
+    # low-link high-density block exists (TagDensityHeuristic.java:19-45)
+    html = """<html><head><meta name="description" content="A meta description."></head>
+    <body><p>Body text that is long and boring but clearly article prose.</p></body></html>"""
+    s = extract_summary(html)
+    assert "Body text that is long" in s
 
 
 def test_open_graph_preferred_over_meta():

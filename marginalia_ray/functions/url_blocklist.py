@@ -1,0 +1,101 @@
+"""URL blocklist + link admission (the converter's LinkProcessor chain).
+
+Ports:
+  - UrlBlocklist (bad-domain set, github depth rule, link-farm path
+    patterns, git-hash run detection, mailing-list paths):
+    features-crawl/crawl-blocklist/src/main/java/nu/marginalia/
+    ip_blocklist/UrlBlocklist.java:11-104
+  - LinkProcessor admission (proto check, mailing-list/blocklist veto,
+    dedup, per-class caps 250 internal / 100 external):
+    processes/converting-process/src/main/java/nu/marginalia/converting/
+    processor/logic/links/LinkProcessor.java:13-99
+
+The GuardedRegexFactory.contains pairs are kept as (substring guard,
+compiled regex): the guard short-circuits the regex on the overwhelming
+majority of paths, same as the reference."""
+
+from __future__ import annotations
+
+import re
+
+from marginalia_ray.functions.urls import ParsedUrl, parse_url
+
+BAD_DOMAINS = frozenset(
+    ("t.co", "facebook.com", "instagram.com", "youtube.com", "youtu.be", "amzn.to")
+)
+
+_FARM = r"(-([A-Za-z]+|[0-9]+))"
+_GUARDED_PATTERNS: list[tuple[str, re.Pattern]] = [
+    ("/download", re.compile(rf"/download{_FARM}{{4,}}\.(htm|html|php)$")),
+    ("/permalink", re.compile(rf"/permalink/[a-z]+{_FARM}{{3,}}\.(htm|html|php)$")),
+    ("webrx", re.compile(rf"webrx3.*/[A-Za-z]+{_FARM}{{3,}}((-[0-9]+)?/|\.(php|htm|html))$")),
+    ("lib", re.compile(rf"lib.*/[A-Za-z]+{_FARM}{{3,}}((-[0-9]+)?/|\.(php|htm|html))$")),
+    ("pdf", re.compile(rf"pdf.*/[A-Za-z]+{_FARM}{{3,}}((-[0-9]+)?/|\.(php|htm|html))$")),
+    ("book", re.compile(rf"book.*/[A-Za-z]+{_FARM}{{3,}}((-[0-9]+)?/|\.(php|htm|html))$")),
+    ("/720p", re.compile(rf"720p.*/[A-Za-z]+{_FARM}{{3,}}((-[0-9]+)?/|\.(php|htm|html))$")),
+    ("/node", re.compile(r"/node/.*/[a-z]+(-[a-z0-9]+)+.htm$")),
+]
+
+# hashTest: a run of >= 32 hex chars in a path longer than minLength+2
+_HEX_RUN = re.compile(r"[0-9a-f]{32}")
+
+
+def hash_test(path: str) -> bool:
+    """UrlBlocklist.hashTest — long hexadecimal runs (git hashes etc.)."""
+    return len(path) > 34 and _HEX_RUN.search(path) is not None
+
+
+def is_url_blocked(url: str | ParsedUrl) -> bool:
+    """UrlBlocklist.isUrlBlocked."""
+    u = parse_url(url) if isinstance(url, str) else url
+    if u.top_domain in BAD_DOMAINS:
+        return True
+    if u.top_domain == "github.com":
+        return u.path.count("/") > 2
+    path = u.path
+    if ".git/" in path or "wp-content/upload" in path or "-download-free" in path:
+        return True
+    if hash_test(path):
+        return True
+    for guard, patt in _GUARDED_PATTERNS:
+        if guard in path and patt.search(path):
+            return True
+    return False
+
+
+def is_mailing_list_link(url: str | ParsedUrl) -> bool:
+    """UrlBlocklist.isMailingListLink."""
+    path = (parse_url(url) if isinstance(url, str) else url).path
+    return path.startswith("/lists/") or "mailinglist" in path
+
+
+MAX_INTERNAL_LINK = 250
+MAX_EXTERNAL_LINK = 100
+
+
+def admit_links(
+    urls: list[str],
+    base_host: str,
+    max_internal: int = MAX_INTERNAL_LINK,
+    max_external: int = MAX_EXTERNAL_LINK,
+) -> list[str]:
+    """LinkProcessor.accept over an already-deduplicated, document-order
+    url list: veto mailing-list and blocklisted urls, cap internal
+    (same-host, EdgeDomain equality == full host equality) and external
+    links separately.  Returns the surviving urls in document order."""
+    out: list[str] = []
+    n_int = n_ext = 0
+    for url in urls:
+        u = parse_url(url)
+        if u.proto not in ("http", "https"):
+            continue
+        if is_mailing_list_link(u) or is_url_blocked(u):
+            continue
+        if u.fqdn == base_host:
+            if n_int < max_internal:
+                out.append(url)
+                n_int += 1
+        elif n_ext < max_external:
+            out.append(url)
+            n_ext += 1
+    return out

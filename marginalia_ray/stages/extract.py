@@ -605,7 +605,12 @@ def extract_links(root: Node, base_url: str) -> list[str]:
         accept(a.attrs.get("href"))
     for fr in root.find_all("frame", "iframe"):
         accept(fr.attrs.get("src"))
-    return out
+
+    # round-4 parity: the LinkProcessor admission chain (blocklist,
+    # mailing-list veto, per-class caps) runs over the collected list
+    from marginalia_ray.functions.url_blocklist import admit_links
+
+    return admit_links(out, bs.netloc.lower().split(":")[0] if bs.netloc else "")
 
 
 def extract_document(

@@ -136,3 +136,74 @@ class TestHtmlTagCleaner:
     def test_long_code_tag_removed(self):
         body = "x" * 40
         assert self._clean(f"keep <code>{body}</code> this") == "keep this"
+
+
+class TestUrlBlocklist:
+    """UrlBlocklist.java semantics (the converter's LinkProcessor veto)."""
+
+    def test_bad_domains(self):
+        from marginalia_ray.functions.url_blocklist import is_url_blocked
+
+        assert is_url_blocked("https://www.facebook.com/somepage")
+        assert is_url_blocked("https://t.co/abc")
+        assert is_url_blocked("https://youtu.be/xyz")
+        assert not is_url_blocked("https://example.com/page")
+
+    def test_github_depth(self):
+        from marginalia_ray.functions.url_blocklist import is_url_blocked
+
+        assert not is_url_blocked("https://github.com/marginalia")
+        assert not is_url_blocked("https://github.com/marginalia/search")
+        assert is_url_blocked("https://github.com/marginalia/search/blob/main/x.java")
+
+    def test_path_patterns(self):
+        from marginalia_ray.functions.url_blocklist import is_url_blocked
+
+        assert is_url_blocked("https://x.com/repo/.git/config")
+        assert is_url_blocked("https://x.com/wp-content/upload/x.png")
+        assert is_url_blocked("https://x.com/thing-download-free")
+        assert is_url_blocked(
+            "https://x.com/download-alpha-beta-gamma-delta.html"
+        )
+        assert not is_url_blocked("https://x.com/download-alpha.html")
+
+    def test_hash_runs(self):
+        from marginalia_ray.functions.url_blocklist import hash_test, is_url_blocked
+
+        assert hash_test("/commit/" + "0123456789abcdef" * 2 + "/file")
+        assert not hash_test("/short/0123abc")
+        assert is_url_blocked("https://x.com/commit/" + "a" * 40)
+
+    def test_mailing_list(self):
+        from marginalia_ray.functions.url_blocklist import is_mailing_list_link
+
+        assert is_mailing_list_link("https://x.com/lists/announce/2024")
+        assert is_mailing_list_link("https://x.com/the-mailinglist-archive")
+        assert not is_mailing_list_link("https://x.com/blog/post")
+
+    def test_admit_links_caps_and_order(self):
+        from marginalia_ray.functions.url_blocklist import admit_links
+
+        internal = [f"https://base.com/p{i}" for i in range(300)]
+        external = [f"https://other{i}.com/x" for i in range(150)]
+        mixed = internal + ["https://www.facebook.com/x"] + external
+        kept = admit_links(mixed, "base.com")
+        assert len([u for u in kept if u.startswith("https://base.com")]) == 250
+        assert len([u for u in kept if not u.startswith("https://base.com")]) == 100
+        assert "https://www.facebook.com/x" not in kept
+        # document order preserved
+        assert kept[0] == "https://base.com/p0"
+
+
+class TestLinkExtractionAdmission:
+    def test_blocked_links_never_reach_the_link_list(self):
+        from marginalia_ray.stages.extract import extract_links, parse_html
+
+        html = """<html><body>
+        <a href="https://example.com/fine">ok</a>
+        <a href="https://www.facebook.com/nope">blocked domain</a>
+        <a href="/repo/.git/config">blocked path</a>
+        <a href="/lists/announce">mailing list</a>
+        </body></html>"""
+        links = extract_links(parse_html(html), "https://base.com/")
+        assert links == ["https://example.com/fine"]

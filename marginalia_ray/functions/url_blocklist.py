@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import re
 
-from marginalia_ray.functions.urls import ParsedUrl, parse_url
+from marginalia_ray.functions.urls import _TWO_LEVEL_TLDS, ParsedUrl, parse_url
 
 BAD_DOMAINS = frozenset(
     ("t.co", "facebook.com", "instagram.com", "youtube.com", "youtu.be", "amzn.to")
@@ -73,6 +73,57 @@ MAX_INTERNAL_LINK = 250
 MAX_EXTERNAL_LINK = 100
 
 
+def _host_path_of(url: str) -> tuple[str, str] | None:
+    """(host, path) of a normalized absolute http(s) url with cheap string
+    ops — extract_links emits exactly that shape, so the full urlsplit is
+    reserved for anything unusual."""
+    if url.startswith("https://"):
+        rest = url[8:]
+    elif url.startswith("http://"):
+        rest = url[7:]
+    else:
+        u = parse_url(url)
+        if u.proto not in ("http", "https"):
+            return None
+        return u.fqdn, u.path
+    slash = rest.find("/")
+    if slash < 0:
+        host, path = rest, "/"
+    else:
+        host, path = rest[:slash], rest[slash:]
+    q = path.find("?")
+    if q >= 0:
+        path = path[:q]
+    host = host.lower()
+    at = host.rfind("@")
+    if at >= 0:
+        host = host[at + 1 :]
+    colon = host.rfind(":")
+    if colon >= 0 and host[colon + 1 :].isdigit():
+        host = host[:colon]
+    return host, path
+
+
+def _top_domain_of(host: str) -> str:
+    labels = host.split(".")
+    if len(labels) >= 3 and ".".join(labels[-2:]) in _TWO_LEVEL_TLDS:
+        return ".".join(labels[-3:])
+    if len(labels) >= 2:
+        return ".".join(labels[-2:])
+    return host
+
+
+def _path_blocked(path: str) -> bool:
+    if ".git/" in path or "wp-content/upload" in path or "-download-free" in path:
+        return True
+    if len(path) > 34 and _HEX_RUN.search(path):
+        return True
+    for guard, patt in _GUARDED_PATTERNS:
+        if guard in path and patt.search(path):
+            return True
+    return False
+
+
 def admit_links(
     urls: list[str],
     base_host: str,
@@ -86,12 +137,20 @@ def admit_links(
     out: list[str] = []
     n_int = n_ext = 0
     for url in urls:
-        u = parse_url(url)
-        if u.proto not in ("http", "https"):
+        hp = _host_path_of(url)
+        if hp is None:
             continue
-        if is_mailing_list_link(u) or is_url_blocked(u):
+        host, path = hp
+        if path.startswith("/lists/") or "mailinglist" in path:
             continue
-        if u.fqdn == base_host:
+        top = _top_domain_of(host)
+        if top in BAD_DOMAINS:
+            continue
+        if top == "github.com" and path.count("/") > 2:
+            continue
+        if _path_blocked(path):
+            continue
+        if host == base_host:
             if n_int < max_internal:
                 out.append(url)
                 n_int += 1

@@ -565,12 +565,38 @@ class ExtractedDocument:
 _SKIP_SCHEMES = ("javascript:", "mailto:", "tel:", "data:", "#")
 
 
+def _remove_dot_segments(url: str) -> str:
+    """RFC 3986 remove_dot_segments over an absolute http(s) url's path."""
+    scheme_end = url.find("://") + 3
+    slash = url.find("/", scheme_end)
+    if slash < 0:
+        return url
+    host, path = url[:slash], url[slash:]
+    segs: list[str] = []
+    for s in path.split("/")[1:]:
+        if s == ".":
+            continue
+        if s == "..":
+            if segs:
+                segs.pop()
+            continue
+        segs.append(s)
+    return host + "/" + "/".join(segs)
+
+
 def extract_links(root: Node, base_url: str) -> list[str]:
     """getLinks (HtmlDocumentProcessorPlugin.java:227-262, simplified
     permissive parse): absolute urls from <a href>, <frame src>,
     <iframe src>, resolved against the base url; fragments/js/mailto
-    skipped; order preserved, deduplicated."""
+    skipped; order preserved, deduplicated.  A <base href> overrides the
+    document url for relative resolution (LinkParser.getBaseLink)."""
     from urllib.parse import urljoin, urlsplit
+
+    base = root.first("base")
+    if base is not None:
+        href = (base.attrs.get("href") or "").strip()
+        if href:
+            base_url = urljoin(base_url, href)
 
     out: list[str] = []
     seen: set[str] = set()
@@ -597,6 +623,13 @@ def extract_links(root: Node, base_url: str) -> list[str]:
             if parts.scheme not in ("http", "https"):
                 return
             url = parts._replace(fragment="").geturl()
+        # LinkParser renormalization: dot segments resolved, empty path
+        # becomes "/" (EdgeUrl semantics — LinkParserTest.java:29-56)
+        if "/../" in url or "/./" in url or url.endswith(("/..", "/.")):
+            url = _remove_dot_segments(url)
+        scheme_end = url.find("://") + 3
+        if scheme_end >= 3 and url.find("/", scheme_end) < 0:
+            url += "/"
         if url not in seen:
             seen.add(url)
             out.append(url)

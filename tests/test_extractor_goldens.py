@@ -207,3 +207,38 @@ class TestLinkExtractionAdmission:
         </body></html>"""
         links = extract_links(parse_html(html), "https://base.com/")
         assert links == ["https://example.com/fine"]
+
+
+class TestLinkResolution:
+    """LinkParserTest.java:29-56 mirrored through extract_links."""
+
+    def _one(self, href: str, rel_base: str) -> str | None:
+        from marginalia_ray.stages.extract import extract_links, parse_html
+
+        root = parse_html(f"<html><body><a href='{href}'>test</a></body></html>")
+        links = extract_links(root, "http://www.marginalia.nu" + rel_base)
+        return links[0] if links else None
+
+    def test_renormalization(self):
+        assert self._one("http://www.marginalia.nu/../test", "/") == (
+            "http://www.marginalia.nu/test"
+        )
+
+    def test_anchor_skipped(self):
+        assert self._one("#test", "/") is None
+
+    def test_relative(self):
+        assert self._one("//search.marginalia.nu", "/") == "http://search.marginalia.nu/"
+        assert self._one("../test", "/") == "http://www.marginalia.nu/test"
+        assert self._one("test", "/") == "http://www.marginalia.nu/test"
+        assert self._one("test", "/foo/index.html") == "http://www.marginalia.nu/foo/test"
+        assert self._one("../test", "/foo/index.html") == "http://www.marginalia.nu/test"
+        assert self._one("/test", "/foo/index.html") == "http://www.marginalia.nu/test"
+
+    def test_base_href_overrides(self):
+        from marginalia_ray.stages.extract import extract_links, parse_html
+
+        html = """<html><head><base href="/base/"></head>
+        <body><a href="page.html">x</a></body></html>"""
+        links = extract_links(parse_html(html), "https://www.marginalia.nu/test/foo.bar")
+        assert links == ["https://www.marginalia.nu/base/page.html"]

@@ -169,10 +169,21 @@ class TokenizerStage:
                 "wiki": DocumentFlags.GeneratorWiki.bit,
             }.get(doc.generator_type, 0)
         else:
-            title = (text or "").split(".")[0][:128]
+            # M23 / PlainTextDocumentProcessorPlugin.java:60-120: title via
+            # PlainTextLogic over the first 40 lines, quality pinned to -1,
+            # pubdate pinned to 1993-01-01 (the plugin's fixed PubDate)
+            from marginalia_ray.stages.langfilter import is_blocked_unicode
+            from marginalia_ray.stages.plaintext import first_n_lines, get_title
+
+            if text and is_blocked_unicode(text):
+                return disqualified("LANGUAGE")
+            first_lines = first_n_lines(text or "", 40)
+            title = get_title(pu.path, first_lines)[:128]
             features = set()
             fmt = "PLAIN"
             doc_flags |= DocumentFlags.PlainText.bit
+            q = -1.0
+            year = 1993
 
         if not text:
             return disqualified("EMPTY")

@@ -1,0 +1,174 @@
+"""PlainTextLogic port (M23) pinned on the reference's own test fixtures.
+
+Mirrors ``converting-process/src/test/java/nu/marginalia/converting/logic/
+PlainTextLogicTest.java`` (which only prints — the expected strings below
+are the traced outputs of the ported semantics on the same inputs, kept as
+goldens) plus unit coverage of the underline/sideline quirks the port
+preserves from ``PlainTextLogic.java:79-110``.
+"""
+
+from marginalia_ray.stages.plaintext import (
+    first_n_lines,
+    get_description,
+    get_title,
+    is_sideline,
+    is_underline,
+)
+
+UML = """\
+User Mode Linux HOWTO
+User Mode Linux Core Team
+Fri Mar  7 11:53:53 EST 2008
+
+This document describes the use and abuse of Jeff Dike's User Mode
+Linux: a port of the Linux kernel as a normal Intel Linux process.
+______________________________________________________________________
+
+Table of Contents
+
+
+
+1. Introduction
+   1.1 What is User Mode Linux?
+   1.2 How is User Mode Linux Different?
+   1.3 How does UML Work?
+   1.4 Why Would I Want UML?
+"""
+
+CMUCL = """\
+========================== C M U C L  20 a =============================
+
+The CMUCL project is pleased to announce the release of CMUCL 20a.
+This is a major release which contains numerous enhancements and
+bug fixes from the 19f release.
+
+CMUCL is a free, high performance implementation of the Common Lisp
+programming language which runs on most major Unix platforms. It
+mainly conforms to the ANSI Common Lisp standard.
+"""
+
+XPRINT = """\
+Archive-name: Xprint/FAQ_OLD
+Version: 0.8
+Last-Modified: 2003/08/04 15:20:19
+Maintained-by: Roland Mainz <Roland.Mainz@informatik.med.uni-giessen.de>
+
+NOTE: This version of the FAQ has been discontinued and was replaced by the
+DocBook-based version available under xc/doc/hardcopy/XPRINT/Xprint_FAQ.xml
+
+The following is a list of questions that are frequently asked about
+Xprint.
+"""
+
+PXE = """\
+
+PXE: Installing Slackware over the network
+==========================================
+
+
+Introduction
+------------
+
+    When the time comes to install Slackware on your computer, you have a
+limited number of options regarding the location of your Slackware
+packages.
+"""
+
+SLACKWARE = """\
+Announcing Slackware Linux 7.1!
+
+The first major release for 2000, Slackware Linux 7.1 builds on the
+success of Slackware 7.0.  In addition to program updates and distribution
+enhancements, you'll find the Konfucius (1.90) and the Kleopatra (1.91)
+developmental releases of the K Desktop Environment, XFree86 4.0,
+OpenMotif 2.1.30, and TrollTech's Qt 2.1.1 library available as system
+"""
+
+GARFINKEL = """\
+The Net Effect: The DVD Rebellion
+By Simson Garfinkel
+MIT Technology Review
+July/August 2001
+
+Buy a copy of The Matrix on DVD and take it home.  Play it on a Mac or
+on a Windows PC and you're in for a pretty good time.
+"""
+
+
+class TestLineSplit:
+    def test_lf_cr_crlf_lfcr(self):
+        assert first_n_lines("a\nb\nc", 10) == ["a", "b"]
+        assert first_n_lines("a\r\nb\r\nc", 10) == ["a", "b"]
+        assert first_n_lines("a\n\rb\n\rc", 10) == ["a", "b"]
+        assert first_n_lines("a\rb\rc", 10) == ["a", "b"]
+
+    def test_preserves_empties_and_caps(self):
+        assert first_n_lines("a\n\n\nb\nc\n", 3) == ["a", "", ""]
+
+
+class TestRuleDetectors:
+    def test_underline(self):
+        assert is_underline("__________")
+        assert is_underline("  ========== ")  # trailing ws exempt (quirk)
+        assert is_underline("=========X")  # final char exempt (quirk)
+        assert not is_underline("====")  # too short
+        assert not is_underline("---------")  # '-' not a rule char
+        assert not is_underline("== == == ==")
+
+    def test_sideline(self):
+        assert is_sideline("==== HEADER ====")
+        assert is_sideline("** Announcement **")
+        assert not is_sideline("==== H ====")  # inner too short
+        assert not is_sideline("==========")  # no inner at all
+        assert not is_sideline("==== HEADER ----")  # ends differently
+
+
+class TestTitleGoldens:
+    """getTitle over the reference test's own documents."""
+
+    def test_underline_title_uml(self):
+        # the ':'-header removal drops the date line; the '_' underline
+        # then selects the line above it — the reference's (quirky) pick
+        assert (
+            get_title("/old/UserModeLinux-HOWTO.txt", first_n_lines(UML, 25))
+            == "Linux: a port of the Linux kernel as a normal Intel Linux process."
+        )
+
+    def test_sideline_title_cmucl(self):
+        assert (
+            get_title("/cmucl/news/release-20a.txt", first_n_lines(CMUCL, 25))
+            == "C M U C L 20 a"
+        )
+
+    def test_lede_title_slackware(self):
+        assert (
+            get_title("/slackware-7.1/ANNOUNCE.TXT", first_n_lines(SLACKWARE, 25))
+            == "Announcing Slackware Linux 7.1!"
+        )
+
+    def test_underline_title_pxe(self):
+        assert (
+            get_title("/usb-and-pxe-installers/README_PXE.TXT", first_n_lines(PXE, 25))
+            == "PXE: Installing Slackware over the network"
+        )
+
+    def test_filename_fallback_xprint(self):
+        # every early line is a short "Key: value" header -> filename
+        assert (
+            get_title("/docs/XPRINT/Xprint_old_FAQ.txt", first_n_lines(XPRINT, 25))
+            == "Xprint_old_FAQ.txt"
+        )
+
+    def test_filename_fallback_trailing_slash(self):
+        assert get_title("/pub/dir/", ["short", "lines"]) == "/pub/dir/"
+
+
+class TestDescription:
+    def test_prose_lines_joined_and_capped(self):
+        d = get_description(first_n_lines(GARFINKEL, 25))
+        assert d.startswith("The Net Effect: The DVD Rebellion By Simson Garfinkel")
+        assert "July/August 2001" not in d  # fails the 3/4-alphabetic test
+        assert len(d) <= 255
+
+    def test_short_lines_dropped(self):
+        assert get_description(["hi", "also short", ""]) == ""

@@ -75,8 +75,8 @@ class TokenizerStage:
         out = {
             "doc_id": [], "doc_meta": [], "term_hashes": [], "kw_metas": [],
             "url": [], "state": [], "lsh": [], "length": [], "title": [],
-            "quality": [], "links": [], "flag_words": [], "top_words": [],
-            "canonical": [], "body_hash": [],
+            "description": [], "quality": [], "links": [], "flag_words": [],
+            "top_words": [], "canonical": [], "body_hash": [],
         }
 
         for i, url in enumerate(urls):
@@ -101,6 +101,7 @@ class TokenizerStage:
                 "lsh": pa.array(out["lsh"], pa.uint64()),
                 "length": pa.array(out["length"], pa.int64()),
                 "title": pa.array(out["title"], pa.string()),
+                "description": pa.array(out["description"], pa.string()),
                 "quality": pa.array(out["quality"], pa.float64()),
                 "links": pa.array(out["links"], pa.list_(pa.string())),
                 "flag_words": pa.array(out["flag_words"], pa.list_(pa.string())),
@@ -119,8 +120,9 @@ class TokenizerStage:
         def disqualified(state: str) -> dict:
             return dict(
                 doc_id=doc_id, doc_meta=0, term_hashes=[], kw_metas=[], url=url,
-                state=state, lsh=0, length=0, title="", quality=0.0, links=[],
-                flag_words=[], top_words=[], canonical="", body_hash=0,
+                state=state, lsh=0, length=0, title="", description="",
+                quality=0.0, links=[], flag_words=[], top_words=[],
+                canonical="", body_hash=0,
             )
 
         # M9 / LanguageFilter: a provided lang column is trusted (the crawl
@@ -153,6 +155,7 @@ class TokenizerStage:
                 return disqualified("IRRELEVANT")
             text = doc.text
             title = doc.title
+            description = doc.description[:255]
             q = doc.quality
             features = doc.features
             fmt = doc.standard
@@ -173,12 +176,17 @@ class TokenizerStage:
             # PlainTextLogic over the first 40 lines, quality pinned to -1,
             # pubdate pinned to 1993-01-01 (the plugin's fixed PubDate)
             from marginalia_ray.stages.langfilter import is_blocked_unicode
-            from marginalia_ray.stages.plaintext import first_n_lines, get_title
+            from marginalia_ray.stages.plaintext import (
+                first_n_lines,
+                get_description,
+                get_title,
+            )
 
             if text and is_blocked_unicode(text):
                 return disqualified("LANGUAGE")
             first_lines = first_n_lines(text or "", 40)
             title = get_title(pu.path, first_lines)[:128]
+            description = get_description(first_lines)
             features = set()
             fmt = "PLAIN"
             doc_flags |= DocumentFlags.PlainText.bit
@@ -267,6 +275,7 @@ class TokenizerStage:
             lsh=lsh,
             length=dld.total_num_words,
             title=title,
+            description=description,
             quality=q,
             links=links,
             flag_words=flag_words,

@@ -172,3 +172,43 @@ class TestDescription:
 
     def test_short_lines_dropped(self):
         assert get_description(["hi", "also short", ""]) == ""
+
+
+class TestConverterDescription:
+    """description flows into the converter journal for both branches."""
+
+    def test_text_and_html_descriptions(self, ray_session):
+        import pyarrow as pa
+
+        from marginalia_ray.stages.tokenizer import TokenizerStage
+
+        text_body = (
+            "Announcing Slackware Linux 7.1!\n\n"
+            + "The first major release for 2000 builds on the success of "
+            "prior versions with many updates. " * 20
+        )
+        html_body = (
+            "<html><head><title>T</title>"
+            '<meta name="description" content="A hand-written description.">'
+            "</head><body><p>"
+            + "Plain prose content for the body of this page. " * 60
+            + "</p></body></html>"
+        )
+        batch = pa.table(
+            {
+                "url": [
+                    "https://a.example/ANNOUNCE.TXT",
+                    "https://b.example/page.html",
+                ],
+                "text": [text_body, None],
+                "html": [None, html_body],
+                "lang": ["en", "en"],
+            }
+        )
+        out = TokenizerStage()(batch)
+        descs = dict(zip(out["url"].to_pylist(), out["description"].to_pylist()))
+        assert descs["https://a.example/ANNOUNCE.TXT"].startswith(
+            "Announcing Slackware Linux 7.1!"
+        )
+        assert len(descs["https://a.example/ANNOUNCE.TXT"]) <= 255
+        assert descs["https://b.example/page.html"]  # non-empty summary

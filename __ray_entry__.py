@@ -599,6 +599,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs(sf_dir), threshold=JACCARD_THRESHOLD, method="minhash"
         )
 
+    def q_domain_adjacencies(sf_dir: str):
+        # website-adjacencies calculator (similar-domains weighted cosine
+        # over inlink sets); edge fixture: supplier -> part restricted to
+        # part % 10 == 0 so the co-occurrence graph stays sparse at sf0.1
+        import pyarrow.compute as pc
+        import ray.data
+
+        from marginalia_ray.ops.graph import domain_adjacencies
+
+        def _mod10(b):
+            pk = b["l_partkey"]
+            return b.filter(
+                pc.equal(pc.subtract(pk, pc.multiply(pc.divide(pk, 10), 10)), 0)
+            )
+
+        edges = ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet", columns=["l_suppkey", "l_partkey"]
+        ).map_batches(_mod10, batch_format="pyarrow")
+        return domain_adjacencies(
+            edges, source_col="l_suppkey", dest_col="l_partkey"
+        )
+
     def q_semantic_dedup(sf_dir: str):
         # seeded centroids (the knn_cosine_ivf convention) so the op is a
         # pure function of the data and the DuckDB oracle can mirror it
@@ -722,6 +744,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "marginalia_search": q_index_search,
         "fuzzy_dedup_components": q_fuzzy_components,
+        "domain_adjacencies": q_domain_adjacencies,
         "near_dedup_apply": q_near_dedup_apply,
         "similarity_join": q_similarity_join,
         "semantic_dedup": q_semantic_dedup,
@@ -2062,6 +2085,48 @@ def oracle_sql() -> dict[str, str]:
        UNION ALL SELECT doc_id, 1.0/(60+rn) FROM rb),
  f AS (SELECT doc_id, round(sum(w), 6) AS rrf_score FROM u GROUP BY doc_id)
  SELECT doc_id, rrf_score FROM f ORDER BY rrf_score DESC, doc_id LIMIT 10""",
+        "domain_adjacencies": """
+ WITH edges AS (
+   SELECT DISTINCT l_suppkey AS s, l_partkey AS d FROM lineitem WHERE l_partkey % 10 = 0
+   UNION
+   SELECT DISTINCT l_partkey, l_partkey FROM lineitem WHERE l_partkey % 10 = 0
+ ),
+ dto AS (SELECT d, count(*) AS card FROM edges GROUP BY d),
+ elig AS (SELECT d, card, 1.0/ln(2+card) AS w FROM dto WHERE card < 10000),
+ sw AS (SELECT e.s, e.d FROM edges e JOIN elig el ON el.d = e.d),
+ pairs AS (
+   SELECT a.d AS da, b.d AS db, count(*) AS cnt,
+          sum(coalesce(ws.w, 0.0)) AS wsum
+   FROM sw a JOIN sw b ON a.s = b.s AND a.d < b.d
+   LEFT JOIN elig ws ON ws.d = a.s
+   GROUP BY a.d, b.d
+ ),
+ wnorms AS (
+   SELECT e.d, sum(coalesce(el2.w, 0.0)) AS wnorm
+   FROM sw e LEFT JOIN elig el2 ON el2.d = e.s
+   GROUP BY e.d
+ ),
+ stats AS (SELECT el.d, el.card, wn.wnorm FROM elig el JOIN wnorms wn ON wn.d = el.d),
+ mirrored AS (
+   SELECT da AS a, db AS b, cnt, wsum FROM pairs
+   UNION ALL
+   SELECT db, da, cnt, wsum FROM pairs
+ ),
+ scored AS (
+   SELECT p.a AS domain_id, p.b AS neighbor_id,
+          round(p.wsum / sqrt(sa.wnorm * sb.wnorm), 6) AS relatedness
+   FROM mirrored p JOIN stats sa ON sa.d = p.a JOIN stats sb ON sb.d = p.b
+   WHERE sa.card >= 10
+     AND sb.card >= greatest(2, cast(floor(0.01*sa.card) AS bigint))
+     AND 100*p.cnt*p.cnt > sa.card*sb.card
+     AND p.wsum*p.wsum > 0.01*sa.wnorm*sb.wnorm
+ ),
+ ranked AS (
+   SELECT *, row_number() OVER (PARTITION BY domain_id
+             ORDER BY relatedness DESC, neighbor_id) AS rn
+   FROM scored
+ )
+ SELECT domain_id, neighbor_id, relatedness FROM ranked WHERE rn <= 128""",
         "jaccard_pairs": jaccard,
         "containment_pairs": containment,
         "winnow_fingerprints": _winnow_sql(),

@@ -377,3 +377,303 @@ def near_dedup_apply(
         return batch.filter(pa.array(~np.isin(ids, ray.get(drop_ref))))
 
     return ds.map_batches(_anti, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Website adjacencies: similar-domains via weighted cosine over inlink sets
+# ---------------------------------------------------------------------------
+
+def _dest_key_part(batch: pa.Table, num_partitions: int, col: str) -> pa.Table:
+    if batch.num_rows == 0:
+        return batch.append_column("_pk", pa.array([], pa.int64()))
+    v = batch[col].to_numpy(zero_copy_only=False).astype(U64)
+    return batch.append_column(
+        "_pk", pa.array((_fmix64_vec(v) % U64(num_partitions)).astype(np.int64))
+    )
+
+
+def domain_adjacencies(
+    edges,
+    source_col: str = "source",
+    dest_col: str = "dest",
+    *,
+    threshold: float = 0.1,
+    min_probe_card: int = 10,
+    top_k: int = 128,
+    max_card: int = 10_000,
+    max_domains: int = 50_000_000,
+    max_fanout: int = 200_000,
+    num_partitions: int | None = None,
+):
+    """Similar-domain discovery: the reference's website-adjacencies
+    calculator (``tools/website-adjacencies-calculator/.../
+    WebsiteAdjacenciesCalculator.java:128-190``, ``AdjacenciesData.java:
+    38-127``), the batch job that fills ``EC_NEIGHBORS_VIEW`` for the
+    similar-websites browse feature (``DbBrowseDomainsSimilarCosine.java``).
+
+    Semantics (ported exactly):
+      * each dest domain's vector is its distinct inlink sources PLUS
+        itself (``createBitmapWithSelf``); dests with cardinality >=
+        ``max_card`` are dropped from the universe entirely
+        (``isEligible``);
+      * a source's weight is ``1/ln(2 + card(source-as-dest))`` when the
+        source is itself an eligible dest, else 0 (``getWeights`` only
+        fills ids in the dest list — array default 0 elsewhere);
+      * a pair scores when BOTH the unweighted cosine
+        ``|a&b|/sqrt(|a||b|)`` and the weighted cosine
+        ``sum_w(a&b)/sqrt(sum_w(a) sum_w(b))`` exceed ``threshold``
+        (the cheap-then-expensive chain keeps both strict > tests);
+      * per probe domain a: card(a) >= ``min_probe_card``
+        (``cardinalityExceeds(10)`` is >=), candidates need card(b) >=
+        max(2, trunc(0.01 card(a))), and only the ``top_k`` highest
+        relatedness neighbors survive.
+
+    Determinism divergence (documented): the reference's 128-cap keeps
+    ties in hash-iteration order; here ties break by (relatedness desc,
+    neighbor_id asc) and relatedness is rounded to 6 dp before the cut so
+    the result is a pure function of the graph.
+
+    Scale (100 TB / 1e8-domain graph): three keyed shuffles of the
+    DISTINCT edge list (by dest, by source, by pair salt) plus the final
+    per-domain top-k groupby; the only driver/broadcast state is the
+    per-eligible-domain stats table (card + weighted norm, two f64 per
+    domain), capped at ``max_domains`` with a loud error.  The unweighted
+    cosine filter is evaluated in exact integer arithmetic
+    (``100 cnt^2 > card_a card_b``) so Ray and SQL oracles agree bit-for-
+    bit.  Hub sources whose dest fanout exceeds ``max_fanout`` raise
+    rather than silently emitting O(fanout^2) pairs — cap outlink fanout
+    upstream (the crawler does: links-per-page bound).
+
+    Output: (domain_id, neighbor_id, relatedness) — both directions, each
+    direction filtered by its own probe-side rules.
+    """
+    import ray
+
+    if num_partitions is None:
+        num_partitions = _join_partitions()
+
+    def _norm(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"s": pa.array([], pa.int64()),
+                             "d": pa.array([], pa.int64())})
+        s, d = batch[source_col], batch[dest_col]
+        if s.null_count or d.null_count:
+            raise TypeError("domain_adjacencies: null ids in edge columns")
+        s64 = s.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        d64 = d.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        # self edge per dest (createBitmapWithSelf); dupes collapse below
+        return pa.table({
+            "s": pa.array(np.concatenate([s64, d64])),
+            "d": pa.array(np.concatenate([d64, d64])),
+        })
+
+    def _dedup_block(block: pa.Table) -> pa.Table:
+        """Per-dest partition: distinct sources, card, eligibility."""
+        empty = pa.table({"s": pa.array([], pa.int64()),
+                          "d": pa.array([], pa.int64()),
+                          "card": pa.array([], pa.int64())})
+        if block.num_rows == 0:
+            return empty
+        if "_pk" in block.column_names:
+            block = block.drop_columns(["_pk"])
+        s = block["s"].to_numpy(zero_copy_only=False)
+        d = block["d"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((s, d))
+        s, d = s[order], d[order]
+        keep = np.r_[True, (d[1:] != d[:-1]) | (s[1:] != s[:-1])]
+        s, d = s[keep], d[keep]
+        starts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
+        counts = np.diff(np.append(starts, len(d)))
+        card = np.repeat(counts, counts)
+        elig = card < max_card
+        if not elig.any():
+            return empty
+        return pa.table({"s": pa.array(s[elig]), "d": pa.array(d[elig]),
+                         "card": pa.array(card[elig])})
+
+    dedup = (
+        edges.map_batches(_norm, batch_format="pyarrow")
+        .map_batches(lambda b: _dest_key_part(b, num_partitions, "d"),
+                     batch_format="pyarrow")
+        .groupby("_pk", num_partitions=num_partitions)
+        .map_groups(_dedup_block, batch_format="pyarrow")
+        .materialize()
+    )
+
+    # per-eligible-domain cards -> driver (THE broadcast small side)
+    dparts, cparts = [], []
+    for b in dedup.iter_batches(batch_format="pyarrow"):
+        if b.num_rows == 0:
+            continue
+        dn = b["d"].to_numpy(zero_copy_only=False)
+        first = np.r_[True, dn[1:] != dn[:-1]]  # runs are contiguous per block
+        dparts.append(dn[first])
+        cparts.append(b["card"].to_numpy(zero_copy_only=False)[first])
+    if not dparts:
+        return pa.table({"domain_id": pa.array([], pa.int64()),
+                         "neighbor_id": pa.array([], pa.int64()),
+                         "relatedness": pa.array([], pa.float64())})
+    dvals = np.concatenate(dparts)
+    cards = np.concatenate(cparts)
+    order = np.argsort(dvals, kind="stable")
+    dvals, cards = dvals[order], cards[order]
+    first = np.r_[True, dvals[1:] != dvals[:-1]]
+    dvals, cards = dvals[first], cards[first]
+    if len(dvals) > max_domains:
+        raise RuntimeError(
+            f"domain_adjacencies: {len(dvals)} eligible domains exceeds "
+            f"max_domains={max_domains}; raise the cap or shard the graph"
+        )
+    wvals = 1.0 / np.log(2.0 + cards)
+
+    def _w_of(ids: np.ndarray) -> np.ndarray:
+        pos = np.searchsorted(dvals, ids)
+        pos = np.clip(pos, 0, len(dvals) - 1)
+        hit = dvals[pos] == ids
+        return np.where(hit, wvals[pos], 0.0)
+
+    # weighted norm per dest: one groupby-sum over the distinct edges
+    stats_ref_holder = {}
+
+    def _with_w(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"d": pa.array([], pa.int64()),
+                             "w": pa.array([], pa.float64())})
+        s = batch["s"].to_numpy(zero_copy_only=False)
+        return pa.table({"d": batch["d"], "w": pa.array(_w_of(s))})
+
+    wn = dedup.map_batches(_with_w, batch_format="pyarrow").groupby("d").sum("w")
+    wnorm = np.zeros(len(dvals), dtype=np.float64)
+    for b in wn.iter_batches(batch_format="pyarrow"):
+        if b.num_rows == 0:
+            continue
+        dn = b["d"].to_numpy(zero_copy_only=False)
+        sv = b["sum(w)"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(dvals, dn)
+        wnorm[pos] = sv
+    stats_ref_holder["ref"] = ray.put((dvals, cards.astype(np.int64), wnorm))
+
+    def _pairs_block(block: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                          "doc_b": pa.array([], pa.int64()),
+                          "pcnt": pa.array([], pa.int64()),
+                          "pw": pa.array([], pa.float64())})
+        if block.num_rows == 0:
+            return empty
+        if "_pk" in block.column_names:
+            block = block.drop_columns(["_pk"])
+        s = block["s"].to_numpy(zero_copy_only=False)
+        d = block["d"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, s))
+        s, d = s[order], d[order]
+        starts = np.flatnonzero(np.r_[True, s[1:] != s[:-1]])
+        ends = np.append(starts[1:], len(s))
+        ws = _w_of(s[starts])
+        a_out, b_out, w_out = [], [], []
+        for (st, en), w in zip(zip(starts, ends), ws):
+            g = d[st:en]
+            if len(g) < 2:
+                continue
+            if len(g) > max_fanout:
+                raise RuntimeError(
+                    f"domain_adjacencies: source fanout {len(g)} exceeds "
+                    f"max_fanout={max_fanout}; bound outlinks upstream"
+                )
+            ia, ib = np.triu_indices(len(g), k=1)
+            a_out.append(g[ia])
+            b_out.append(g[ib])
+            w_out.append(np.full(len(ia), w))
+        if not a_out:
+            return empty
+        t = pa.table({
+            "doc_a": pa.array(np.concatenate(a_out)),
+            "doc_b": pa.array(np.concatenate(b_out)),
+            "pw": pa.array(np.concatenate(w_out)),
+        })
+        # per-partition combiner: collapse repeats of a pair across the
+        # partition's sources before the global pair shuffle
+        return (
+            t.group_by(["doc_a", "doc_b"])
+            .aggregate([([], "count_all"), ("pw", "sum")])
+            .rename_columns(["doc_a", "doc_b", "pcnt", "pw"])
+        )
+
+    pairs = (
+        dedup.map_batches(lambda b: _dest_key_part(b, num_partitions, "s"),
+                          batch_format="pyarrow")
+        .groupby("_pk", num_partitions=num_partitions)
+        .map_groups(_pairs_block, batch_format="pyarrow")
+    )
+
+    from marginalia_ray.ops.dedup import _salted_pair_agg
+
+    def _agg_pairs(block: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                          "doc_b": pa.array([], pa.int64()),
+                          "cnt": pa.array([], pa.int64()),
+                          "wsum": pa.array([], pa.float64())})
+        if block.num_rows == 0:
+            return empty
+        return (
+            block.group_by(["doc_a", "doc_b"])
+            .aggregate([("pcnt", "sum"), ("pw", "sum")])
+            .rename_columns(["doc_a", "doc_b", "cnt", "wsum"])
+        )
+
+    agg = _salted_pair_agg(pairs, _agg_pairs, num_partitions=num_partitions)
+
+    stats_ref = stats_ref_holder["ref"]
+    thr2 = threshold * threshold
+
+    def _score(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"domain_id": pa.array([], pa.int64()),
+                          "neighbor_id": pa.array([], pa.int64()),
+                          "relatedness": pa.array([], pa.float64())})
+        if batch.num_rows == 0:
+            return empty
+        dv, cv, wv = ray.get(stats_ref)
+        a = batch["doc_a"].to_numpy(zero_copy_only=False)
+        b = batch["doc_b"].to_numpy(zero_copy_only=False)
+        cnt = batch["cnt"].to_numpy(zero_copy_only=False)
+        wsum = batch["wsum"].to_numpy(zero_copy_only=False)
+
+        def stat(ids):
+            pos = np.clip(np.searchsorted(dv, ids), 0, len(dv) - 1)
+            return cv[pos], wv[pos]  # all ids present: pair gen uses elig rows
+
+        ca, wa = stat(a)
+        cb, wb = stat(b)
+        # shared filters, exact integer unweighted-cosine test
+        shared = (cnt * cnt * 10000).astype(np.int64) > (
+            ca * cb * int(round(10000 * thr2))
+        )
+        wprod = wa * wb
+        shared &= (wsum * wsum) > thr2 * wprod
+        rel = np.round(wsum / np.sqrt(np.maximum(wprod, 1e-300)), 6)
+
+        def direction(pa_, pb_, cpa, cpb):
+            keep = shared & (cpa >= min_probe_card)
+            card_min = np.maximum(2, (0.01 * cpa).astype(np.int64))
+            keep &= cpb >= card_min
+            return pa_[keep], pb_[keep], rel[keep]
+
+        a1, b1, r1 = direction(a, b, ca, cb)
+        a2, b2, r2 = direction(b, a, cb, ca)
+        return pa.table({
+            "domain_id": pa.array(np.concatenate([a1, a2])),
+            "neighbor_id": pa.array(np.concatenate([b1, b2])),
+            "relatedness": pa.array(np.concatenate([r1, r2])),
+        })
+
+    scored = agg.map_batches(_score, batch_format="pyarrow")
+
+    def _topk(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({"domain_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "relatedness": pa.array([], pa.float64())})
+        g = group.sort_by([("relatedness", "descending"),
+                           ("neighbor_id", "ascending")])
+        return g.slice(0, top_k)
+
+    return scored.groupby("domain_id").map_groups(_topk, batch_format="pyarrow")

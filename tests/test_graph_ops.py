@@ -155,3 +155,79 @@ def test_near_dedup_apply_cap_fallback_matches_broadcast(ray_session):
     assert fast == slow
     assert set(r["doc_id"] for r in rows) - set(fast)  # something was dropped
     assert all(100 + i in fast for i in range(4))  # uniques survive
+
+
+class TestDomainAdjacencies:
+    """WebsiteAdjacenciesCalculator port (similar-domains weighted cosine).
+
+    The weighted cosine only counts shared sources that are THEMSELVES
+    eligible dests (``getWeights`` fills weights for the dest list only;
+    everything else is the array default 0 —
+    WebsiteAdjacenciesCalculator.java:139-141, AdjacenciesData.java:
+    114-127), so each fixture links source nodes from node 0 to make them
+    dests with cardinality 2."""
+
+    def _run(self, edges, ray_session, **kw):
+        import ray.data
+
+        from marginalia_ray.ops.graph import domain_adjacencies
+
+        ds = ray.data.from_items(
+            [{"source": s, "dest": d} for s, d in edges]
+        ).repartition(3)
+        out = domain_adjacencies(ds, **kw).to_pandas()
+        if len(out) == 0:
+            return out
+        return out.sort_values(["domain_id", "neighbor_id"]).reset_index(drop=True)
+
+    @staticmethod
+    def _weighted_sources(n_dst: int = 2, n_src: int = 12):
+        edges = [(0, s) for s in range(1, n_src + 1)]
+        for dst in range(100, 100 + n_dst):
+            edges += [(s, dst) for s in range(1, n_src + 1)]
+        return edges
+
+    def test_identical_inlink_sets_are_strongly_related(self, ray_session):
+        out = self._run(self._weighted_sources(), ray_session)
+        pairs = {
+            (r.domain_id, r.neighbor_id): r.relatedness for r in out.itertuples()
+        }
+        # the two big dests share all 12 weighted sources (only their self
+        # terms differ) -> symmetric, near-1, and their own best neighbor
+        assert pairs[(100, 101)] == pairs[(101, 100)] > 0.9
+        # the small source-dests (card 2 < min_probe_card) never probe
+        assert all(d >= 100 for d, _ in pairs)
+        # but they DO appear as candidates of the big dests
+        assert (100, 1) in pairs and pairs[(100, 1)] < pairs[(100, 101)]
+
+    def test_zero_weight_when_no_shared_source_is_a_dest(self, ray_session):
+        # sources are never dests -> weighted intersection is 0 -> the
+        # expensive-cosine filter drops everything (the Java array-default)
+        edges = [(s, 100) for s in range(1, 13)] + [(s, 101) for s in range(1, 13)]
+        assert len(self._run(edges, ray_session)) == 0
+
+    def test_probe_cardinality_floor(self, ray_session):
+        edges = self._weighted_sources(n_src=6)  # big-dest card 7 < 10
+        assert len(self._run(edges, ray_session)) == 0
+        out = self._run(edges, ray_session, min_probe_card=5)
+        big = out[(out.domain_id >= 100) & (out.neighbor_id >= 100)]
+        assert len(big) == 2  # (100,101) both ways; card-2 dests still mute
+
+    def test_max_card_eligibility_drops_megadest(self, ray_session):
+        out = self._run(self._weighted_sources(), ray_session, max_card=10)
+        assert len(out) == 0  # big dests card 13 >= 10 -> out of universe
+
+    def test_disjoint_sources_never_pair(self, ray_session):
+        edges = [(0, s) for s in range(1, 25)]
+        edges += [(s, 100) for s in range(1, 13)]
+        edges += [(s, 101) for s in range(13, 25)]
+        out = self._run(edges, ray_session)
+        pairs = set(zip(out.domain_id, out.neighbor_id)) if len(out) else set()
+        assert (100, 101) not in pairs and (101, 100) not in pairs
+
+    def test_top_k_cap_and_tiebreak(self, ray_session):
+        out = self._run(self._weighted_sources(n_dst=4), ray_session, top_k=2)
+        got = out.groupby("domain_id")["neighbor_id"].apply(list).to_dict()
+        # relatedness ties among the identical big dests break by id asc
+        assert got[100] == [101, 102]
+        assert got[103] == [100, 101]

@@ -525,22 +525,23 @@ def domain_adjacencies(
             f"max_domains={max_domains}; raise the cap or shard the graph"
         )
     wvals = 1.0 / np.log(2.0 + cards)
+    # broadcast ONCE (ray.put) — the weight table is per-domain-sized and
+    # must not be re-shipped inside each transform's closure at scale
+    w_ref = ray.put((dvals, wvals))
 
-    def _w_of(ids: np.ndarray) -> np.ndarray:
-        pos = np.searchsorted(dvals, ids)
-        pos = np.clip(pos, 0, len(dvals) - 1)
-        hit = dvals[pos] == ids
-        return np.where(hit, wvals[pos], 0.0)
+    def _w_of_bcast(ids: np.ndarray) -> np.ndarray:
+        dv, wv = ray.get(w_ref)
+        pos = np.clip(np.searchsorted(dv, ids), 0, len(dv) - 1)
+        hit = dv[pos] == ids
+        return np.where(hit, wv[pos], 0.0)
 
     # weighted norm per dest: one groupby-sum over the distinct edges
-    stats_ref_holder = {}
-
     def _with_w(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return pa.table({"d": pa.array([], pa.int64()),
                              "w": pa.array([], pa.float64())})
         s = batch["s"].to_numpy(zero_copy_only=False)
-        return pa.table({"d": batch["d"], "w": pa.array(_w_of(s))})
+        return pa.table({"d": batch["d"], "w": pa.array(_w_of_bcast(s))})
 
     wn = dedup.map_batches(_with_w, batch_format="pyarrow").groupby("d").sum("w")
     wnorm = np.zeros(len(dvals), dtype=np.float64)
@@ -551,7 +552,7 @@ def domain_adjacencies(
         sv = b["sum(w)"].to_numpy(zero_copy_only=False)
         pos = np.searchsorted(dvals, dn)
         wnorm[pos] = sv
-    stats_ref_holder["ref"] = ray.put((dvals, cards.astype(np.int64), wnorm))
+    stats_ref = ray.put((dvals, cards.astype(np.int64), wnorm))
 
     def _pairs_block(block: pa.Table) -> pa.Table:
         empty = pa.table({"doc_a": pa.array([], pa.int64()),
@@ -568,7 +569,7 @@ def domain_adjacencies(
         s, d = s[order], d[order]
         starts = np.flatnonzero(np.r_[True, s[1:] != s[:-1]])
         ends = np.append(starts[1:], len(s))
-        ws = _w_of(s[starts])
+        ws = _w_of_bcast(s[starts])
         a_out, b_out, w_out = [], [], []
         for (st, en), w in zip(zip(starts, ends), ws):
             g = d[st:en]
@@ -622,7 +623,6 @@ def domain_adjacencies(
 
     agg = _salted_pair_agg(pairs, _agg_pairs, num_partitions=num_partitions)
 
-    stats_ref = stats_ref_holder["ref"]
     thr2 = threshold * threshold
 
     def _score(batch: pa.Table) -> pa.Table:

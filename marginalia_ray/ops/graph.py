@@ -510,9 +510,13 @@ def domain_adjacencies(
         dparts.append(dn[first])
         cparts.append(b["card"].to_numpy(zero_copy_only=False)[first])
     if not dparts:
-        return pa.table({"domain_id": pa.array([], pa.int64()),
-                         "neighbor_id": pa.array([], pa.int64()),
-                         "relatedness": pa.array([], pa.float64())})
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.table({"domain_id": pa.array([], pa.int64()),
+                      "neighbor_id": pa.array([], pa.int64()),
+                      "relatedness": pa.array([], pa.float64())})
+        )
     dvals = np.concatenate(dparts)
     cards = np.concatenate(cparts)
     order = np.argsort(dvals, kind="stable")

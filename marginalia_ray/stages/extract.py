@@ -193,6 +193,23 @@ def _parse_attrs(s: str) -> dict:
     return out
 
 
+def clone_node(node: Node) -> Node:
+    """Deep-copy a parsed tree (iterative) — the pre-prune snapshot the
+    summary chain mutates (nav strip) the way the reference's
+    ``doc.clone()`` isolates Jsoup mutations.  Attrs dicts are copied;
+    strings are shared (immutable)."""
+    root_copy = Node(node.tag, dict(node.attrs), [], node.text)
+    stack = [(node, root_copy)]
+    while stack:
+        src, dst = stack.pop()
+        for c in src.children:
+            cc = Node(c.tag, dict(c.attrs) if c.attrs else {}, [], c.text)
+            dst.children.append(cc)
+            if c.children:
+                stack.append((c, cc))
+    return root_copy
+
+
 def parse_html_fast(html: str) -> Node:
     """Regex-scanner tree builder — same tree semantics as the stdlib
     HTMLParser path (entities unescaped in text/attrs, void elements not
@@ -560,6 +577,11 @@ class ExtractedDocument:
     canonical: str = ""
     # M18: sniffed publication year (None when no heuristic fires)
     pub_year: int | None = None
+    # pre-prune tree snapshot + active specialization for the late,
+    # keyword-aware summary (never serialized; consumed in-process by
+    # the tokenizer when defer_summary=True)
+    summary_root: "Node | None" = field(default=None, repr=False, compare=False)
+    summary_spec: object = field(default=None, repr=False, compare=False)
 
 
 _SKIP_SCHEMES = ("javascript:", "mailto:", "tel:", "data:", "#")
@@ -592,6 +614,13 @@ def extract_links(root: Node, base_url: str) -> list[str]:
     document url for relative resolution (LinkParser.getBaseLink)."""
     from urllib.parse import urljoin, urlsplit
 
+    # the admission chain classifies internal/external against the
+    # DOCUMENT's host, captured before any <base href> override — the
+    # reference constructs LinkProcessor(ret, baseUrl) BEFORE
+    # linkParser.getBaseLink rebinds baseUrl (HtmlDocumentProcessorPlugin
+    # getLinks); urlsplit().hostname also strips userinfo and brackets
+    doc_host = (urlsplit(base_url).hostname or "") if base_url else ""
+
     base = root.first("base")
     if base is not None:
         href = (base.attrs.get("href") or "").strip()
@@ -623,13 +652,17 @@ def extract_links(root: Node, base_url: str) -> list[str]:
             if parts.scheme not in ("http", "https"):
                 return
             url = parts._replace(fragment="").geturl()
-        # LinkParser renormalization: dot segments resolved, empty path
-        # becomes "/" (EdgeUrl semantics — LinkParserTest.java:29-56)
-        if "/../" in url or "/./" in url or url.endswith(("/..", "/.")):
-            url = _remove_dot_segments(url)
-        scheme_end = url.find("://") + 3
-        if scheme_end >= 3 and url.find("/", scheme_end) < 0:
-            url += "/"
+        # LinkParser renormalization: dot segments resolved in the PATH
+        # only (URI.normalize never touches the query), empty path becomes
+        # "/" (EdgeUrl semantics — LinkParserTest.java:29-56)
+        qpos = url.find("?")
+        head, query = (url[:qpos], url[qpos:]) if qpos >= 0 else (url, "")
+        if "/../" in head or "/./" in head or head.endswith(("/..", "/.")):
+            head = _remove_dot_segments(head)
+        scheme_end = head.find("://") + 3
+        if scheme_end >= 3 and head.find("/", scheme_end) < 0:
+            head += "/"
+        url = head + query
         if url not in seen:
             seen.add(url)
             out.append(url)
@@ -643,11 +676,14 @@ def extract_links(root: Node, base_url: str) -> list[str]:
     # mailing-list veto, per-class caps) runs over the collected list
     from marginalia_ray.functions.url_blocklist import admit_links
 
-    return admit_links(out, bs.netloc.lower().split(":")[0] if bs.netloc else "")
+    return admit_links(out, doc_host)
 
 
 def extract_document(
-    html: str, base_url: str | None = None, headers: str = ""
+    html: str,
+    base_url: str | None = None,
+    headers: str = "",
+    defer_summary: bool = False,
 ) -> ExtractedDocument:
     """The HtmlDocumentProcessorPlugin.createDetails core path:
     parse -> robots check -> links -> prune -> tag-clean -> text + title +
@@ -666,45 +702,12 @@ def extract_document(
     has_js = FEATURE_JS in features
     links = extract_links(root, base_url) if base_url else []
 
-    # description (M19): the non-mutating meta heuristics run on the full
-    # tree; the fallback-chain variant runs post-prune on the body text
-    # (prune subsumes the summary chain's nav/link-farm stripping)
-    from marginalia_ray.stages.summary import (
-        _TRUNCATED,
-        MAX_SUMMARY_LENGTH,
-        meta_description,
-        open_graph_description,
-    )
-
-    # round-4 parity: the reference always routes the description through
-    # the active specialization (HtmlDocumentProcessorPlugin.java:158);
-    # the default chain order is domFilter, tagDensity, og, meta, fallback
-    # (SummaryExtractor.java:31-36).  The DOM-statistics heuristics run on
-    # the pre-prune tree (the reference's doc.clone()) and never mutate;
-    # the mutating fallback stays the post-prune body text below.
-    from marginalia_ray.stages.summary_dom import (
-        dom_filter_summary,
-        tag_density_summary,
-    )
-
-    # M17: generator dispatch -> per-CMS specialization.  The specialized
-    # summary runs pre-prune (the reference passes the original doc); the
-    # default keeps the OG/meta + post-prune-text chain below.
+    # M17: generator dispatch -> per-CMS specialization
     from marginalia_ray.stages.generator import extract_generator
-    from marginalia_ray.stages.specialization import DefaultSpecialization, select
+    from marginalia_ray.stages.specialization import select
 
     gen_type, gen_keywords = extract_generator(root, html)
     spec = select(gen_keywords)
-    is_default_spec = type(spec) is DefaultSpecialization
-    if is_default_spec:
-        description = (
-            dom_filter_summary(root)
-            or tag_density_summary(root)
-            or open_graph_description(root, ())
-            or meta_description(root, ())
-        )
-    else:
-        description = spec.get_summary(root, set())
 
     should_index = True
     canonical = ""
@@ -728,14 +731,23 @@ def extract_document(
 
     pub_year = sniff_pub_year(html, base_url or "", standard, root=root, headers=headers)
 
+    # description (M19): the reference computes it AFTER keyword
+    # extraction, passing words.importantWords through the active
+    # specialization (HtmlDocumentProcessorPlugin.java:156-158) whose
+    # default routes to SummaryExtractor (nav/ul/li strip + the
+    # domFilter/tagDensity/og/meta/fallback chain, relevance re-rank).
+    # The chain's strip mutates its tree, so it runs on a pre-prune
+    # CLONE; with defer_summary the caller (the tokenizer, which knows
+    # the important words) invokes spec.get_summary(summary_root, words)
+    # itself and nothing is computed twice.
+    summary_root = clone_node(root)
+    description = "" if defer_summary else spec.get_summary(summary_root, set())
+
     root = spec.prune(root)
     clean_tags(root)
 
     text = body_text(root)
     title = extract_title(root)
-    if not description.strip():
-        description = text
-    description = _TRUNCATED.sub(" ", description)[:MAX_SUMMARY_LENGTH]
     q = quality(len(text), len(html), standard, s_pen)
 
     return ExtractedDocument(
@@ -754,4 +766,6 @@ def extract_document(
         should_index=should_index,
         canonical=canonical,
         pub_year=pub_year,
+        summary_root=summary_root,
+        summary_spec=spec,
     )

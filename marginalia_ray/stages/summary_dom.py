@@ -234,7 +234,10 @@ def tag_density_summary(
         if a_len / tl < 0.1 and inner > 0 and tl / inner > 0.85:
             content.append(text)
             total += tl + 1
+    # the reference appends a trailing space per block and gates on that
+    # builder length (TagDensityHeuristic.java:36-40), so the 32-char test
+    # counts one separator per block — `total` tracks exactly that
     joined = " ".join(content)
-    if len(joined) > 32:
+    if total > 32:
         return joined
     return ""

@@ -147,7 +147,9 @@ class TokenizerStage:
 
             if is_blocked_unicode(h):
                 return disqualified("LANGUAGE")
-            doc = extract_document(h, base_url=url, headers=headers)
+            doc = extract_document(
+                h, base_url=url, headers=headers, defer_summary=True
+            )
             if doc.noindex:
                 return disqualified("ROBOTS_NOINDEX")
             if not doc.should_index:
@@ -155,7 +157,7 @@ class TokenizerStage:
                 return disqualified("IRRELEVANT")
             text = doc.text
             title = doc.title
-            description = doc.description[:255]
+            description = ""  # deferred: computed with important words below
             q = doc.quality
             features = doc.features
             fmt = doc.standard
@@ -216,6 +218,14 @@ class TokenizerStage:
         builder = extract_keywords(
             dld, pu.path, pu.fqdn, dict_freqs=self.dict_freqs, doc_count=self.doc_count
         )
+
+        if html is not None:
+            # M19, reference order: description AFTER keyword extraction so
+            # the SummarizingDOMFilter relevance re-rank sees the real
+            # important words (HtmlDocumentProcessorPlugin.java:156-158)
+            description = doc.summary_spec.get_summary(
+                doc.summary_root, set(builder.important)
+            )[:255]
 
         # topic categories (M20: category:food / category:crafts) need the
         # DLD, so they join the DOM features here

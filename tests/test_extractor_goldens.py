@@ -242,3 +242,46 @@ class TestLinkResolution:
         <body><a href="page.html">x</a></body></html>"""
         links = extract_links(parse_html(html), "https://www.marginalia.nu/test/foo.bar")
         assert links == ["https://www.marginalia.nu/base/page.html"]
+
+
+class TestLinkRenormQueryAndHost:
+    """Round-4 review fixes: query strings survive dot-segment renorm,
+    and link admission classifies against the DOCUMENT host even under a
+    <base href> override (LinkProcessor is built with the document url
+    before getBaseLink rebinds it)."""
+
+    def _links(self, html: str, base: str):
+        from marginalia_ray.stages.extract import extract_links, parse_html
+
+        return extract_links(parse_html(html), base)
+
+    def test_query_not_treated_as_path_segments(self):
+        out = self._links(
+            "<a href='http://h.example/p?back=/..'>x</a>", "http://h.example/"
+        )
+        assert out == ["http://h.example/p?back=/.."]
+
+    def test_dot_segments_in_path_still_resolve_with_query(self):
+        out = self._links(
+            "<a href='http://h.example/a/../b?x=/./y'>x</a>", "http://h.example/"
+        )
+        assert out == ["http://h.example/b?x=/./y"]
+
+    def test_empty_path_slash_inserted_before_query(self):
+        out = self._links(
+            "<a href='http://h.example?x=1'>x</a>", "http://other.example/"
+        )
+        assert out == ["http://h.example/?x=1"]
+
+    def test_base_href_does_not_flip_internal_classification(self):
+        # 260 same-site links under a cross-domain <base href>: the
+        # internal cap (250) must apply to site.example links, so some are
+        # dropped; all cdn.example links would be "internal" only under
+        # the buggy overridden-host classification
+        anchors = "".join(
+            f"<a href='http://site.example/p{i}'>x</a>" for i in range(260)
+        )
+        html = f"<html><head><base href='http://cdn.example/'></head><body>{anchors}</body></html>"
+        out = self._links(html, "http://site.example/")
+        assert len(out) == 250  # internal cap bound on the DOCUMENT's host
+        assert all(u.startswith("http://site.example/") for u in out)

@@ -212,3 +212,50 @@ class TestConverterDescription:
         )
         assert len(descs["https://a.example/ANNOUNCE.TXT"]) <= 255
         assert descs["https://b.example/page.html"]  # non-empty summary
+
+
+class TestSummaryNavStripParity:
+    """Round-4 review fix: the converter description routes through the
+    canonical SummaryExtractor chain, so the header/nav/ul/li strip
+    (SummaryExtractor.java:39) applies before every heuristic."""
+
+    def test_ul_text_never_wins_the_summary(self, ray_session):
+        import pyarrow as pa
+
+        from marginalia_ray.stages.tokenizer import TokenizerStage
+
+        prose = "Genuine article prose that should win the summary. " * 12
+        listing = "".join(
+            f"<li>Sidebar index entry number {i} with plenty of text to "
+            f"dominate by raw length</li>"
+            for i in range(40)
+        )
+        html = (
+            "<html><head><title>T</title></head><body>"
+            f"<nav>Site navigation links here</nav><ul>{listing}</ul>"
+            f"<div><p>{prose}</p></div></body></html>"
+        )
+        batch = pa.table(
+            {
+                "url": ["https://b.example/article.html"],
+                "text": [None],
+                "html": [html],
+                "lang": ["en"],
+            }
+        )
+        out = TokenizerStage()(batch)
+        desc = out["description"].to_pylist()[0]
+        assert "Sidebar index entry" not in desc
+        assert "Site navigation" not in desc
+        assert desc.startswith("Genuine article prose")
+
+    def test_extract_document_eager_path_also_strips(self):
+        from marginalia_ray.stages.extract import extract_document
+
+        listing = "".join(
+            f"<li>List only content {i} repeated for length padding</li>"
+            for i in range(40)
+        )
+        html = f"<html><body><ul>{listing}</ul></body></html>"
+        doc = extract_document(html, base_url="https://x.example/")
+        assert "List only content" not in doc.description

@@ -45,14 +45,7 @@ def hash_test(path: str) -> bool:
     return len(path) > 34 and _HEX_RUN.search(path) is not None
 
 
-def is_url_blocked(url: str | ParsedUrl) -> bool:
-    """UrlBlocklist.isUrlBlocked."""
-    u = parse_url(url) if isinstance(url, str) else url
-    if u.top_domain in BAD_DOMAINS:
-        return True
-    if u.top_domain == "github.com":
-        return u.path.count("/") > 2
-    path = u.path
+def _path_blocked(path: str) -> bool:
     if ".git/" in path or "wp-content/upload" in path or "-download-free" in path:
         return True
     if hash_test(path):
@@ -63,10 +56,29 @@ def is_url_blocked(url: str | ParsedUrl) -> bool:
     return False
 
 
+def _blocked_by_rules(top_domain: str, path: str) -> bool:
+    """The shared UrlBlocklist rule set over (top domain, path) — the one
+    copy both is_url_blocked and admit_links evaluate."""
+    if top_domain in BAD_DOMAINS:
+        return True
+    if top_domain == "github.com":
+        return path.count("/") > 2
+    return _path_blocked(path)
+
+
+def _is_mailing_path(path: str) -> bool:
+    return path.startswith("/lists/") or "mailinglist" in path
+
+
+def is_url_blocked(url: str | ParsedUrl) -> bool:
+    """UrlBlocklist.isUrlBlocked."""
+    u = parse_url(url) if isinstance(url, str) else url
+    return _blocked_by_rules(u.top_domain, u.path)
+
+
 def is_mailing_list_link(url: str | ParsedUrl) -> bool:
     """UrlBlocklist.isMailingListLink."""
-    path = (parse_url(url) if isinstance(url, str) else url).path
-    return path.startswith("/lists/") or "mailinglist" in path
+    return _is_mailing_path((parse_url(url) if isinstance(url, str) else url).path)
 
 
 MAX_INTERNAL_LINK = 250
@@ -113,17 +125,6 @@ def _top_domain_of(host: str) -> str:
     return host
 
 
-def _path_blocked(path: str) -> bool:
-    if ".git/" in path or "wp-content/upload" in path or "-download-free" in path:
-        return True
-    if len(path) > 34 and _HEX_RUN.search(path):
-        return True
-    for guard, patt in _GUARDED_PATTERNS:
-        if guard in path and patt.search(path):
-            return True
-    return False
-
-
 def admit_links(
     urls: list[str],
     base_host: str,
@@ -141,14 +142,9 @@ def admit_links(
         if hp is None:
             continue
         host, path = hp
-        if path.startswith("/lists/") or "mailinglist" in path:
+        if _is_mailing_path(path):
             continue
-        top = _top_domain_of(host)
-        if top in BAD_DOMAINS:
-            continue
-        if top == "github.com" and path.count("/") > 2:
-            continue
-        if _path_blocked(path):
+        if _blocked_by_rules(_top_domain_of(host), path):
             continue
         if host == base_host:
             if n_int < max_internal:

@@ -38,6 +38,27 @@ def _term_counts(batch: pa.Table, terms: list[str], text_col: str) -> tuple[np.n
     return tf, dl.astype(np.float64)
 
 
+def _corpus_stats(ds, terms: list[str], text_col: str):
+    """Pass A shared by bm25_topk and rrf_fusion: per-batch partial
+    (n_docs, sum_dl, df per term) -> tiny aggregate -> broadcast
+    (idf, avgdl) via ray.put."""
+
+    def _stats(batch: pa.Table) -> pa.Table:
+        tf, dl = _term_counts(batch, terms, text_col)
+        row = {"n_docs": [len(batch)], "sum_dl": [float(dl.sum())]}
+        for j in range(len(terms)):
+            row[f"df_{j}"] = [float((tf[:, j] > 0).sum())]
+        return pa.table(row)
+
+    parts = ds.map_batches(_stats, batch_format="pyarrow")
+    agg = parts.sum(["n_docs", "sum_dl"] + [f"df_{j}" for j in range(len(terms))])
+    n_docs = agg["sum(n_docs)"]
+    avgdl = agg["sum(sum_dl)"] / max(1, n_docs)
+    df = np.array([agg[f"sum(df_{j})"] for j in range(len(terms))], dtype=np.float64)
+    idf = np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+    return ray.put((idf, avgdl))
+
+
 def bm25_topk(
     ds,
     terms: list[str],
@@ -52,20 +73,7 @@ def bm25_topk(
     terms = [t.lower() for t in terms]
 
     # pass A: global stats via per-batch partials -> tiny aggregate
-    def _stats(batch: pa.Table) -> pa.Table:
-        tf, dl = _term_counts(batch, terms, text_col)
-        row = {"n_docs": [len(batch)], "sum_dl": [float(dl.sum())]}
-        for j, t in enumerate(terms):
-            row[f"df_{j}"] = [float((tf[:, j] > 0).sum())]
-        return pa.table(row)
-
-    parts = ds.map_batches(_stats, batch_format="pyarrow")
-    agg = parts.sum(["n_docs", "sum_dl"] + [f"df_{j}" for j in range(len(terms))])
-    n_docs = agg["sum(n_docs)"]
-    avgdl = agg["sum(sum_dl)"] / max(1, n_docs)
-    df = np.array([agg[f"sum(df_{j})"] for j in range(len(terms))], dtype=np.float64)
-    idf = np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
-    stats_ref = ray.put((idf, avgdl))
+    stats_ref = _corpus_stats(ds, terms, text_col)
 
     # pass B: score + per-batch partial top-k
     def _score(batch: pa.Table) -> pa.Table:
@@ -127,22 +135,7 @@ def rrf_fusion(
     union_terms = sorted({t for lst in lists for t in lst})
     col_of = {t: j for j, t in enumerate(union_terms)}
 
-    def _stats(batch: pa.Table) -> pa.Table:
-        tf, dl = _term_counts(batch, union_terms, text_col)
-        row = {"n_docs": [len(batch)], "sum_dl": [float(dl.sum())]}
-        for j in range(len(union_terms)):
-            row[f"df_{j}"] = [float((tf[:, j] > 0).sum())]
-        return pa.table(row)
-
-    parts = ds.map_batches(_stats, batch_format="pyarrow")
-    agg = parts.sum(["n_docs", "sum_dl"] + [f"df_{j}" for j in range(len(union_terms))])
-    n_docs = agg["sum(n_docs)"]
-    avgdl = agg["sum(sum_dl)"] / max(1, n_docs)
-    df = np.array(
-        [agg[f"sum(df_{j})"] for j in range(len(union_terms))], dtype=np.float64
-    )
-    idf = np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
-    stats_ref = ray.put((idf, avgdl))
+    stats_ref = _corpus_stats(ds, union_terms, text_col)
 
     cols_per_list = [np.array([col_of[t] for t in lst]) for lst in lists]
 

@@ -307,12 +307,26 @@ def _pairs_to_jaccard(pairs, threshold: float):
     was measured ~10x slower on the same input (sort machinery + named
     aggregation overhead), and a single-int-key groupby feeds map_groups
     whole partitions."""
+    def _jaccard(i, na, nb):
+        jac = np.round(i / (na + nb - i), 6)
+        return {"jaccard": jac}, jac >= threshold
+
+    return _pairs_to_overlap(pairs, _jaccard, ["jaccard"])
+
+
+def _pairs_to_overlap(pairs, score_fn, score_cols: list[str]):
+    """The shared (doc_a, doc_b, n_sh_a, n_sh_b, partial) aggregation for
+    the set-overlap pair ops: group per hash partition, turn partial
+    counts into intersections and Min(size) into set sizes, then let
+    `score_fn(i, na, nb) -> ({col: values}, keep_mask)` compute the
+    op-specific similarity columns (jaccard_pairs / containment_pairs)."""
+
     def _agg_block(block: pa.Table) -> pa.Table:
         if block.num_rows == 0:
-            return pa.table(
-                {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
-                 "jaccard": pa.array([], pa.float64())}
-            )
+            cols = {"doc_a": pa.array([], pa.int64()),
+                    "doc_b": pa.array([], pa.int64())}
+            cols.update({c: pa.array([], pa.float64()) for c in score_cols})
+            return pa.table(cols)
         t = (
             block
             .group_by(["doc_a", "doc_b"])
@@ -323,15 +337,10 @@ def _pairs_to_jaccard(pairs, threshold: float):
         i = t["partial_sum"].to_numpy(zero_copy_only=False).astype(np.float64)
         na = t["n_sh_a_min"].to_numpy(zero_copy_only=False).astype(np.float64)
         nb = t["n_sh_b_min"].to_numpy(zero_copy_only=False).astype(np.float64)
-        jac = np.round(i / (na + nb - i), 6)
-        keep = jac >= threshold
-        return pa.table(
-            {
-                "doc_a": pa.array(a[keep]),
-                "doc_b": pa.array(b[keep]),
-                "jaccard": pa.array(jac[keep], pa.float64()),
-            }
-        )
+        scores, keep = score_fn(i, na, nb)
+        cols = {"doc_a": pa.array(a[keep]), "doc_b": pa.array(b[keep])}
+        cols.update({c: pa.array(v[keep], pa.float64()) for c, v in scores.items()})
+        return pa.table(cols)
 
     return _salted_pair_agg(pairs, _agg_block)
 
@@ -382,34 +391,11 @@ def containment_pairs(
     per-doc shingle-set sizes ride along the pair rows; intersections are
     summed per hash partition) — only the final division differs."""
 
-    def _agg_block(block: pa.Table) -> pa.Table:
-        if block.num_rows == 0:
-            return pa.table(
-                {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
-                 "cont_a_in_b": pa.array([], pa.float64()),
-                 "cont_b_in_a": pa.array([], pa.float64())}
-            )
-        t = (
-            block
-            .group_by(["doc_a", "doc_b"])
-            .aggregate([("partial", "sum"), ("n_sh_a", "min"), ("n_sh_b", "min")])
-        )
-        a = t["doc_a"].to_numpy(zero_copy_only=False)
-        b = t["doc_b"].to_numpy(zero_copy_only=False)
-        i = t["partial_sum"].to_numpy(zero_copy_only=False).astype(np.float64)
-        na = t["n_sh_a_min"].to_numpy(zero_copy_only=False).astype(np.float64)
-        nb = t["n_sh_b_min"].to_numpy(zero_copy_only=False).astype(np.float64)
+    def _containment(i, na, nb):
         c_ab = np.round(i / na, 6)
         c_ba = np.round(i / nb, 6)
-        keep = np.maximum(c_ab, c_ba) >= threshold
-        return pa.table(
-            {
-                "doc_a": pa.array(a[keep]),
-                "doc_b": pa.array(b[keep]),
-                "cont_a_in_b": pa.array(c_ab[keep], pa.float64()),
-                "cont_b_in_a": pa.array(c_ba[keep], pa.float64()),
-            }
-        )
+        scores = {"cont_a_in_b": c_ab, "cont_b_in_a": c_ba}
+        return scores, np.maximum(c_ab, c_ba) >= threshold
 
     sh = ds.map_batches(
         lambda b: _numeric_shingle_batch(b, n, text_col, id_col, with_size=True),
@@ -419,7 +405,7 @@ def containment_pairs(
         sh, ["shingle"], max_group=max_docs_per_shingle, extra_col="n_sh",
         combine=True,
     )
-    return _salted_pair_agg(pairs, _agg_block)
+    return _pairs_to_overlap(pairs, _containment, ["cont_a_in_b", "cont_b_in_a"])
 
 
 # ---- MinHash + LSH -----------------------------------------------------

@@ -441,23 +441,11 @@ def sessionize(ds, gap_minutes: int = 30, user_col: str = "user_id", ts_col: str
     return ds.groupby(user_col).map_groups(_sessions, batch_format="pyarrow")
 
 
-def median_by_key(
-    ds,
-    key_col: str = "source",
-    val_col: str = "n_chars",
-    max_distinct_per_key: int = 5_000_000,
-):
-    """Exact per-key median (SQL median(): lower middle for odd counts,
-    mean of the two middles for even) without sorting the data: per-batch
-    partial (key, value) counts -> one groupby shuffle of DISTINCT
-    (key, value) pairs -> per-key CDF walk.
-
-    The shuffle moves one row per distinct (key, value), never the
-    corpus; the per-key group is the key's distinct-value histogram
-    (bounded domain — document lengths, scores; capped loudly).
-
-    Output: (<key_col>, n, median)."""
-    import ray  # noqa: F401  (module convention; no driver collection here)
+def _per_key_value_counts(ds, key_col: str, val_col: str):
+    """The shared histogram shuffle for the per-key order statistics ops:
+    per-batch partial (key, value) counts -> one groupby shuffle of
+    DISTINCT (key, value) pairs.  The shuffle moves one row per distinct
+    pair, never the corpus."""
 
     def _partial(batch: pa.Table) -> pa.Table:
         g = (
@@ -467,16 +455,24 @@ def median_by_key(
         )
         return g.rename_columns([key_col, "v", "partial"])
 
-    counts = (
+    return (
         ds.map_batches(_partial, batch_format="pyarrow")
         .groupby([key_col, "v"])
         .sum("partial")
     )
 
-    def _median(group: pa.Table) -> pa.Table:
+
+def _per_key_order_stat(
+    counts, key_col: str, out_col: str, finalize, max_distinct_per_key: int, op: str
+):
+    """Per-key CDF walk over the histogram: sort the distinct values,
+    cumsum the counts, and let `finalize(v, cum, n) -> float` pick the
+    statistic.  Output: (<key_col>, n, <out_col>)."""
+
+    def _stat(group: pa.Table) -> pa.Table:
         if group.num_rows > max_distinct_per_key:
             raise RuntimeError(
-                f"median_by_key: >{max_distinct_per_key} distinct values "
+                f"{op}: >{max_distinct_per_key} distinct values "
                 "for one key — bin the value column first."
             )
         key = group[key_col][0]
@@ -486,20 +482,42 @@ def median_by_key(
         v, c = v[order], c[order]
         cum = np.cumsum(c)
         n = int(cum[-1])
-        lo_pos = (n - 1) // 2  # 0-based rank of the lower middle
-        hi_pos = n // 2
-        lo_val = float(v[np.searchsorted(cum, lo_pos + 1)])
-        hi_val = float(v[np.searchsorted(cum, hi_pos + 1)])
-        med = (lo_val + hi_val) / 2.0
         return pa.table(
             {
                 key_col: pa.array([key.as_py()], group[key_col].type),
                 "n": pa.array([n], pa.int64()),
-                "median": pa.array([med], pa.float64()),
+                out_col: pa.array([finalize(v, cum, n)], pa.float64()),
             }
         )
 
-    return counts.groupby(key_col).map_groups(_median, batch_format="pyarrow")
+    return counts.groupby(key_col).map_groups(_stat, batch_format="pyarrow")
+
+
+def median_by_key(
+    ds,
+    key_col: str = "source",
+    val_col: str = "n_chars",
+    max_distinct_per_key: int = 5_000_000,
+):
+    """Exact per-key median (SQL median(): lower middle for odd counts,
+    mean of the two middles for even) without sorting the data — the
+    histogram-shuffle + CDF-walk shape shared with quantile_by_key (the
+    midpoint formula (lo+hi)/2 and the unrounded output are median()'s
+    exact semantics, hence not literally quantile(0.5)).
+
+    Output: (<key_col>, n, median)."""
+
+    def _median(v, cum, n) -> float:
+        lo_pos = (n - 1) // 2  # 0-based rank of the lower middle
+        hi_pos = n // 2
+        lo_val = float(v[np.searchsorted(cum, lo_pos + 1)])
+        hi_val = float(v[np.searchsorted(cum, hi_pos + 1)])
+        return (lo_val + hi_val) / 2.0
+
+    counts = _per_key_value_counts(ds, key_col, val_col)
+    return _per_key_order_stat(
+        counts, key_col, "median", _median, max_distinct_per_key, "median_by_key"
+    )
 
 
 def quantile_by_key(
@@ -511,56 +529,25 @@ def quantile_by_key(
 ):
     """Exact per-key interpolated quantile (SQL quantile_cont semantics:
     pos = q*(n-1), linear interpolation between the two bracketing
-    order statistics) — median_by_key generalized to any q, same scale
-    shape: the shuffle moves one row per distinct (key, value), never
-    the corpus, and the per-key group is the key's value histogram.
+    order statistics), rounded to 6 dp — same histogram-shuffle scale
+    shape as median_by_key.
 
     Output: (<key_col>, n, q<percent>)."""
     if not 0.0 <= q <= 1.0:
         raise ValueError(f"quantile_by_key: q must be in [0,1], got {q}")
     out_col = f"q{int(round(q * 100))}"
 
-    def _partial(batch: pa.Table) -> pa.Table:
-        g = (
-            pa.table({key_col: batch[key_col], "v": batch[val_col]})
-            .group_by([key_col, "v"])
-            .aggregate([([], "count_all")])
-        )
-        return g.rename_columns([key_col, "v", "partial"])
-
-    counts = (
-        ds.map_batches(_partial, batch_format="pyarrow")
-        .groupby([key_col, "v"])
-        .sum("partial")
-    )
-
-    def _quant(group: pa.Table) -> pa.Table:
-        if group.num_rows > max_distinct_per_key:
-            raise RuntimeError(
-                f"quantile_by_key: >{max_distinct_per_key} distinct values "
-                "for one key — bin the value column first."
-            )
-        key = group[key_col][0]
-        v = group["v"].to_numpy(zero_copy_only=False)
-        c = group["sum(partial)"].to_numpy(zero_copy_only=False).astype(np.int64)
-        order = np.argsort(v)
-        v, c = v[order], c[order]
-        cum = np.cumsum(c)
-        n = int(cum[-1])
+    def _quant(v, cum, n) -> float:
         pos = q * (n - 1)  # same double math as DuckDB quantile_cont
         lo_pos, hi_pos = int(np.floor(pos)), int(np.ceil(pos))
         lo_val = float(v[np.searchsorted(cum, lo_pos + 1)])
         hi_val = float(v[np.searchsorted(cum, hi_pos + 1)])
-        val = lo_val + (hi_val - lo_val) * (pos - lo_pos)
-        return pa.table(
-            {
-                key_col: pa.array([key.as_py()], group[key_col].type),
-                "n": pa.array([n], pa.int64()),
-                out_col: pa.array([round(val, 6)], pa.float64()),
-            }
-        )
+        return round(lo_val + (hi_val - lo_val) * (pos - lo_pos), 6)
 
-    return counts.groupby(key_col).map_groups(_quant, batch_format="pyarrow")
+    counts = _per_key_value_counts(ds, key_col, val_col)
+    return _per_key_order_stat(
+        counts, key_col, out_col, _quant, max_distinct_per_key, "quantile_by_key"
+    )
 
 
 def funnel_count(

@@ -599,6 +599,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs(sf_dir), threshold=JACCARD_THRESHOLD, method="minhash"
         )
 
+    def q_dsir_weights(sf_dir: str):
+        # DSIR importance resampling weights: target = the English slice,
+        # raw = the whole corpus
+        import ray.data
+
+        from marginalia_ray.ops.curation import dsir_weights
+
+        raw = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+        )
+        target = raw.filter(expr="lang == 'en'")
+        return dsir_weights(
+            raw.drop_columns(["lang"]), target.drop_columns(["lang"])
+        )
+
     def q_domain_adjacencies(sf_dir: str):
         # website-adjacencies calculator (similar-domains weighted cosine
         # over inlink sets); edge fixture: supplier -> part restricted to
@@ -745,6 +760,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "marginalia_search": q_index_search,
         "fuzzy_dedup_components": q_fuzzy_components,
         "domain_adjacencies": q_domain_adjacencies,
+        "dsir_weights": q_dsir_weights,
         "near_dedup_apply": q_near_dedup_apply,
         "similarity_join": q_similarity_join,
         "semantic_dedup": q_semantic_dedup,
@@ -2085,6 +2101,28 @@ def oracle_sql() -> dict[str, str]:
        UNION ALL SELECT doc_id, 1.0/(60+rn) FROM rb),
  f AS (SELECT doc_id, round(sum(w), 6) AS rrf_score FROM u GROUP BY doc_id)
  SELECT doc_id, rrf_score FROM f ORDER BY rrf_score DESC, doc_id LIMIT 10""",
+        "dsir_weights": f"""
+ WITH tok AS (SELECT doc_id, lang, {_TOK} AS ts FROM documents),
+ uni AS (SELECT doc_id, lang, unnest(ts) AS f FROM tok),
+ bidx AS (SELECT doc_id, lang, ts, unnest(generate_series(1, len(ts)-1)) AS i FROM tok),
+ big AS (SELECT doc_id, lang, ts[i]||' '||ts[i+1] AS f FROM bidx),
+ feats AS (SELECT doc_id, lang, f FROM uni UNION ALL SELECT doc_id, lang, f FROM big),
+ fb AS (SELECT doc_id, lang,
+        CAST(('0x'||substr(md5(f),1,15)) AS UBIGINT) % 10000 AS b FROM feats),
+ tcnt AS (SELECT b, count(*) AS c FROM fb WHERE lang='en' GROUP BY 1),
+ rcnt AS (SELECT b, count(*) AS c FROM fb GROUP BY 1),
+ tot AS (SELECT (SELECT count(*) FROM fb WHERE lang='en') AS T,
+                (SELECT count(*) FROM fb) AS R),
+ lrw AS (SELECT fb.doc_id,
+         ln((coalesce(tcnt.c,0)+1)::DOUBLE / (T+10000))
+       - ln((coalesce(rcnt.c,0)+1)::DOUBLE / (R+10000)) AS w
+   FROM fb LEFT JOIN tcnt USING(b) LEFT JOIN rcnt USING(b), tot),
+ agg AS (SELECT doc_id, count(*)::BIGINT AS n_feats,
+                floor(sum(w)*1000000 + 0.5)/1000000.0 AS logw
+   FROM lrw GROUP BY 1)
+ SELECT d.doc_id, coalesce(n_feats, 0)::BIGINT AS n_feats,
+        coalesce(logw, 0.0) AS logw
+ FROM documents d LEFT JOIN agg USING(doc_id)""",
         "domain_adjacencies": """
  WITH edges AS (
    SELECT DISTINCT l_suppkey AS s, l_partkey AS d FROM lineitem WHERE l_partkey % 10 = 0

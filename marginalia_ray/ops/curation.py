@@ -1075,3 +1075,138 @@ def pmi_collocations(
         .sort(["pmi", "w1", "w2"], descending=[True, False, False])
         .limit(k)
     )
+
+
+def _md5_buckets(col, n_buckets: int) -> np.ndarray:
+    """md5-prefix bucket per string: int(hexdigest[:15], 16) % n_buckets —
+    the ('0x' || substr(md5(f), 1, 15))::UBIGINT % B chain DuckDB can
+    reproduce.  Hashes the utf8 column's data buffer in place (offset
+    slices), no per-row .as_py()."""
+    import hashlib
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    arr = col if pa.types.is_large_string(col.type) else pc.cast(col, pa.large_string())
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int64)[arr.offset : arr.offset + n + 1]
+    buf = memoryview(arr.buffers()[2])
+    md5 = hashlib.md5
+    out = np.empty(n, dtype=np.int64)
+    for i in range(n):
+        d = md5(buf[offs[i] : offs[i + 1]]).digest()
+        out[i] = (int.from_bytes(d[:8], "big") >> 4) % n_buckets
+    return out
+
+
+def dsir_weights(
+    raw_ds,
+    target_ds,
+    n_buckets: int = 10_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): unigram+bigram features
+    hashed into ``n_buckets``, add-one-smoothed bucket distributions for
+    the target and raw corpora, and per-document importance
+    ``logw = sum_feats [ln p_target(bucket) - ln q_raw(bucket)]`` —
+    resample the raw corpus by logw to match the target distribution.
+
+    Output over the RAW corpus: (doc_id, n_feats, logw); logw rounded
+    half-up to 6 dp, 0.0 (n_feats 0) for token-less docs.
+
+    Scale shape: both distributions are FIXED-SIZE (n_buckets) count
+    vectors accumulated from per-batch partial bincounts — driver state
+    is a hyperparameter-sized array, never data-sized; the log-ratio
+    table broadcasts once via ray.put and scoring is a single streaming
+    map over the raw corpus.  No shuffle anywhere.
+    """
+    import ray
+
+    from marginalia_ray.ops.text_ops import explode_tokens
+
+    def _feat_buckets(batch: pa.Table):
+        """(doc_ids, buckets) for the batch's unigram+bigram features,
+        grouped contiguously per document."""
+        ids, toks = explode_tokens(batch, text_col, id_col)
+        ub = _md5_buckets(toks, n_buckets)
+        par = ids.to_numpy(zero_copy_only=False)
+        m = len(par)
+        if m >= 2:
+            adj = pa.array(par[:-1] == par[1:])
+            w1 = toks.slice(0, m - 1).filter(adj)
+            w2 = toks.slice(1, m - 1).filter(adj)
+            bigrams = pc.binary_join_element_wise(w1, w2, " ")
+            bb = _md5_buckets(bigrams, n_buckets)
+            bpar = par[:-1][par[:-1] == par[1:]]
+        else:
+            bb = np.zeros(0, dtype=np.int64)
+            bpar = par[:0]
+        return np.concatenate([par, bpar]), np.concatenate([ub, bb])
+
+    def _partial_counts(batch: pa.Table) -> pa.Table:
+        _, b = _feat_buckets(batch)
+        c = np.bincount(b, minlength=n_buckets)
+        nz = np.flatnonzero(c)
+        return pa.table({"b": pa.array(nz), "partial": pa.array(c[nz])})
+
+    def _accumulate(ds_) -> np.ndarray:
+        acc = np.zeros(n_buckets, dtype=np.int64)
+        for t in ds_.map_batches(_partial_counts, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        ):
+            if t.num_rows:
+                # np.add.at, NOT acc[idx] +=: iter_batches may coalesce
+                # several partials into one batch, so a bucket can repeat
+                # and fancy-index += would keep only the last occurrence
+                np.add.at(
+                    acc,
+                    t["b"].to_numpy(zero_copy_only=False),
+                    t["partial"].to_numpy(zero_copy_only=False),
+                )
+        return acc
+
+    tc = _accumulate(target_ds)
+    rc = _accumulate(raw_ds)
+    T, R = int(tc.sum()), int(rc.sum())
+    lr = np.log((tc + 1.0) / (T + n_buckets)) - np.log((rc + 1.0) / (R + n_buckets))
+    lr_ref = ray.put(lr)
+
+    def _score(batch: pa.Table) -> pa.Table:
+        lrv = ray.get(lr_ref)
+        doc_ids = batch[id_col]
+        if isinstance(doc_ids, pa.ChunkedArray):
+            doc_ids = doc_ids.combine_chunks()
+        out_n = np.zeros(batch.num_rows, dtype=np.int64)
+        out_w = np.zeros(batch.num_rows, dtype=np.float64)
+        par, b = _feat_buckets(batch)
+        if len(par):
+            # features arrive grouped per doc: run-length reduce
+            starts = np.flatnonzero(np.r_[True, par[1:] != par[:-1]])
+            run = np.zeros(len(par), dtype=np.int64)
+            run[starts[1:]] = 1
+            run = np.cumsum(run)
+            sums = np.bincount(run, weights=lrv[b])
+            cnts = np.bincount(run)
+            run_doc = par[starts]
+            # doc order in the batch == first-feature order, but map by id
+            # to stay safe under empty-text gaps
+            pos = {d: i for i, d in enumerate(doc_ids.to_numpy(zero_copy_only=False))}
+            for rd, s, c in zip(run_doc, sums, cnts):
+                i = pos[rd]
+                out_n[i] += int(c)
+                out_w[i] += s
+        logw = np.floor(out_w * 1e6 + 0.5) / 1e6  # half-up, SQL floor(+0.5)
+        return pa.table(
+            {
+                id_col: doc_ids,
+                "n_feats": pa.array(out_n),
+                "logw": pa.array(logw, pa.float64()),
+            }
+        )
+
+    return raw_ds.map_batches(_score, batch_format="pyarrow")

@@ -587,3 +587,69 @@ def test_mixture_sample_no_weighted_keys_empty_typed(ray_session):
     assert out.count() == 0
     sch = out.schema()
     assert dict(zip(sch.names, [str(t) for t in sch.types]))["lang"] == "large_string"
+
+
+class TestDsirWeights:
+    """DSIR importance resampling (Xie et al. 2023): hashed n-gram bucket
+    distributions + per-doc log importance weights."""
+
+    def _mk(self, rows, ray_session):
+        import ray.data
+
+        return ray.data.from_items(rows).repartition(4)
+
+    def test_target_like_docs_score_higher(self, ray_session):
+        from marginalia_ray.ops.curation import dsir_weights
+
+        english = [
+            {"doc_id": i, "text": "the quick brown fox jumps over the lazy dog"}
+            for i in range(8)
+        ]
+        other = [
+            {"doc_id": 100 + i, "text": "zxqv wkjy pfmt gzzr bbnn ccxx ddyy eeww"}
+            for i in range(8)
+        ]
+        raw = self._mk(english + other, ray_session)
+        target = self._mk(english, ray_session)
+        out = dsir_weights(raw, target).to_pandas().set_index("doc_id")
+        # docs matching the target distribution get strictly higher logw
+        assert out.loc[0, "logw"] > out.loc[100, "logw"]
+        assert (out.loc[:7, "logw"].values > out.loc[100:, "logw"].values.max()).all()
+        assert (out.n_feats > 0).all()
+
+    def test_deterministic_across_partitionings(self, ray_session):
+        """Regression: bucket partials repeating across coalesced iter
+        batches must accumulate (np.add.at), not last-write-win."""
+        import ray.data
+
+        from marginalia_ray.ops.curation import dsir_weights
+
+        rows = [
+            {"doc_id": i, "text": f"common shared words plus token{i % 7} here"}
+            for i in range(60)
+        ]
+        outs = []
+        for parts in (1, 6, 13):
+            raw = ray.data.from_items(rows).repartition(parts)
+            tgt = ray.data.from_items(rows[:20]).repartition(parts)
+            df = (
+                dsir_weights(raw, tgt)
+                .to_pandas()
+                .sort_values("doc_id")
+                .reset_index(drop=True)
+            )
+            outs.append(df)
+        assert outs[0].equals(outs[1])
+        assert outs[0].equals(outs[2])
+
+    def test_empty_docs_get_zero(self, ray_session):
+        from marginalia_ray.ops.curation import dsir_weights
+
+        raw = self._mk(
+            [{"doc_id": 1, "text": ""}, {"doc_id": 2, "text": "hello world"}],
+            ray_session,
+        )
+        tgt = self._mk([{"doc_id": 2, "text": "hello world"}], ray_session)
+        out = dsir_weights(raw, tgt).to_pandas().set_index("doc_id")
+        assert out.loc[1, "n_feats"] == 0
+        assert out.loc[1, "logw"] == 0.0

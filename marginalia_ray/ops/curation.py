@@ -1077,6 +1077,9 @@ def pmi_collocations(
     )
 
 
+_MD5_BUCKET_MEMO: dict = {}  # n_buckets -> {feature bytes: bucket}
+
+
 def _md5_buckets(col, n_buckets: int) -> np.ndarray:
     """md5-prefix bucket per string: int(hexdigest[:15], 16) % n_buckets —
     the ('0x' || substr(md5(f), 1, 15))::UBIGINT % B chain DuckDB can
@@ -1096,9 +1099,20 @@ def _md5_buckets(col, n_buckets: int) -> np.ndarray:
     buf = memoryview(arr.buffers()[2])
     md5 = hashlib.md5
     out = np.empty(n, dtype=np.int64)
+    # Zipfian repeats dominate real text: memoize per feature bytes (the
+    # _NPARTS convention — capped, process-global, pure function)
+    memo = _MD5_BUCKET_MEMO.setdefault(n_buckets, {})
+    mget = memo.get
     for i in range(n):
-        d = md5(buf[offs[i] : offs[i + 1]]).digest()
-        out[i] = (int.from_bytes(d[:8], "big") >> 4) % n_buckets
+        key = bytes(buf[offs[i] : offs[i + 1]])
+        v = mget(key)
+        if v is None:
+            d = md5(key).digest()
+            v = (int.from_bytes(d[:8], "big") >> 4) % n_buckets
+            if len(memo) > 2_000_000:
+                memo.clear()
+            memo[key] = v
+        out[i] = v
     return out
 
 

@@ -110,9 +110,17 @@ def _host_path_of(url: str) -> tuple[str, str] | None:
     at = host.rfind("@")
     if at >= 0:
         host = host[at + 1 :]
-    colon = host.rfind(":")
-    if colon >= 0 and host[colon + 1 :].isdigit():
-        host = host[:colon]
+    # IPv6 literal: strip the brackets (urlsplit().hostname convention,
+    # which the admit_links base_host is derived from) — port, if any,
+    # sits after the ']' and is dropped with it
+    if host.startswith("["):
+        end = host.find("]")
+        if end > 0:
+            host = host[1:end]
+    else:
+        colon = host.rfind(":")
+        if colon >= 0 and host[colon + 1 :].isdigit():
+            host = host[:colon]
     return host, path
 
 

@@ -39,7 +39,7 @@ class TermFreqStage:
         if self.use_html and "html" in batch.column_names:
             for h in batch["html"].to_pylist():
                 s = h.decode("utf-8", "replace") if isinstance(h, (bytes, bytearray)) else h
-                texts.append(extract_document(s).text)
+                texts.append(extract_document(s, skip_summary=True).text)
         else:
             texts = batch["text"].to_pylist()
 

@@ -138,7 +138,7 @@ def make_page(idx: int, n_rows: int, seed: int = SEED) -> dict:
         "</body></html>"
     )
 
-    text = extract_document(html).text
+    text = extract_document(html, skip_summary=True).text
 
     return {
         "url": url,

@@ -684,6 +684,7 @@ def extract_document(
     base_url: str | None = None,
     headers: str = "",
     defer_summary: bool = False,
+    skip_summary: bool = False,
 ) -> ExtractedDocument:
     """The HtmlDocumentProcessorPlugin.createDetails core path:
     parse -> robots check -> links -> prune -> tag-clean -> text + title +
@@ -739,9 +740,16 @@ def extract_document(
     # The chain's strip mutates its tree, so it runs on a pre-prune
     # CLONE; with defer_summary the caller (the tokenizer, which knows
     # the important words) invokes spec.get_summary(summary_root, words)
-    # itself and nothing is computed twice.
-    summary_root = clone_node(root)
-    description = "" if defer_summary else spec.get_summary(summary_root, set())
+    # itself and nothing is computed twice.  Disqualified docs (noindex /
+    # shouldIndex false) never reach the summary in the reference
+    # (DisqualifiedException), and .text-only callers opt out entirely
+    # (skip_summary) — neither pays the clone.
+    do_summary = not noindex and should_index and not skip_summary
+    summary_root = clone_node(root) if do_summary else None
+    description = ""
+    if do_summary and not defer_summary:
+        description = spec.get_summary(summary_root, set())
+        summary_root = None  # consumed — don't retain the cloned DOM
 
     root = spec.prune(root)
     clean_tags(root)

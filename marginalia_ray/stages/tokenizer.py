@@ -219,7 +219,7 @@ class TokenizerStage:
             dld, pu.path, pu.fqdn, dict_freqs=self.dict_freqs, doc_count=self.doc_count
         )
 
-        if html is not None:
+        if html is not None and doc.summary_root is not None:
             # M19, reference order: description AFTER keyword extraction so
             # the SummarizingDOMFilter relevance re-rank sees the real
             # important words (HtmlDocumentProcessorPlugin.java:156-158)

@@ -285,3 +285,16 @@ class TestLinkRenormQueryAndHost:
         out = self._links(html, "http://site.example/")
         assert len(out) == 250  # internal cap bound on the DOCUMENT's host
         assert all(u.startswith("http://site.example/") for u in out)
+
+
+class TestIPv6HostClassification:
+    def test_ipv6_same_host_links_are_internal(self):
+        from marginalia_ray.stages.extract import extract_links, parse_html
+
+        anchors = "".join(
+            f"<a href='http://[2001:db8::1]/p{i}'>x</a>" for i in range(120)
+        )
+        out = extract_links(parse_html(anchors), "http://[2001:db8::1]/")
+        # internal cap is 250, external 100: all 120 survive only if they
+        # classify as internal (bracket conventions agree on both sides)
+        assert len(out) == 120

@@ -720,6 +720,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return pmi_collocations(_docs(sf_dir), min_count=PMI_MIN_COUNT, k=PMI_K)
 
+    def q_ccnet_buckets(sf_dir: str):
+        import ray.data
+
+        from marginalia_ray.ops.curation import ccnet_buckets
+
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+        )
+        return ccnet_buckets(ds)
+
     def q_quantile_by_key(sf_dir: str):
         import ray.data
 
@@ -769,6 +779,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "linear_classifier": q_linear_classifier,
         "bloom_membership": q_bloom_membership,
         "group_quality_filter": q_group_quality_filter,
+        "ccnet_buckets": q_ccnet_buckets,
         "containment_pairs": lambda sf: containment_pairs(
             _docs(sf), threshold=CONTAINMENT_THRESHOLD
         ),
@@ -1815,6 +1826,37 @@ def _group_quality_filter_sql() -> str:
  SELECT q.doc_id, q.text, q.source FROM q JOIN ok USING(source)"""
 
 
+def _ccnet_buckets_sql() -> str:
+    """Mirrors ops/curation.ccnet_buckets: the bigram-LM nll of
+    _bigram_perplexity_sql, then per-source head/middle/tail at the
+    interpolated q33/q66 boundaries (quantile_cont semantics, both sides
+    rounded to 6 dp before the comparison)."""
+    return f"""
+ WITH tok AS (SELECT doc_id, {_TOK} AS ts FROM documents),
+ uni AS (SELECT w, count(*)::BIGINT AS c
+         FROM (SELECT unnest(ts) AS w FROM tok) GROUP BY w),
+ v AS (SELECT count(*)::BIGINT AS nv FROM uni),
+ bi AS (SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2
+        FROM tok, unnest(range(1, len(ts))) AS r(i)),
+ bic AS (SELECT w1, w2, count(*)::BIGINT AS c2 FROM bi GROUP BY w1, w2),
+ scored AS (SELECT b.doc_id, -ln((bic.c2 + 1.0) / (uni.c + v.nv)) AS nl
+            FROM bi b JOIN bic ON b.w1 = bic.w1 AND b.w2 = bic.w2
+                      JOIN uni ON b.w1 = uni.w, v),
+ agg AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams, avg(nl) AS m
+         FROM scored GROUP BY doc_id),
+ nl AS (SELECT d.doc_id, d.source, coalesce(a.n_bigrams, 0)::BIGINT AS n_bigrams,
+               coalesce(round(a.m, 6), 0.0) AS nll
+        FROM documents d LEFT JOIN agg a USING(doc_id)),
+ b AS (SELECT source, round(quantile_cont(nll, 1.0/3.0), 6) AS q33,
+              round(quantile_cont(nll, 2.0/3.0), 6) AS q66
+       FROM nl GROUP BY source)
+ SELECT nl.doc_id, nl.source, nl.n_bigrams, nl.nll,
+        CASE WHEN nl.nll <= b.q33 THEN 'head'
+             WHEN nl.nll <= b.q66 THEN 'middle'
+             ELSE 'tail' END AS bucket
+ FROM nl JOIN b USING(source)"""
+
+
 def _semantic_dedup_sql() -> str:
     """Mirrors ops/similarity.semantic_dedup with the seeded centroids
     inlined (the knn_cosine_ivf convention): assignment = nearest centroid
@@ -2262,5 +2304,6 @@ def oracle_sql() -> dict[str, str]:
         "linear_classifier": _linear_classifier_sql(),
         "bloom_membership": _bloom_membership_sql(),
         "group_quality_filter": _group_quality_filter_sql(),
+        "ccnet_buckets": _ccnet_buckets_sql(),
         "marginalia_search": _marginalia_search_sql(),
     }

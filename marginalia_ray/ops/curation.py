@@ -419,6 +419,7 @@ def bigram_perplexity(
     id_col: str = "doc_id",
     max_vocab: int = 2_000_000,
     max_bigrams: int = 20_000_000,
+    keep_cols: list[str] | None = None,
 ):
     """Language-model quality scoring: train an add-one-smoothed bigram
     model on the corpus itself and score every document by its mean
@@ -477,6 +478,7 @@ def bigram_perplexity(
                     f"bigram_perplexity: vocabulary >{max_vocab}; use the "
                     "hash-partition-join variant or pre-filter terms."
                 )
+    extra = list(keep_cols or [])
     if not uni_w:
         return ds.map_batches(
             lambda t: pa.table(
@@ -484,6 +486,7 @@ def bigram_perplexity(
                     id_col: t[id_col],
                     "n_bigrams": pa.array([0] * t.num_rows, pa.int64()),
                     "nll": pa.array([0.0] * t.num_rows, pa.float64()),
+                    **{c: t[c] for c in extra},
                 }
             ),
             batch_format="pyarrow",
@@ -555,6 +558,7 @@ def bigram_perplexity(
                 id_col: doc_ids,
                 "n_bigrams": pa.array(n_big),
                 "nll": pa.array(mean, pa.float64()),
+                **{c: batch[c] for c in extra},
             }
         )
 
@@ -1224,3 +1228,93 @@ def dsir_weights(
         )
 
     return raw_ds.map_batches(_score, batch_format="pyarrow")
+
+
+def ccnet_buckets(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    key_col: str = "source",
+    max_distinct_per_key: int = 5_000_000,
+):
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3): score
+    every document with the corpus-trained bigram LM
+    (``bigram_perplexity``), then split each language/source partition
+    into **head / middle / tail** thirds at the interpolated q33/q66
+    nll boundaries — low nll (the LM finds the text predictable) is
+    "head", the slice CCNet keeps for training.
+
+    Output: (doc_id, <key_col>, n_bigrams, nll, bucket).
+
+    Scale shape: the LM build/broadcast is bigram_perplexity's (caps
+    documented there); the scored corpus is materialized ONCE (it is a
+    4-column table, far smaller than the input) and consumed twice —
+    a histogram shuffle of DISTINCT (key, nll) pairs for the per-key
+    CDF walk (the quantile_by_key shape, both boundaries from one
+    walk), then a single streaming label map against the broadcast
+    boundary dict.  Nothing corpus-sized touches the driver."""
+    from marginalia_ray.ops.relational import _per_key_value_counts
+
+    scored = bigram_perplexity(
+        ds, text_col=text_col, id_col=id_col, keep_cols=[key_col]
+    ).materialize()
+
+    def _interp(v, cum, n, q) -> float:
+        pos = q * (n - 1)  # same double math as DuckDB quantile_cont
+        lo_pos, hi_pos = int(np.floor(pos)), int(np.ceil(pos))
+        lo_val = float(v[np.searchsorted(cum, lo_pos + 1)])
+        hi_val = float(v[np.searchsorted(cum, hi_pos + 1)])
+        return round(lo_val + (hi_val - lo_val) * (pos - lo_pos), 6)
+
+    def _bounds(group: pa.Table) -> pa.Table:
+        if group.num_rows > max_distinct_per_key:
+            raise RuntimeError(
+                f"ccnet_buckets: >{max_distinct_per_key} distinct nll "
+                "values for one key — bin the value column first."
+            )
+        key = group[key_col][0]
+        v = group["v"].to_numpy(zero_copy_only=False)
+        c = group["sum(partial)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(v)
+        v, c = v[order], c[order]
+        cum = np.cumsum(c)
+        n = int(cum[-1])
+        return pa.table(
+            {
+                key_col: pa.array([key.as_py()], group[key_col].type),
+                "q33": pa.array([_interp(v, cum, n, 1.0 / 3.0)], pa.float64()),
+                "q66": pa.array([_interp(v, cum, n, 2.0 / 3.0)], pa.float64()),
+            }
+        )
+
+    bounds_tbl = (
+        _per_key_value_counts(scored, key_col, "nll")
+        .groupby(key_col)
+        .map_groups(_bounds, batch_format="pyarrow")
+        .to_pandas()  # one row per key — tiny by construction
+    )
+    bounds_ref = ray.put(
+        {
+            r[key_col]: (r["q33"], r["q66"])
+            for r in bounds_tbl.to_dict("records")
+        }
+    )
+
+    def _label(batch: pa.Table) -> pa.Table:
+        bounds = ray.get(bounds_ref)
+        keys = batch[key_col].to_numpy(zero_copy_only=False)
+        nll = batch["nll"].to_numpy(zero_copy_only=False)
+        q33 = np.array([bounds[k][0] for k in keys], np.float64)
+        q66 = np.array([bounds[k][1] for k in keys], np.float64)
+        bucket = np.where(nll <= q33, "head", np.where(nll <= q66, "middle", "tail"))
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                key_col: batch[key_col],
+                "n_bigrams": batch["n_bigrams"],
+                "nll": batch["nll"],
+                "bucket": pa.array(bucket, pa.string()),
+            }
+        )
+
+    return scored.map_batches(_label, batch_format="pyarrow")

@@ -653,3 +653,43 @@ class TestDsirWeights:
         out = dsir_weights(raw, tgt).to_pandas().set_index("doc_id")
         assert out.loc[1, "n_feats"] == 0
         assert out.loc[1, "logw"] == 0.0
+
+
+class TestCcnetBuckets:
+    def test_thirds_and_keep_cols(self, ray_session):
+        from marginalia_ray.ops.curation import ccnet_buckets
+
+        # one source, 9 docs with increasingly repetitive (predictable)
+        # text: the most repetitive bigrams get the lowest nll -> head
+        rows = [
+            {"doc_id": i, "source": "s", "text": " ".join(["a b"] * (10 - i)) + f" w{i} x{i}"}
+            for i in range(9)
+        ]
+        out = {r["doc_id"]: r for r in ccnet_buckets(_ds(rows)).take_all()}
+        assert len(out) == 9
+        assert all(set(r) == {"doc_id", "source", "n_bigrams", "nll", "bucket"} for r in out.values())
+        # nll is monotone in i here (more "a b" mass = more predictable),
+        # so the thirds split cleanly 3/3/3 by doc_id
+        for i in range(9):
+            assert out[i]["source"] == "s"
+            assert out[i]["bucket"] == ("head", "middle", "tail")[i // 3]
+
+    def test_per_key_boundaries_independent(self, ray_session):
+        from marginalia_ray.ops.curation import ccnet_buckets
+
+        # two sources with disjoint vocab: each must be bucketed against
+        # its OWN boundaries -> every source gets at least one head
+        # (rarer unique-token bigrams raise nll, so docs differ within a key)
+        rows = [
+            {
+                "doc_id": 10 * k + i,
+                "source": f"s{k}",
+                "text": " ".join([f"a{k} b{k}"] * (6 - i)) + f" u{k}{i} v{k}{i}",
+            }
+            for k in range(2)
+            for i in range(3)
+        ]
+        df = ccnet_buckets(_ds(rows)).to_pandas()
+        for k in range(2):
+            sub = df[df.source == f"s{k}"]
+            assert (sub.bucket == "head").any() and (sub.bucket == "tail").any()

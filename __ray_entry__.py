@@ -85,24 +85,22 @@ def _query_vectors(sf_dir: str):
 # ---- flagship: documents-as-pages -> inverted index -> search ----------
 
 
-def build_docs_index(sf_dir: str, out_root: str, n_shards: int = 8):
-    """Marginalia pipeline with the plain-text branch (documents table has
-    no html): tokenizer actor pool -> journal -> index build."""
-    import ray.data
-
-    from marginalia_ray.pipelines.index_pipeline import run_index_pipeline
-
-    # adapt documents to the pages shape: synthesize a url per doc and
-    # stage the pages parquet under out_root (driver-visible scratch)
+def _stage_pages(sf_dir: str, pages_dir: str, mod: int | None = None, rem: int = 0):
+    """Adapt the documents table to the converter's pages shape (synthetic
+    url per doc); with ``mod``/``rem``, stage only the doc_id % mod == rem
+    slice — the incremental-crawl-slice shape the k-way merge consumes."""
     import os
 
     import pyarrow as pa
     import pyarrow.compute as pc
+    import ray.data
 
-    pages_dir = f"{out_root}/pages"
     os.makedirs(pages_dir, exist_ok=True)
 
     def _to_pages(batch: pa.Table) -> pa.Table:
+        if mod is not None:
+            ids_np = batch["doc_id"].to_numpy(zero_copy_only=False)
+            batch = batch.filter(pa.array(ids_np % mod == rem))
         ids = batch["doc_id"]
         url = pc.binary_join_element_wise(
             "https://", pc.cast(batch["source"], pa.string()),
@@ -116,6 +114,14 @@ def build_docs_index(sf_dir: str, out_root: str, n_shards: int = 8):
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "source"]
     ).map_batches(_to_pages, batch_format="pyarrow").write_parquet(pages_dir)
 
+
+def build_docs_index(sf_dir: str, out_root: str, n_shards: int = 8):
+    """Marginalia pipeline with the plain-text branch (documents table has
+    no html): tokenizer actor pool -> journal -> index build."""
+    from marginalia_ray.pipelines.index_pipeline import run_index_pipeline
+
+    pages_dir = f"{out_root}/pages"
+    _stage_pages(sf_dir, pages_dir)
     return run_index_pipeline(pages_dir, out_root, n_shards=n_shards)
 
 
@@ -226,6 +232,51 @@ def queries() -> dict[str, Callable[[str], Any]]:
         try:
             build_docs_index(sf_dir, out_root)
             s = IndexSearcher(out_root)
+            rows = []
+            for q in (["spark", "join"], ["window", "batch"], ["customer"]):
+                for rank, r in enumerate(s.search_words(q)):
+                    rows.append(
+                        {
+                            "query": " ".join(q),
+                            "rank": rank,
+                            "url_id": r.url_id,
+                            "score": round(r.score, 6),
+                        }
+                    )
+            return pd.DataFrame(rows, columns=["query", "rank", "url_id", "score"])
+        finally:
+            shutil.rmtree(out_root, ignore_errors=True)
+
+    def q_index_search_merged(sf_dir: str):
+        """Flagship search through the INCREMENTAL path: the corpus is
+        split into two crawl slices (doc_id parity), each slice runs the
+        full converter+build pipeline independently, the two immutable
+        builds are k-way merged (index/merge.py) with NO re-tokenization,
+        and the query runs over the merged build.  Rank/score-identical to
+        the flat flagship build by the merge-equivalence contract, so it
+        shares marginalia_search's golden oracle — a driver-checkable
+        correctness row for the merge path the north_rule names."""
+        import shutil
+        import tempfile
+
+        import pandas as pd
+
+        from marginalia_ray.index.merge import merge_builds
+        from marginalia_ray.pipelines.index_pipeline import run_index_pipeline
+        from marginalia_ray.query.engine import IndexSearcher
+
+        out_root = tempfile.mkdtemp(prefix="marginalia_ray_qm_")
+        try:
+            for half in (0, 1):
+                _stage_pages(sf_dir, f"{out_root}/pages{half}", mod=2, rem=half)
+                run_index_pipeline(
+                    f"{out_root}/pages{half}", f"{out_root}/half{half}", n_shards=8
+                )
+            merge_builds(
+                [f"{out_root}/half0/build-0", f"{out_root}/half1/build-0"],
+                f"{out_root}/merged",
+            )
+            s = IndexSearcher(f"{out_root}/merged")
             rows = []
             for q in (["spark", "join"], ["window", "batch"], ["customer"]):
                 for rank, r in enumerate(s.search_words(q)):
@@ -768,6 +819,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # come FIRST, then the long-green remainder in its round-3 order.
     return {
         "marginalia_search": q_index_search,
+        "marginalia_search_merged": q_index_search_merged,
         "fuzzy_dedup_components": q_fuzzy_components,
         "domain_adjacencies": q_domain_adjacencies,
         "dsir_weights": q_dsir_weights,
@@ -2306,4 +2358,7 @@ def oracle_sql() -> dict[str, str]:
         "group_quality_filter": _group_quality_filter_sql(),
         "ccnet_buckets": _ccnet_buckets_sql(),
         "marginalia_search": _marginalia_search_sql(),
+        # merged-path flagship: split-build + k-way merge + search must be
+        # rank/score-identical to the flat build, so the golden is shared
+        "marginalia_search_merged": _marginalia_search_sql(),
     }

@@ -56,6 +56,7 @@ SDEDUP_BOILER = "subscribe to our newsletter today"
 BLOOM_BITS = 256  # deliberately small so false positives occur at sf scale
 BLOOM_K = 2
 GRPQ_MIN_MEAN = -1.707  # splits the fixture's per-source quality means
+HH_NUM, HH_DEN = 1, 50  # heavy-hitter threshold: tokens with >= 2% of corpus mass
 
 
 def _docs(sf_dir: str):
@@ -650,6 +651,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs(sf_dir), threshold=JACCARD_THRESHOLD, method="minhash"
         )
 
+    def q_soft_dedup_weights(sf_dir: str):
+        from marginalia_ray.ops.graph import soft_dedup_weights
+
+        return soft_dedup_weights(
+            _docs(sf_dir), threshold=JACCARD_THRESHOLD, method="minhash"
+        )
+
     def q_dsir_weights(sf_dir: str):
         # DSIR importance resampling weights: target = the English slice,
         # raw = the whole corpus
@@ -781,6 +789,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return ccnet_buckets(ds)
 
+    def q_heavy_hitters(sf_dir: str):
+        from marginalia_ray.ops.sketch import heavy_hitters
+
+        return heavy_hitters(_docs(sf_dir), num=HH_NUM, den=HH_DEN)
+
     def q_quantile_by_key(sf_dir: str):
         import ray.data
 
@@ -820,6 +833,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "marginalia_search": q_index_search,
         "marginalia_search_merged": q_index_search_merged,
+        "heavy_hitters": q_heavy_hitters,
+        "soft_dedup_weights": q_soft_dedup_weights,
         "fuzzy_dedup_components": q_fuzzy_components,
         "domain_adjacencies": q_domain_adjacencies,
         "dsir_weights": q_dsir_weights,
@@ -1728,6 +1743,21 @@ def _fuzzy_components_sql() -> str:
     )
 
 
+def _soft_dedup_weights_sql() -> str:
+    """Mirrors queries()['soft_dedup_weights']: label every doc with its
+    near-dup component (the fuzzy_dedup_components walk), then weight =
+    round(1/cluster_size, 6) — singletons weigh 1.0."""
+    return (
+        _components_walk_cte()
+        + """,
+ comp AS (SELECT node AS doc_id, min(reach) AS component FROM walk GROUP BY node),
+ csz AS (SELECT component, count(*) AS n FROM comp GROUP BY component)
+ SELECT c.doc_id, n::BIGINT AS cluster_size,
+        floor(1000000.0 / n + 0.5) / 1000000.0 AS weight
+ FROM comp c JOIN csz USING (component)"""
+    )
+
+
 def _near_dedup_apply_sql() -> str:
     """Mirrors queries()['near_dedup_apply']: the surviving corpus — rows
     whose doc_id IS its component minimum (every non-minimum member of a
@@ -2352,6 +2382,7 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_dedup_components": _fuzzy_components_sql(),
         "semantic_dedup": _semantic_dedup_sql(),
         "near_dedup_apply": _near_dedup_apply_sql(),
+        "soft_dedup_weights": _soft_dedup_weights_sql(),
         "similarity_join": _similarity_join_sql(),
         "linear_classifier": _linear_classifier_sql(),
         "bloom_membership": _bloom_membership_sql(),
@@ -2361,4 +2392,8 @@ def oracle_sql() -> dict[str, str]:
         # merged-path flagship: split-build + k-way merge + search must be
         # rank/score-identical to the flat build, so the golden is shared
         "marginalia_search_merged": _marginalia_search_sql(),
+        "heavy_hitters": f"""
+ WITH tok AS (SELECT unnest({_TOK}) AS term FROM documents)
+ SELECT term, count(*)::BIGINT AS cnt FROM tok GROUP BY term
+ HAVING count(*) * {HH_DEN} >= {HH_NUM} * (SELECT count(*) FROM tok)""",
     }

@@ -379,6 +379,49 @@ def near_dedup_apply(
     return ds.map_batches(_anti, batch_format="pyarrow")
 
 
+def soft_dedup_weights(
+    ds,
+    threshold: float = 0.5,
+    method: str = "minhash",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **pair_kwargs,
+):
+    """Soft deduplication (SoftDeDup, Xia et al. 2024, ACL): instead of
+    DROPPING near-dup cluster members, every document gets a sampling
+    weight inversely proportional to its duplicate-cluster size —
+    duplicated content is down-weighted, not discarded, which the paper
+    shows beats hard dedup for pretraining loss at equal compute.
+
+    Pipeline: near-dup pairs -> connected components (the same machinery
+    as near_dedup_apply) -> ONE groupby(component) shuffle of
+    (component, doc_id) 16-byte rows in which each cluster emits
+    (doc_id, cluster_size, weight = round(1/size, 6)) per member.
+    Singletons are their own cluster (weight 1.0).  No driver-side state
+    beyond connected_components' converged star edges.
+
+    Output: (doc_id, cluster_size, weight) for EVERY input document."""
+    import math
+
+    comp = fuzzy_dedup_components(
+        ds, threshold=threshold, method=method, text_col=text_col,
+        id_col=id_col, **pair_kwargs,
+    )
+
+    def _per_member(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        w = math.floor(1_000_000 / n + 0.5) / 1_000_000
+        return pa.table(
+            {
+                id_col: group[id_col],
+                "cluster_size": pa.array(np.full(n, n, np.int64)),
+                "weight": pa.array(np.full(n, w, np.float64)),
+            }
+        )
+
+    return comp.groupby("component").map_groups(_per_member, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # Website adjacencies: similar-domains via weighted cosine over inlink sets
 # ---------------------------------------------------------------------------

@@ -266,3 +266,113 @@ def cms_term_counts(
             "est_count": pa.array(ests, pa.int64()),
         }
     )
+
+
+def heavy_hitters(
+    ds,
+    num: int = 1,
+    den: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_candidates: int = 10_000_000,
+):
+    """EXACT corpus-frequency heavy hitters — every token whose total
+    count is >= (num/den) of all corpus tokens — found without ever
+    shuffling the full vocabulary (Misra-Gries 1982 / Manku-Motwani
+    lossy-counting shape: bounded candidate generation, exact confirm).
+
+    Pass 1 (candidate generation): each batch computes its LOCAL heavy
+    hitters (count_b * den >= num * tokens_b) with one in-batch pyarrow
+    group_by.  By the averaging argument, any GLOBAL heavy hitter is a
+    local one in at least one batch, so the union is a complete candidate
+    superset — and each batch contributes at most den/num candidates, so
+    the driver state is bounded by n_batches * den/num (capped loudly at
+    `max_candidates`), never the vocabulary.  The same pass sums the
+    global token count N from per-batch totals.
+
+    Pass 2 (exact confirm): the candidate set is broadcast once
+    (`ray.put`), each batch counts ONLY candidate occurrences, and one
+    groupby(term) shuffle of those bounded partials yields exact global
+    counts, filtered to cnt * den >= num * N.
+
+    All threshold math is integer (num/den rational), so results are
+    independent of batching and reproducible in SQL.  At 100 TB the
+    vocabulary is billions of terms; this op's shuffle traffic is
+    O(candidates), e.g. a few thousand rows per batch at den/num = 50.
+
+    Output: (term, cnt) with exact counts, only the heavy hitters.
+    """
+    import pyarrow.compute as pc
+    import ray
+
+    from marginalia_ray.ops.text_ops import explode_tokens
+
+    if num <= 0 or den <= 0:
+        raise ValueError("heavy_hitters: num and den must be positive")
+
+    def _local_hh(batch: pa.Table) -> pa.Table:
+        _, toks = explode_tokens(batch, text_col, id_col)
+        n_b = len(toks)
+        if n_b == 0:
+            return pa.table(
+                {"term": pa.array([], pa.string()), "ntok": pa.array([], pa.int64())}
+            )
+        counts = (
+            pa.table({"t": toks})
+            .group_by("t")
+            .aggregate([([], "count_all")])
+            .rename_columns(["t", "c"])
+        )
+        c = counts["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = c * den >= num * n_b
+        terms = counts["t"].filter(pa.array(keep)).cast(pa.string())
+        # one sentinel row (null term) carries this batch's token total
+        return pa.table(
+            {
+                "term": pa.concat_arrays([terms.combine_chunks() if isinstance(terms, pa.ChunkedArray) else terms, pa.array([None], pa.string())]),
+                "ntok": pa.array([0] * len(terms) + [n_b], pa.int64()),
+            }
+        )
+
+    n_total = 0
+    cand: set[str] = set()
+    for b in ds.map_batches(_local_hh, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        if not b.num_rows:
+            continue
+        n_total += int(pc.sum(b["ntok"]).as_py() or 0)
+        terms = b["term"].drop_null()
+        cand.update(terms.to_pylist())
+        if len(cand) > max_candidates:
+            raise RuntimeError(
+                f"heavy_hitters: >{max_candidates} candidates — raise the "
+                "threshold (num/den) or max_candidates."
+            )
+
+    cand_ref = ray.put(pa.array(sorted(cand), pa.string()))
+
+    def _count_cands(batch: pa.Table) -> pa.Table:
+        _, toks = explode_tokens(batch, text_col, id_col)
+        hit = toks.filter(pc.is_in(toks, value_set=ray.get(cand_ref)))
+        part = pa.table({"term": hit}).group_by("term").aggregate([([], "count_all")])
+        return part.rename_columns(["term", "partial"])
+
+    summed = (
+        ds.map_batches(_count_cands, batch_format="pyarrow")
+        .groupby("term")
+        .sum("partial")
+    )
+
+    def _finalize(batch: pa.Table) -> pa.Table:
+        cnt = batch["sum(partial)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = pa.array(cnt * den >= num * n_total)
+        out = batch.filter(keep)
+        return pa.table(
+            {
+                "term": out["term"].cast(pa.string()),
+                "cnt": out["sum(partial)"].cast(pa.int64()),
+            }
+        )
+
+    return summed.map_batches(_finalize, batch_format="pyarrow")

@@ -651,6 +651,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs(sf_dir), threshold=JACCARD_THRESHOLD, method="minhash"
         )
 
+    def q_substring_dedup_apply(sf_dir: str):
+        from marginalia_ray.ops.dedup import substring_dedup_apply
+
+        return substring_dedup_apply(_docs(sf_dir))
+
     def q_soft_dedup_weights(sf_dir: str):
         from marginalia_ray.ops.graph import soft_dedup_weights
 
@@ -835,6 +840,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "marginalia_search_merged": q_index_search_merged,
         "heavy_hitters": q_heavy_hitters,
         "soft_dedup_weights": q_soft_dedup_weights,
+        "substring_dedup_apply": q_substring_dedup_apply,
         "fuzzy_dedup_components": q_fuzzy_components,
         "domain_adjacencies": q_domain_adjacencies,
         "dsir_weights": q_dsir_weights,
@@ -2091,6 +2097,37 @@ def _substring_sql() -> str:
  GROUP BY 1, 2"""
 
 
+def _substring_apply_sql() -> str:
+    """Mirrors ops/dedup.substring_dedup_apply at window=8: every token
+    position covered by an 8-token window that occurs in >= 2 distinct
+    documents is removed; survivors re-join with ' '.  The SQL compares
+    window token STRINGS, the Ray op 64-bit rolling hashes — equal absent
+    a 2^-64 collision (exact_substring_pairs' contract)."""
+    return f"""
+ WITH tok AS (SELECT doc_id, {_TOK} AS ts FROM documents),
+ w AS (SELECT doc_id, i, array_to_string(ts[i:i+7], ' ') AS win
+       FROM tok, unnest(range(1, len(ts) - 6)) AS u(i)
+       WHERE len(ts) >= 8),
+ dup AS (SELECT win FROM (SELECT DISTINCT doc_id, win FROM w)
+         GROUP BY win HAVING count(*) >= 2),
+ cov AS (SELECT DISTINCT w.doc_id, j
+         FROM w JOIN dup USING (win),
+              unnest(generate_series(w.i, w.i + 7)) AS u2(j)),
+ toks AS (SELECT doc_id, ts[i] AS t, i
+          FROM tok, unnest(generate_series(1, len(ts))) AS u(i)),
+ kept AS (SELECT k.doc_id, k.t, k.i
+          FROM toks k LEFT JOIN cov ON k.doc_id = cov.doc_id AND k.i = cov.j
+          WHERE cov.j IS NULL),
+ agg AS (SELECT doc_id, string_agg(t, ' ' ORDER BY i) AS clean_text,
+                count(*)::BIGINT AS n_kept
+         FROM kept GROUP BY doc_id)
+ SELECT tok.doc_id,
+        coalesce(agg.clean_text, '') AS clean_text,
+        coalesce(agg.n_kept, 0)::BIGINT AS n_kept,
+        (len(tok.ts) - coalesce(agg.n_kept, 0))::BIGINT AS n_removed
+ FROM tok LEFT JOIN agg USING (doc_id)"""
+
+
 def _bm25_ranked_sql(terms: list[str], n: int) -> str:
     """Parenthesized subquery: (doc_id, rn) — BM25 rank over `terms`,
     row_number by (s desc, doc_id), s>0, top n.  Same formula/float
@@ -2383,6 +2420,7 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup": _semantic_dedup_sql(),
         "near_dedup_apply": _near_dedup_apply_sql(),
         "soft_dedup_weights": _soft_dedup_weights_sql(),
+        "substring_dedup_apply": _substring_apply_sql(),
         "similarity_join": _similarity_join_sql(),
         "linear_classifier": _linear_classifier_sql(),
         "bloom_membership": _bloom_membership_sql(),

@@ -1191,3 +1191,250 @@ def ngram_novelty(ds, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
         )
 
     return agg.map_batches(_final, batch_format="pyarrow")
+
+
+# ---- exact-substring dedup, applied ---------------------------------------
+
+
+def _flat_tokens_rows(batch: pa.Table, text_col: str):
+    """(flat_tokens, row_indices) for a batch — explode_tokens' kernels,
+    but keyed by batch ROW index (contiguous runs, enabling vectorized
+    per-row extents) instead of the doc-id column."""
+    from marginalia_ray.ops.text_ops import TOKEN_SPLIT
+
+    txt = batch[text_col]
+    if isinstance(txt, pa.ChunkedArray):
+        txt = txt.combine_chunks()
+    lists = pc.split_pattern_regex(
+        pc.cast(pc.utf8_lower(txt), pa.large_string()), TOKEN_SPLIT
+    )
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    flat = pc.list_flatten(lists)
+    parents = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+    mask = pc.not_equal(flat, "")
+    mask_np = mask.to_numpy(zero_copy_only=False)
+    return flat.filter(mask), parents[mask_np].astype(np.int64)
+
+
+def _window_occurrences(batch: pa.Table, window: int, text_col: str):
+    """Per-row (row_idx, gram64, pos) for every `window`-token window —
+    the same rolling polynomial as exact_substring_pairs (bits64), plus
+    the 1-based in-row start position the APPLY step needs to mask
+    tokens.  Row indices map to doc ids via batch[id_col].take(rows)."""
+    from marginalia_ray.ops.text_ops import _FP_WIN_BASE, _token_value_mod32
+
+    toks, rows_np = _flat_tokens_rows(batch, text_col)
+    th = _token_value_mod32(toks)
+    n = len(th)
+    empty = (np.empty(0, np.int64), np.empty(0, np.uint64), np.empty(0, np.int64))
+    if n == 0:
+        return empty
+    W = window
+    m = n - W + 1
+    if m <= 0:
+        return empty
+    mask = np.uint64(0xFFFF_FFFF_FFFF_FFFF)
+    powers = np.empty(W, dtype=np.uint64)
+    powers[0] = 1
+    for k in range(1, W):
+        powers[k] = (powers[k - 1] * _FP_WIN_BASE) & mask
+    acc = np.zeros(m, dtype=np.uint64)
+    for k in range(W):
+        acc += th[k : m + k] * powers[W - 1 - k]
+    valid = rows_np[:m] == rows_np[W - 1 :]
+    starts_mask = np.r_[True, rows_np[1:] != rows_np[:-1]]
+    row_start = np.maximum.accumulate(np.where(starts_mask, np.arange(n), 0))
+    out_rows = rows_np[:m][valid]
+    out_grams = acc[valid] & mask
+    out_pos = (np.arange(m)[valid] - row_start[:m][valid]) + 1  # 1-based
+    return out_rows, out_grams, out_pos
+
+
+def substring_dedup_apply(
+    ds,
+    window: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_dup_grams: int = 20_000_000,
+):
+    """Exact-substring dedup, APPLIED (the removal step of Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" — the
+    companion to `exact_substring_pairs`' detection): every token position
+    covered by a `window`-token substring that ALSO occurs in another
+    document is removed; the survivors re-join with ' ' in original order.
+
+    Duplication is cross-document (a window repeated only within one doc
+    stays), matching exact_substring_pairs' pair semantics.  Output text
+    is the tokenized form (lowercase alnum tokens) — the same convention
+    as the SQL oracle's token stream, and what a training pipeline feeds
+    a tokenizer anyway.
+
+    Scale shape: pass 1 counts distinct docs per window hash with
+    per-batch partial aggregation (docs never span batches) and ONE
+    groupby(gram) shuffle of (gram, partial) rows; duplicated grams
+    (count >= 2) are broadcast under `max_dup_grams` (~8 B each) and
+    pass 2 is a zero-shuffle streaming map that recomputes each batch's
+    window hashes, masks covered positions with a vectorized
+    difference-array, and rebuilds the text.  Above the cap the op
+    switches to the dataset-side path: occurrences semi-join the dup
+    grams (co-partitioned, `semi_join_ids`), and the (doc, pos) marks
+    co-shuffle with the corpus in one typed-null union groupby(doc_id)
+    — identical results, zero driver growth.
+
+    Window hashes are 64-bit rolling polynomials compared across docs
+    (2^-64 collision, same contract as exact_substring_pairs).
+
+    Output: (doc_id, clean_text, n_kept, n_removed) for every input doc.
+    """
+    import ray
+
+    W = window
+
+    def _gram_doc_partial(batch: pa.Table) -> pa.Table:
+        from marginalia_ray.ops.text_ops import _dedupe_doc_grams
+
+        rows, grams, _ = _window_occurrences(batch, W, text_col)
+        rows, grams = _dedupe_doc_grams(rows, grams)
+        if len(grams) == 0:
+            return pa.table(
+                {"gram": pa.array([], pa.int64()), "partial": pa.array([], pa.int64())}
+            )
+        t = pa.table({"gram": pa.array(grams.view(np.int64), pa.int64())})
+        g = t.group_by("gram").aggregate([([], "count_all")])
+        return g.rename_columns(["gram", "partial"])
+
+    counts = (
+        ds.map_batches(_gram_doc_partial, batch_format="pyarrow")
+        .groupby("gram")
+        .sum("partial")
+    )
+
+    dup_parts: list[np.ndarray] = [np.empty(0, np.int64)]
+    n_dup = 0
+    overflow = False
+    for b in counts.iter_batches(batch_format="pyarrow"):
+        if not b.num_rows:
+            continue
+        m = pc.greater_equal(b["sum(partial)"], 2)
+        hot = b["gram"].filter(m)
+        if len(hot):
+            dup_parts.append(hot.to_numpy(zero_copy_only=False).astype(np.int64))
+            n_dup += len(hot)
+            if n_dup > max_dup_grams:
+                overflow = True
+                break
+
+    def _rebuild_batch(batch: pa.Table, cover_fn) -> pa.Table:
+        """cover_fn(batch) -> (mark_rows, mark_pos): duplicated-window
+        start positions per batch ROW; rebuilds every doc's kept tokens
+        with the repo's vectorized rejoin_kept."""
+        from marginalia_ray.ops.text_ops import rejoin_kept
+
+        n_rows = batch.num_rows
+        toks, parents = _flat_tokens_rows(batch, text_col)
+        lens = np.bincount(parents, minlength=n_rows).astype(np.int64)
+        starts = np.zeros(n_rows + 1, np.int64)
+        np.cumsum(lens, out=starts[1:])
+        keep = np.ones(len(parents), bool)
+        mark_rows, mark_pos = cover_fn(batch)
+        if len(mark_rows):
+            # difference array over the flat token index space
+            delta = np.zeros(len(parents) + 1, np.int64)
+            s = starts[mark_rows] + (mark_pos - 1)
+            e = np.minimum(s + W, starts[mark_rows] + lens[mark_rows])
+            np.add.at(delta, s, 1)
+            np.add.at(delta, e, -1)
+            keep = np.cumsum(delta[:-1]) == 0
+        clean, n_kept = rejoin_kept(toks, pa.array(keep), parents, n_rows, " ")
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "clean_text": clean,
+                "n_kept": pa.array(n_kept.astype(np.int64)),
+                "n_removed": pa.array(lens - n_kept),
+            }
+        )
+
+    if not overflow:
+        dup_ref = ray.put(np.unique(np.concatenate(dup_parts)))
+
+        def _cover_bcast(batch: pa.Table):
+            rows, grams, pos = _window_occurrences(batch, W, text_col)
+            if len(rows) == 0:
+                return rows, pos
+            hit = np.isin(grams.view(np.int64), ray.get(dup_ref))
+            return rows[hit], pos[hit]
+
+        return ds.map_batches(
+            lambda b: _rebuild_batch(b, _cover_bcast), batch_format="pyarrow"
+        )
+
+    # over-cap fallback: dataset-side marks, one union groupby(doc_id)
+    def _dup_grams_ds_batch(b: pa.Table) -> pa.Table:
+        if not b.num_rows:
+            return pa.table({"gram": pa.array([], pa.int64())})
+        m = pc.greater_equal(b["sum(partial)"], 2)
+        return pa.table({"gram": b["gram"].filter(m).cast(pa.int64())})
+
+    dup_ds = counts.map_batches(_dup_grams_ds_batch, batch_format="pyarrow")
+
+    def _occ_table(batch: pa.Table) -> pa.Table:
+        rows, grams, pos = _window_occurrences(batch, W, text_col)
+        ids_col = batch[id_col]
+        if isinstance(ids_col, pa.ChunkedArray):
+            ids_col = ids_col.combine_chunks()
+        return pa.table(
+            {
+                id_col: ids_col.take(rows).cast(pa.int64()),
+                "gram": pa.array(grams.view(np.int64), pa.int64()),
+                "pos": pa.array(pos, pa.int64()),
+            }
+        )
+
+    marks = semi_join_ids(
+        ds.map_batches(_occ_table, batch_format="pyarrow"), dup_ds, "gram"
+    ).drop_columns(["gram"])
+
+    text_type = pa.large_string()
+
+    def _tag_doc(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: batch[id_col].cast(pa.int64()),
+                "text": batch[text_col].cast(text_type),
+                "pos": pa.nulls(batch.num_rows, pa.int64()),
+                "_src": pa.array(np.zeros(batch.num_rows, np.int8)),
+            }
+        )
+
+    def _tag_mark(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: batch[id_col].cast(pa.int64()),
+                "text": pa.nulls(batch.num_rows, text_type),
+                "pos": batch["pos"].cast(pa.int64()),
+                "_src": pa.array(np.ones(batch.num_rows, np.int8)),
+            }
+        )
+
+    unioned = ds.map_batches(_tag_doc, batch_format="pyarrow").union(
+        marks.map_batches(_tag_mark, batch_format="pyarrow")
+    )
+
+    def _rebuild_group(group: pa.Table) -> pa.Table:
+        src = group["_src"].to_numpy(zero_copy_only=False)
+        doc_rows = group.filter(pa.array(src == 0))
+        pos_np = group["pos"].to_numpy(zero_copy_only=False)
+        mpos = pos_np[src == 1].astype(np.int64)
+        one = pa.table(
+            {id_col: doc_rows[id_col], text_col: doc_rows["text"].cast(pa.string())}
+        )
+
+        def _cover(_b: pa.Table):
+            # the group holds exactly one doc row (row index 0)
+            return np.zeros(len(mpos), np.int64), mpos
+
+        return _rebuild_batch(one, _cover)
+
+    return unioned.groupby(id_col).map_groups(_rebuild_group, batch_format="pyarrow")

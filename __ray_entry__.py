@@ -409,6 +409,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
             right_cols=["c_name"], how="left",
         )
 
+    def q_hash_full_join(sf_dir: str):
+        # both sides filtered so unmatched rows exist on BOTH sides
+        import ray.data
+
+        from marginalia_ray.ops.relational import hash_equi_join
+
+        import numpy as np
+        import pyarrow as pa
+
+        def _mod_keep(col: str, mod: int):
+            def _f(b: pa.Table) -> pa.Table:
+                v = b[col].to_numpy(zero_copy_only=False)
+                return b.filter(pa.array(v % mod == 0))
+
+            return _f
+
+        orders = ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_totalprice"],
+        ).map_batches(_mod_keep("o_orderkey", 3), batch_format="pyarrow")
+        cust = ray.data.read_parquet(
+            f"{sf_dir}/customer.parquet",
+            columns=["c_custkey", "c_name", "c_mktsegment"],
+        ).map_batches(_mod_keep("c_custkey", 2), batch_format="pyarrow")
+        return hash_equi_join(
+            orders, cust, on="o_custkey", right_on="c_custkey", how="full"
+        )
+
     def q_ngram_novelty(sf_dir: str):
         from marginalia_ray.ops.dedup import ngram_novelty
 
@@ -446,6 +474,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
             f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"]
         )
         return topk_per_group(ev)
+
+    def q_text_normalize(sf_dir: str):
+        # the fixture text is ASCII, so the query decorates each doc with
+        # a doc_id-parity unicode suffix: even ids get composed "café"
+        # (NFC identity), odd ids the decomposed form (combining acute,
+        # U+0301) that NFC recomposes — the oracle decorates identically
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from marginalia_ray.ops.text_ops import text_normalize
+
+        composed = " caf\u00e9"  # NFC-composed e-acute
+        decomposed = " cafe\u0301"  # e + combining acute: NFC recomposes
+
+        def _decorate(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            suffix = pa.array(
+                [composed if i % 2 == 0 else decomposed for i in ids], pa.string()
+            )
+            s = pc.binary_join_element_wise(batch["text"], suffix, pa.scalar(""))
+            return pa.table({"doc_id": batch["doc_id"], "text": s})
+
+        return text_normalize(
+            _docs(sf_dir).map_batches(_decorate, batch_format="pyarrow")
+        )
 
     def q_pii(sf_dir: str):
         # the synthetic fixture carries no PII, so the query decorates each
@@ -869,6 +922,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "broadcast_join": q_broadcast_join,
         "hash_join": q_hash_join,
         "hash_left_join": q_hash_left_join,
+        "hash_full_join": q_hash_full_join,
+        "text_normalize": q_text_normalize,
         "tumbling_window": q_tumbling_window,
         "hopping_window": q_hopping_window,
         "asof_join": q_asof,
@@ -2414,6 +2469,12 @@ def oracle_sql() -> dict[str, str]:
  SELECT o_orderkey, o_custkey, c_name
  FROM orders LEFT JOIN (SELECT * FROM customer WHERE c_mktsegment = 'BUILDING') c
  ON o_custkey = c_custkey""",
+        "hash_full_join": """
+ SELECT coalesce(o.o_custkey, c.c_custkey) AS o_custkey,
+        o_orderkey, o_totalprice, c_name, c_mktsegment
+ FROM (SELECT * FROM orders WHERE o_orderkey % 3 = 0) o
+ FULL JOIN (SELECT * FROM customer WHERE c_custkey % 2 = 0) c
+ ON o.o_custkey = c.c_custkey""",
         "tumbling_window": _window_sql(TUMBLE_MIN, None),
         "hopping_window": _window_sql(TUMBLE_MIN, HOP_MIN),
         "fuzzy_dedup_components": _fuzzy_components_sql(),
@@ -2421,6 +2482,16 @@ def oracle_sql() -> dict[str, str]:
         "near_dedup_apply": _near_dedup_apply_sql(),
         "soft_dedup_weights": _soft_dedup_weights_sql(),
         "substring_dedup_apply": _substring_apply_sql(),
+        # Arrow utf8_normalize(NFC) == DuckDB nfc_normalize (both the
+        # Unicode standard); whitespace collapse is the same RE2 regex
+        "text_normalize": """
+ WITH dec AS (SELECT doc_id,
+   text || CASE WHEN doc_id % 2 = 0 THEN ' caf' || chr(233)
+                ELSE ' cafe' || chr(769) END AS text FROM documents),
+ n AS (SELECT doc_id, text,
+   trim(regexp_replace(nfc_normalize(text), '\\s+', ' ', 'g')) AS norm_text
+   FROM dec)
+ SELECT doc_id, norm_text, (norm_text <> text) AS changed FROM n""",
         "similarity_join": _similarity_join_sql(),
         "linear_classifier": _linear_classifier_sql(),
         "bloom_membership": _bloom_membership_sql(),

@@ -789,9 +789,11 @@ def hash_equi_join(
     equi-join); a Zipf-hot key should be pre-aggregated or broadcast
     (broadcast_join) instead.  Output columns: left_cols + right_cols
     (key included once, from the left); 'left' keeps unmatched left rows
-    with typed-null right columns."""
-    if how not in ("inner", "left"):
-        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    with typed-null right columns; 'full' additionally keeps unmatched
+    RIGHT rows with typed-null left columns — their key value fills the
+    `on` column (SQL COALESCE(l.key, r.key) semantics)."""
+    if how not in ("inner", "left", "full"):
+        raise ValueError(f"how must be 'inner', 'left' or 'full', got {how!r}")
     key_r = right_on or on
     for side_name, sch, kc in (("left", left.schema(), on), ("right", right.schema(), key_r)):
         kt = dict(zip(sch.names, sch.types)).get(kc)
@@ -864,11 +866,26 @@ def hash_equi_join(
 
     r_null_types = {c: t for c, t in out_fields if c in r_out}
 
+    l_null_types = {c: t for c, t in out_fields if c in l_cols}
+
     def _left_only(block: pa.Table, idx: np.ndarray) -> pa.Table:
         take = pa.array(idx)
         cols = {c: block[c].take(take) for c in l_cols}
         for c in r_out:
             cols[c] = pa.nulls(len(idx), r_null_types[c])
+        return pa.table(cols)
+
+    def _right_only(block: pa.Table, idx: np.ndarray) -> pa.Table:
+        # unmatched right rows ('full'): the key travels in the `on`
+        # column (written from key_r at tag time), other left columns null
+        take = pa.array(idx)
+        cols = {}
+        for c in l_cols:
+            cols[c] = (
+                block[c].take(take) if c == on else pa.nulls(len(idx), l_null_types[c])
+            )
+        for c in r_out:
+            cols[c] = block[c].take(take)
         return pa.table(cols)
 
     def _join_group(block: pa.Table) -> pa.Table:
@@ -879,9 +896,9 @@ def hash_equi_join(
         li = np.flatnonzero(src == 0)
         ri = np.flatnonzero(src == 1)
         if len(li) == 0:
-            return _mk_empty()
+            return _right_only(block, ri) if how == "full" and len(ri) else _mk_empty()
         if len(ri) == 0:
-            return _left_only(block, li) if how == "left" else _mk_empty()
+            return _left_only(block, li) if how in ("left", "full") else _mk_empty()
         rk = keys[ri]
         r_order = np.argsort(rk, kind="stable")
         rk = rk[r_order]
@@ -890,9 +907,23 @@ def hash_equi_join(
         hi = np.searchsorted(rk, lk, side="right")
         cnt = hi - lo
         sel = cnt > 0
-        miss = (
-            _left_only(block, li[~sel]) if how == "left" and (~sel).any() else None
-        )
+        parts = []
+        if how in ("left", "full") and (~sel).any():
+            parts.append(_left_only(block, li[~sel]))
+        if how == "full":
+            # right rows never matched by any left key
+            delta = np.zeros(len(ri) + 1, np.int64)
+            if sel.any():
+                np.add.at(delta, lo[sel], 1)
+                np.add.at(delta, hi[sel], -1)
+            r_hit = np.cumsum(delta[:-1]) > 0
+            if not r_hit.all():
+                parts.append(_right_only(block, ri[r_order[~r_hit]]))
+        miss = None
+        if parts:
+            miss = parts[0] if len(parts) == 1 else pa.concat_tables(
+                [parts[0]] + [p.cast(parts[0].schema) for p in parts[1:]]
+            )
         if not sel.any():
             return miss if miss is not None else _mk_empty()
         li, lo, cnt = li[sel], lo[sel], cnt[sel]

@@ -969,3 +969,50 @@ def winnow_fingerprints(
         )
 
     return ds.map_batches(_batch, batch_format="pyarrow")
+
+
+def text_normalize(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Unicode canonicalization — the cleanup every hashing/dedup stage
+    should run first (composed vs decomposed accents hash differently;
+    CCNet/C4 normalize before dedup): NFC-normalize, collapse whitespace
+    runs to one space, trim.  One streaming map, all RE2/utf8 kernels,
+    no shuffle.
+
+    Output: (doc_id, norm_text, changed) — changed marks rows the
+    normalization actually altered (cheap dirty-row statistic)."""
+
+    import unicodedata
+
+    def _batch(batch: pa.Table) -> pa.Table:
+        txt = batch[text_col]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        # NFC via unicodedata, NOT pc.utf8_normalize: pyarrow's kernel
+        # (utf8proc, observed on 16.1) leaves combining sequences
+        # DECOMPOSED even for form="NFC", diverging from the Unicode
+        # standard (and DuckDB/CPython).  ASCII is NFC-invariant, so the
+        # Python call runs only on regex-flagged non-ASCII rows — ~0 cost
+        # on web-scale English-heavy corpora.
+        nonascii = pc.match_substring_regex(txt, r"[^\x00-\x7F]").to_numpy(
+            zero_copy_only=False
+        )
+        if nonascii.any():
+            vals = txt.to_pandas().to_numpy(dtype=object, copy=True)
+            idx = np.flatnonzero(nonascii)
+            nfc = unicodedata.normalize
+            for i in idx:
+                vals[i] = nfc("NFC", vals[i])
+            norm = pa.array(vals, pa.string())
+        else:
+            norm = txt
+        norm = pc.replace_substring_regex(norm, r"\s+", " ")
+        norm = pc.utf8_trim(norm, " ")
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "norm_text": pc.cast(norm, pa.string()),
+                "changed": pc.not_equal(norm, txt),
+            }
+        )
+
+    return ds.map_batches(_batch, batch_format="pyarrow")

@@ -372,3 +372,43 @@ class TestHashEquiJoin:
                 pa.table({"k": pa.array([1, None], pa.int64()), "w": pa.array([1, 2])}),
                 on="k",
             )
+
+
+class TestHashFullJoin:
+    def test_full_join_keeps_both_unmatched_sides(self, ray_session):
+        from marginalia_ray.ops.relational import hash_equi_join
+
+        left = _ds(pa.table({"k": pa.array([1, 2, 3]), "lv": pa.array(list("abc"))}))
+        right = _ds(pa.table({"rk": pa.array([2, 9]), "rv": pa.array(["hit", "ronly"])}))
+        out = sorted(
+            hash_equi_join(left, right, on="k", right_on="rk", how="full").take_all(),
+            key=lambda r: r["k"],
+        )
+        # unmatched right row carries its key in the `on` column
+        assert [(r["k"], r["lv"], r["rv"]) for r in out] == [
+            (1, "a", None), (2, "b", "hit"), (3, "c", None), (9, None, "ronly")
+        ]
+
+    def test_full_join_many_to_many_plus_right_only(self, ray_session):
+        from marginalia_ray.ops.relational import hash_equi_join
+
+        left = _ds(pa.table({"k": pa.array([1, 1]), "lv": pa.array(["a", "b"])}))
+        right = _ds(
+            pa.table({"k": pa.array([1, 1, 4]), "rv": pa.array(["x", "y", "solo"])})
+        )
+        out = sorted(
+            hash_equi_join(left, right, on="k", how="full").take_all(),
+            key=lambda r: (r["k"], r["lv"] or "", r["rv"]),
+        )
+        assert [(r["k"], r["lv"], r["rv"]) for r in out] == [
+            (1, "a", "x"), (1, "a", "y"), (1, "b", "x"), (1, "b", "y"),
+            (4, None, "solo"),
+        ]
+
+    def test_full_join_with_empty_left(self, ray_session):
+        from marginalia_ray.ops.relational import hash_equi_join
+
+        left = _ds(pa.table({"k": pa.array([], pa.int64()), "lv": pa.array([], pa.string())}))
+        right = _ds(pa.table({"k": pa.array([7]), "rv": pa.array(["only"])}))
+        out = hash_equi_join(left, right, on="k", how="full").take_all()
+        assert out == [{"k": 7, "lv": None, "rv": "only"}]

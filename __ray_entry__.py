@@ -475,6 +475,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return topk_per_group(ev)
 
+    def q_pagerank(sf_dir: str):
+        # integer-exact PageRank over the distinct supplier -> part-bucket
+        # edge list (l_suppkey -> l_partkey % 100)
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+
+        from marginalia_ray.ops.graph import pagerank_scores
+
+        li = ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet", columns=["l_suppkey", "l_partkey"]
+        )
+
+        def _edges(b: pa.Table) -> pa.Table:
+            pk = b["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table(
+                {
+                    "src": b["l_suppkey"].cast(pa.int64()),
+                    "dst": pa.array(pk % 100, pa.int64()),
+                }
+            )
+
+        return pagerank_scores(li.map_batches(_edges, batch_format="pyarrow"))
+
     def q_text_normalize(sf_dir: str):
         # the fixture text is ASCII, so the query decorates each doc with
         # a doc_id-parity unicode suffix: even ids get composed "café"
@@ -924,6 +948,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_left_join": q_hash_left_join,
         "hash_full_join": q_hash_full_join,
         "text_normalize": q_text_normalize,
+        "pagerank_scores": q_pagerank,
         "tumbling_window": q_tumbling_window,
         "hopping_window": q_hopping_window,
         "asof_join": q_asof,
@@ -1804,6 +1829,46 @@ def _fuzzy_components_sql() -> str:
     )
 
 
+def _pagerank_sql() -> str:
+    """Mirrors queries()['pagerank_scores']: integer-exact power iteration
+    (floor division, rational damping 85/100, micro-units of 1e12) over
+    the distinct (l_suppkey -> l_partkey % 100) edge list, 3 iterations
+    unrolled.  DuckDB sum(BIGINT) is HUGEINT, so every arithmetic result
+    casts back to BIGINT after the floor division."""
+    S = 10**12
+    parts = [
+        f"""
+ WITH edges AS (SELECT DISTINCT l_suppkey AS src, (l_partkey % 100) AS dst
+                FROM lineitem),
+ nodes AS (SELECT DISTINCT v
+           FROM (SELECT src AS v FROM edges UNION ALL SELECT dst FROM edges)),
+ nn AS (SELECT count(*) AS n FROM nodes),
+ deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+ r0 AS (SELECT v, ({S} // n)::BIGINT AS r FROM nodes, nn)"""
+    ]
+    prev = "r0"
+    for k in range(1, 4):
+        parts.append(
+            f""",
+ c{k} AS (SELECT p.v, (p.r // d.deg)::BIGINT AS c
+          FROM {prev} p JOIN deg d ON p.v = d.src),
+ a{k} AS (SELECT e.dst AS v, sum(c.c) AS acc
+          FROM edges e JOIN c{k} c ON e.src = c.v GROUP BY e.dst),
+ dm{k} AS (SELECT (coalesce((SELECT sum(p.r) FROM {prev} p
+                             WHERE p.v NOT IN (SELECT src FROM deg)), 0)
+                   // n)::BIGINT AS dm FROM nn),
+ r{k} AS (SELECT nodes.v,
+          ((15 * {S}) // (100 * nn.n)
+           + (85 * (coalesce(a{k}.acc, 0) + dm{k}.dm)) // 100)::BIGINT AS r
+          FROM nodes CROSS JOIN nn CROSS JOIN dm{k}
+          LEFT JOIN a{k} ON nodes.v = a{k}.v)"""
+        )
+        prev = f"r{k}"
+    parts.append(f"""
+ SELECT v AS node, r AS "rank" FROM {prev}""")
+    return "".join(parts)
+
+
 def _soft_dedup_weights_sql() -> str:
     """Mirrors queries()['soft_dedup_weights']: label every doc with its
     near-dup component (the fuzzy_dedup_components walk), then weight =
@@ -2492,6 +2557,7 @@ def oracle_sql() -> dict[str, str]:
    trim(regexp_replace(nfc_normalize(text), '\\s+', ' ', 'g')) AS norm_text
    FROM dec)
  SELECT doc_id, norm_text, (norm_text <> text) AS changed FROM n""",
+        "pagerank_scores": _pagerank_sql(),
         "similarity_join": _similarity_join_sql(),
         "linear_classifier": _linear_classifier_sql(),
         "bloom_membership": _bloom_membership_sql(),

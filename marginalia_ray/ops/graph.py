@@ -724,3 +724,97 @@ def domain_adjacencies(
         return g.slice(0, top_k)
 
     return scored.groupby("domain_id").map_groups(_topk, batch_format="pyarrow")
+
+
+def pagerank_scores(
+    edges,
+    d_num: int = 85,
+    d_den: int = 100,
+    iterations: int = 3,
+    scale: int = 10**12,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_edges: int = 200_000_000,
+):
+    """PageRank with EXACT integer arithmetic — the oracle-checkable
+    sibling of pipelines/domain_rank.pagerank (G6; RankingAlgorithm.java
+    semantics, power iteration with dangling redistribution).  Ranks are
+    micro-units of `scale` total mass; the damping factor is the rational
+    d_num/d_den and every step uses floor division, so the result is a
+    pure integer function of the edge list that SQL reproduces bit-exactly
+    (floats would drift on summation order).
+
+    Iteration: contrib_i = r_i // deg_i (non-dangling); dm = sum(r_dangling)
+    // n; r'_j = ((d_den-d_num)*scale) // (d_den*n) + (d_num*(acc_j+dm)) // d_den.
+
+    Scale shape: edge dedup is distributed (per-batch distinct + one
+    groupby shuffle); the compacted DOMAIN-level graph then iterates on
+    the driver in numpy CSR — domains are 4-5 orders of magnitude fewer
+    than documents (same justification as domain_rank.pagerank, capped
+    loudly at `max_edges`); each iteration is expressible as a
+    groupby(dst).sum over (src, dst, contrib) rows if a graph ever
+    outgrows one machine.
+
+    Output: Dataset (node, rank) — rank in integer micro-units."""
+    import ray.data as _rd
+
+    def _dedup_batch(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}
+            )
+        return (
+            pa.table({"src": b[src_col].cast(pa.int64()), "dst": b[dst_col].cast(pa.int64())})
+            .group_by(["src", "dst"])
+            .aggregate([])
+        )
+
+    ded = (
+        edges.map_batches(_dedup_batch, batch_format="pyarrow")
+        .groupby(["src", "dst"])
+        .count()
+    )
+
+    srcs, dsts = [np.empty(0, np.int64)], [np.empty(0, np.int64)]
+    n_e = 0
+    for b in ded.iter_batches(batch_format="pyarrow"):
+        if not b.num_rows:
+            continue
+        srcs.append(b["src"].to_numpy(zero_copy_only=False).astype(np.int64))
+        dsts.append(b["dst"].to_numpy(zero_copy_only=False).astype(np.int64))
+        n_e += b.num_rows
+        if n_e > max_edges:
+            raise RuntimeError(
+                f"pagerank_scores: >{max_edges} distinct edges — iterate "
+                "with the groupby(dst) exchange instead (see docstring)."
+            )
+    src = np.concatenate(srcs)
+    dst = np.concatenate(dsts)
+    if len(src) == 0:
+        return _rd.from_arrow(
+            pa.table({"node": pa.array([], pa.int64()), "rank": pa.array([], pa.int64())})
+        )
+
+    nodes = np.unique(np.concatenate([src, dst]))
+    n = len(nodes)
+    s = np.searchsorted(nodes, src)
+    g = np.searchsorted(nodes, dst)
+    deg = np.bincount(s, minlength=n).astype(np.int64)
+    dangling = deg == 0
+
+    base = ((d_den - d_num) * scale) // (d_den * n)
+    r = np.full(n, scale // n, dtype=np.int64)
+    for _ in range(iterations):
+        contrib = np.where(dangling, 0, r // np.maximum(deg, 1))
+        acc = np.bincount(g, weights=contrib[s].astype(np.float64), minlength=n)
+        # bincount weights go through float64: exact only below 2^53 —
+        # assert instead of silently rounding
+        acc_i = acc.astype(np.int64)
+        if (acc >= 2**53).any():
+            raise RuntimeError("pagerank_scores: contribution sum exceeds 2^53")
+        dm = int(r[dangling].sum()) // n
+        r = base + (d_num * (acc_i + dm)) // d_den
+
+    return _rd.from_arrow(
+        pa.table({"node": pa.array(nodes, pa.int64()), "rank": pa.array(r, pa.int64())})
+    )

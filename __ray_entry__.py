@@ -475,6 +475,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return topk_per_group(ev)
 
+    def q_cohort_retention(sf_dir: str):
+        import ray.data
+
+        from marginalia_ray.ops.relational import cohort_retention
+
+        ev = ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+        )
+        return cohort_retention(ev)
+
     def q_pagerank(sf_dir: str):
         # integer-exact PageRank over the distinct supplier -> part-bucket
         # edge list (l_suppkey -> l_partkey % 100)
@@ -949,6 +959,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_full_join": q_hash_full_join,
         "text_normalize": q_text_normalize,
         "pagerank_scores": q_pagerank,
+        "cohort_retention": q_cohort_retention,
         "tumbling_window": q_tumbling_window,
         "hopping_window": q_hopping_window,
         "asof_join": q_asof,
@@ -2558,6 +2569,14 @@ def oracle_sql() -> dict[str, str]:
    FROM dec)
  SELECT doc_id, norm_text, (norm_text <> text) AS changed FROM n""",
         "pagerank_scores": _pagerank_sql(),
+        "cohort_retention": """
+ WITH ew AS (SELECT DISTINCT user_id,
+                    (epoch_us(ts) // 604800000000) AS w FROM events),
+ f AS (SELECT user_id, min(w) AS cw FROM ew GROUP BY user_id)
+ SELECT f.cw AS cohort_week, (e.w - f.cw) AS week_offset,
+        count(*)::BIGINT AS n_users
+ FROM ew e JOIN f USING (user_id)
+ GROUP BY 1, 2""",
         "similarity_join": _similarity_join_sql(),
         "linear_classifier": _linear_classifier_sql(),
         "bloom_membership": _bloom_membership_sql(),

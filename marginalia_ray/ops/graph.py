@@ -804,14 +804,18 @@ def pagerank_scores(
 
     base = ((d_den - d_num) * scale) // (d_den * n)
     r = np.full(n, scale // n, dtype=np.int64)
+    # exact int64 accumulation (np.bincount weights would round through
+    # float64 above 2^53); overflow bound: max in-degree * scale < 2^63
+    in_deg_max = int(np.bincount(g, minlength=n).max())
+    if in_deg_max * scale >= 2**63:
+        raise RuntimeError(
+            "pagerank_scores: in-degree * scale would overflow int64 — "
+            "lower `scale` or split the hot node upstream"
+        )
     for _ in range(iterations):
         contrib = np.where(dangling, 0, r // np.maximum(deg, 1))
-        acc = np.bincount(g, weights=contrib[s].astype(np.float64), minlength=n)
-        # bincount weights go through float64: exact only below 2^53 —
-        # assert instead of silently rounding
-        acc_i = acc.astype(np.int64)
-        if (acc >= 2**53).any():
-            raise RuntimeError("pagerank_scores: contribution sum exceeds 2^53")
+        acc_i = np.zeros(n, np.int64)
+        np.add.at(acc_i, g, contrib[s])
         dm = int(r[dangling].sum()) // n
         r = base + (d_num * (acc_i + dm)) // d_den
 

@@ -973,3 +973,106 @@ def _join_parts() -> int:
         return max(2, min(64, int(_ray.cluster_resources().get("CPU", 8)) // 2))
     except Exception:
         return 8
+
+
+def cohort_retention(
+    ds,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    num_partitions: int | None = None,
+):
+    """Weekly cohort retention — the standard analytics matrix a
+    training-data/telemetry pipeline reports: a user's cohort is the
+    epoch-week of their FIRST event; for every (cohort_week, week_offset)
+    cell, count the distinct users active offset weeks after their cohort
+    week.
+
+    Scale shape: pass 1 reduces each batch to distinct (user, week) pairs
+    (vectorized lexsort dedup) and hash-partitions them on fmix64(user)
+    — ONE shuffle of two-int64 rows, never the event payload.  Each
+    partition block holds all of a user's weeks, so cohort assignment and
+    offset dedup are a vectorized segment pass (sorted runs, no per-user
+    Python); blocks emit per-(cohort, offset) partial counts and one
+    small groupby sums them.
+
+    Output: (cohort_week, week_offset, n_users), weeks as epoch-week
+    integers (epoch_us // 604800e6)."""
+    week_us = 604_800_000_000
+    if num_partitions is None:
+        num_partitions = _join_parts()
+
+    def _pairs(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "_pk": pa.array([], pa.int64()),
+                    "u": pa.array([], pa.int64()),
+                    "w": pa.array([], pa.int64()),
+                }
+            )
+        u = batch[user_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = (
+            batch[ts_col]
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        w = ts // week_us
+        order = np.lexsort((w, u))
+        u, w = u[order], w[order]
+        keep = np.r_[True, (u[1:] != u[:-1]) | (w[1:] != w[:-1])]
+        u, w = u[keep], w[keep]
+        pk = (_fmix64(u.astype(np.uint64)) % np.uint64(num_partitions)).astype(
+            np.int64
+        )
+        return pa.table(
+            {"_pk": pa.array(pk), "u": pa.array(u), "w": pa.array(w)}
+        )
+
+    def _block(block: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "cohort_week": pa.array([], pa.int64()),
+                "week_offset": pa.array([], pa.int64()),
+                "partial": pa.array([], pa.int64()),
+            }
+        )
+        if block.num_rows == 0:
+            return empty
+        u = block["u"].to_numpy(zero_copy_only=False)
+        w = block["w"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((w, u))
+        u, w = u[order], w[order]
+        # cross-batch distinct (u, w)
+        keep = np.r_[True, (u[1:] != u[:-1]) | (w[1:] != w[:-1])]
+        u, w = u[keep], w[keep]
+        if len(u) == 0:
+            return empty
+        first = np.r_[True, u[1:] != u[:-1]]
+        gid = np.cumsum(first) - 1
+        cw = w[first][gid]  # per-user min week (w sorted within user)
+        k = w - cw
+        t = pa.table(
+            {"cohort_week": pa.array(cw), "week_offset": pa.array(k)}
+        )
+        g = t.group_by(["cohort_week", "week_offset"]).aggregate([([], "count_all")])
+        return g.rename_columns(["cohort_week", "week_offset", "partial"])
+
+    agg = (
+        ds.map_batches(_pairs, batch_format="pyarrow")
+        .groupby("_pk", num_partitions=num_partitions)
+        .map_groups(_block, batch_format="pyarrow")
+        .groupby(["cohort_week", "week_offset"])
+        .sum("partial")
+    )
+
+    def _final(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cohort_week": batch["cohort_week"].cast(pa.int64()),
+                "week_offset": batch["week_offset"].cast(pa.int64()),
+                "n_users": batch["sum(partial)"].cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(_final, batch_format="pyarrow")

@@ -412,3 +412,30 @@ class TestHashFullJoin:
         right = _ds(pa.table({"k": pa.array([7]), "rv": pa.array(["only"])}))
         out = hash_equi_join(left, right, on="k", how="full").take_all()
         assert out == [{"k": 7, "lv": None, "rv": "only"}]
+
+
+class TestCohortRetention:
+    def test_cohort_matrix_hand_computed(self, ray_session):
+        from marginalia_ray.ops.relational import cohort_retention
+
+        WEEK = 604_800_000_000  # us
+        def ev(uid, week, n=1):
+            # n events inside the same week must count the user ONCE
+            return [
+                {"user_id": uid, "ts": np.datetime64((week * WEEK) + i, "us")}
+                for i in range(n)
+            ]
+
+        rows = (
+            ev(1, 100) + ev(1, 101, n=3) + ev(1, 102)   # cohort 100, offsets 0,1,2
+            + ev(2, 100) + ev(2, 102)                     # cohort 100, offsets 0,2
+            + ev(3, 101, n=2)                             # cohort 101, offset 0
+        )
+        import ray.data
+
+        out = cohort_retention(ray.data.from_items(rows)).take_all()
+        got = {(r["cohort_week"], r["week_offset"]): r["n_users"] for r in out}
+        assert got == {
+            (100, 0): 2, (100, 1): 1, (100, 2): 2,
+            (101, 0): 1,
+        }

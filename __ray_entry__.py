@@ -57,6 +57,7 @@ BLOOM_BITS = 256  # deliberately small so false positives occur at sf scale
 BLOOM_K = 2
 GRPQ_MIN_MEAN = -1.707  # splits the fixture's per-source quality means
 HH_NUM, HH_DEN = 1, 50  # heavy-hitter threshold: tokens with >= 2% of corpus mass
+CHUNK_TOKENS = 32  # chunk_documents window (overlap=0 for the SQL oracle)
 
 
 def _docs(sf_dir: str):
@@ -474,6 +475,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"]
         )
         return topk_per_group(ev)
+
+    def q_chunk_documents(sf_dir: str):
+        from marginalia_ray.ops.text_ops import chunk_documents
+
+        return chunk_documents(_docs(sf_dir), chunk_tokens=CHUNK_TOKENS)
 
     def q_cohort_retention(sf_dir: str):
         import ray.data
@@ -960,6 +966,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_normalize": q_text_normalize,
         "pagerank_scores": q_pagerank,
         "cohort_retention": q_cohort_retention,
+        "chunk_documents": q_chunk_documents,
         "tumbling_window": q_tumbling_window,
         "hopping_window": q_hopping_window,
         "asof_join": q_asof,
@@ -2577,6 +2584,13 @@ def oracle_sql() -> dict[str, str]:
         count(*)::BIGINT AS n_users
  FROM ew e JOIN f USING (user_id)
  GROUP BY 1, 2""",
+        "chunk_documents": f"""
+ WITH tok AS (SELECT doc_id, {_TOK} AS ts FROM documents),
+ t AS (SELECT doc_id, ts[i] AS t, i, (i - 1) // {CHUNK_TOKENS} AS chunk_id
+       FROM tok, unnest(generate_series(1, len(ts))) AS u(i))
+ SELECT doc_id, chunk_id, string_agg(t, ' ' ORDER BY i) AS chunk_text,
+        count(*)::BIGINT AS n_tokens
+ FROM t GROUP BY 1, 2""",
         "similarity_join": _similarity_join_sql(),
         "linear_classifier": _linear_classifier_sql(),
         "bloom_membership": _bloom_membership_sql(),

@@ -1016,3 +1016,90 @@ def text_normalize(ds, text_col: str = "text", id_col: str = "doc_id"):
         )
 
     return ds.map_batches(_batch, batch_format="pyarrow")
+
+
+def chunk_documents(
+    ds,
+    chunk_tokens: int = 128,
+    overlap: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Fixed-size token chunking — the standard LLM preprocessing step
+    that slices long documents into `chunk_tokens`-token windows, with
+    `overlap` tokens carried over between consecutive chunks (RAG /
+    embedding pipelines).  Chunk c covers token positions
+    [c*step, c*step + chunk_tokens) with step = chunk_tokens - overlap;
+    the final chunk may be short; empty docs emit nothing.
+
+    One streaming map, no shuffle, no Python row loop: tokens explode via
+    Arrow list offsets, per-token chunk memberships fan out with the
+    repeat/arange trick, and chunk texts reassemble with LargeListArray +
+    binary_join.
+
+    Output: (doc_id, chunk_id, chunk_text, n_tokens)."""
+    from marginalia_ray.ops.dedup import _flat_tokens_rows
+
+    if overlap < 0 or overlap >= chunk_tokens:
+        raise ValueError("chunk_documents: need 0 <= overlap < chunk_tokens")
+    step = chunk_tokens - overlap
+
+    def _batch(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                "chunk_id": pa.array([], pa.int64()),
+                "chunk_text": pa.array([], pa.string()),
+                "n_tokens": pa.array([], pa.int64()),
+            }
+        )
+        toks, parents = _flat_tokens_rows(batch, text_col)
+        if len(parents) == 0:
+            return empty
+        n_rows = batch.num_rows
+        lens = np.bincount(parents, minlength=n_rows).astype(np.int64)
+        starts = np.zeros(n_rows + 1, np.int64)
+        np.cumsum(lens, out=starts[1:])
+        j = np.arange(len(parents), dtype=np.int64) - starts[parents]  # in-doc pos
+        L = lens[parents]
+        n_chunks = 1 + np.maximum(0, -(-(L - chunk_tokens) // step))
+        c_min = np.maximum(0, -(-(j - chunk_tokens + 1) // step))
+        c_max = np.minimum(j // step, n_chunks - 1)
+        cnt = c_max - c_min + 1  # >= 1 always (c_min <= j//step)
+        total = int(cnt.sum())
+        tok_idx = np.repeat(np.arange(len(parents)), cnt)
+        chunk = (
+            np.repeat(c_min, cnt)
+            + np.arange(total)
+            - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        )
+        row = parents[tok_idx]
+        # order by (row, chunk, position) for in-order reassembly
+        order = np.lexsort((tok_idx, chunk, row))
+        row, chunk, tok_idx = row[order], chunk[order], tok_idx[order]
+        bounds = np.flatnonzero(
+            np.r_[True, (row[1:] != row[:-1]) | (chunk[1:] != chunk[:-1]), True]
+        )
+        n_out = len(bounds) - 1
+        offsets = pa.array(bounds, pa.int64())
+        kept = toks.take(pa.array(tok_idx))
+        if isinstance(kept, pa.ChunkedArray):
+            kept = kept.combine_chunks()
+        chunk_text = pc.binary_join(
+            pa.LargeListArray.from_arrays(offsets, kept),
+            pa.scalar(" ", pa.large_string()),
+        )
+        ids_col = batch[id_col]
+        if isinstance(ids_col, pa.ChunkedArray):
+            ids_col = ids_col.combine_chunks()
+        out_rows = row[bounds[:-1]]
+        return pa.table(
+            {
+                id_col: ids_col.take(pa.array(out_rows)).cast(pa.int64()),
+                "chunk_id": pa.array(chunk[bounds[:-1]], pa.int64()),
+                "chunk_text": pc.cast(chunk_text, pa.string()),
+                "n_tokens": pa.array(np.diff(bounds), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(_batch, batch_format="pyarrow")

@@ -491,3 +491,78 @@ def test_pmi_matches_serial_counter(texts_list):
     assert {k: v[0] for k, v in got.items()} == {k: v[0] for k, v in want.items()}
     for key, (_, p) in want.items():
         assert got[key][1] == pytest.approx(p, abs=1e-6)
+
+
+@given(texts, st.integers(min_value=2, max_value=8))
+@settings(max_examples=10, deadline=None)
+def test_heavy_hitters_matches_serial(texts_list, den):
+    from collections import Counter
+
+    from marginalia_ray.ops.sketch import heavy_hitters
+
+    got = {
+        r["term"]: r["cnt"]
+        for r in heavy_hitters(_docs_ds(texts_list), num=1, den=den).take_all()
+    }
+    counts = Counter(w for t in texts_list for w in t.split())
+    n = sum(counts.values())
+    want = {t: c for t, c in counts.items() if c * den >= n}
+    assert got == want
+
+
+@given(texts, st.integers(min_value=2, max_value=4))
+@settings(max_examples=10, deadline=None)
+def test_substring_dedup_apply_matches_serial(texts_list, window):
+    from marginalia_ray.ops.dedup import substring_dedup_apply
+
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_kept"], r["n_removed"])
+        for r in substring_dedup_apply(_docs_ds(texts_list), window=window).take_all()
+    }
+    toks = [t.split() for t in texts_list]
+    # windows -> set of docs containing each
+    win_docs = {}
+    for d, ts in enumerate(toks):
+        for i in range(len(ts) - window + 1):
+            win_docs.setdefault(tuple(ts[i : i + window]), set()).add(d)
+    dup = {w for w, ds_ in win_docs.items() if len(ds_) >= 2}
+    for d, ts in enumerate(toks):
+        covered = [False] * len(ts)
+        for i in range(len(ts) - window + 1):
+            if tuple(ts[i : i + window]) in dup:
+                for j in range(i, i + window):
+                    covered[j] = True
+        kept = [t for t, c in zip(ts, covered) if not c]
+        assert got[d] == (" ".join(kept), len(kept), len(ts) - len(kept)), (
+            f"doc {d} window {window}"
+        )
+
+
+@given(texts, st.integers(min_value=2, max_value=6),
+       st.integers(min_value=0, max_value=3))
+@settings(max_examples=10, deadline=None)
+def test_chunk_documents_matches_serial(texts_list, chunk, overlap):
+    from marginalia_ray.ops.text_ops import chunk_documents
+
+    if overlap >= chunk:
+        overlap = chunk - 1
+    step = chunk - overlap
+    out = chunk_documents(
+        _docs_ds(texts_list), chunk_tokens=chunk, overlap=overlap
+    ).take_all()
+    got = {}
+    for r in out:
+        got.setdefault(r["doc_id"], {})[r["chunk_id"]] = (
+            r["chunk_text"], r["n_tokens"]
+        )
+    for d, t in enumerate(texts_list):
+        ts = t.split()
+        want = {}
+        c = 0
+        while c * step < len(ts):
+            piece = ts[c * step : c * step + chunk]
+            want[c] = (" ".join(piece), len(piece))
+            if c * step + chunk >= len(ts):
+                break
+            c += 1
+        assert got.get(d, {}) == want, f"doc {d}"

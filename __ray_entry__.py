@@ -58,6 +58,7 @@ BLOOM_K = 2
 GRPQ_MIN_MEAN = -1.707  # splits the fixture's per-source quality means
 HH_NUM, HH_DEN = 1, 50  # heavy-hitter threshold: tokens with >= 2% of corpus mass
 CHUNK_TOKENS = 32  # chunk_documents window (overlap=0 for the SQL oracle)
+HH3_NUM, HH3_DEN = 1, 5000  # heavy 3-gram threshold (boilerplate mining)
 
 
 def _docs(sf_dir: str):
@@ -892,6 +893,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return heavy_hitters(_docs(sf_dir), num=HH_NUM, den=HH_DEN)
 
+    def q_heavy_ngrams(sf_dir: str):
+        # frequent-phrase / boilerplate mining: heavy 3-grams
+        from marginalia_ray.ops.sketch import heavy_hitters
+
+        return heavy_hitters(_docs(sf_dir), num=HH3_NUM, den=HH3_DEN, ngram=3)
+
     def q_quantile_by_key(sf_dir: str):
         import ray.data
 
@@ -932,6 +939,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "marginalia_search": q_index_search,
         "marginalia_search_merged": q_index_search_merged,
         "heavy_hitters": q_heavy_hitters,
+        "heavy_ngrams": q_heavy_ngrams,
         "soft_dedup_weights": q_soft_dedup_weights,
         "substring_dedup_apply": q_substring_dedup_apply,
         "fuzzy_dedup_components": q_fuzzy_components,
@@ -2604,4 +2612,10 @@ def oracle_sql() -> dict[str, str]:
  WITH tok AS (SELECT unnest({_TOK}) AS term FROM documents)
  SELECT term, count(*)::BIGINT AS cnt FROM tok GROUP BY term
  HAVING count(*) * {HH_DEN} >= {HH_NUM} * (SELECT count(*) FROM tok)""",
+        "heavy_ngrams": f"""
+ WITH tok AS (SELECT doc_id, {_TOK} AS ts FROM documents),
+ g AS (SELECT ts[i]||' '||ts[i+1]||' '||ts[i+2] AS term
+       FROM tok, unnest(generate_series(1, len(ts)-2)) AS u(i))
+ SELECT term, count(*)::BIGINT AS cnt FROM g GROUP BY term
+ HAVING count(*) * {HH3_DEN} >= {HH3_NUM} * (SELECT count(*) FROM g)""",
     }

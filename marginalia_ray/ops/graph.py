@@ -394,32 +394,53 @@ def soft_dedup_weights(
     shows beats hard dedup for pretraining loss at equal compute.
 
     Pipeline: near-dup pairs -> connected components (the same machinery
-    as near_dedup_apply) -> ONE groupby(component) shuffle of
-    (component, doc_id) 16-byte rows in which each cluster emits
-    (doc_id, cluster_size, weight = round(1/size, 6)) per member.
-    Singletons are their own cluster (weight 1.0).  No driver-side state
-    beyond connected_components' converged star edges.
+    as near_dedup_apply) -> ONE salted hash-partition shuffle of
+    (component, doc_id) 16-byte rows; inside each partition every
+    component's members are co-located, so sizes come from one sorted
+    segment pass (lexsort + reduceat — NOT per-group map_groups calls:
+    at corpus scale almost every doc is a singleton component and a
+    call-per-group would mean one Python call per document).  Singletons
+    are their own cluster (weight 1.0).  No driver-side state beyond
+    connected_components' converged star edges.
 
     Output: (doc_id, cluster_size, weight) for EVERY input document."""
-    import math
-
     comp = fuzzy_dedup_components(
         ds, threshold=threshold, method=method, text_col=text_col,
         id_col=id_col, **pair_kwargs,
     )
 
-    def _per_member(group: pa.Table) -> pa.Table:
-        n = group.num_rows
-        w = math.floor(1_000_000 / n + 0.5) / 1_000_000
+    def _sizes_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "cluster_size": pa.array([], pa.int64()),
+                    "weight": pa.array([], pa.float64()),
+                }
+            )
+        c = block["component"].to_numpy(zero_copy_only=False)
+        ids = block[id_col].to_numpy(zero_copy_only=False)
+        order = np.argsort(c, kind="stable")
+        c, ids = c[order], ids[order]
+        starts = np.flatnonzero(np.r_[True, c[1:] != c[:-1]])
+        sizes_g = np.diff(np.r_[starts, len(c)])
+        gid = np.cumsum(np.r_[False, c[1:] != c[:-1]])
+        sizes = sizes_g[gid]
+        w = np.floor(1_000_000 / sizes + 0.5) / 1_000_000
         return pa.table(
             {
-                id_col: group[id_col],
-                "cluster_size": pa.array(np.full(n, n, np.int64)),
-                "weight": pa.array(np.full(n, w, np.float64)),
+                id_col: pa.array(ids, pa.int64()),
+                "cluster_size": pa.array(sizes, pa.int64()),
+                "weight": pa.array(w, pa.float64()),
             }
         )
 
-    return comp.groupby("component").map_groups(_per_member, batch_format="pyarrow")
+    return _groupby_key_blocks(
+        comp,
+        lambda b: b["component"].to_numpy(zero_copy_only=False),
+        _sizes_block,
+        _join_partitions(),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -275,6 +275,7 @@ def heavy_hitters(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_candidates: int = 10_000_000,
+    ngram: int = 1,
 ):
     """EXACT corpus-frequency heavy hitters — every token whose total
     count is >= (num/den) of all corpus tokens — found without ever
@@ -300,6 +301,11 @@ def heavy_hitters(
     vocabulary is billions of terms; this op's shuffle traffic is
     O(candidates), e.g. a few thousand rows per batch at den/num = 50.
 
+    With ngram > 1 the counted unit is the space-joined n-gram of
+    consecutive tokens (windows never cross documents) — frequent-phrase
+    / boilerplate mining over the identical two-pass machinery; the
+    averaging bound holds for any token-derived stream.
+
     Output: (term, cnt) with exact counts, only the heavy hitters.
     """
     import pyarrow.compute as pc
@@ -309,9 +315,28 @@ def heavy_hitters(
 
     if num <= 0 or den <= 0:
         raise ValueError("heavy_hitters: num and den must be positive")
+    if ngram < 1:
+        raise ValueError("heavy_hitters: ngram must be >= 1")
+
+    def _stream(batch: pa.Table):
+        """The counted unit stream: tokens, or space-joined n-grams."""
+        if ngram == 1:
+            return explode_tokens(batch, text_col, id_col)[1]
+        from marginalia_ray.ops.dedup import _flat_tokens_rows
+
+        toks, rows = _flat_tokens_rows(batch, text_col)
+        m = len(toks) - ngram + 1
+        if m <= 0:
+            return pa.array([], pa.large_string())
+        valid = rows[:m] == rows[ngram - 1 :]
+        slices = [toks.slice(k, m) for k in range(ngram)]
+        grams = pc.binary_join_element_wise(
+            *slices, pa.scalar(" ", pa.large_string())
+        )
+        return grams.filter(pa.array(valid))
 
     def _local_hh(batch: pa.Table) -> pa.Table:
-        _, toks = explode_tokens(batch, text_col, id_col)
+        toks = _stream(batch)
         n_b = len(toks)
         if n_b == 0:
             return pa.table(
@@ -353,8 +378,11 @@ def heavy_hitters(
     cand_ref = ray.put(pa.array(sorted(cand), pa.string()))
 
     def _count_cands(batch: pa.Table) -> pa.Table:
-        _, toks = explode_tokens(batch, text_col, id_col)
-        hit = toks.filter(pc.is_in(toks, value_set=ray.get(cand_ref)))
+        toks = _stream(batch)
+        vs = ray.get(cand_ref)
+        if toks.type != vs.type:
+            toks = pc.cast(toks, vs.type)
+        hit = toks.filter(pc.is_in(toks, value_set=vs))
         part = pa.table({"term": hit}).group_by("term").aggregate([([], "count_all")])
         return part.rename_columns(["term", "partial"])
 

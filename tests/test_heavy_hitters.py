@@ -64,3 +64,27 @@ class TestHeavyHitters:
         rows = [{"doc_id": i, "text": f"t{i}x t{i}y"} for i in range(10)]
         got = _hh_dict(_ds(rows), num=1, den=4)
         assert got == {}
+
+
+class TestHeavyNgrams:
+    def test_trigram_counts_exact(self, ray_session):
+        # "a b c" appears in docs 1 and 2 (3 of 8 total trigrams >= 1/3)
+        rows = [
+            {"doc_id": 1, "text": "a b c d"},      # trigrams: "a b c", "b c d"
+            {"doc_id": 2, "text": "x a b c"},      # "x a b", "a b c"
+            {"doc_id": 3, "text": "p q r s t"},    # "p q r", "q r s", "r s t"
+        ]
+        got = _hh_dict(_ds(rows), num=1, den=4, ngram=3)
+        # 7 trigrams total; only "a b c" (2) reaches 7/4
+        assert got == {"a b c": 2}
+
+    def test_windows_never_cross_documents(self, ray_session):
+        # "c d" + "e f" adjacency across two docs must NOT form a bigram
+        rows = [
+            {"doc_id": 1, "text": "c d"},
+            {"doc_id": 2, "text": "e f"},
+            {"doc_id": 3, "text": "c d"},
+        ]
+        got = _hh_dict(_ds(rows), num=1, den=2, ngram=2)
+        assert got == {"c d": 2}
+        assert "d e" not in got

@@ -1397,10 +1397,16 @@ def substring_dedup_apply(
     ).drop_columns(["gram"])
 
     text_type = pa.large_string()
+    num_partitions = _join_partitions()
+
+    def _pk_col(batch: pa.Table) -> pa.Array:
+        k = batch[id_col].to_numpy(zero_copy_only=False).astype(U64)
+        return pa.array((_fmix64_vec(k) % U64(num_partitions)).astype(np.int64))
 
     def _tag_doc(batch: pa.Table) -> pa.Table:
         return pa.table(
             {
+                "_pk": _pk_col(batch),
                 id_col: batch[id_col].cast(pa.int64()),
                 "text": batch[text_col].cast(text_type),
                 "pos": pa.nulls(batch.num_rows, pa.int64()),
@@ -1411,6 +1417,7 @@ def substring_dedup_apply(
     def _tag_mark(batch: pa.Table) -> pa.Table:
         return pa.table(
             {
+                "_pk": _pk_col(batch),
                 id_col: batch[id_col].cast(pa.int64()),
                 "text": pa.nulls(batch.num_rows, text_type),
                 "pos": batch["pos"].cast(pa.int64()),
@@ -1422,19 +1429,37 @@ def substring_dedup_apply(
         marks.map_batches(_tag_mark, batch_format="pyarrow")
     )
 
-    def _rebuild_group(group: pa.Table) -> pa.Table:
-        src = group["_src"].to_numpy(zero_copy_only=False)
-        doc_rows = group.filter(pa.array(src == 0))
-        pos_np = group["pos"].to_numpy(zero_copy_only=False)
-        mpos = pos_np[src == 1].astype(np.int64)
-        one = pa.table(
-            {id_col: doc_rows[id_col], text_col: doc_rows["text"].cast(pa.string())}
+    # one block holds MANY docs' text rows + marks (hash-partitioned by
+    # doc id) — vectorized rebuild per block, never a Python call per doc
+    def _rebuild_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "clean_text": pa.array([], pa.string()),
+                    "n_kept": pa.array([], pa.int64()),
+                    "n_removed": pa.array([], pa.int64()),
+                }
+            )
+        src = block["_src"].to_numpy(zero_copy_only=False)
+        doc_rows = block.filter(pa.array(src == 0))
+        docs = pa.table(
+            {
+                id_col: doc_rows[id_col],
+                text_col: doc_rows["text"].cast(pa.string()),
+            }
         )
+        did = doc_rows[id_col].to_numpy(zero_copy_only=False)
+        order = np.argsort(did, kind="stable")
+        mark_ids = block[id_col].to_numpy(zero_copy_only=False)[src == 1]
+        mpos = block["pos"].to_numpy(zero_copy_only=False)[src == 1].astype(np.int64)
+        mrows = order[np.searchsorted(did[order], mark_ids)]
 
         def _cover(_b: pa.Table):
-            # the group holds exactly one doc row (row index 0)
-            return np.zeros(len(mpos), np.int64), mpos
+            return mrows, mpos
 
-        return _rebuild_batch(one, _cover)
+        return _rebuild_batch(docs, _cover)
 
-    return unioned.groupby(id_col).map_groups(_rebuild_group, batch_format="pyarrow")
+    return unioned.groupby("_pk", num_partitions=num_partitions).map_groups(
+        _rebuild_block, batch_format="pyarrow"
+    )

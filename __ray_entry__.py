@@ -2584,9 +2584,14 @@ def oracle_sql() -> dict[str, str]:
    FROM dec)
  SELECT doc_id, norm_text, (norm_text <> text) AS changed FROM n""",
         "pagerank_scores": _pagerank_sql(),
+        # FLOOR division (numpy's //) — DuckDB's // truncates toward zero,
+        # which diverges on pre-epoch timestamps; subtract 1 when the
+        # remainder is negative (DuckDB % follows the dividend's sign)
         "cohort_retention": """
  WITH ew AS (SELECT DISTINCT user_id,
-                    (epoch_us(ts) // 604800000000) AS w FROM events),
+                    (epoch_us(ts) // 604800000000
+                     - CASE WHEN epoch_us(ts) % 604800000000 < 0
+                            THEN 1 ELSE 0 END) AS w FROM events),
  f AS (SELECT user_id, min(w) AS cw FROM ew GROUP BY user_id)
  SELECT f.cw AS cohort_week, (e.w - f.cw) AS week_offset,
         count(*)::BIGINT AS n_users

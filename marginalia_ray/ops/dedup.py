@@ -22,7 +22,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from marginalia_ray.ops.text_ops import explode_tokens
+from marginalia_ray.ops.text_ops import _flat_tokens_rows, explode_tokens
 
 U64 = np.uint64
 _MERSENNE = (1 << 61) - 1
@@ -1196,27 +1196,6 @@ def ngram_novelty(ds, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
 # ---- exact-substring dedup, applied ---------------------------------------
 
 
-def _flat_tokens_rows(batch: pa.Table, text_col: str):
-    """(flat_tokens, row_indices) for a batch — explode_tokens' kernels,
-    but keyed by batch ROW index (contiguous runs, enabling vectorized
-    per-row extents) instead of the doc-id column."""
-    from marginalia_ray.ops.text_ops import TOKEN_SPLIT
-
-    txt = batch[text_col]
-    if isinstance(txt, pa.ChunkedArray):
-        txt = txt.combine_chunks()
-    lists = pc.split_pattern_regex(
-        pc.cast(pc.utf8_lower(txt), pa.large_string()), TOKEN_SPLIT
-    )
-    if isinstance(lists, pa.ChunkedArray):
-        lists = lists.combine_chunks()
-    flat = pc.list_flatten(lists)
-    parents = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
-    mask = pc.not_equal(flat, "")
-    mask_np = mask.to_numpy(zero_copy_only=False)
-    return flat.filter(mask), parents[mask_np].astype(np.int64)
-
-
 def _window_occurrences(batch: pa.Table, window: int, text_col: str):
     """Per-row (row_idx, gram64, pos) for every `window`-token window —
     the same rolling polynomial as exact_substring_pairs (bits64), plus
@@ -1304,11 +1283,15 @@ def substring_dedup_apply(
         g = t.group_by("gram").aggregate([([], "count_all")])
         return g.rename_columns(["gram", "partial"])
 
+    # materialize: the driver consumes `counts` to build the broadcast
+    # set, and the over-cap fallback reuses it as a dataset — without
+    # this, that reuse would re-execute the whole-corpus window-hash pass
+    # and gram shuffle (the most expensive stage) a second time
     counts = (
         ds.map_batches(_gram_doc_partial, batch_format="pyarrow")
         .groupby("gram")
         .sum("partial")
-    )
+    ).materialize()
 
     dup_parts: list[np.ndarray] = [np.empty(0, np.int64)]
     n_dup = 0

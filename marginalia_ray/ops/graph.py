@@ -826,12 +826,15 @@ def pagerank_scores(
     base = ((d_den - d_num) * scale) // (d_den * n)
     r = np.full(n, scale // n, dtype=np.int64)
     # exact int64 accumulation (np.bincount weights would round through
-    # float64 above 2^53); overflow bound: max in-degree * scale < 2^63
-    in_deg_max = int(np.bincount(g, minlength=n).max())
-    if in_deg_max * scale >= 2**63:
-        raise RuntimeError(
-            "pagerank_scores: in-degree * scale would overflow int64 — "
-            "lower `scale` or split the hot node upstream"
+    # float64 above 2^53).  Overflow bound: acc_j <= sum of ALL
+    # contributions <= total mass ~= scale (each source contributes at
+    # most its own rank across its out-edges), and dm <= scale, so the
+    # largest intermediate is d_num * 2 * scale — a property of the
+    # PARAMETERS, not the graph; no per-graph guard needed.
+    if d_num * 2 * scale >= 2**63:
+        raise ValueError(
+            "pagerank_scores: d_num * 2 * scale must stay below 2^63 — "
+            "lower `scale`"
         )
     for _ in range(iterations):
         contrib = np.where(dangling, 0, r // np.maximum(deg, 1))

@@ -322,7 +322,7 @@ def heavy_hitters(
         """The counted unit stream: tokens, or space-joined n-grams."""
         if ngram == 1:
             return explode_tokens(batch, text_col, id_col)[1]
-        from marginalia_ray.ops.dedup import _flat_tokens_rows
+        from marginalia_ray.ops.text_ops import _flat_tokens_rows
 
         toks, rows = _flat_tokens_rows(batch, text_col)
         m = len(toks) - ngram + 1

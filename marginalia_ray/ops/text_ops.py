@@ -40,6 +40,25 @@ def explode_tokens(batch: pa.Table, text_col: str = "text", id_col: str = "doc_i
     return ids.filter(mask), flat.filter(mask)
 
 
+def _flat_tokens_rows(batch: pa.Table, text_col: str):
+    """(flat_tokens, row_indices) for a batch — explode_tokens' kernels,
+    but keyed by batch ROW index (contiguous runs, enabling vectorized
+    per-row extents) instead of the doc-id column."""
+    txt = batch[text_col]
+    if isinstance(txt, pa.ChunkedArray):
+        txt = txt.combine_chunks()
+    lists = pc.split_pattern_regex(
+        pc.cast(pc.utf8_lower(txt), pa.large_string()), TOKEN_SPLIT
+    )
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    flat = pc.list_flatten(lists)
+    parents = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+    mask = pc.not_equal(flat, "")
+    mask_np = mask.to_numpy(zero_copy_only=False)
+    return flat.filter(mask), parents[mask_np].astype(np.int64)
+
+
 def token_count(ds, text_col: str = "text", id_col: str = "doc_id"):
     """Per-doc token count: (doc_id, n_tokens).  One vectorized map, no
     shuffle (count of regex matches == count of non-empty split tokens)."""
@@ -997,12 +1016,13 @@ def text_normalize(ds, text_col: str = "text", id_col: str = "doc_id"):
             zero_copy_only=False
         )
         if nonascii.any():
-            vals = txt.to_pandas().to_numpy(dtype=object, copy=True)
+            # normalize ONLY the flagged rows and scatter back — never
+            # materialize the whole (mostly-ASCII) batch as Python strings
             idx = np.flatnonzero(nonascii)
+            flagged = txt.take(pa.array(idx)).to_pylist()
             nfc = unicodedata.normalize
-            for i in idx:
-                vals[i] = nfc("NFC", vals[i])
-            norm = pa.array(vals, pa.string())
+            repl = pa.array([nfc("NFC", v) for v in flagged], txt.type)
+            norm = pc.replace_with_mask(txt, pa.array(nonascii), repl)
         else:
             norm = txt
         norm = pc.replace_substring_regex(norm, r"\s+", " ")
@@ -1038,8 +1058,6 @@ def chunk_documents(
     binary_join.
 
     Output: (doc_id, chunk_id, chunk_text, n_tokens)."""
-    from marginalia_ray.ops.dedup import _flat_tokens_rows
-
     if overlap < 0 or overlap >= chunk_tokens:
         raise ValueError("chunk_documents: need 0 <= overlap < chunk_tokens")
     step = chunk_tokens - overlap

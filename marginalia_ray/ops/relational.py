@@ -956,6 +956,309 @@ def hash_equi_join(
     return _rd.from_arrow(_mk_empty()).union(joined)
 
 
+def hash_semi_join(
+    left,
+    right,
+    on: str,
+    right_on: str | None = None,
+    how: str = "semi",
+    num_partitions: int | None = None,
+):
+    """Distributed semi / anti join: keep the left rows whose key does
+    ('semi', SQL EXISTS) or does not ('anti', SQL NOT EXISTS) appear in
+    the right dataset.  Neither side is collected to the driver.
+
+    Scale shape: the right side is reduced to DISTINCT keys per batch
+    before the shuffle — the exchange moves the left rows plus one row
+    per (right batch, distinct key), never the right payload.  Both
+    sides hash-partition on fmix64(key) in ONE union dataset (the
+    hash_equi_join pattern); each partition sorts its right keys once
+    and answers membership for its left rows with a vectorized
+    searchsorted.  Output: the left columns, unchanged.
+
+    Keys must be integer and non-null (loud errors, matching
+    hash_equi_join); hash string keys to int64 upstream."""
+    if how not in ("semi", "anti"):
+        raise ValueError(f"how must be 'semi' or 'anti', got {how!r}")
+    key_r = right_on or on
+    l_schema = left.schema()
+    for side_name, sch, kc in (("left", l_schema, on), ("right", right.schema(), key_r)):
+        if sch is None:
+            continue  # lazily-unknown schema (e.g. after a row filter):
+            # the runtime integer check in _keys_np still applies
+        kt = dict(zip(sch.names, sch.types)).get(kc)
+        if kt is None or not pa.types.is_integer(kt):
+            raise TypeError(
+                f"hash_semi_join: {side_name} key {kc!r} must be an integer "
+                f"column (got {kt}); hash string keys to int64 upstream"
+            )
+    l_cols = list(l_schema.names)
+    l_types = {n: t for n, t in zip(l_schema.names, l_schema.types)}
+    if num_partitions is None:
+        num_partitions = _join_parts()
+
+    def _mk_empty() -> pa.Table:
+        return pa.table({c: pa.array([], l_types[c]) for c in l_cols})
+
+    def _keys_np(arr: pa.ChunkedArray, kc: str, side: str) -> np.ndarray:
+        if not pa.types.is_integer(arr.type):
+            raise TypeError(
+                f"hash_semi_join: {side} key {kc!r} must be an integer "
+                f"column (got {arr.type}); hash string keys to int64 upstream"
+            )
+        if arr.null_count:
+            raise TypeError(
+                f"hash_semi_join: null values in join key {kc!r} ({side} "
+                "side) — filter or fill nulls upstream"
+            )
+        return arr.to_numpy(zero_copy_only=False).astype(np.uint64)
+
+    def _tag_left(batch: pa.Table) -> pa.Table:
+        k = _keys_np(batch[on], on, "left")
+        pk = (_fmix64(k) % np.uint64(num_partitions)).astype(np.int64)
+        cols = {
+            "_pk": pa.array(pk),
+            "_src": pa.array(np.zeros(len(k), np.int8)),
+            "_k": pa.array(k.astype(np.int64)),
+        }
+        for c in l_cols:
+            cols[c] = batch[c]
+        return pa.table(cols)
+
+    def _tag_right(batch: pa.Table) -> pa.Table:
+        k = np.unique(_keys_np(batch[key_r], key_r, "right"))
+        pk = (_fmix64(k) % np.uint64(num_partitions)).astype(np.int64)
+        cols = {
+            "_pk": pa.array(pk),
+            "_src": pa.array(np.ones(len(k), np.int8)),
+            "_k": pa.array(k.astype(np.int64)),
+        }
+        for c in l_cols:
+            cols[c] = pa.nulls(len(k), l_types[c])
+        return pa.table(cols)
+
+    tagged = left.map_batches(_tag_left, batch_format="pyarrow").union(
+        right.map_batches(_tag_right, batch_format="pyarrow")
+    )
+    want_hit = how == "semi"
+
+    def _group(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return _mk_empty()
+        src = block["_src"].to_numpy(zero_copy_only=False)
+        keys = block["_k"].to_numpy(zero_copy_only=False)
+        li = np.flatnonzero(src == 0)
+        if len(li) == 0:
+            return _mk_empty()
+        rk = np.unique(keys[src == 1])
+        if len(rk) == 0:
+            hit = np.zeros(len(li), bool)
+        else:
+            lk = keys[li]
+            idx = np.minimum(np.searchsorted(rk, lk), len(rk) - 1)
+            hit = rk[idx] == lk
+        take = pa.array(li[hit == want_hit])
+        return pa.table({c: block[c].take(take) for c in l_cols})
+
+    joined = tagged.groupby("_pk", num_partitions=num_partitions).map_groups(
+        _group, batch_format="pyarrow"
+    )
+    import ray.data as _rd
+
+    # anchor the output schema: all-filtered partitions otherwise yield
+    # only schema-less empty blocks
+    return _rd.from_arrow(_mk_empty()).union(joined)
+
+
+def event_deltas(
+    ds,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+):
+    """Per-key LAG: time since the previous event for every event —
+    SQL's ``ts - lag(ts) OVER (PARTITION BY key ORDER BY ts, id)``.
+    The first event of a key gets a NULL delta.
+
+    One shuffle (groupby key); within each group a vectorized lexsort +
+    diff — the sessionize partitioning assumption (one key's events fit
+    in one group) applies.  Output: (<id_col>, <key_col>, ts_us,
+    delta_us), timestamps as epoch microseconds."""
+
+    def _g(group: pa.Table) -> pa.Table:
+        us = _to_epoch_us(group[ts_col], ts_col).to_numpy(zero_copy_only=False)
+        ids = group[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, us))
+        us_s = us[order]
+        delta = np.zeros(len(us_s), np.int64)
+        if len(us_s) > 1:
+            delta[1:] = us_s[1:] - us_s[:-1]
+        first = np.zeros(len(us_s), bool)
+        if len(first):
+            first[0] = True
+        take = pa.array(order)
+        return pa.table(
+            {
+                id_col: group[id_col].take(take),
+                key_col: group[key_col].take(take),
+                "ts_us": pa.array(us_s),
+                "delta_us": pa.array(delta, pa.int64(), mask=first),
+            }
+        )
+
+    return ds.groupby(key_col).map_groups(_g, batch_format="pyarrow")
+
+
+def cumsum_by_key(
+    ds,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    val_col: str = "value",
+):
+    """Per-key running total in time order — SQL's ``SUM(v) OVER
+    (PARTITION BY key ORDER BY ts, id ROWS UNBOUNDED PRECEDING)``.
+
+    Values are quantized to integer micro-units BEFORE the cumulative
+    sum (the hopping_window convention) so the running total is exact
+    and bit-identical to the SQL oracle regardless of summation order.
+    One shuffle (groupby key), vectorized np.cumsum per group.  Output:
+    (<id_col>, <key_col>, ts_us, cum_value)."""
+
+    def _g(group: pa.Table) -> pa.Table:
+        us = _to_epoch_us(group[ts_col], ts_col).to_numpy(zero_copy_only=False)
+        ids = group[id_col].to_numpy(zero_copy_only=False)
+        vmicro = np.round(
+            group[val_col].to_numpy(zero_copy_only=False).astype(np.float64) * 1e6
+        ).astype(np.int64)
+        order = np.lexsort((ids, us))
+        cum = np.cumsum(vmicro[order])
+        take = pa.array(order)
+        return pa.table(
+            {
+                id_col: group[id_col].take(take),
+                key_col: group[key_col].take(take),
+                "ts_us": pa.array(us[order]),
+                "cum_value": pa.array(np.round(cum / 1e6, 6), pa.float64()),
+            }
+        )
+
+    return ds.groupby(key_col).map_groups(_g, batch_format="pyarrow")
+
+
+def pivot_counts(
+    ds,
+    categories: list[str],
+    *,
+    key_col: str = "user_id",
+    cat_col: str = "event_type",
+):
+    """Pivot a categorical column into per-key count columns — SQL's
+    ``count(*) FILTER (WHERE cat = 'x')`` per key, one output row per
+    key with a ``n_<category>`` column per category.
+
+    The category domain is an explicit argument (it defines the output
+    schema, so it cannot be data-driven); a value outside it raises.
+    Scale shape: per-batch bincount over (key × category) codes — the
+    shuffle moves one PARTIAL row per (batch, key), already pivoted —
+    then one groupby summing the count columns."""
+    from ray.data.aggregate import Sum
+
+    cats = list(categories)
+    ncat = len(cats)
+    if ncat == 0 or len(set(cats)) != ncat:
+        raise ValueError("categories must be a non-empty list of distinct values")
+    cat_set = pa.array(cats)
+    out_names = [f"n_{c}" for c in cats]
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            cols = {key_col: batch[key_col]}
+            for n in out_names:
+                cols[n] = pa.array([], pa.int64())
+            return pa.table(cols)
+        codes_arr = pc.index_in(batch[cat_col], value_set=cat_set)
+        if codes_arr.null_count:
+            bad = pc.unique(
+                pc.drop_null(
+                    pc.filter(batch[cat_col], pc.is_null(codes_arr))
+                )
+            ).to_pylist()
+            raise ValueError(
+                f"pivot_counts: value(s) {bad[:5]} in {cat_col!r} outside the "
+                f"declared categories {cats}"
+            )
+        codes = codes_arr.to_numpy(zero_copy_only=False).astype(np.int64)
+        key = batch[key_col].to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(key, return_inverse=True)
+        m = np.bincount(inv * ncat + codes, minlength=len(uk) * ncat).reshape(
+            len(uk), ncat
+        )
+        cols = {key_col: pa.array(uk)}
+        for j, n in enumerate(out_names):
+            cols[n] = pa.array(m[:, j].astype(np.int64))
+        return pa.table(cols)
+
+    return (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby(key_col)
+        .aggregate(*[Sum(n, alias_name=n) for n in out_names])
+    )
+
+
+def value_histogram(
+    ds,
+    *,
+    key_col: str = "event_type",
+    val_col: str = "value",
+    bin_width: float = 5.0,
+):
+    """Fixed-width value histogram per key: (key, bin, n) with
+    bin = floor(value / bin_width) — the distribution-profiling pass a
+    curation pipeline runs before choosing filter thresholds.
+
+    floor of an IEEE double is exact, so the binning is bit-identical
+    to the SQL oracle.  Per-batch partial (key, bin) counts -> one
+    groupby shuffle of distinct (key, bin) rows, never the events."""
+    bw = float(bin_width)
+    if not (bw > 0):
+        raise ValueError("bin_width must be positive")
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    key_col: batch[key_col],
+                    "bin": pa.array([], pa.int64()),
+                    "partial": pa.array([], pa.int64()),
+                }
+            )
+        v = batch[val_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        b = np.floor(v / bw).astype(np.int64)
+        t = pa.table({key_col: batch[key_col], "bin": pa.array(b)})
+        g = t.group_by([key_col, "bin"]).aggregate([([], "count_all")])
+        return g.rename_columns([key_col, "bin", "partial"])
+
+    agg = (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby([key_col, "bin"])
+        .sum("partial")
+    )
+
+    def _final(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                key_col: batch[key_col],
+                "bin": batch["bin"].cast(pa.int64()),
+                "n": batch["sum(partial)"].cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(_final, batch_format="pyarrow")
+
+
 def _fmix64(x: np.ndarray) -> np.ndarray:
     x = x.copy()
     x ^= x >> np.uint64(33)

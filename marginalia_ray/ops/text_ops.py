@@ -844,6 +844,46 @@ def c4_filter(ds, text_col: str = "text", id_col: str = "doc_id"):
     return ds.map_batches(_batch, batch_format="pyarrow")
 
 
+def flesch_readability(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-doc Flesch reading-ease score — the classic readability
+    quality signal (Flesch 1948): 206.835 - 1.015*(words/sentences) -
+    84.6*(syllables/words), with vowel-group syllable counting and
+    punctuation-run sentence counting (the standard cheap
+    approximations).  Output: (doc_id, n_words, n_sentences,
+    n_syllables, flesch).
+
+    One vectorized map, NO shuffle — three RE2 count kernels per batch
+    (pyarrow count_substring_regex), zero Python per row.  Denominators
+    clamp at 1 rather than dividing by zero (an empty doc scores
+    206.835 - 1.015 = 205.82); counts are reported unclamped."""
+
+    def _batch(batch: pa.Table) -> pa.Table:
+        lower = pc.utf8_lower(batch[text_col])
+        words = pc.count_substring_regex(lower, "[a-z]+").to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        syll = pc.count_substring_regex(lower, "[aeiouy]+").to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        sents = pc.count_substring_regex(batch[text_col], "[.!?]+").to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        w = np.maximum(words, 1).astype(np.float64)
+        s = np.maximum(sents, 1).astype(np.float64)
+        score = np.round(206.835 - 1.015 * (w / s) - 84.6 * (syll / w), 6)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_words": pa.array(words),
+                "n_sentences": pa.array(sents),
+                "n_syllables": pa.array(syll),
+                "flesch": pa.array(score, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(_batch, batch_format="pyarrow")
+
+
 def token_entropy(ds, text_col: str = "text", id_col: str = "doc_id"):
     """Per-doc Shannon entropy of the token distribution (nats) — the
     lexical-diversity quality signal (low entropy = repetitive/template

@@ -62,6 +62,7 @@ HH3_NUM, HH3_DEN = 1, 5000  # heavy 3-gram threshold (boilerplate mining)
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")  # pivot domain
 HIST_BIN_WIDTH = 5.0  # value_histogram bin width
 SEMI_STATUS = "F"  # semi/anti join: customers with(out) an F-status order
+RANK_K = 2  # rank_with_ties: top-2 orders per customer, RANK() semantics
 
 
 def _docs(sf_dir: str):
@@ -1015,6 +1016,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return flesch_readability(_docs(sf_dir))
 
+    def q_distinct_by_key(sf_dir: str):
+        import ray.data
+
+        from marginalia_ray.ops.relational import distinct_by_key
+
+        ev = ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+        )
+        return distinct_by_key(ev)
+
+    def q_rank_with_ties(sf_dir: str):
+        import ray.data
+
+        from marginalia_ray.ops.relational import rank_with_ties
+
+        orders = ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_custkey", "o_orderkey", "o_totalprice"],
+        )
+        return rank_with_ties(orders, k=RANK_K)
+
+    def q_langid_confusion(sf_dir: str):
+        import ray.data
+
+        from marginalia_ray.ops.text_ops import langid_confusion
+
+        docs = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+        )
+        return langid_confusion(docs)
+
     # ordering is deliberate: the driver samples a prefix of this dict,
     # and rounds 1-3 never sampled the last ten entries (including the
     # flagship marginalia_search) — so the previously-unchecked queries
@@ -1029,6 +1061,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pivot_counts": q_pivot_counts,
         "value_histogram": q_value_histogram,
         "flesch_readability": q_flesch,
+        "distinct_by_key": q_distinct_by_key,
+        "rank_with_ties": q_rank_with_ties,
+        "langid_confusion": q_langid_confusion,
         "heavy_hitters": q_heavy_hitters,
         "heavy_ngrams": q_heavy_ngrams,
         "soft_dedup_weights": q_soft_dedup_weights,
@@ -2442,6 +2477,18 @@ def oracle_sql() -> dict[str, str]:
  SELECT event_type, CAST(floor(value / {HIST_BIN_WIDTH}) AS BIGINT) AS bin,
         count(*)::BIGINT AS n
  FROM events GROUP BY 1, 2""",
+        "distinct_by_key": """
+ SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_distinct
+ FROM events GROUP BY 1""",
+        "rank_with_ties": f"""
+ SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (
+   SELECT o_custkey, o_orderkey, o_totalprice,
+          rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC)::BIGINT AS rank
+   FROM orders) WHERE rank <= {RANK_K}""",
+        "langid_confusion": f"""
+ SELECT d.lang, p.pred_lang, count(*)::BIGINT AS n
+ FROM documents d JOIN ({_lang_id_sql()}) p ON d.doc_id = p.doc_id
+ GROUP BY 1, 2""",
         "flesch_readability": """
  WITH t AS (SELECT doc_id,
         len(regexp_extract_all(lower(text), '[a-z]+'))::BIGINT AS n_words,

@@ -1208,6 +1208,131 @@ def pivot_counts(
     )
 
 
+def distinct_by_key(ds, *, key_col: str = "event_type", val_col: str = "user_id"):
+    """Exact count-distinct per key — SQL's ``count(DISTINCT val) GROUP
+    BY key`` (G4/G5-family statistics at the event-log level).
+
+    Scale shape: per-batch distinct (key, value) pairs -> ONE groupby
+    shuffle of distinct pairs (the _per_key_value_counts histogram
+    machinery, moving one row per distinct pair, never the corpus) ->
+    per-batch partial pair-counts per key -> a tiny second groupby over
+    one row per (batch, key).  Output: (<key_col>, n_distinct)."""
+    counts = _per_key_value_counts(ds, key_col, val_col)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {key_col: batch[key_col], "partial": pa.array([], pa.int64())}
+            )
+        g = (
+            pa.table({key_col: batch[key_col]})
+            .group_by(key_col)
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns([key_col, "partial"])
+
+    agg = (
+        counts.map_batches(_partial, batch_format="pyarrow")
+        .groupby(key_col)
+        .sum("partial")
+    )
+
+    def _final(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                key_col: batch[key_col],
+                "n_distinct": batch["sum(partial)"].cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(_final, batch_format="pyarrow")
+
+
+def rank_with_ties(
+    ds,
+    *,
+    key_col: str = "o_custkey",
+    val_col: str = "o_totalprice",
+    id_col: str = "o_orderkey",
+    k: int = 2,
+):
+    """Top-k rows per key under SQL RANK() semantics — ties share a rank
+    and ALL boundary-tied rows are kept: ``rank() OVER (PARTITION BY key
+    ORDER BY val DESC) <= k`` (contrast topk_per_group's row_number(),
+    which cuts ties arbitrarily).
+
+    Scale path: the per-batch combiner keeps a row only if fewer than k
+    STRICTLY GREATER values precede it within its (key, batch) slice —
+    a row's global rank can only be >= its batch-local rank, so pruned
+    rows can never re-enter the global top-k; tied runs survive intact.
+    The shuffle then moves O(k + ties) rows per (key, batch).  Rank is
+    recomputed exactly per key group (sorted distinct values +
+    searchsorted).  Output: (<key_col>, <id_col>, <val_col>, rank)."""
+    kk = int(k)
+    if kk <= 0:
+        raise ValueError("k must be positive")
+
+    def _strict_rank(key: np.ndarray, val: np.ndarray) -> np.ndarray:
+        """1 + #strictly-greater values within the same key, vectorized
+        over a (key-major, value-desc) sorted view."""
+        order = np.lexsort((-val, key))
+        key_s, val_s = key[order], val[order]
+        starts = np.flatnonzero(np.r_[True, key_s[1:] != key_s[:-1]])
+        seg = np.repeat(np.arange(len(starts)), np.diff(np.r_[starts, len(key_s)]))
+        pos = np.arange(len(key_s)) - starts[seg]
+        # every element of an equal-value run shares the rank of the
+        # run's first element
+        new_run = np.r_[True, (key_s[1:] != key_s[:-1]) | (val_s[1:] != val_s[:-1])]
+        run_id = np.cumsum(new_run) - 1
+        run_first_pos = pos[np.flatnonzero(new_run)][run_id]
+        rank_sorted = run_first_pos + 1
+        rank = np.empty(len(key_s), np.int64)
+        rank[order] = rank_sorted
+        return rank
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    key_col: batch[key_col],
+                    id_col: batch[id_col],
+                    val_col: pc.cast(batch[val_col], pa.float64()),
+                }
+            )
+        key = batch[key_col].to_numpy(zero_copy_only=False)
+        val = batch[val_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        keep = _strict_rank(key, val) <= kk
+        t = batch.filter(pa.array(keep))
+        return pa.table(
+            {
+                key_col: t[key_col],
+                id_col: t[id_col],
+                val_col: pc.cast(t[val_col], pa.float64()),
+            }
+        )
+
+    def _final(group: pa.Table) -> pa.Table:
+        key = group[key_col].to_numpy(zero_copy_only=False)
+        val = group[val_col].to_numpy(zero_copy_only=False)
+        rank = _strict_rank(key, val)
+        keep = rank <= kk
+        take = pa.array(np.flatnonzero(keep))
+        return pa.table(
+            {
+                key_col: group[key_col].take(take),
+                id_col: group[id_col].take(take),
+                val_col: group[val_col].take(take),
+                "rank": pa.array(rank[keep]),
+            }
+        )
+
+    return (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby(key_col)
+        .map_groups(_final, batch_format="pyarrow")
+    )
+
+
 def value_histogram(
     ds,
     *,

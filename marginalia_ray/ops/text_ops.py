@@ -123,33 +123,37 @@ LANG_STOPWORDS = {
 }
 
 
+def _langid_pred(batch: pa.Table, text_col: str):
+    """Shared per-batch language predictor: stopword-list voting over the
+    fixed LANG_STOPWORDS profiles.  Returns (pred object-ndarray,
+    confidence float64-ndarray); one count_substring_regex per language."""
+    langs = sorted(LANG_STOPWORDS)
+    lower = pc.utf8_lower(batch[text_col])
+    n_tok = np.maximum(
+        pc.count_substring_regex(lower, TOKEN_MATCH).to_numpy(zero_copy_only=False), 1
+    ).astype(np.float64)
+    scores = np.stack(
+        [
+            pc.count_substring_regex(
+                lower, r"\b(" + "|".join(LANG_STOPWORDS[lang]) + r")\b"
+            )
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+            for lang in langs
+        ]
+    )  # (n_langs, n_docs)
+    best = scores.argmax(axis=0)
+    conf = np.round(scores[best, np.arange(scores.shape[1])] / n_tok, 6)
+    pred = np.where(conf > 0, np.asarray(langs, dtype=object)[best], "und")
+    return pred, conf
+
+
 def lang_id(ds, text_col: str = "text", id_col: str = "doc_id"):
     """Heuristic language ID: per-doc stopword-list voting over the fixed
-    LANG_STOPWORDS profiles -> (doc_id, pred_lang, confidence).
-
-    Vectorized: one count_substring_regex per language.  Rows-only check
-    (the heuristic is not SQL-expressible as a deterministic oracle)."""
-    patterns = {
-        lang: r"\b(" + "|".join(words) + r")\b" for lang, words in LANG_STOPWORDS.items()
-    }
-    langs = sorted(patterns)
+    LANG_STOPWORDS profiles -> (doc_id, pred_lang, confidence)."""
 
     def _batch(batch: pa.Table) -> pa.Table:
-        lower = pc.utf8_lower(batch[text_col])
-        n_tok = np.maximum(
-            pc.count_substring_regex(lower, TOKEN_MATCH).to_numpy(zero_copy_only=False), 1
-        ).astype(np.float64)
-        scores = np.stack(
-            [
-                pc.count_substring_regex(lower, patterns[lang])
-                .to_numpy(zero_copy_only=False)
-                .astype(np.float64)
-                for lang in langs
-            ]
-        )  # (n_langs, n_docs)
-        best = scores.argmax(axis=0)
-        conf = np.round(scores[best, np.arange(scores.shape[1])] / n_tok, 6)
-        pred = np.where(conf > 0, np.asarray(langs, dtype=object)[best], "und")
+        pred, conf = _langid_pred(batch, text_col)
         return pa.table(
             {
                 id_col: batch[id_col],
@@ -159,6 +163,53 @@ def lang_id(ds, text_col: str = "text", id_col: str = "doc_id"):
         )
 
     return ds.map_batches(_batch, batch_format="pyarrow")
+
+
+def langid_confusion(ds, label_col: str = "lang", text_col: str = "text"):
+    """Language-ID evaluation cross-tab: count docs per (labelled lang,
+    predicted lang) — the confusion matrix a curation pipeline reports
+    before trusting a classifier to filter a crawl.  Output: (lang,
+    pred_lang, n).
+
+    Prediction and label live in the same batch, so there is NO join:
+    per-batch partial (label, pred) counts, then one groupby shuffle of
+    distinct (label, pred) pairs — at most |langs|^2 rows per batch."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    label_col: batch[label_col],
+                    "pred_lang": pa.array([], pa.string()),
+                    "partial": pa.array([], pa.int64()),
+                }
+            )
+        pred, _ = _langid_pred(batch, text_col)
+        t = pa.table(
+            {
+                label_col: batch[label_col],
+                "pred_lang": pa.array(pred.tolist(), pa.string()),
+            }
+        )
+        g = t.group_by([label_col, "pred_lang"]).aggregate([([], "count_all")])
+        return g.rename_columns([label_col, "pred_lang", "partial"])
+
+    agg = (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby([label_col, "pred_lang"])
+        .sum("partial")
+    )
+
+    def _final(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                label_col: batch[label_col],
+                "pred_lang": batch["pred_lang"],
+                "n": batch["sum(partial)"].cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(_final, batch_format="pyarrow")
 
 
 # Fingerprint arithmetic is mod 2^32 so a SQL oracle can replicate it with

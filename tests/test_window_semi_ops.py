@@ -178,6 +178,81 @@ class TestValueHistogram:
             value_histogram(_ds([{"event_type": "x", "value": 1.0}]), bin_width=0)
 
 
+class TestDistinctByKey:
+    def test_exact_distinct_counts(self, ray_session):
+        from marginalia_ray.ops.relational import distinct_by_key
+
+        rows = [
+            {"event_type": "a", "user_id": 1},
+            {"event_type": "a", "user_id": 1},
+            {"event_type": "a", "user_id": 2},
+            {"event_type": "b", "user_id": 1},
+        ]
+        out = {r["event_type"]: r["n_distinct"] for r in distinct_by_key(_ds(rows)).take_all()}
+        assert out == {"a": 2, "b": 1}
+
+
+class TestRankWithTies:
+    def test_boundary_ties_all_kept(self, ray_session):
+        from marginalia_ray.ops.relational import rank_with_ties
+
+        # key 1: values 10, 5, 5, 5, 1 -> rank()  = 1, 2, 2, 2, 5;
+        # k=2 keeps the 10 AND all three tied 5s (row_number would not)
+        rows = [
+            {"o_custkey": 1, "o_orderkey": i, "o_totalprice": v}
+            for i, v in enumerate([10.0, 5.0, 5.0, 5.0, 1.0])
+        ]
+        out = rank_with_ties(_ds(rows), k=2).take_all()
+        got = sorted((r["o_orderkey"], r["rank"]) for r in out)
+        assert got == [(0, 1), (1, 2), (2, 2), (3, 2)]
+
+    def test_tie_at_rank_one(self, ray_session):
+        from marginalia_ray.ops.relational import rank_with_ties
+
+        rows = [
+            {"o_custkey": 7, "o_orderkey": 1, "o_totalprice": 9.0},
+            {"o_custkey": 7, "o_orderkey": 2, "o_totalprice": 9.0},
+            {"o_custkey": 7, "o_orderkey": 3, "o_totalprice": 8.0},
+        ]
+        out = rank_with_ties(_ds(rows), k=1).take_all()
+        got = sorted((r["o_orderkey"], r["rank"]) for r in out)
+        assert got == [(1, 1), (2, 1)]  # both rank-1 ties; the 8.0 is rank 3
+
+    def test_multi_key_rank_isolation(self, ray_session):
+        from marginalia_ray.ops.relational import rank_with_ties
+
+        rows = [
+            {"o_custkey": 1, "o_orderkey": 1, "o_totalprice": 1.0},
+            {"o_custkey": 2, "o_orderkey": 2, "o_totalprice": 100.0},
+            {"o_custkey": 2, "o_orderkey": 3, "o_totalprice": 50.0},
+        ]
+        out = rank_with_ties(_ds(rows), k=1).take_all()
+        got = sorted((r["o_custkey"], r["o_orderkey"], r["rank"]) for r in out)
+        assert got == [(1, 1, 1), (2, 2, 1)]
+
+    def test_bad_k(self, ray_session):
+        from marginalia_ray.ops.relational import rank_with_ties
+
+        with pytest.raises(ValueError, match="positive"):
+            rank_with_ties(_ds([{"o_custkey": 1, "o_orderkey": 1, "o_totalprice": 1.0}]), k=0)
+
+
+class TestLangidConfusion:
+    def test_counts_by_label_and_prediction(self, ray_session):
+        from marginalia_ray.ops.text_ops import langid_confusion
+
+        rows = [
+            {"doc_id": 1, "lang": "en", "text": "the quick fox and the dog"},
+            {"doc_id": 2, "lang": "en", "text": "the cat is with the hat"},
+            {"doc_id": 3, "lang": "de", "text": "der hund und die katze sind"},
+            {"doc_id": 4, "lang": "de", "text": "zzz qqq"},  # no stopwords -> und
+        ]
+        out = {(r["lang"], r["pred_lang"]): r["n"] for r in langid_confusion(_ds(rows)).take_all()}
+        assert out[("en", "en")] == 2
+        assert out[("de", "de")] == 1
+        assert out[("de", "und")] == 1
+
+
 class TestFlesch:
     def test_empty_doc_scores_constant(self, ray_session):
         from marginalia_ray.ops.text_ops import flesch_readability

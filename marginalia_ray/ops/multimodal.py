@@ -963,3 +963,167 @@ def sample_video_frames(ds, concurrency: int | None = None, batch_size: int = 8,
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+# ---- perceptual hash (pHash) + hamming near-dup pairs ----------------------
+
+_PHASH_SIZE = 32  # DCT input side (decoded image is resampled to 32x32)
+_PHASH_LOW = 8  # low-frequency block side -> 64 hash bits
+
+
+def _dct_matrix(n: int) -> np.ndarray:
+    """Orthonormal DCT-II basis matrix (the JPEG/pHash transform)."""
+    k = np.arange(n, dtype=np.float64)
+    m = np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n))
+    m[0] *= 1.0 / np.sqrt(2.0)
+    return m * np.sqrt(2.0 / n)
+
+
+_DCT32 = _dct_matrix(_PHASH_SIZE)
+
+
+def compute_phash(data: bytes) -> int:
+    """64-bit DCT perceptual hash — the classic pHash construction
+    (decode -> grayscale -> bilinear 32x32 -> 2-D DCT-II -> top-left
+    8x8 low-frequency block -> one bit per coefficient above the
+    block's median, DC excluded from the median so a uniform
+    brightness shift flips no bit).  Raises ValueError for payloads
+    decode_image_payload cannot handle."""
+    w, h, c, px = decode_image_payload(data)
+    px = np.asarray(px, np.uint8).reshape(int(h), int(w), int(c))
+    small = (
+        _bilinear_resize(px, _PHASH_SIZE, _PHASH_SIZE)
+        .astype(np.float64)
+        .mean(axis=2)
+    )
+    d = _DCT32 @ small @ _DCT32.T
+    # round off float noise: images with sparse spectra (flat regions,
+    # pure gradients) otherwise compare ~1e-13 accumulation noise against
+    # a noise-level median, making the low bits run-to-run fragile
+    low = np.round(d[:_PHASH_LOW, :_PHASH_LOW].reshape(-1), 6)
+    med = float(np.median(low[1:]))
+    bits = low > med
+    return int.from_bytes(np.packbits(bits).tobytes(), "big")
+
+
+class ImagePhashStage:
+    """binary image column -> (id, phash) for near-duplicate image
+    detection.  Real pHash for every natively-decodable format;
+    undecodable payloads pseudo-hash deterministically (content-seeded)
+    with ``fake=True`` or raise with ``fake=False``."""
+
+    def __init__(self, fake: bool = True, payload_col: str = "image",
+                 id_col: str = "doc_id"):
+        self.fake = fake
+        self.payload_col, self.id_col = payload_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = []
+        for p in batch[self.payload_col].to_pylist():
+            try:
+                out.append(compute_phash(p))
+                continue
+            except ValueError:
+                pass
+            if not self.fake:
+                raise NotImplementedError(
+                    "only PNG/PPM/BMP/GIF/baseline-JPEG decode natively; "
+                    "run with fake=True to pseudo-hash unknown formats"
+                )
+            out.append(
+                int.from_bytes(hashlib.blake2b(p, digest_size=8).digest(), "big")
+            )
+        return pa.table(
+            {
+                self.id_col: batch[self.id_col],
+                "phash": pa.array(np.array(out, dtype=np.uint64)),
+            }
+        )
+
+
+def image_phash(ds, concurrency: int | None = None, batch_size: int = 16,
+                **stage_kwargs):
+    """Actor-pool perceptual hashing over a binary image column."""
+    if concurrency is None:
+        concurrency = max(2, int(ray.cluster_resources().get("CPU", 8)) - 1)
+    return ds.map_batches(
+        ImagePhashStage,
+        fn_constructor_kwargs=stage_kwargs,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def phash_pairs(ds, max_hamming: int = 3, payload_col: str = "image",
+                id_col: str = "doc_id", max_docs_per_chunk: int = 1000,
+                **stage_kwargs):
+    """Near-duplicate IMAGE pairs by pHash hamming distance <=
+    max_hamming — the image analogue of ops/dedup.simhash_pairs, and it
+    reuses the same machinery: 16-bit pigeonhole chunk bucketing (exact
+    for max_hamming <= 3), dedup's salted vectorized pair emission, a
+    vectorized popcount verify, and a (doc_a, doc_b) min-dedup.  Chunk
+    buckets past `max_docs_per_chunk` are skipped (the DoS-guard
+    convention; run exact byte dedup first on mass-duplicate corpora).
+
+    Output: (doc_a, doc_b, hamming), doc_a < doc_b."""
+    from marginalia_ray.ops.dedup import _emit_pairs_per_key
+
+    U64 = np.uint64
+    hashed = image_phash(
+        ds, payload_col=payload_col, id_col=id_col, **stage_kwargs
+    )
+
+    def _explode_chunks(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        ph = batch["phash"].to_numpy(zero_copy_only=False)
+        n = len(ids)
+        out_ids = np.tile(ids, 4)
+        out_ph = np.tile(ph, 4)
+        chunk_no = np.repeat(np.arange(4, dtype=np.int32), n)
+        chunk = (
+            (out_ph >> (chunk_no.astype(np.uint64) * U64(16))) & U64(0xFFFF)
+        ).astype(np.uint32)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_ids, pa.int64()),
+                "phash": pa.array(out_ph, pa.uint64()),
+                "chunk_no": pa.array(chunk_no, pa.int32()),
+                "chunk": pa.array(chunk, pa.uint32()),
+            }
+        )
+
+    def _hamming(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_a": pa.array([], pa.int64()),
+                    "doc_b": pa.array([], pa.int64()),
+                    "hamming": pa.array([], pa.int64()),
+                }
+            )
+        x = batch["phash_a"].to_numpy(zero_copy_only=False) ^ batch[
+            "phash_b"
+        ].to_numpy(zero_copy_only=False)
+        ham = np.zeros(len(x), dtype=np.int64)
+        for _ in range(64):
+            ham += (x & U64(1)).astype(np.int64)
+            x = x >> U64(1)
+        m = ham <= max_hamming
+        return pa.table(
+            {
+                "doc_a": batch["doc_a"].filter(pa.array(m)),
+                "doc_b": batch["doc_b"].filter(pa.array(m)),
+                "hamming": pa.array(ham[m]),
+            }
+        )
+
+    chunked = hashed.map_batches(_explode_chunks, batch_format="pyarrow")
+    pairs = (
+        _emit_pairs_per_key(chunked, ["chunk_no", "chunk"], extra_col="phash",
+                            max_group=max_docs_per_chunk)
+        .map_batches(_hamming, batch_format="pyarrow")
+        .groupby(["doc_a", "doc_b"])
+        .min("hamming")
+    )
+    return pairs.rename_columns({"min(hamming)": "hamming"})

@@ -982,6 +982,12 @@ def hash_semi_join(
         raise ValueError(f"how must be 'semi' or 'anti', got {how!r}")
     key_r = right_on or on
     l_schema = left.schema()
+    if l_schema is None:
+        raise ValueError(
+            "hash_semi_join: left schema is unknown (lazy row filter "
+            "upstream?) — the output schema anchor needs it; materialize "
+            "the schema or reorder the filter after the join"
+        )
     for side_name, sch, kc in (("left", l_schema, on), ("right", right.schema(), key_r)):
         if sch is None:
             continue  # lazily-unknown schema (e.g. after a row filter):
@@ -1360,7 +1366,18 @@ def value_histogram(
                     "partial": pa.array([], pa.int64()),
                 }
             )
+        if batch[val_col].null_count:
+            raise TypeError(
+                f"value_histogram: null values in {val_col!r} — a null "
+                "becomes NaN and floor(NaN) is undefined; filter or fill "
+                "nulls upstream"
+            )
         v = batch[val_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        if np.isnan(v).any():
+            raise TypeError(
+                f"value_histogram: NaN values in {val_col!r} — "
+                "floor(NaN) is undefined; filter them upstream"
+            )
         b = np.floor(v / bw).astype(np.int64)
         t = pa.table({key_col: batch[key_col], "bin": pa.array(b)})
         g = t.group_by([key_col, "bin"]).aggregate([([], "count_all")])

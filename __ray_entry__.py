@@ -63,6 +63,8 @@ EVENT_TYPES = ("click", "error", "purchase", "signup", "view")  # pivot domain
 HIST_BIN_WIDTH = 5.0  # value_histogram bin width
 SEMI_STATUS = "F"  # semi/anti join: customers with(out) an F-status order
 RANK_K = 2  # rank_with_ties: top-2 orders per customer, RANK() semantics
+NTILE_N = 4  # ntile_buckets: per-customer spend quartiles
+UNIQ_WIN_MIN = 60  # window_unique_users tumbling width (minutes)
 
 
 def _docs(sf_dir: str):
@@ -1047,6 +1049,82 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return langid_confusion(docs)
 
+    def q_mode_by_key(sf_dir: str):
+        import ray.data
+
+        from marginalia_ray.ops.relational import mode_by_key
+
+        ev = ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+        )
+        return mode_by_key(ev)
+
+    def q_ntile_buckets(sf_dir: str):
+        import ray.data
+
+        from marginalia_ray.ops.relational import ntile_buckets
+
+        orders = ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_custkey", "o_orderkey", "o_totalprice"],
+        )
+        return ntile_buckets(orders, n=NTILE_N)
+
+    def q_window_unique_users(sf_dir: str):
+        import ray.data
+
+        from marginalia_ray.ops.relational import window_unique_users
+
+        ev = ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["ts", "user_id"]
+        )
+        return window_unique_users(ev, width_minutes=UNIQ_WIN_MIN)
+
+    def q_activity_streaks(sf_dir: str):
+        import ray.data
+
+        from marginalia_ray.ops.relational import activity_streaks
+
+        ev = ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+        )
+        return activity_streaks(ev)
+
+    def q_string_agg_by_key(sf_dir: str):
+        import ray.data
+
+        from marginalia_ray.ops.relational import string_agg_by_key
+
+        sup = ray.data.read_parquet(
+            f"{sf_dir}/supplier.parquet", columns=["s_nationkey", "s_name"]
+        )
+        return string_agg_by_key(sup)
+
+    def q_benford_digits(sf_dir: str):
+        import ray.data
+
+        from marginalia_ray.ops.relational import benford_digits
+
+        orders = ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_totalprice"]
+        )
+        return benford_digits(orders)
+
+    def q_dup_cluster_sizes(sf_dir: str):
+        from marginalia_ray.ops.dedup import dup_cluster_sizes
+
+        return dup_cluster_sizes(_docs(sf_dir))
+
+    def q_source_token_jaccard(sf_dir: str):
+        import ray.data
+
+        from marginalia_ray.ops.dedup import source_token_jaccard
+
+        docs = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["source", "text"]
+        )
+        return source_token_jaccard(docs)
+
     # ordering is deliberate: the driver samples a prefix of this dict,
     # and rounds 1-3 never sampled the last ten entries (including the
     # flagship marginalia_search) — so the previously-unchecked queries
@@ -1064,6 +1142,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_by_key": q_distinct_by_key,
         "rank_with_ties": q_rank_with_ties,
         "langid_confusion": q_langid_confusion,
+        "mode_by_key": q_mode_by_key,
+        "ntile_buckets": q_ntile_buckets,
+        "window_unique_users": q_window_unique_users,
+        "activity_streaks": q_activity_streaks,
+        "string_agg_by_key": q_string_agg_by_key,
+        "benford_digits": q_benford_digits,
+        "dup_cluster_sizes": q_dup_cluster_sizes,
+        "source_token_jaccard": q_source_token_jaccard,
         "heavy_hitters": q_heavy_hitters,
         "heavy_ngrams": q_heavy_ngrams,
         "soft_dedup_weights": q_soft_dedup_weights,
@@ -2485,6 +2571,50 @@ def oracle_sql() -> dict[str, str]:
    SELECT o_custkey, o_orderkey, o_totalprice,
           rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC)::BIGINT AS rank
    FROM orders) WHERE rank <= {RANK_K}""",
+        "mode_by_key": """
+ SELECT user_id, mode, n_mode FROM (
+   SELECT user_id, event_type AS mode, count(*)::BIGINT AS n_mode,
+          row_number() OVER (PARTITION BY user_id
+                             ORDER BY count(*) DESC, event_type) AS rn
+   FROM events GROUP BY user_id, event_type) WHERE rn = 1""",
+        "ntile_buckets": f"""
+ SELECT o_custkey, o_orderkey, o_totalprice,
+        ntile({NTILE_N}) OVER (PARTITION BY o_custkey
+                               ORDER BY o_totalprice, o_orderkey)::BIGINT AS bucket
+ FROM orders""",
+        "window_unique_users": f"""
+ SELECT (epoch_us(ts) // {UNIQ_WIN_MIN * 60_000_000} * {UNIQ_WIN_MIN * 60_000_000})::BIGINT AS win_us,
+        count(DISTINCT user_id)::BIGINT AS n_users
+ FROM events GROUP BY 1""",
+        "activity_streaks": """
+ WITH d AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+ r AS (SELECT user_id, day,
+              day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+       FROM d),
+ s AS (SELECT user_id, count(*)::BIGINT AS len FROM r GROUP BY user_id, grp)
+ SELECT user_id, sum(len)::BIGINT AS n_days, max(len)::BIGINT AS max_streak
+ FROM s GROUP BY user_id""",
+        "string_agg_by_key": """
+ SELECT s_nationkey, count(*)::BIGINT AS n,
+        string_agg(s_name, ',' ORDER BY s_name) AS agg
+ FROM supplier GROUP BY s_nationkey""",
+        "benford_digits": """
+ SELECT substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS digit,
+        count(*)::BIGINT AS n
+ FROM orders GROUP BY 1""",
+        "dup_cluster_sizes": """
+ WITH c AS (SELECT md5(text) AS h, count(*)::BIGINT AS k FROM documents GROUP BY 1)
+ SELECT k AS cluster_size, count(*)::BIGINT AS n_clusters FROM c GROUP BY 1""",
+        "source_token_jaccard": f"""
+ WITH tok AS (SELECT source, {_TOK} AS ts FROM documents),
+ idx AS (SELECT source, unnest(ts) AS t FROM tok),
+ d AS (SELECT DISTINCT source, t FROM idx),
+ sz AS (SELECT source, count(*)::BIGINT AS n FROM d GROUP BY 1),
+ inter AS (SELECT a.source AS sa, b.source AS sb, count(*)::BIGINT AS i
+           FROM d a JOIN d b ON a.t = b.t AND a.source < b.source GROUP BY 1, 2)
+ SELECT sa AS source_a, sb AS source_b, i AS n_common,
+        round(i::DOUBLE / (x.n + y.n - i), 6) AS jaccard
+ FROM inter JOIN sz x ON sa = x.source JOIN sz y ON sb = y.source""",
         "langid_confusion": f"""
  SELECT d.lang, p.pred_lang, count(*)::BIGINT AS n
  FROM documents d JOIN ({_lang_id_sql()}) p ON d.doc_id = p.doc_id

@@ -1446,3 +1446,183 @@ def substring_dedup_apply(
     return unioned.groupby("_pk", num_partitions=num_partitions).map_groups(
         _rebuild_block, batch_format="pyarrow"
     )
+
+
+def dup_cluster_sizes(ds, text_col: str = "text"):
+    """Duplicate-cluster-size histogram: how many exact-duplicate
+    clusters exist at each size — the profile a dedup pass reports
+    before choosing keep-first vs soft-weighting (cluster_size 1 =
+    unique docs).
+
+    Two tiny groupby passes over aggregates only: per-batch partial
+    counts per content md5 -> groupby(hash).sum (one row per distinct
+    text), then partial counts per size -> groupby(size).sum (one row
+    per distinct size).  Output: (cluster_size, n_clusters)."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        g = (
+            pa.table({"h": _md5_hex(batch[text_col])})
+            .group_by("h")
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["h", "partial"])
+
+    per_hash = (
+        ds.map_batches(_partial, batch_format="pyarrow").groupby("h").sum("partial")
+    )
+
+    def _sizes(batch: pa.Table) -> pa.Table:
+        g = (
+            pa.table({"cluster_size": batch["sum(partial)"].cast(pa.int64())})
+            .group_by("cluster_size")
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["cluster_size", "partial"])
+
+    agg = (
+        per_hash.map_batches(_sizes, batch_format="pyarrow")
+        .groupby("cluster_size")
+        .sum("partial")
+    )
+
+    def _final(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cluster_size": batch["cluster_size"].cast(pa.int64()),
+                "n_clusters": batch["sum(partial)"].cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(_final, batch_format="pyarrow")
+
+
+def source_token_jaccard(
+    ds,
+    key_col: str = "source",
+    text_col: str = "text",
+    num_partitions: int | None = None,
+    max_keys_per_token: int = 100_000,
+):
+    """Pairwise vocabulary Jaccard between corpus slices: for every pair
+    of sources, |distinct-token intersection| / |union| — the corpus-
+    comparison pass run before mixing sources into one training set.
+
+    Scale path: per-batch distinct (source, token) pairs, partitioned by
+    a vectorized token hash so every copy of a token lands in ONE
+    partition; the partition block then dedups globally, counts each
+    source's tokens, and emits source pairs per token run with a fully
+    vectorized predecessor-index expansion (no per-token Python loop).
+    Size rows ride the same shuffle as sentinel rows (source_b = ''),
+    so the whole op is one keyed shuffle + one aggregate groupby; only
+    the O(#sources) size table and O(#sources^2) pair table ever reach
+    the driver.  Output: (source_a, source_b, n_common, jaccard)."""
+    if num_partitions is None:
+        num_partitions = _join_partitions()
+
+    def _pairs(batch: pa.Table) -> pa.Table:
+        keys, toks = explode_tokens(batch, text_col, key_col)
+        t = (
+            pa.table({key_col: keys, "tok": toks})
+            .group_by([key_col, "tok"])
+            .aggregate([])
+        )
+        if t.num_rows == 0:
+            return t.append_column("_pk", pa.array([], pa.int64()))
+        pk = (_token_hash_arrow(t["tok"]) % U64(num_partitions)).astype(np.int64)
+        return t.append_column("_pk", pa.array(pk))
+
+    parted = ds.map_batches(_pairs, batch_format="pyarrow")
+
+    def _empty() -> pa.Table:
+        return pa.table(
+            {
+                "source_a": pa.array([], pa.string()),
+                "source_b": pa.array([], pa.string()),
+                "partial": pa.array([], pa.int64()),
+            }
+        )
+
+    def _block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return _empty()
+        t = (
+            pa.table({key_col: block[key_col], "tok": block["tok"]})
+            .group_by([key_col, "tok"])
+            .aggregate([])  # global distinct: all copies of a token are here
+            .sort_by([("tok", "ascending"), (key_col, "ascending")])
+        )
+        toks = t["tok"].to_numpy(zero_copy_only=False)
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        n = len(toks)
+        new = np.r_[True, toks[1:] != toks[:-1]]
+        starts = np.flatnonzero(new)
+        run_id = np.cumsum(new) - 1
+        pos = np.arange(n, dtype=np.int64) - starts[run_id]
+        if pos.max() + 1 > max_keys_per_token:
+            raise RuntimeError(
+                f"source_token_jaccard: a token is shared by >{max_keys_per_token} "
+                "sources — pair emission would blow up quadratically"
+            )
+        # vectorized all-pairs within runs: element i pairs with each of
+        # its pos[i] in-run predecessors
+        b_idx = np.repeat(np.arange(n, dtype=np.int64), pos)
+        offs = np.cumsum(pos) - pos
+        a_idx = np.arange(int(pos.sum()), dtype=np.int64) - offs[b_idx] + starts[run_id[b_idx]]
+        pairs = pa.table(
+            {"source_a": pa.array(keys[a_idx]), "source_b": pa.array(keys[b_idx])}
+        )
+        pairs = (
+            pairs.group_by(["source_a", "source_b"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["source_a", "source_b", "partial"])
+        )
+        # per-source distinct-token counts for this partition, as
+        # sentinel rows (source_b = '' < any real source name)
+        sz = (
+            pa.table({"source_a": t[key_col]})
+            .group_by("source_a")
+            .aggregate([([], "count_all")])
+            .rename_columns(["source_a", "partial"])
+        )
+        sz = pa.table(
+            {
+                "source_a": sz["source_a"],
+                "source_b": pa.array([""] * sz.num_rows, pa.string()),
+                "partial": sz["partial"],
+            }
+        )
+        out = pa.concat_tables([pairs.cast(sz.schema), sz])
+        return out
+
+    agg = (
+        parted.groupby("_pk", num_partitions=num_partitions)
+        .map_groups(_block, batch_format="pyarrow")
+        .groupby(["source_a", "source_b"])
+        .sum("partial")
+    )
+    rows = agg.take_all()  # O(#sources^2) rows by construction
+    sizes: dict[str, int] = {}
+    inter: list[tuple[str, str, int]] = []
+    for r in rows:
+        if r["source_b"] == "":
+            sizes[r["source_a"]] = int(r["sum(partial)"])
+        else:
+            inter.append((r["source_a"], r["source_b"], int(r["sum(partial)"])))
+    inter.sort()
+    out = pa.table(
+        {
+            "source_a": pa.array([a for a, _, _ in inter], pa.string()),
+            "source_b": pa.array([b for _, b, _ in inter], pa.string()),
+            "n_common": pa.array([i for _, _, i in inter], pa.int64()),
+            "jaccard": pa.array(
+                [
+                    round(i / (sizes[a] + sizes[b] - i), 6)
+                    for a, b, i in inter
+                ],
+                pa.float64(),
+            ),
+        }
+    )
+    import ray.data
+
+    return ray.data.from_arrow(out)

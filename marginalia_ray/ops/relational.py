@@ -1521,3 +1521,262 @@ def cohort_retention(
         )
 
     return agg.map_batches(_final, batch_format="pyarrow")
+
+
+def mode_by_key(
+    ds,
+    *,
+    key_col: str = "user_id",
+    val_col: str = "event_type",
+):
+    """Exact per-key mode — the most frequent value per key, ties broken
+    by the smallest value (SQL ``arg_min(v, (-n, v))`` shape; the
+    per-user dominant-event profile a curation pipeline derives from
+    event logs).
+
+    Scale path: the shared histogram shuffle (_per_key_value_counts —
+    one row per DISTINCT (key, value) pair, never the corpus), then a
+    per-batch vectorized prune to the best row per key per block (the
+    global argmax must be its block's argmax), then one groupby(key)
+    reduce over <= n_blocks rows per key.
+    Output: (<key_col>, mode, n_mode)."""
+    counts = _per_key_value_counts(ds, key_col, val_col)
+
+    def _best_per_key(t: pa.Table, cnt_col: str) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        s = t.sort_by(
+            [(key_col, "ascending"), (cnt_col, "descending"), ("v", "ascending")]
+        )
+        k = s[key_col].to_numpy(zero_copy_only=False)
+        first = np.r_[True, k[1:] != k[:-1]]
+        return s.take(pa.array(np.flatnonzero(first)))
+
+    pruned = counts.map_batches(
+        lambda b: _best_per_key(b, "sum(partial)"), batch_format="pyarrow"
+    )
+
+    def _final(group: pa.Table) -> pa.Table:
+        best = _best_per_key(group, "sum(partial)")
+        return pa.table(
+            {
+                key_col: best[key_col],
+                "mode": best["v"],
+                "n_mode": best["sum(partial)"].cast(pa.int64()),
+            }
+        )
+
+    return pruned.groupby(key_col).map_groups(_final, batch_format="pyarrow")
+
+
+def ntile_buckets(
+    ds,
+    *,
+    n: int = 4,
+    key_col: str = "o_custkey",
+    val_col: str = "o_totalprice",
+    id_col: str = "o_orderkey",
+):
+    """SQL NTILE(n) per key — equi-depth bucketing of each key's rows in
+    (val, id) order, with the standard remainder rule: the first
+    ``cnt % n`` buckets hold ``cnt // n + 1`` rows, the rest ``cnt //
+    n`` (DuckDB / ANSI semantics, ties broken deterministically by
+    id_col so the assignment is total-order exact).
+
+    One groupby(key) shuffle; partitioning assumption: one key's rows
+    fit in a group (same contract as rank_with_ties / sessionize —
+    per-customer order lists, not global sorts).  Output:
+    (<key_col>, <id_col>, <val_col>, bucket)."""
+    nn = int(n)
+    if nn <= 0:
+        raise ValueError("ntile_buckets: n must be positive")
+
+    def _final(group: pa.Table) -> pa.Table:
+        val = group[val_col].to_numpy(zero_copy_only=False)
+        gid = group[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((gid, val))
+        cnt = len(order)
+        size, big = divmod(cnt, nn)
+        rn0 = np.empty(cnt, np.int64)
+        rn0[order] = np.arange(cnt)
+        threshold = big * (size + 1)
+        if size == 0:
+            bucket0 = rn0  # cnt < n: one row per bucket
+        else:
+            bucket0 = np.where(
+                rn0 < threshold,
+                rn0 // (size + 1),
+                big + (rn0 - threshold) // size,
+            )
+        return pa.table(
+            {
+                key_col: group[key_col],
+                id_col: group[id_col],
+                val_col: group[val_col],
+                "bucket": pa.array(bucket0 + 1, pa.int64()),
+            }
+        )
+
+    return ds.groupby(key_col).map_groups(_final, batch_format="pyarrow")
+
+
+def window_unique_users(
+    ds,
+    *,
+    width_minutes: int = 60,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+):
+    """Distinct users per tumbling window — ``count(DISTINCT user)`` per
+    floor-aligned time bucket, the uniques-per-hour trend every event
+    pipeline dashboards.
+
+    Per-batch distinct (window, user) pairs -> the count-distinct
+    machinery of distinct_by_key (one shuffle of distinct pairs).
+    Output: (win_us, n_users)."""
+    width_us = int(width_minutes) * 60_000_000
+    if width_us <= 0:
+        raise ValueError("window_unique_users: width_minutes must be positive")
+
+    def _win(batch: pa.Table) -> pa.Table:
+        us = _to_epoch_us(batch[ts_col], ts_col).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                # numpy // floors like SQL integer division (pre-epoch safe)
+                "win_us": pa.array(us // width_us * width_us),
+                user_col: batch[user_col],
+            }
+        )
+
+    per_win = distinct_by_key(
+        ds.map_batches(_win, batch_format="pyarrow"),
+        key_col="win_us",
+        val_col=user_col,
+    )
+    return per_win.map_batches(
+        lambda b: b.rename_columns(["win_us", "n_users"]), batch_format="pyarrow"
+    )
+
+
+def activity_streaks(
+    ds,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+):
+    """Gaps-and-islands: per user, the number of distinct active days
+    and the longest run of CONSECUTIVE active days (day = floor of the
+    epoch-us timestamp / 86400e6, matching SQL integer floor division).
+
+    Per-batch distinct (user, day) pairs (the combiner — volume is one
+    row per user-day, never the events) -> one groupby(user) shuffle ->
+    vectorized in-group dedup + run-length scan.
+    Output: (<user_col>, n_days, max_streak)."""
+    day_us = 86_400_000_000
+
+    def _days(batch: pa.Table) -> pa.Table:
+        us = _to_epoch_us(batch[ts_col], ts_col).to_numpy(zero_copy_only=False)
+        t = pa.table({user_col: batch[user_col], "day": pa.array(us // day_us)})
+        return t.group_by([user_col, "day"]).aggregate([])
+
+    def _final(group: pa.Table) -> pa.Table:
+        days = np.unique(group["day"].to_numpy(zero_copy_only=False))
+        breaks = np.flatnonzero(np.diff(days) != 1)
+        run_bounds = np.r_[0, breaks + 1, len(days)]
+        max_streak = int(np.max(np.diff(run_bounds)))
+        return pa.table(
+            {
+                user_col: group[user_col][:1],
+                "n_days": pa.array([len(days)], pa.int64()),
+                "max_streak": pa.array([max_streak], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(_days, batch_format="pyarrow")
+        .groupby(user_col)
+        .map_groups(_final, batch_format="pyarrow")
+    )
+
+
+def string_agg_by_key(
+    ds,
+    *,
+    key_col: str = "s_nationkey",
+    val_col: str = "s_name",
+    sep: str = ",",
+):
+    """SQL ``string_agg(val, sep ORDER BY val)`` per key — the sorted
+    concatenation makes the output deterministic and oracle-comparable
+    (unordered string_agg is nondeterministic under parallelism).
+
+    One groupby(key) shuffle; assumption: one key's values fit in a
+    group (the reference's SiteWords-style per-domain term rollups are
+    exactly this shape).  Output: (<key_col>, n, agg)."""
+
+    def _final(group: pa.Table) -> pa.Table:
+        vals = sorted(group[val_col].to_pylist())
+        return pa.table(
+            {
+                key_col: group[key_col][:1],
+                "n": pa.array([len(vals)], pa.int64()),
+                "agg": pa.array([sep.join(vals)], pa.string()),
+            }
+        )
+
+    return ds.groupby(key_col).map_groups(_final, batch_format="pyarrow")
+
+
+def benford_digits(
+    ds,
+    *,
+    val_col: str = "o_totalprice",
+):
+    """First-significant-digit profile (Benford's-law check) — the
+    quick data-quality screen for numeric columns: counts per leading
+    digit of floor(value).
+
+    Exactness: the digit is taken from the DECIMAL STRING of the
+    int64 floor (Arrow cast + utf8 slice), not float log10 — so it is
+    bit-identical to the SQL substr(cast(...)) oracle.  Per-batch
+    partial counts (<= 9 rows) -> one tiny groupby.
+    Output: (digit, n)."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "digit": pa.array([], pa.string()),
+                    "partial": pa.array([], pa.int64()),
+                }
+            )
+        col = batch[val_col]
+        if col.null_count:
+            raise TypeError(f"benford_digits: null values in {val_col!r}")
+        v = col.to_numpy(zero_copy_only=False).astype(np.float64)
+        if not np.isfinite(v).all() or (v < 1).any():
+            raise ValueError(
+                f"benford_digits: {val_col!r} must be finite and >= 1 "
+                "(leading digit of |value| < 1 is scale-dependent)"
+            )
+        digits = pc.utf8_slice_codeunits(
+            pc.cast(pa.array(np.floor(v).astype(np.int64)), pa.string()), 0, 1
+        )
+        g = pa.table({"digit": digits}).group_by("digit").aggregate([([], "count_all")])
+        return g.rename_columns(["digit", "partial"])
+
+    agg = (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby("digit")
+        .sum("partial")
+    )
+
+    def _final(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "digit": batch["digit"],
+                "n": batch["sum(partial)"].cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(_final, batch_format="pyarrow")

@@ -1,0 +1,189 @@
+"""Unit tests for the profiling / gaps-and-islands batch of ops
+(ops/relational.py: mode_by_key, ntile_buckets, window_unique_users,
+activity_streaks, string_agg_by_key, benford_digits; ops/dedup.py:
+dup_cluster_sizes, source_token_jaccard).  DuckDB value parity for all
+of them lives in test_oracle.py; these cover the semantic edges the
+oracle fixture can't reach."""
+
+import datetime as dt
+
+import pytest
+
+
+def _ds(rows):
+    import ray.data
+
+    return ray.data.from_items(rows)
+
+
+def _ts(day: int, hour: int = 0, minute: int = 0):
+    return dt.datetime(2024, 1, day, hour, minute)
+
+
+class TestModeByKey:
+    def test_tie_breaks_to_smallest_value(self, ray_session):
+        from marginalia_ray.ops.relational import mode_by_key
+
+        rows = (
+            [{"user_id": 1, "event_type": "view"}] * 3
+            + [{"user_id": 1, "event_type": "click"}] * 3
+            + [{"user_id": 2, "event_type": "purchase"}]
+        )
+        got = {r["user_id"]: r for r in mode_by_key(_ds(rows)).take_all()}
+        # tie 3-3 between click/view -> lexicographically smaller wins
+        assert got[1]["mode"] == "click" and got[1]["n_mode"] == 3
+        assert got[2]["mode"] == "purchase" and got[2]["n_mode"] == 1
+
+    def test_single_winner(self, ray_session):
+        from marginalia_ray.ops.relational import mode_by_key
+
+        rows = [{"user_id": 9, "event_type": "a"}] + [
+            {"user_id": 9, "event_type": "z"}
+        ] * 2
+        (got,) = mode_by_key(_ds(rows)).take_all()
+        assert got["mode"] == "z" and got["n_mode"] == 2
+
+
+class TestNtileBuckets:
+    def test_remainder_rule(self, ray_session):
+        from marginalia_ray.ops.relational import ntile_buckets
+
+        # 6 rows into 4 buckets: sizes 2,2,1,1 (first cnt%n buckets larger)
+        rows = [
+            {"o_custkey": 1, "o_orderkey": i, "o_totalprice": float(i * 10)}
+            for i in range(1, 7)
+        ]
+        got = ntile_buckets(_ds(rows), n=4).take_all()
+        by_id = {r["o_orderkey"]: r["bucket"] for r in got}
+        assert by_id == {1: 1, 2: 1, 3: 2, 4: 2, 5: 3, 6: 4}
+
+    def test_fewer_rows_than_buckets(self, ray_session):
+        from marginalia_ray.ops.relational import ntile_buckets
+
+        rows = [
+            {"o_custkey": 1, "o_orderkey": 1, "o_totalprice": 5.0},
+            {"o_custkey": 1, "o_orderkey": 2, "o_totalprice": 7.0},
+        ]
+        got = sorted(
+            ntile_buckets(_ds(rows), n=4).take_all(), key=lambda r: r["o_orderkey"]
+        )
+        assert [r["bucket"] for r in got] == [1, 2]
+
+    def test_tie_broken_by_id(self, ray_session):
+        from marginalia_ray.ops.relational import ntile_buckets
+
+        rows = [
+            {"o_custkey": 1, "o_orderkey": 2, "o_totalprice": 5.0},
+            {"o_custkey": 1, "o_orderkey": 1, "o_totalprice": 5.0},
+        ]
+        got = {r["o_orderkey"]: r["bucket"] for r in ntile_buckets(_ds(rows), n=2).take_all()}
+        assert got == {1: 1, 2: 2}
+
+    def test_invalid_n(self, ray_session):
+        from marginalia_ray.ops.relational import ntile_buckets
+
+        with pytest.raises(ValueError):
+            ntile_buckets(_ds([{"o_custkey": 1, "o_orderkey": 1, "o_totalprice": 1.0}]), n=0)
+
+
+class TestWindowUniqueUsers:
+    def test_distinct_within_window(self, ray_session):
+        from marginalia_ray.ops.relational import window_unique_users
+
+        rows = [
+            {"ts": _ts(1, 0, 5), "user_id": 1},
+            {"ts": _ts(1, 0, 10), "user_id": 1},  # same user, same hour
+            {"ts": _ts(1, 0, 20), "user_id": 2},
+            {"ts": _ts(1, 1, 5), "user_id": 1},  # next hour
+        ]
+        got = sorted(
+            window_unique_users(_ds(rows), width_minutes=60).take_all(),
+            key=lambda r: r["win_us"],
+        )
+        assert [r["n_users"] for r in got] == [2, 1]
+        assert got[1]["win_us"] - got[0]["win_us"] == 3_600_000_000
+
+
+class TestActivityStreaks:
+    def test_runs_and_gaps(self, ray_session):
+        from marginalia_ray.ops.relational import activity_streaks
+
+        rows = (
+            # user 1: days 1,2,3 then 5,6 -> max streak 3, n_days 5
+            [{"user_id": 1, "ts": _ts(d)} for d in (1, 2, 3, 5, 6)]
+            # duplicate events inside one day must not inflate the streak
+            + [{"user_id": 1, "ts": _ts(2, 12)}]
+            # user 2: one day
+            + [{"user_id": 2, "ts": _ts(9)}]
+        )
+        got = {r["user_id"]: r for r in activity_streaks(_ds(rows)).take_all()}
+        assert got[1]["n_days"] == 5 and got[1]["max_streak"] == 3
+        assert got[2]["n_days"] == 1 and got[2]["max_streak"] == 1
+
+
+class TestStringAggByKey:
+    def test_sorted_concat(self, ray_session):
+        from marginalia_ray.ops.relational import string_agg_by_key
+
+        rows = [
+            {"s_nationkey": 1, "s_name": "zeta"},
+            {"s_nationkey": 1, "s_name": "alpha"},
+            {"s_nationkey": 2, "s_name": "solo"},
+        ]
+        got = {r["s_nationkey"]: r for r in string_agg_by_key(_ds(rows)).take_all()}
+        assert got[1]["agg"] == "alpha,zeta" and got[1]["n"] == 2
+        assert got[2]["agg"] == "solo" and got[2]["n"] == 1
+
+
+class TestBenfordDigits:
+    def test_leading_digit_counts(self, ray_session):
+        from marginalia_ray.ops.relational import benford_digits
+
+        rows = [{"o_totalprice": v} for v in (1.5, 19.0, 123.4, 2.0, 999.99)]
+        got = {r["digit"]: r["n"] for r in benford_digits(_ds(rows)).take_all()}
+        assert got == {"1": 3, "2": 1, "9": 1}
+
+    def test_rejects_below_one(self, ray_session):
+        from marginalia_ray.ops.relational import benford_digits
+
+        with pytest.raises(Exception, match="finite and >= 1"):
+            benford_digits(_ds([{"o_totalprice": 0.5}])).take_all()
+
+
+class TestDupClusterSizes:
+    def test_histogram(self, ray_session):
+        from marginalia_ray.ops.dedup import dup_cluster_sizes
+
+        rows = (
+            [{"text": "aaa"}] * 3
+            + [{"text": "bbb"}] * 2
+            + [{"text": "ccc"}, {"text": "ddd"}]
+        )
+        got = {r["cluster_size"]: r["n_clusters"] for r in dup_cluster_sizes(_ds(rows)).take_all()}
+        assert got == {3: 1, 2: 1, 1: 2}
+
+
+class TestSourceTokenJaccard:
+    def test_pairwise_vocab_overlap(self, ray_session):
+        from marginalia_ray.ops.dedup import source_token_jaccard
+
+        rows = [
+            {"source": "a", "text": "red green blue"},
+            {"source": "a", "text": "blue yellow"},  # a = {red,green,blue,yellow}
+            {"source": "b", "text": "red blue"},  # b = {red,blue}
+            {"source": "c", "text": "purple"},  # c disjoint
+        ]
+        got = source_token_jaccard(_ds(rows)).take_all()
+        assert len(got) == 1  # only (a, b) share tokens
+        (p,) = got
+        assert (p["source_a"], p["source_b"]) == ("a", "b")
+        assert p["n_common"] == 2
+        assert p["jaccard"] == pytest.approx(0.5)  # 2 / (4 + 2 - 2)
+
+    def test_empty_corpus(self, ray_session):
+        from marginalia_ray.ops.dedup import source_token_jaccard
+
+        got = source_token_jaccard(
+            _ds([{"source": "a", "text": ""}])
+        ).take_all()
+        assert got == []

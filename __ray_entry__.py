@@ -65,6 +65,7 @@ SEMI_STATUS = "F"  # semi/anti join: customers with(out) an F-status order
 RANK_K = 2  # rank_with_ties: top-2 orders per customer, RANK() semantics
 NTILE_N = 4  # ntile_buckets: per-customer spend quartiles
 UNIQ_WIN_MIN = 60  # window_unique_users tumbling width (minutes)
+ZSCORE_Z = 1.75  # zscore_outliers threshold (fixture max |z| ~1.97/2.04)
 
 
 def _docs(sf_dir: str):
@@ -1125,6 +1126,47 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return source_token_jaccard(docs)
 
+    def q_percent_rank(sf_dir: str):
+        import ray.data
+
+        from marginalia_ray.ops.relational import percent_rank_by_key
+
+        orders = ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_custkey", "o_orderkey", "o_totalprice"],
+        )
+        return percent_rank_by_key(orders)
+
+    def q_weekly_revenue_delta(sf_dir: str):
+        import ray.data
+
+        from marginalia_ray.ops.relational import weekly_revenue_delta
+
+        orders = ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
+        )
+        return weekly_revenue_delta(orders)
+
+    def q_zscore_outliers(sf_dir: str):
+        import ray.data
+
+        from marginalia_ray.ops.relational import zscore_outliers
+
+        docs = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"]
+        )
+        return zscore_outliers(docs, z=ZSCORE_Z)
+
+    def q_bpe_pair_counts(sf_dir: str):
+        import ray.data
+
+        from marginalia_ray.ops.text_ops import bpe_pair_counts
+
+        docs = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["text"]
+        )
+        return bpe_pair_counts(docs)
+
     # ordering is deliberate: the driver samples a prefix of this dict,
     # and rounds 1-3 never sampled the last ten entries (including the
     # flagship marginalia_search) — so the previously-unchecked queries
@@ -1150,6 +1192,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "benford_digits": q_benford_digits,
         "dup_cluster_sizes": q_dup_cluster_sizes,
         "source_token_jaccard": q_source_token_jaccard,
+        "percent_rank_by_key": q_percent_rank,
+        "weekly_revenue_delta": q_weekly_revenue_delta,
+        "zscore_outliers": q_zscore_outliers,
+        "bpe_pair_counts": q_bpe_pair_counts,
         "heavy_hitters": q_heavy_hitters,
         "heavy_ngrams": q_heavy_ngrams,
         "soft_dedup_weights": q_soft_dedup_weights,
@@ -2615,6 +2661,34 @@ def oracle_sql() -> dict[str, str]:
  SELECT sa AS source_a, sb AS source_b, i AS n_common,
         round(i::DOUBLE / (x.n + y.n - i), 6) AS jaccard
  FROM inter JOIN sz x ON sa = x.source JOIN sz y ON sb = y.source""",
+        "percent_rank_by_key": """
+ SELECT o_custkey, o_orderkey, o_totalprice,
+        round(percent_rank() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_totalprice), 6) AS percent_rank,
+        round(cume_dist() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice), 6) AS cume_dist
+ FROM orders""",
+        "weekly_revenue_delta": """
+ WITH w AS (SELECT epoch_us(o_orderdate) // 604800000000 AS week,
+                   sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS revenue_cents
+            FROM orders GROUP BY 1)
+ SELECT week, revenue_cents,
+        (revenue_cents - lag(revenue_cents) OVER (ORDER BY week))::BIGINT AS delta_cents
+ FROM w""",
+        "zscore_outliers": f"""
+ WITH st AS (SELECT source, sum(n_chars)::DOUBLE AS s,
+                    sum(n_chars * n_chars)::DOUBLE AS q, count(*)::DOUBLE AS n
+             FROM documents GROUP BY 1)
+ SELECT doc_id, d.source, n_chars,
+        round((n_chars - s / n) / sqrt((q - s * s / n) / n), 6) AS zscore
+ FROM documents d JOIN st ON d.source = st.source
+ WHERE (q - s * s / n) / n > 0
+   AND abs(round((n_chars - s / n) / sqrt((q - s * s / n) / n), 6)) > {ZSCORE_Z}""",
+        "bpe_pair_counts": f"""
+ WITH tok AS (SELECT {_TOK} AS ts FROM documents),
+ w AS (SELECT unnest(ts) AS t FROM tok),
+ idx AS (SELECT t, unnest(range(1, length(t))) AS i FROM w)
+ SELECT substr(t, i, 2) AS pair, count(*)::BIGINT AS n FROM idx GROUP BY 1""",
         "langid_confusion": f"""
  SELECT d.lang, p.pred_lang, count(*)::BIGINT AS n
  FROM documents d JOIN ({_lang_id_sql()}) p ON d.doc_id = p.doc_id

@@ -1780,3 +1780,195 @@ def benford_digits(
         )
 
     return agg.map_batches(_final, batch_format="pyarrow")
+
+
+def percent_rank_by_key(
+    ds,
+    *,
+    key_col: str = "o_custkey",
+    val_col: str = "o_totalprice",
+    id_col: str = "o_orderkey",
+):
+    """SQL percent_rank() and cume_dist() per key — the normalized
+    position stats a curation pipeline uses to compare a row against
+    its key's distribution: percent_rank = (rank-1)/(cnt-1) with
+    RANK() tie semantics (0.0 when cnt = 1), cume_dist = #(<= val)/cnt.
+
+    Both are single divisions of small exact integers rounded to 6 dp —
+    bit-reproducible against the SQL oracle.  One groupby(key) shuffle,
+    per-group vectorized rank scan (same partitioning contract as
+    rank_with_ties).  Output: (<key_col>, <id_col>, <val_col>,
+    percent_rank, cume_dist)."""
+
+    def _final(group: pa.Table) -> pa.Table:
+        val = group[val_col].to_numpy(zero_copy_only=False)
+        n = len(val)
+        order = np.argsort(val, kind="stable")
+        val_s = val[order]
+        new_run = np.r_[True, val_s[1:] != val_s[:-1]]
+        run_id = np.cumsum(new_run) - 1
+        run_first = np.flatnonzero(new_run)
+        run_last = np.r_[run_first[1:], n] - 1
+        rank_sorted = run_first[run_id] + 1  # min position of the tie run
+        cume_sorted = run_last[run_id] + 1  # max position of the tie run
+        rank = np.empty(n, np.int64)
+        cume = np.empty(n, np.int64)
+        rank[order] = rank_sorted
+        cume[order] = cume_sorted
+        pr = (rank - 1) / (n - 1) if n > 1 else np.zeros(n, np.float64)
+        return pa.table(
+            {
+                key_col: group[key_col],
+                id_col: group[id_col],
+                val_col: group[val_col],
+                "percent_rank": pa.array(np.round(pr, 6)),
+                "cume_dist": pa.array(np.round(cume / n, 6)),
+            }
+        )
+
+    return ds.groupby(key_col).map_groups(_final, batch_format="pyarrow")
+
+
+def weekly_revenue_delta(
+    ds,
+    *,
+    ts_col: str = "o_orderdate",
+    val_col: str = "o_totalprice",
+    max_weeks: int = 1_000_000,
+):
+    """Weekly revenue with week-over-week delta — LAG over the
+    AGGREGATED series (contrast event_deltas' per-row LAG): revenue in
+    integer cents so the distributed sum is exact regardless of
+    addition order.
+
+    Per-batch integer partial sums -> one tiny groupby (one row per
+    week) -> the week series (bounded by calendar time, never data
+    volume; loud cap) is finalized in one pass.  Output:
+    (week, revenue_cents, delta_cents) with NULL delta on the first
+    week."""
+    week_us = 7 * 86_400_000_000
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "week": pa.array([], pa.int64()),
+                    "partial": pa.array([], pa.int64()),
+                }
+            )
+        us = _to_epoch_us(batch[ts_col], ts_col).to_numpy(zero_copy_only=False)
+        v = batch[val_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        cents = np.round(v * 100).astype(np.int64)
+        t = pa.table({"week": pa.array(us // week_us), "c": pa.array(cents)})
+        g = t.group_by("week").aggregate([("c", "sum")])
+        return g.rename_columns(["week", "partial"])
+
+    agg = (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby("week")
+        .sum("partial")
+    )
+    rows = agg.take_all()  # one row per calendar week — bounded small
+    if len(rows) > max_weeks:
+        raise RuntimeError(
+            f"weekly_revenue_delta: {len(rows)} weeks exceeds max_weeks="
+            f"{max_weeks} — the series no longer fits the driver"
+        )
+    rows.sort(key=lambda r: r["week"])
+    weeks = [int(r["week"]) for r in rows]
+    rev = [int(r["sum(partial)"]) for r in rows]
+    delta = [None] + [rev[i] - rev[i - 1] for i in range(1, len(rev))]
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "week": pa.array(weeks, pa.int64()),
+                "revenue_cents": pa.array(rev, pa.int64()),
+                "delta_cents": pa.array(delta, pa.int64()),
+            }
+        )
+    )
+
+
+def zscore_outliers(
+    ds,
+    *,
+    key_col: str = "source",
+    val_col: str = "n_chars",
+    id_col: str = "doc_id",
+    z: float = 2.0,
+):
+    """Per-key z-score outlier flagging over an INTEGER column: rows
+    whose |(x - mean)/stddev_pop| exceeds `z` — the length-anomaly
+    screen a curation pipeline runs per source.
+
+    Exactness: per-key sum and sum-of-squares are int64 partials (no
+    float accumulation-order drift); mean/variance/z are then computed
+    in doubles with the SAME expression tree as the SQL oracle, and the
+    filter compares the 6-dp-ROUNDED score so engines can't disagree at
+    the boundary.  Two passes: one tiny stats groupby, then a broadcast
+    (ray.put once, read per task) of the O(#keys) stats arrays into a
+    streaming vectorized filter map.
+    Output: (<id_col>, <key_col>, <val_col>, zscore)."""
+
+    def _stats(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    key_col: batch[key_col],
+                    "s": pa.array([], pa.int64()),
+                    "q": pa.array([], pa.int64()),
+                }
+            )
+        col = batch[val_col]
+        if not pa.types.is_integer(col.type):
+            raise TypeError(
+                f"zscore_outliers: {val_col!r} must be integer (exact sums); "
+                f"got {col.type} — scale to micro-units upstream"
+            )
+        v = col.to_numpy(zero_copy_only=False).astype(np.int64)
+        t = pa.table(
+            {key_col: batch[key_col], "s": pa.array(v), "q": pa.array(v * v)}
+        )
+        g = t.group_by(key_col).aggregate(
+            [("s", "sum"), ("q", "sum"), ([], "count_all")]
+        )
+        return g.rename_columns([key_col, "s", "q", "n"])
+
+    agg = (
+        ds.map_batches(_stats, batch_format="pyarrow")
+        .groupby(key_col)
+        .sum(["s", "q", "n"])
+    )
+    stats_rows = agg.take_all()  # O(#keys)
+    keys_list = [r[key_col] for r in stats_rows]
+    S = np.array([r["sum(s)"] for r in stats_rows], np.float64)
+    Q = np.array([r["sum(q)"] for r in stats_rows], np.float64)
+    N = np.array([r["sum(n)"] for r in stats_rows], np.float64)
+    mean = S / N
+    var = (Q - S * S / N) / N
+    with np.errstate(invalid="ignore"):
+        std = np.sqrt(np.where(var > 0, var, np.nan))  # zero-variance key -> no outliers
+    stats_ref = ray.put((pa.array(keys_list), mean, std))
+
+    def _flag(batch: pa.Table) -> pa.Table:
+        keys_arr, mean_b, std_b = ray.get(stats_ref)
+        idx = pc.index_in(batch[key_col], keys_arr)
+        if idx.null_count:
+            raise RuntimeError("zscore_outliers: key missing from stats pass")
+        ix = idx.to_numpy(zero_copy_only=False).astype(np.int64)
+        x = batch[val_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        zs = np.round((x - mean_b[ix]) / std_b[ix], 6)
+        keep = np.abs(zs) > z  # NaN compares False: zero-variance keys drop
+        take = pa.array(np.flatnonzero(keep))
+        return pa.table(
+            {
+                id_col: batch[id_col].take(take),
+                key_col: batch[key_col].take(take),
+                val_col: batch[val_col].take(take),
+                "zscore": pa.array(zs[keep]),
+            }
+        )
+
+    return ds.map_batches(_flag, batch_format="pyarrow")

@@ -1212,3 +1212,63 @@ def chunk_documents(
         )
 
     return ds.map_batches(_batch, batch_format="pyarrow")
+
+
+def bpe_pair_counts(ds, text_col: str = "text"):
+    """Adjacent character-pair frequencies within tokens — the counting
+    pass of the first BPE merge step (Sennrich et al.), run corpus-wide
+    to seed a tokenizer vocabulary.
+
+    Fully vectorized over the flat Arrow token buffer: one uint16
+    pair-code per adjacent byte pair (tokens are [a-z0-9], pure ASCII
+    by construction), token boundaries masked from the offsets array,
+    np.bincount partials per batch.  The pair space is <= 36^2, so the
+    groupby shuffle moves <= 1296 rows per batch regardless of corpus
+    size.  Output: (pair, n)."""
+
+    def _empty() -> pa.Table:
+        return pa.table(
+            {"pair": pa.array([], pa.string()), "partial": pa.array([], pa.int64())}
+        )
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        flat, _ = _flat_tokens_rows(batch, text_col)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        n_tok = len(flat)
+        if n_tok == 0:
+            return _empty()
+        off = np.frombuffer(flat.buffers()[1], dtype=np.int64)[
+            flat.offset : flat.offset + n_tok + 1
+        ]
+        data = np.frombuffer(flat.buffers()[2], dtype=np.uint8)[off[0] : off[-1]]
+        off = off - off[0]
+        m = len(data)
+        if m < 2:
+            return _empty()
+        codes = data[:-1].astype(np.uint16) * np.uint16(256) + data[1:]
+        valid = np.ones(m - 1, dtype=bool)
+        internal = off[1:-1]  # token starts (strictly inside the buffer)
+        valid[internal - 1] = False  # pairs that straddle a token boundary
+        counts = np.bincount(codes[valid], minlength=65536)
+        nz = np.flatnonzero(counts)
+        pairs = [chr(c >> 8) + chr(c & 255) for c in nz]
+        return pa.table(
+            {
+                "pair": pa.array(pairs, pa.string()),
+                "partial": pa.array(counts[nz], pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby("pair")
+        .sum("partial")
+    )
+
+    def _final(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"pair": batch["pair"], "n": batch["sum(partial)"].cast(pa.int64())}
+        )
+
+    return agg.map_batches(_final, batch_format="pyarrow")

@@ -187,3 +187,84 @@ class TestSourceTokenJaccard:
             _ds([{"source": "a", "text": ""}])
         ).take_all()
         assert got == []
+
+
+class TestPercentRank:
+    def test_ties_and_extremes(self, ray_session):
+        from marginalia_ray.ops.relational import percent_rank_by_key
+
+        rows = [
+            {"o_custkey": 1, "o_orderkey": 1, "o_totalprice": 10.0},
+            {"o_custkey": 1, "o_orderkey": 2, "o_totalprice": 20.0},
+            {"o_custkey": 1, "o_orderkey": 3, "o_totalprice": 20.0},
+            {"o_custkey": 1, "o_orderkey": 4, "o_totalprice": 40.0},
+            {"o_custkey": 2, "o_orderkey": 5, "o_totalprice": 7.0},
+        ]
+        got = {
+            r["o_orderkey"]: r
+            for r in percent_rank_by_key(_ds(rows)).take_all()
+        }
+        assert got[1]["percent_rank"] == 0.0 and got[1]["cume_dist"] == 0.25
+        # tied pair shares the MIN rank but the MAX cume_dist
+        for k in (2, 3):
+            assert got[k]["percent_rank"] == pytest.approx(1 / 3)
+            assert got[k]["cume_dist"] == 0.75
+        assert got[4]["percent_rank"] == 1.0 and got[4]["cume_dist"] == 1.0
+        # single-row key: percent_rank 0 by convention, cume_dist 1
+        assert got[5]["percent_rank"] == 0.0 and got[5]["cume_dist"] == 1.0
+
+
+class TestWeeklyRevenueDelta:
+    def test_lag_over_aggregated_weeks(self, ray_session):
+        from marginalia_ray.ops.relational import weekly_revenue_delta
+
+        rows = [
+            {"o_orderdate": _ts(1), "o_totalprice": 10.50},
+            {"o_orderdate": _ts(2), "o_totalprice": 0.25},  # same week
+            {"o_orderdate": _ts(10), "o_totalprice": 5.00},  # next week
+        ]
+        got = sorted(
+            weekly_revenue_delta(_ds(rows)).take_all(), key=lambda r: r["week"]
+        )
+        assert [r["revenue_cents"] for r in got] == [1075, 500]
+        assert got[0]["delta_cents"] is None
+        assert got[1]["delta_cents"] == -575
+
+
+class TestZscoreOutliers:
+    def test_flags_only_past_threshold(self, ray_session):
+        from marginalia_ray.ops.relational import zscore_outliers
+
+        rows = [
+            {"doc_id": i, "source": "a", "n_chars": v}
+            for i, v in enumerate([10, 10, 10, 10, 10, 10, 10, 10, 10, 100])
+        ] + [{"doc_id": 99, "source": "b", "n_chars": 5}]  # zero variance
+        got = zscore_outliers(_ds(rows), z=2.0).take_all()
+        assert [r["doc_id"] for r in got] == [9]  # only the planted spike
+        assert got[0]["zscore"] == pytest.approx(3.0)
+
+    def test_rejects_float_column(self, ray_session):
+        from marginalia_ray.ops.relational import zscore_outliers
+
+        with pytest.raises(Exception, match="must be integer"):
+            zscore_outliers(
+                _ds([{"doc_id": 1, "source": "a", "n_chars": 1.5}])
+            ).take_all()
+
+
+class TestBpePairCounts:
+    def test_counts_within_tokens_only(self, ray_session):
+        from marginalia_ray.ops.text_ops import bpe_pair_counts
+
+        rows = [{"text": "hello he"}, {"text": "ab ba"}]
+        got = {r["pair"]: r["n"] for r in bpe_pair_counts(_ds(rows)).take_all()}
+        assert got == {"he": 2, "el": 1, "ll": 1, "lo": 1, "ab": 1, "ba": 1}
+
+    def test_case_and_punct_normalized(self, ray_session):
+        from marginalia_ray.ops.text_ops import bpe_pair_counts
+
+        got = {
+            r["pair"]: r["n"]
+            for r in bpe_pair_counts(_ds([{"text": "AB, ab!"}])).take_all()
+        }
+        assert got == {"ab": 2}

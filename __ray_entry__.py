@@ -1167,6 +1167,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return bpe_pair_counts(docs)
 
+    def q_token_length_histogram(sf_dir: str):
+        import ray.data
+
+        from marginalia_ray.ops.text_ops import token_length_histogram
+
+        docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+        return token_length_histogram(docs)
+
+    def q_vocab_growth(sf_dir: str):
+        from marginalia_ray.ops.text_ops import vocab_growth
+
+        return vocab_growth(_docs(sf_dir))
+
+    def q_dup_rate_by_source(sf_dir: str):
+        import ray.data
+
+        from marginalia_ray.ops.dedup import dup_rate_by_source
+
+        docs = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["source", "text"]
+        )
+        return dup_rate_by_source(docs)
+
     # ordering is deliberate: the driver samples a prefix of this dict,
     # and rounds 1-3 never sampled the last ten entries (including the
     # flagship marginalia_search) — so the previously-unchecked queries
@@ -1196,6 +1219,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weekly_revenue_delta": q_weekly_revenue_delta,
         "zscore_outliers": q_zscore_outliers,
         "bpe_pair_counts": q_bpe_pair_counts,
+        "token_length_histogram": q_token_length_histogram,
+        "vocab_growth": q_vocab_growth,
+        "dup_rate_by_source": q_dup_rate_by_source,
         "heavy_hitters": q_heavy_hitters,
         "heavy_ngrams": q_heavy_ngrams,
         "soft_dedup_weights": q_soft_dedup_weights,
@@ -2689,6 +2715,26 @@ def oracle_sql() -> dict[str, str]:
  w AS (SELECT unnest(ts) AS t FROM tok),
  idx AS (SELECT t, unnest(range(1, length(t))) AS i FROM w)
  SELECT substr(t, i, 2) AS pair, count(*)::BIGINT AS n FROM idx GROUP BY 1""",
+        "token_length_histogram": f"""
+ WITH tok AS (SELECT {_TOK} AS ts FROM documents),
+ w AS (SELECT unnest(ts) AS t FROM tok)
+ SELECT length(t)::BIGINT AS len, count(*)::BIGINT AS n FROM w GROUP BY 1""",
+        "vocab_growth": f"""
+ WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+ tok AS (SELECT doc_id, {_TOK} AS ts FROM documents),
+ w AS (SELECT doc_id, unnest(ts) AS t FROM tok),
+ ft AS (SELECT t, min(doc_id) AS fd FROM w GROUP BY 1),
+ fr AS (SELECT unnest([0.25, 0.5, 0.75, 1.0]) AS f)
+ SELECT CAST(floor(m * f) AS BIGINT) AS threshold,
+        (count(*) FILTER (WHERE fd <= floor(m * f)))::BIGINT AS vocab
+ FROM ft, fr, mx GROUP BY 1""",
+        "dup_rate_by_source": """
+ WITH h AS (SELECT source, md5(text) AS hh FROM documents),
+ c AS (SELECT hh, count(*) AS cnt FROM h GROUP BY 1)
+ SELECT source, count(*)::BIGINT AS n_docs,
+        (count(*) FILTER (WHERE cnt > 1))::BIGINT AS n_duped,
+        round((count(*) FILTER (WHERE cnt > 1))::DOUBLE / count(*), 6) AS dup_rate
+ FROM h JOIN c USING (hh) GROUP BY source""",
         "langid_confusion": f"""
  SELECT d.lang, p.pred_lang, count(*)::BIGINT AS n
  FROM documents d JOIN ({_lang_id_sql()}) p ON d.doc_id = p.doc_id

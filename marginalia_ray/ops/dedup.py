@@ -1626,3 +1626,80 @@ def source_token_jaccard(
     import ray.data
 
     return ray.data.from_arrow(out)
+
+
+def dup_rate_by_source(
+    ds,
+    key_col: str = "source",
+    text_col: str = "text",
+    num_partitions: int | None = None,
+):
+    """Per-source duplication rate: what fraction of each source's docs
+    have an exact-content twin ANYWHERE in the corpus (including other
+    sources) — the contamination screen run before weighting a source
+    into a training mixture.
+
+    One keyed shuffle: content md5 partitions the rows, so every copy
+    of a text lands in one partition block; the block counts copies per
+    hash globally, marks rows in >1-copy clusters, and emits per-source
+    partials (n_docs, n_duped).  The final groupby moves one row per
+    (partition, source).  Output: (<key_col>, n_docs, n_duped,
+    dup_rate)."""
+    if num_partitions is None:
+        num_partitions = _join_partitions()
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        h = _md5_hex(batch[text_col])
+        pk = (_token_hash_arrow(h) % U64(num_partitions)).astype(np.int64)
+        return pa.table(
+            {key_col: batch[key_col], "h": h, "_pk": pa.array(pk)}
+        )
+
+    parted = ds.map_batches(_tag, batch_format="pyarrow")
+
+    def _block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return pa.table(
+                {
+                    key_col: block[key_col],
+                    "docs": pa.array([], pa.int64()),
+                    "duped": pa.array([], pa.int64()),
+                }
+            )
+        c = (
+            pa.table({"h": block["h"]})
+            .group_by("h")
+            .aggregate([([], "count_all")])
+            .rename_columns(["h", "n"])
+        )
+        idx = pc.index_in(block["h"], c["h"]).to_numpy(zero_copy_only=False)
+        n_per_row = c["n"].to_numpy(zero_copy_only=False)[idx.astype(np.int64)]
+        t = pa.table(
+            {
+                key_col: block[key_col],
+                "dup": pa.array((n_per_row > 1).astype(np.int64)),
+            }
+        )
+        g = t.group_by(key_col).aggregate([([], "count_all"), ("dup", "sum")])
+        return g.rename_columns([key_col, "docs", "duped"])
+
+    agg = (
+        parted.groupby("_pk", num_partitions=num_partitions)
+        .map_groups(_block, batch_format="pyarrow")
+        .groupby(key_col)
+        .sum(["docs", "duped"])
+    )
+
+    def _final(batch: pa.Table) -> pa.Table:
+        docs = batch["sum(docs)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        duped = batch["sum(duped)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                key_col: batch[key_col],
+                "n_docs": pa.array(docs),
+                "n_duped": pa.array(duped),
+                "dup_rate": pa.array(np.round(duped / docs, 6)),
+            }
+        )
+
+    return agg.map_batches(_final, batch_format="pyarrow")

@@ -1272,3 +1272,113 @@ def bpe_pair_counts(ds, text_col: str = "text"):
         )
 
     return agg.map_batches(_final, batch_format="pyarrow")
+
+
+def token_length_histogram(ds, text_col: str = "text"):
+    """Token-length distribution (with multiplicity) — the vocabulary
+    profile checked before choosing tokenizer limits.  Per-batch
+    np.bincount over the flat token offsets (no string materialization),
+    <= max-token-length rows shuffled per batch.  Output: (len, n)."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        flat, _ = _flat_tokens_rows(batch, text_col)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        n_tok = len(flat)
+        if n_tok == 0:
+            return pa.table(
+                {"len": pa.array([], pa.int64()), "partial": pa.array([], pa.int64())}
+            )
+        off = np.frombuffer(flat.buffers()[1], dtype=np.int64)[
+            flat.offset : flat.offset + n_tok + 1
+        ]
+        lens = np.diff(off)
+        counts = np.bincount(lens)
+        nz = np.flatnonzero(counts)
+        return pa.table(
+            {
+                "len": pa.array(nz.astype(np.int64)),
+                "partial": pa.array(counts[nz].astype(np.int64)),
+            }
+        )
+
+    agg = (
+        ds.map_batches(_partial, batch_format="pyarrow").groupby("len").sum("partial")
+    )
+
+    def _final(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"len": batch["len"].cast(pa.int64()), "n": batch["sum(partial)"].cast(pa.int64())}
+        )
+
+    return agg.map_batches(_final, batch_format="pyarrow")
+
+
+def vocab_growth(
+    ds,
+    fractions: tuple[float, ...] = (0.25, 0.5, 0.75, 1.0),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Heaps'-law vocabulary growth curve: |distinct tokens| among docs
+    with id <= floor(max_id * f) for each fraction f — the
+    diminishing-returns check run before paying for more crawl data.
+
+    One token shuffle: per-batch (token, min doc id) partials ->
+    groupby(token).min (each token reduced to its FIRST document) ->
+    per-batch histogram over the threshold buckets (searchsorted) ->
+    <= len(fractions) rows cumsummed on the driver.
+    Output: (threshold, vocab)."""
+    if not fractions or any(not (0 < f <= 1.0) for f in fractions):
+        raise ValueError("vocab_growth: fractions must be in (0, 1]")
+    max_id = ds.max(id_col)  # tiny aggregate
+    # same double expression as the SQL floor(m * f)
+    thresholds = np.array(
+        sorted(int(np.floor(float(max_id) * f)) for f in fractions), np.int64
+    )
+
+    def _first_doc(batch: pa.Table) -> pa.Table:
+        ids, toks = explode_tokens(batch, text_col, id_col)
+        t = pa.table({"tok": toks, "fd": ids})
+        g = t.group_by("tok").aggregate([("fd", "min")])
+        return g.rename_columns(["tok", "fd"])
+
+    first = (
+        ds.map_batches(_first_doc, batch_format="pyarrow")
+        .groupby("tok")
+        .min("fd")
+    )
+
+    def _bucket(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"b": pa.array([], pa.int64()), "partial": pa.array([], pa.int64())}
+            )
+        fd = batch["min(fd)"].to_numpy(zero_copy_only=False)
+        b = np.searchsorted(thresholds, fd, side="left")
+        keep = b < len(thresholds)  # tokens past the last threshold count nowhere
+        counts = np.bincount(b[keep], minlength=len(thresholds))
+        return pa.table(
+            {
+                "b": pa.array(np.arange(len(thresholds), dtype=np.int64)),
+                "partial": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    rows = (
+        first.map_batches(_bucket, batch_format="pyarrow").groupby("b").sum("partial")
+    ).take_all()  # <= len(fractions) rows
+    acc = np.zeros(len(thresholds), np.int64)
+    for r in rows:
+        acc[int(r["b"])] = int(r["sum(partial)"])
+    vocab = np.cumsum(acc)
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "threshold": pa.array(thresholds),
+                "vocab": pa.array(vocab),
+            }
+        )
+    )

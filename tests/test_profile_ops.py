@@ -268,3 +268,55 @@ class TestBpePairCounts:
             for r in bpe_pair_counts(_ds([{"text": "AB, ab!"}])).take_all()
         }
         assert got == {"ab": 2}
+
+
+class TestTokenLengthHistogram:
+    def test_lengths_with_multiplicity(self, ray_session):
+        from marginalia_ray.ops.text_ops import token_length_histogram
+
+        got = {
+            r["len"]: r["n"]
+            for r in token_length_histogram(_ds([{"text": "ab abc ab"}])).take_all()
+        }
+        assert got == {2: 2, 3: 1}
+
+
+class TestVocabGrowth:
+    def test_cumulative_first_occurrence(self, ray_session):
+        from marginalia_ray.ops.text_ops import vocab_growth
+
+        rows = [
+            {"doc_id": 0, "text": "alpha beta"},
+            {"doc_id": 1, "text": "beta gamma"},
+            {"doc_id": 2, "text": "alpha"},
+            {"doc_id": 3, "text": "delta"},
+        ]
+        got = {
+            r["threshold"]: r["vocab"]
+            for r in vocab_growth(_ds(rows), fractions=(0.5, 1.0)).take_all()
+        }
+        # threshold floor(3*0.5)=1: {alpha,beta,gamma}; threshold 3: +delta
+        assert got == {1: 3, 3: 4}
+
+    def test_invalid_fraction(self, ray_session):
+        from marginalia_ray.ops.text_ops import vocab_growth
+
+        with pytest.raises(ValueError):
+            vocab_growth(_ds([{"doc_id": 0, "text": "x"}]), fractions=(0.0,))
+
+
+class TestDupRateBySource:
+    def test_cross_source_twins_count(self, ray_session):
+        from marginalia_ray.ops.dedup import dup_rate_by_source
+
+        rows = [
+            {"source": "a", "text": "same same"},
+            {"source": "a", "text": "same same"},  # in-source twin
+            {"source": "a", "text": "unique to a"},
+            {"source": "b", "text": "unique to a"},  # cross-source twin
+            {"source": "b", "text": "only b"},
+        ]
+        got = {r["source"]: r for r in dup_rate_by_source(_ds(rows)).take_all()}
+        assert got["a"]["n_docs"] == 3 and got["a"]["n_duped"] == 3
+        assert got["b"]["n_docs"] == 2 and got["b"]["n_duped"] == 1
+        assert got["b"]["dup_rate"] == 0.5

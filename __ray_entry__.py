@@ -66,6 +66,7 @@ RANK_K = 2  # rank_with_ties: top-2 orders per customer, RANK() semantics
 NTILE_N = 4  # ntile_buckets: per-customer spend quartiles
 UNIQ_WIN_MIN = 60  # window_unique_users tumbling width (minutes)
 ZSCORE_Z = 1.75  # zscore_outliers threshold (fixture max |z| ~1.97/2.04)
+SESS_BIN_MIN = 5  # session_duration_histogram bin width (minutes)
 
 
 def _docs(sf_dir: str):
@@ -1190,6 +1191,52 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return dup_rate_by_source(docs)
 
+    def q_first_last_by_key(sf_dir: str):
+        import ray.data
+
+        from marginalia_ray.ops.relational import first_last_by_key
+
+        ev = ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
+        )
+        return first_last_by_key(ev)
+
+    def q_session_duration_histogram(sf_dir: str):
+        import ray.data
+
+        from marginalia_ray.ops.relational import session_duration_histogram
+
+        ev = ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+        )
+        return session_duration_histogram(ev, bin_minutes=SESS_BIN_MIN)
+
+    def q_mad_by_key(sf_dir: str):
+        import ray.data
+
+        from marginalia_ray.ops.relational import mad_by_key
+
+        docs = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["source", "n_chars"]
+        )
+        return mad_by_key(docs)
+
+    def q_revenue_by_nation(sf_dir: str):
+        import ray.data
+
+        from marginalia_ray.ops.relational import revenue_by_nation
+
+        orders = ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+        )
+        customer = ray.data.read_parquet(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+        )
+        nation = ray.data.read_parquet(
+            f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+        )
+        return revenue_by_nation(orders, customer, nation)
+
     # ordering is deliberate: the driver samples a prefix of this dict,
     # and rounds 1-3 never sampled the last ten entries (including the
     # flagship marginalia_search) — so the previously-unchecked queries
@@ -1222,6 +1269,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_length_histogram": q_token_length_histogram,
         "vocab_growth": q_vocab_growth,
         "dup_rate_by_source": q_dup_rate_by_source,
+        "first_last_by_key": q_first_last_by_key,
+        "session_duration_histogram": q_session_duration_histogram,
+        "mad_by_key": q_mad_by_key,
+        "revenue_by_nation": q_revenue_by_nation,
         "heavy_hitters": q_heavy_hitters,
         "heavy_ngrams": q_heavy_ngrams,
         "soft_dedup_weights": q_soft_dedup_weights,
@@ -2735,6 +2786,38 @@ def oracle_sql() -> dict[str, str]:
         (count(*) FILTER (WHERE cnt > 1))::BIGINT AS n_duped,
         round((count(*) FILTER (WHERE cnt > 1))::DOUBLE / count(*), 6) AS dup_rate
  FROM h JOIN c USING (hh) GROUP BY source""",
+        "first_last_by_key": """
+ WITH o AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+     row_number() OVER (PARTITION BY user_id
+                        ORDER BY epoch_us(ts), event_id) AS rn_a,
+     row_number() OVER (PARTITION BY user_id
+                        ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn_d
+   FROM events)
+ SELECT user_id,
+   max(CASE WHEN rn_a = 1 THEN event_id END)::BIGINT AS first_event_id,
+   max(CASE WHEN rn_a = 1 THEN us END)::BIGINT AS first_ts_us,
+   max(CASE WHEN rn_d = 1 THEN event_id END)::BIGINT AS last_event_id,
+   max(CASE WHEN rn_d = 1 THEN us END)::BIGINT AS last_ts_us
+ FROM o GROUP BY user_id""",
+        "session_duration_histogram": f"""
+ WITH o AS (SELECT user_id, epoch_us(ts) AS us,
+            CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 30*60*1000000
+                 OR lag(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+       FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+ s AS (SELECT user_id, us, (sum(new_s) OVER (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING)-1)::BIGINT AS session_no FROM o),
+ sess AS (SELECT user_id, session_no, min(us) AS start_us, max(us) AS end_us
+          FROM s GROUP BY user_id, session_no)
+ SELECT ((end_us - start_us) // {SESS_BIN_MIN * 60_000_000})::BIGINT AS bin,
+        count(*)::BIGINT AS n
+ FROM sess GROUP BY 1""",
+        "mad_by_key": """
+ SELECT source, count(*)::BIGINT AS n, mad(n_chars) AS mad
+ FROM documents GROUP BY 1""",
+        "revenue_by_nation": """
+ SELECT n_name, sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS revenue_cents
+ FROM orders JOIN customer ON o_custkey = c_custkey
+             JOIN nation ON c_nationkey = n_nationkey
+ GROUP BY 1""",
         "langid_confusion": f"""
  SELECT d.lang, p.pred_lang, count(*)::BIGINT AS n
  FROM documents d JOIN ({_lang_id_sql()}) p ON d.doc_id = p.doc_id

@@ -1972,3 +1972,237 @@ def zscore_outliers(
         )
 
     return ds.map_batches(_flag, batch_format="pyarrow")
+
+
+def first_last_by_key(
+    ds,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+):
+    """First and last event per key under a deterministic (ts, id) total
+    order — SQL's arg_min/arg_max with an explicit tie-break (bare
+    arg_min is nondeterministic on ts ties under parallelism).
+
+    Scale path: per-batch vectorized prune to each key's two extreme
+    rows (a key's global extremes must be its block's extremes), then
+    one groupby(key) reduce over <= 2·n_blocks rows per key.
+    Output: (<key_col>, first_<id>, first_ts_us, last_<id>,
+    last_ts_us)."""
+
+    def _extremes(t: pa.Table) -> pa.Table:
+        k = t[key_col].to_numpy(zero_copy_only=False)
+        us = _to_epoch_us(t[ts_col], ts_col).to_numpy(zero_copy_only=False)
+        i = t[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((i, us, k))
+        k_s = k[order]
+        first = np.r_[True, k_s[1:] != k_s[:-1]]
+        last = np.r_[k_s[1:] != k_s[:-1], True]
+        keep = np.unique(order[np.flatnonzero(first | last)])
+        return pa.table(
+            {
+                key_col: t[key_col].take(pa.array(keep)),
+                id_col: t[id_col].take(pa.array(keep)),
+                "ts_us": pa.array(us[keep]),
+            }
+        )
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    key_col: batch[key_col],
+                    id_col: batch[id_col],
+                    "ts_us": pa.array([], pa.int64()),
+                }
+            )
+        return _extremes(batch)
+
+    def _final(group: pa.Table) -> pa.Table:
+        us = group["ts_us"].to_numpy(zero_copy_only=False)
+        ids = group[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, us))
+        lo, hi = order[0], order[-1]
+        return pa.table(
+            {
+                key_col: group[key_col][:1],
+                f"first_{id_col}": pa.array([int(ids[lo])], pa.int64()),
+                "first_ts_us": pa.array([int(us[lo])], pa.int64()),
+                f"last_{id_col}": pa.array([int(ids[hi])], pa.int64()),
+                "last_ts_us": pa.array([int(us[hi])], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby(key_col)
+        .map_groups(_final, batch_format="pyarrow")
+    )
+
+
+def session_duration_histogram(
+    ds,
+    *,
+    gap_minutes: int = 30,
+    bin_minutes: int = 5,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+):
+    """Distribution of session lengths: sessionize (gap-based), then a
+    fixed-width histogram over floor(duration / bin) — the engagement
+    profile derived from event logs.
+
+    Adds only aggregate-sized work on top of sessionize's one shuffle:
+    per-batch partial counts per bin -> a tiny groupby.
+    Output: (bin, n) with bin = floor((end-start) / bin_minutes)."""
+    bin_us = int(bin_minutes) * 60_000_000
+    if bin_us <= 0:
+        raise ValueError("session_duration_histogram: bin_minutes must be positive")
+    sess = sessionize(ds, gap_minutes=gap_minutes, user_col=user_col, ts_col=ts_col)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"bin": pa.array([], pa.int64()), "partial": pa.array([], pa.int64())}
+            )
+        dur = (
+            batch["end_us"].to_numpy(zero_copy_only=False)
+            - batch["start_us"].to_numpy(zero_copy_only=False)
+        )
+        b = dur // bin_us
+        t = pa.table({"bin": pa.array(b)})
+        g = t.group_by("bin").aggregate([([], "count_all")])
+        return g.rename_columns(["bin", "partial"])
+
+    agg = (
+        sess.map_batches(_partial, batch_format="pyarrow").groupby("bin").sum("partial")
+    )
+
+    def _final(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "bin": batch["bin"].cast(pa.int64()),
+                "n": batch["sum(partial)"].cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(_final, batch_format="pyarrow")
+
+
+def mad_by_key(
+    ds,
+    key_col: str = "source",
+    val_col: str = "n_chars",
+    max_distinct_per_key: int = 5_000_000,
+):
+    """Exact per-key median absolute deviation — SQL mad():
+    median(|x - median(x)|), the robust spread statistic curation
+    thresholds are usually anchored to.
+
+    Two histogram shuffles of DISTINCT (key, value) rows (never the
+    corpus): the first yields per-key medians via the shared CDF walk;
+    the medians (O(#keys)) broadcast into a second pass that histograms
+    the absolute deviations, walked the same way.  Deviations of int
+    values from a k-or-k.5 median are exact doubles, so the result is
+    bit-identical to the oracle.  Output: (<key_col>, n, mad)."""
+    meds = median_by_key(
+        ds, key_col=key_col, val_col=val_col,
+        max_distinct_per_key=max_distinct_per_key,
+    )
+    med_rows = meds.take_all()  # O(#keys)
+    med_keys = pa.array([r[key_col] for r in med_rows])
+    med_vals = np.array([r["median"] for r in med_rows], np.float64)
+    med_ref = ray.put((med_keys, med_vals))
+
+    def _dev(batch: pa.Table) -> pa.Table:
+        keys_arr, vals_b = ray.get(med_ref)
+        idx = pc.index_in(batch[key_col], keys_arr)
+        if idx.null_count:
+            raise RuntimeError("mad_by_key: key missing from median pass")
+        ix = idx.to_numpy(zero_copy_only=False).astype(np.int64)
+        x = batch[val_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {key_col: batch[key_col], "dev": pa.array(np.abs(x - vals_b[ix]))}
+        )
+
+    devs = ds.map_batches(_dev, batch_format="pyarrow")
+    counts = _per_key_value_counts(devs, key_col, "dev")
+
+    def _median(v, cum, n) -> float:
+        lo_pos = (n - 1) // 2
+        hi_pos = n // 2
+        lo_val = float(v[np.searchsorted(cum, lo_pos + 1)])
+        hi_val = float(v[np.searchsorted(cum, hi_pos + 1)])
+        return (lo_val + hi_val) / 2.0
+
+    return _per_key_order_stat(
+        counts, key_col, "mad", _median, max_distinct_per_key, "mad_by_key"
+    )
+
+
+def revenue_by_nation(
+    orders,
+    customer,
+    nation,
+    *,
+    max_nations: int = 5_000_000,
+):
+    """Multi-join rollup (TPC-H Q5 shape): total order revenue per
+    customer nation — orders ⋈ customer (large-large hash partition)
+    ⋈ nation (broadcast dimension), aggregated in exact integer cents.
+
+    The join order is the scale-correct one: the big fact table is
+    reduced to (custkey, cents) partials FIRST, the large-large join
+    moves only those, and the 25-row nation table never shuffles.
+    Output: (n_name, revenue_cents)."""
+
+    def _fact(batch: pa.Table) -> pa.Table:
+        v = batch["o_totalprice"].to_numpy(zero_copy_only=False).astype(np.float64)
+        cents = np.round(v * 100).astype(np.int64)
+        t = pa.table({"o_custkey": batch["o_custkey"], "c": pa.array(cents)})
+        g = t.group_by("o_custkey").aggregate([("c", "sum")])
+        return g.rename_columns(["o_custkey", "cents"])
+
+    per_cust = (
+        orders.map_batches(_fact, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .sum("cents")
+    )
+    cust_nat = hash_equi_join(
+        per_cust,
+        customer,
+        on="o_custkey",
+        right_on="c_custkey",
+        left_cols=["o_custkey", "sum(cents)"],
+        right_cols=["c_nationkey"],
+    )
+    with_name = broadcast_join(
+        cust_nat,
+        nation,
+        on="c_nationkey",
+        small_on="n_nationkey",
+        small_cols=["n_name"],
+        max_small_rows=max_nations,
+    )
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"n_name": batch["n_name"], "c": batch["sum(cents)"]})
+        g = t.group_by("n_name").aggregate([("c", "sum")])
+        return g.rename_columns(["n_name", "partial"])
+
+    agg = (
+        with_name.map_batches(_partial, batch_format="pyarrow")
+        .groupby("n_name")
+        .sum("partial")
+    )
+
+    def _final(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "n_name": batch["n_name"],
+                "revenue_cents": batch["sum(partial)"].cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(_final, batch_format="pyarrow")

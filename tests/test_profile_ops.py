@@ -320,3 +320,84 @@ class TestDupRateBySource:
         assert got["a"]["n_docs"] == 3 and got["a"]["n_duped"] == 3
         assert got["b"]["n_docs"] == 2 and got["b"]["n_duped"] == 1
         assert got["b"]["dup_rate"] == 0.5
+
+
+class TestFirstLastByKey:
+    def test_extremes_with_ts_tie(self, ray_session):
+        from marginalia_ray.ops.relational import first_last_by_key
+
+        rows = [
+            {"user_id": 1, "event_id": 5, "ts": _ts(1, 1)},
+            {"user_id": 1, "event_id": 3, "ts": _ts(1, 1)},  # ts tie: id wins
+            {"user_id": 1, "event_id": 9, "ts": _ts(2)},
+            {"user_id": 2, "event_id": 7, "ts": _ts(1)},  # single event
+        ]
+        got = {r["user_id"]: r for r in first_last_by_key(_ds(rows)).take_all()}
+        assert got[1]["first_event_id"] == 3 and got[1]["last_event_id"] == 9
+        assert got[2]["first_event_id"] == 7 and got[2]["last_event_id"] == 7
+        assert got[2]["first_ts_us"] == got[2]["last_ts_us"]
+
+
+class TestSessionDurationHistogram:
+    def test_bins(self, ray_session):
+        from marginalia_ray.ops.relational import session_duration_histogram
+
+        rows = [
+            # user 1, session of 12 minutes -> bin 2 at width 5
+            {"user_id": 1, "ts": _ts(1, 0, 0)},
+            {"user_id": 1, "ts": _ts(1, 0, 12)},
+            # user 1, second session (after >30 min gap), 0 minutes -> bin 0
+            {"user_id": 1, "ts": _ts(1, 2, 0)},
+            # user 2, 4 minutes -> bin 0
+            {"user_id": 2, "ts": _ts(1, 0, 0)},
+            {"user_id": 2, "ts": _ts(1, 0, 4)},
+        ]
+        got = {
+            r["bin"]: r["n"]
+            for r in session_duration_histogram(_ds(rows), bin_minutes=5).take_all()
+        }
+        assert got == {2: 1, 0: 2}
+
+    def test_invalid_bin(self, ray_session):
+        from marginalia_ray.ops.relational import session_duration_histogram
+
+        with pytest.raises(ValueError):
+            session_duration_histogram(_ds([{"user_id": 1, "ts": _ts(1)}]), bin_minutes=0)
+
+
+class TestMadByKey:
+    def test_exact_mad(self, ray_session):
+        from marginalia_ray.ops.relational import mad_by_key
+
+        rows = [{"source": "a", "n_chars": v} for v in (1, 2, 3, 4, 100)] + [
+            {"source": "b", "n_chars": v} for v in (10, 20)
+        ]
+        got = {r["source"]: r for r in mad_by_key(_ds(rows)).take_all()}
+        # a: median 3, deviations {2,1,0,1,97} -> median 1
+        assert got["a"]["mad"] == 1.0 and got["a"]["n"] == 5
+        # b: median 15, deviations {5,5} -> 5 (even-count averaging)
+        assert got["b"]["mad"] == 5.0 and got["b"]["n"] == 2
+
+
+class TestRevenueByNation:
+    def test_three_table_rollup(self, ray_session):
+        from marginalia_ray.ops.relational import revenue_by_nation
+
+        orders = _ds(
+            [
+                {"o_custkey": 1, "o_totalprice": 10.25},
+                {"o_custkey": 1, "o_totalprice": 5.00},
+                {"o_custkey": 2, "o_totalprice": 7.50},
+            ]
+        )
+        customer = _ds(
+            [{"c_custkey": 1, "c_nationkey": 7}, {"c_custkey": 2, "c_nationkey": 9}]
+        )
+        nation = _ds(
+            [{"n_nationkey": 7, "n_name": "FRANCE"}, {"n_nationkey": 9, "n_name": "PERU"}]
+        )
+        got = {
+            r["n_name"]: r["revenue_cents"]
+            for r in revenue_by_nation(orders, customer, nation).take_all()
+        }
+        assert got == {"FRANCE": 1525, "PERU": 750}

@@ -1237,6 +1237,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return revenue_by_nation(orders, customer, nation)
 
+    def q_pricing_summary(sf_dir: str):
+        import ray.data
+
+        from marginalia_ray.ops.relational import pricing_summary
+
+        li = ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=[
+                "l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice", "l_discount", "l_tax",
+            ],
+        )
+        return pricing_summary(li)
+
+    def q_ship_delay_histogram(sf_dir: str):
+        import ray.data
+
+        from marginalia_ray.ops.relational import ship_delay_histogram
+
+        li = ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+        )
+        orders = ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+        )
+        return ship_delay_histogram(li, orders)
+
     # ordering is deliberate: the driver samples a prefix of this dict,
     # and rounds 1-3 never sampled the last ten entries (including the
     # flagship marginalia_search) — so the previously-unchecked queries
@@ -1273,6 +1300,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_duration_histogram": q_session_duration_histogram,
         "mad_by_key": q_mad_by_key,
         "revenue_by_nation": q_revenue_by_nation,
+        "pricing_summary": q_pricing_summary,
+        "ship_delay_histogram": q_ship_delay_histogram,
         "heavy_hitters": q_heavy_hitters,
         "heavy_ngrams": q_heavy_ngrams,
         "soft_dedup_weights": q_soft_dedup_weights,
@@ -2818,6 +2847,27 @@ def oracle_sql() -> dict[str, str]:
  FROM orders JOIN customer ON o_custkey = c_custkey
              JOIN nation ON c_nationkey = n_nationkey
  GROUP BY 1""",
+        "pricing_summary": """
+ WITH li AS (SELECT l_returnflag, l_linestatus,
+       CAST(round(l_quantity) AS BIGINT) AS q,
+       CAST(round(l_extendedprice * 100) AS BIGINT) AS p,
+       CAST(round(l_discount * 100) AS BIGINT) AS d,
+       CAST(round(l_tax * 100) AS BIGINT) AS t
+    FROM lineitem)
+ SELECT l_returnflag, l_linestatus,
+   sum(q)::BIGINT AS sum_qty,
+   sum(p)::BIGINT AS sum_base_cents,
+   sum(p * (100 - d))::BIGINT AS sum_disc_c2,
+   sum(p * (100 - d) * (100 + t))::BIGINT AS sum_charge_c4,
+   round(sum(q)::DOUBLE / count(*), 6) AS avg_qty,
+   round(sum(p)::DOUBLE / count(*), 6) AS avg_price_cents,
+   round(sum(d)::DOUBLE / count(*), 6) AS avg_disc_pct,
+   count(*)::BIGINT AS n
+ FROM li GROUP BY 1, 2""",
+        "ship_delay_histogram": """
+ SELECT ((epoch_us(l_shipdate) - epoch_us(o_orderdate)) // 86400000000)::BIGINT AS delay_days,
+        count(*)::BIGINT AS n
+ FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1""",
         "langid_confusion": f"""
  SELECT d.lang, p.pred_lang, count(*)::BIGINT AS n
  FROM documents d JOIN ({_lang_id_sql()}) p ON d.doc_id = p.doc_id

@@ -2206,3 +2206,158 @@ def revenue_by_nation(
         )
 
     return agg.map_batches(_final, batch_format="pyarrow")
+
+
+def pricing_summary(ds):
+    """TPC-H Q1 shape — the canonical scan-heavy groupby report over the
+    biggest fact table: per (returnflag, linestatus), sums and means of
+    quantity / base price / discounted price / charge.
+
+    Exactness: every monetary term is converted to integer units PER ROW
+    (cents; discount/tax to whole percent), so the three product terms
+    price·(1-disc) and price·(1-disc)·(1+tax) are exact int64 partial
+    sums in cents×100 / cents×10000 — no float accumulation order
+    anywhere.  Magnitude bound: ~2e11 per row, int64-safe to ~4e7 rows
+    per group; beyond that the partials would move to decimal128 (the
+    Arrow kernel exists) — documented, not needed at bench scale.
+    Averages are single double divisions of the exact sums, rounded.
+    Output: (l_returnflag, l_linestatus, sum_qty, sum_base_cents,
+    sum_disc_c2, sum_charge_c4, avg_qty, avg_price_cents, avg_disc_pct,
+    n)."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        q = np.round(
+            batch["l_quantity"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ).astype(np.int64)
+        pc_ = np.round(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        dp = np.round(
+            batch["l_discount"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        tp = np.round(batch["l_tax"].to_numpy(zero_copy_only=False) * 100).astype(
+            np.int64
+        )
+        disc_c2 = pc_ * (100 - dp)
+        charge_c4 = disc_c2 * (100 + tp)
+        t = pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "sq": pa.array(q),
+                "sb": pa.array(pc_),
+                "sd": pa.array(disc_c2),
+                "sc": pa.array(charge_c4),
+                "sp": pa.array(dp),
+            }
+        )
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("sq", "sum"), ("sb", "sum"), ("sd", "sum"), ("sc", "sum"),
+             ("sp", "sum"), ([], "count_all")]
+        )
+        return g.rename_columns(
+            ["l_returnflag", "l_linestatus", "sq", "sb", "sd", "sc", "sp", "n"]
+        )
+
+    agg = (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .sum(["sq", "sb", "sd", "sc", "sp", "n"])
+    )
+
+    def _final(batch: pa.Table) -> pa.Table:
+        sq = batch["sum(sq)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sb = batch["sum(sb)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sp = batch["sum(sp)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = batch["sum(n)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "sum_qty": pa.array(sq),
+                "sum_base_cents": pa.array(sb),
+                "sum_disc_c2": batch["sum(sd)"].cast(pa.int64()),
+                "sum_charge_c4": batch["sum(sc)"].cast(pa.int64()),
+                "avg_qty": pa.array(np.round(sq / n, 6)),
+                "avg_price_cents": pa.array(np.round(sb / n, 6)),
+                "avg_disc_pct": pa.array(np.round(sp / n, 6)),
+                "n": pa.array(n),
+            }
+        )
+
+    return agg.map_batches(_final, batch_format="pyarrow")
+
+
+def ship_delay_histogram(lineitem, orders):
+    """Order-to-ship latency distribution: days between o_orderdate and
+    l_shipdate per line item, as a day histogram — the fulfilment-lag
+    profile, and the repo's large-large join exercised at the biggest
+    table.
+
+    The join is inherent (per-row dates on both sides), done with the
+    repo's hash_equi_join (one keyed shuffle of both inputs, never
+    Dataset.join); the histogram then moves <= #distinct-days rows per
+    batch.  Output: (delay_days, n)."""
+    day_us = 86_400_000_000
+
+    def _li(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": batch["l_orderkey"],
+                "ship_us": pa.array(
+                    _to_epoch_us(batch["l_shipdate"], "l_shipdate")
+                ),
+            }
+        )
+
+    def _ord(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"],
+                "order_us": pa.array(
+                    _to_epoch_us(batch["o_orderdate"], "o_orderdate")
+                ),
+            }
+        )
+
+    li = lineitem.map_batches(_li, batch_format="pyarrow")
+    od = orders.map_batches(_ord, batch_format="pyarrow")
+    joined = hash_equi_join(
+        li, od, on="l_orderkey", right_on="o_orderkey",
+        left_cols=["l_orderkey", "ship_us"], right_cols=["order_us"],
+    )
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "delay_days": pa.array([], pa.int64()),
+                    "partial": pa.array([], pa.int64()),
+                }
+            )
+        d = (
+            batch["ship_us"].to_numpy(zero_copy_only=False)
+            - batch["order_us"].to_numpy(zero_copy_only=False)
+        ) // day_us
+        g = (
+            pa.table({"delay_days": pa.array(d)})
+            .group_by("delay_days")
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["delay_days", "partial"])
+
+    agg = (
+        joined.map_batches(_partial, batch_format="pyarrow")
+        .groupby("delay_days")
+        .sum("partial")
+    )
+
+    def _final(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "delay_days": batch["delay_days"].cast(pa.int64()),
+                "n": batch["sum(partial)"].cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(_final, batch_format="pyarrow")

@@ -401,3 +401,49 @@ class TestRevenueByNation:
             for r in revenue_by_nation(orders, customer, nation).take_all()
         }
         assert got == {"FRANCE": 1525, "PERU": 750}
+
+
+class TestPricingSummary:
+    def test_integer_exact_products(self, ray_session):
+        from marginalia_ray.ops.relational import pricing_summary
+
+        rows = [
+            {"l_returnflag": "A", "l_linestatus": "F", "l_quantity": 2.0,
+             "l_extendedprice": 100.00, "l_discount": 0.05, "l_tax": 0.08},
+            {"l_returnflag": "A", "l_linestatus": "F", "l_quantity": 3.0,
+             "l_extendedprice": 50.00, "l_discount": 0.00, "l_tax": 0.00},
+        ]
+        (got,) = pricing_summary(_ds(rows)).take_all()
+        assert got["sum_qty"] == 5
+        assert got["sum_base_cents"] == 15000
+        # 10000c*95 + 5000c*100 = 1_450_000 (cents x 100)
+        assert got["sum_disc_c2"] == 1_450_000
+        # 10000*95*108 + 5000*100*100 = 152_600_000 (cents x 10000)
+        assert got["sum_charge_c4"] == 152_600_000
+        assert got["avg_qty"] == 2.5
+        assert got["avg_disc_pct"] == 2.5
+        assert got["n"] == 2
+
+
+class TestShipDelayHistogram:
+    def test_day_bins(self, ray_session):
+        from marginalia_ray.ops.relational import ship_delay_histogram
+
+        li = _ds(
+            [
+                {"l_orderkey": 1, "l_shipdate": _ts(3)},
+                {"l_orderkey": 1, "l_shipdate": _ts(5)},
+                {"l_orderkey": 2, "l_shipdate": _ts(2)},
+            ]
+        )
+        orders = _ds(
+            [
+                {"o_orderkey": 1, "o_orderdate": _ts(1)},
+                {"o_orderkey": 2, "o_orderdate": _ts(2)},
+            ]
+        )
+        got = {
+            r["delay_days"]: r["n"]
+            for r in ship_delay_histogram(li, orders).take_all()
+        }
+        assert got == {2: 1, 4: 1, 0: 1}

@@ -66,6 +66,8 @@ RANK_K = 2  # rank_with_ties: top-2 orders per customer, RANK() semantics
 NTILE_N = 4  # ntile_buckets: per-customer spend quartiles
 UNIQ_WIN_MIN = 60  # window_unique_users tumbling width (minutes)
 ZSCORE_Z = 1.75  # zscore_outliers threshold (fixture max |z| ~1.97/2.04)
+SKIP_K = 2  # skipgram window
+SKIP_MIN = 3  # skipgram min corpus count
 SESS_BIN_MIN = 5  # session_duration_histogram bin width (minutes)
 
 
@@ -1264,6 +1266,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return ship_delay_histogram(li, orders)
 
+    def q_json_field_stats(sf_dir: str):
+        import ray.data
+
+        from marginalia_ray.ops.relational import json_field_stats
+
+        ev = ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_type", "props"]
+        )
+        return json_field_stats(ev)
+
+    def q_skipgram_counts(sf_dir: str):
+        import ray.data
+
+        from marginalia_ray.ops.text_ops import skipgram_counts
+
+        docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+        return skipgram_counts(docs, k=SKIP_K, min_count=SKIP_MIN)
+
     # ordering is deliberate: the driver samples a prefix of this dict,
     # and rounds 1-3 never sampled the last ten entries (including the
     # flagship marginalia_search) — so the previously-unchecked queries
@@ -1302,6 +1322,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation": q_revenue_by_nation,
         "pricing_summary": q_pricing_summary,
         "ship_delay_histogram": q_ship_delay_histogram,
+        "json_field_stats": q_json_field_stats,
+        "skipgram_counts": q_skipgram_counts,
         "heavy_hitters": q_heavy_hitters,
         "heavy_ngrams": q_heavy_ngrams,
         "soft_dedup_weights": q_soft_dedup_weights,
@@ -2868,6 +2890,21 @@ def oracle_sql() -> dict[str, str]:
  SELECT ((epoch_us(l_shipdate) - epoch_us(o_orderdate)) // 86400000000)::BIGINT AS delay_days,
         count(*)::BIGINT AS n
  FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1""",
+        "json_field_stats": """
+ SELECT event_type,
+        sum(CAST(props->>'k' AS BIGINT))::BIGINT AS sum_v,
+        min(CAST(props->>'k' AS BIGINT))::BIGINT AS min_v,
+        max(CAST(props->>'k' AS BIGINT))::BIGINT AS max_v,
+        count(*)::BIGINT AS n,
+        round(sum(CAST(props->>'k' AS BIGINT))::DOUBLE / count(*), 6) AS avg_v
+ FROM events GROUP BY 1""",
+        "skipgram_counts": f"""
+ WITH tok AS (SELECT {_TOK} AS ts FROM documents),
+ idx AS (SELECT ts, unnest(generate_series(1, len(ts))) AS i FROM tok),
+ dd AS (SELECT unnest(generate_series(1, {SKIP_K})) AS d),
+ p AS (SELECT ts[i] AS w1, ts[i + d] AS w2 FROM idx, dd WHERE i + d <= len(ts))
+ SELECT w1, w2, count(*)::BIGINT AS n FROM p GROUP BY 1, 2
+ HAVING count(*) >= {SKIP_MIN}""",
         "langid_confusion": f"""
  SELECT d.lang, p.pred_lang, count(*)::BIGINT AS n
  FROM documents d JOIN ({_lang_id_sql()}) p ON d.doc_id = p.doc_id

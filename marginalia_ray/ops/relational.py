@@ -2361,3 +2361,73 @@ def ship_delay_histogram(lineitem, orders):
         )
 
     return agg.map_batches(_final, batch_format="pyarrow")
+
+
+def json_field_stats(
+    ds,
+    *,
+    key_col: str = "event_type",
+    json_col: str = "props",
+    field: str = "k",
+):
+    """Semi-structured extraction + rollup: pull an integer field out of
+    a JSON payload column (the event-properties pattern) and aggregate
+    it per key — sum/min/max/count and mean.
+
+    The extraction is ONE vectorized RE2 kernel (pc.extract_regex) per
+    batch — no per-row json.loads; malformed or missing fields fail
+    loudly rather than silently skewing the sums.  Exact int64 partial
+    sums; one aggregate-sized groupby.
+    Output: (<key_col>, sum_v, min_v, max_v, n, avg_v)."""
+    pattern = f'"{field}":\\s*(?P<v>-?\\d+)'
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    key_col: batch[key_col],
+                    "s": pa.array([], pa.int64()),
+                    "mn": pa.array([], pa.int64()),
+                    "mx": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        col = batch[json_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        st = pc.extract_regex(col, pattern)
+        if st.null_count:
+            raise ValueError(
+                f"json_field_stats: {st.null_count} rows in {json_col!r} lack an "
+                f"integer field {field!r} — fix or filter upstream"
+            )
+        v = pc.cast(pc.struct_field(st, "v"), pa.int64())
+        t = pa.table({key_col: batch[key_col], "v": v})
+        g = t.group_by(key_col).aggregate(
+            [("v", "sum"), ("v", "min"), ("v", "max"), ([], "count_all")]
+        )
+        return g.rename_columns([key_col, "s", "mn", "mx", "n"])
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    agg = (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby(key_col)
+        .aggregate(Sum("s"), Min("mn"), Max("mx"), Sum("n"))
+    )
+
+    def _final(batch: pa.Table) -> pa.Table:
+        s = batch["sum(s)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = batch["sum(n)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                key_col: batch[key_col],
+                "sum_v": pa.array(s),
+                "min_v": batch["min(mn)"].cast(pa.int64()),
+                "max_v": batch["max(mx)"].cast(pa.int64()),
+                "n": pa.array(n),
+                "avg_v": pa.array(np.round(s / n, 6)),
+            }
+        )
+
+    return agg.map_batches(_final, batch_format="pyarrow")

@@ -1382,3 +1382,77 @@ def vocab_growth(
             }
         )
     )
+
+
+def skipgram_counts(
+    ds,
+    k: int = 2,
+    min_count: int = 2,
+    text_col: str = "text",
+):
+    """Skip-gram co-occurrence counts (word2vec-prep shape): ordered
+    token pairs within a forward window of k positions inside each
+    document, kept when the corpus count reaches min_count.
+
+    Vectorized pair emission: the flat token array is shifted against
+    itself once per distance d (k tiny Arrow takes, no Python over
+    tokens); per-batch combining collapses repeats before the one
+    (w1, w2) groupby shuffle.  The min_count filter bounds the output
+    the way stop-shingle caps bound the dedup ops — `log` the dropped
+    tail if it matters.  Output: (w1, w2, n)."""
+    kk = int(k)
+    if kk <= 0 or int(min_count) <= 0:
+        raise ValueError("skipgram_counts: k and min_count must be positive")
+
+    def _empty() -> pa.Table:
+        return pa.table(
+            {
+                "w1": pa.array([], pa.large_string()),
+                "w2": pa.array([], pa.large_string()),
+                "partial": pa.array([], pa.int64()),
+            }
+        )
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        flat, rows = _flat_tokens_rows(batch, text_col)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        n = len(rows)
+        parts = []
+        for d in range(1, kk + 1):
+            if n <= d:
+                break
+            same = rows[d:] == rows[:-d]
+            i = np.flatnonzero(same)
+            if len(i) == 0:
+                continue
+            parts.append(
+                pa.table(
+                    {"w1": flat.take(pa.array(i)), "w2": flat.take(pa.array(i + d))}
+                )
+            )
+        if not parts:
+            return _empty()
+        t = pa.concat_tables(parts)
+        g = t.group_by(["w1", "w2"]).aggregate([([], "count_all")])
+        return g.rename_columns(["w1", "w2", "partial"])
+
+    agg = (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby(["w1", "w2"])
+        .sum("partial")
+    )
+    mc = int(min_count)
+
+    def _final(batch: pa.Table) -> pa.Table:
+        n = batch["sum(partial)"].cast(pa.int64())
+        t = pa.table(
+            {
+                "w1": pc.cast(batch["w1"], pa.string()),
+                "w2": pc.cast(batch["w2"], pa.string()),
+                "n": n,
+            }
+        )
+        return t.filter(pc.greater_equal(t["n"], mc))
+
+    return agg.map_batches(_final, batch_format="pyarrow")

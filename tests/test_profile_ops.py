@@ -447,3 +447,45 @@ class TestShipDelayHistogram:
             for r in ship_delay_histogram(li, orders).take_all()
         }
         assert got == {2: 1, 4: 1, 0: 1}
+
+
+class TestJsonFieldStats:
+    def test_extract_and_rollup(self, ray_session):
+        from marginalia_ray.ops.relational import json_field_stats
+
+        rows = [
+            {"event_type": "a", "props": '{"k": 5}'},
+            {"event_type": "a", "props": '{"k": -2}'},
+            {"event_type": "b", "props": '{"k": 10}'},
+        ]
+        got = {r["event_type"]: r for r in json_field_stats(_ds(rows)).take_all()}
+        assert got["a"]["sum_v"] == 3 and got["a"]["min_v"] == -2
+        assert got["a"]["max_v"] == 5 and got["a"]["avg_v"] == 1.5
+        assert got["b"]["n"] == 1
+
+    def test_malformed_row_fails_loudly(self, ray_session):
+        from marginalia_ray.ops.relational import json_field_stats
+
+        with pytest.raises(Exception, match="lack an"):
+            json_field_stats(
+                _ds([{"event_type": "a", "props": '{"other": 1}'}])
+            ).take_all()
+
+
+class TestSkipgramCounts:
+    def test_window_and_min_count(self, ray_session):
+        from marginalia_ray.ops.text_ops import skipgram_counts
+
+        # "a b c" twice: d=1 pairs (a,b),(b,c); d=2 pair (a,c) — each x2
+        rows = [{"text": "a b c"}, {"text": "a b c"}]
+        got = {
+            (r["w1"], r["w2"]): r["n"]
+            for r in skipgram_counts(_ds(rows), k=2, min_count=2).take_all()
+        }
+        assert got == {("a", "b"): 2, ("b", "c"): 2, ("a", "c"): 2}
+
+    def test_no_cross_document_pairs(self, ray_session):
+        from marginalia_ray.ops.text_ops import skipgram_counts
+
+        rows = [{"text": "x"}, {"text": "y"}]
+        assert skipgram_counts(_ds(rows), k=2, min_count=1).take_all() == []

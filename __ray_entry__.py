@@ -1284,6 +1284,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
         return skipgram_counts(docs, k=SKIP_K, min_count=SKIP_MIN)
 
+    def q_graph_degree_stats(sf_dir: str):
+        # same edge convention as pagerank_scores: supplier -> part bucket
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+
+        from marginalia_ray.ops.graph import graph_degree_stats
+
+        li = ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet", columns=["l_suppkey", "l_partkey"]
+        )
+
+        def _edges(batch: pa.Table) -> pa.Table:
+            pk = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table(
+                {"src": batch["l_suppkey"], "dst": pa.array(pk % 100)}
+            )
+
+        return graph_degree_stats(li.map_batches(_edges, batch_format="pyarrow"))
+
     # ordering is deliberate: the driver samples a prefix of this dict,
     # and rounds 1-3 never sampled the last ten entries (including the
     # flagship marginalia_search) — so the previously-unchecked queries
@@ -1324,6 +1344,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ship_delay_histogram": q_ship_delay_histogram,
         "json_field_stats": q_json_field_stats,
         "skipgram_counts": q_skipgram_counts,
+        "graph_degree_stats": q_graph_degree_stats,
         "heavy_hitters": q_heavy_hitters,
         "heavy_ngrams": q_heavy_ngrams,
         "soft_dedup_weights": q_soft_dedup_weights,
@@ -2905,6 +2926,15 @@ def oracle_sql() -> dict[str, str]:
  p AS (SELECT ts[i] AS w1, ts[i + d] AS w2 FROM idx, dd WHERE i + d <= len(ts))
  SELECT w1, w2, count(*)::BIGINT AS n FROM p GROUP BY 1, 2
  HAVING count(*) >= {SKIP_MIN}""",
+        "graph_degree_stats": """
+ WITH e AS (SELECT DISTINCT l_suppkey AS src, (l_partkey % 100)::BIGINT AS dst
+            FROM lineitem),
+ o AS (SELECT src AS node, count(*) AS out_deg FROM e GROUP BY 1),
+ i AS (SELECT dst AS node, count(*) AS in_deg FROM e GROUP BY 1)
+ SELECT COALESCE(o.node, i.node)::BIGINT AS node,
+        COALESCE(out_deg, 0)::BIGINT AS out_deg,
+        COALESCE(in_deg, 0)::BIGINT AS in_deg
+ FROM o FULL JOIN i ON o.node = i.node""",
         "langid_confusion": f"""
  SELECT d.lang, p.pred_lang, count(*)::BIGINT AS n
  FROM documents d JOIN ({_lang_id_sql()}) p ON d.doc_id = p.doc_id

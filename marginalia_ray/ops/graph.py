@@ -846,3 +846,69 @@ def pagerank_scores(
     return _rd.from_arrow(
         pa.table({"node": pa.array(nodes, pa.int64()), "rank": pa.array(r, pa.int64())})
     )
+
+
+def graph_degree_stats(edges, src_col: str = "src", dst_col: str = "dst"):
+    """Per-node in/out degree over the DISTINCT edge list — the degree
+    profile read before choosing PageRank damping / hub treatment
+    (SURVEY G6-family diagnostics).
+
+    Two aggregate-sized shuffles: one groupby to global-distinct the
+    edges, then per-batch (node, out, in) partials -> groupby(node).sum
+    — no join, both directions ride the same shuffle.
+    Output: (node, out_deg, in_deg)."""
+
+    def _dedup(batch: pa.Table) -> pa.Table:
+        return (
+            pa.table({src_col: batch[src_col], dst_col: batch[dst_col]})
+            .group_by([src_col, dst_col])
+            .aggregate([])
+        )
+
+    distinct = (
+        edges.map_batches(_dedup, batch_format="pyarrow")
+        .groupby([src_col, dst_col])
+        .count()  # one row per distinct edge; the count column is unused
+    )
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "node": pa.array([], pa.int64()),
+                    "o": pa.array([], pa.int64()),
+                    "i": pa.array([], pa.int64()),
+                }
+            )
+        src = batch[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        dst = batch[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        su, sc = np.unique(src, return_counts=True)
+        du, dc = np.unique(dst, return_counts=True)
+        return pa.table(
+            {
+                "node": pa.array(np.concatenate([su, du])),
+                "o": pa.array(
+                    np.concatenate([sc, np.zeros(len(du), np.int64)])
+                ),
+                "i": pa.array(
+                    np.concatenate([np.zeros(len(su), np.int64), dc])
+                ),
+            }
+        )
+
+    agg = (
+        distinct.map_batches(_partial, batch_format="pyarrow")
+        .groupby("node")
+        .sum(["o", "i"])
+    )
+
+    def _final(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": batch["node"].cast(pa.int64()),
+                "out_deg": batch["sum(o)"].cast(pa.int64()),
+                "in_deg": batch["sum(i)"].cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(_final, batch_format="pyarrow")

@@ -489,3 +489,21 @@ class TestSkipgramCounts:
 
         rows = [{"text": "x"}, {"text": "y"}]
         assert skipgram_counts(_ds(rows), k=2, min_count=1).take_all() == []
+
+
+class TestGraphDegreeStats:
+    def test_degrees_with_duplicate_edges(self, ray_session):
+        from marginalia_ray.ops.graph import graph_degree_stats
+
+        edges = _ds(
+            [
+                {"src": 1, "dst": 2},
+                {"src": 1, "dst": 2},  # duplicate edge must not double-count
+                {"src": 1, "dst": 3},
+                {"src": 2, "dst": 3},
+            ]
+        )
+        got = {r["node"]: r for r in graph_degree_stats(edges).take_all()}
+        assert got[1]["out_deg"] == 2 and got[1]["in_deg"] == 0
+        assert got[2]["out_deg"] == 1 and got[2]["in_deg"] == 1
+        assert got[3]["out_deg"] == 0 and got[3]["in_deg"] == 2

@@ -1759,6 +1759,11 @@ def benford_digits(
                 f"benford_digits: {val_col!r} must be finite and >= 1 "
                 "(leading digit of |value| < 1 is scale-dependent)"
             )
+        if (v >= float(2**63)).any():
+            raise ValueError(
+                f"benford_digits: {val_col!r} exceeds int64 — np.floor"
+                ".astype would wrap negative and emit a bogus '-' digit"
+            )
         digits = pc.utf8_slice_codeunits(
             pc.cast(pa.array(np.floor(v).astype(np.int64)), pa.string()), 0, 1
         )
@@ -1857,8 +1862,7 @@ def weekly_revenue_delta(
                 }
             )
         us = _to_epoch_us(batch[ts_col], ts_col).to_numpy(zero_copy_only=False)
-        v = batch[val_col].to_numpy(zero_copy_only=False).astype(np.float64)
-        cents = np.round(v * 100).astype(np.int64)
+        cents = _money_cents(batch[val_col])
         t = pa.table({"week": pa.array(us // week_us), "c": pa.array(cents)})
         g = t.group_by("week").aggregate([("c", "sum")])
         return g.rename_columns(["week", "partial"])
@@ -1891,6 +1895,35 @@ def weekly_revenue_delta(
     )
 
 
+def _per_key_broadcast_lookup(keys: pa.Array, arrays: tuple, op: str):
+    """ray.put a small per-key value table ONCE; returns gather(col) ->
+    tuple of the arrays gathered row-aligned to the column, raising
+    loudly if a key is missing from the broadcast pass.  The shared
+    machinery of zscore_outliers and mad_by_key (broadcast_join's
+    put-once / read-per-task convention)."""
+    ref = ray.put((keys, arrays))
+
+    def gather(col):
+        keys_b, arrays_b = ray.get(ref)
+        idx = pc.index_in(col, keys_b)
+        if idx.null_count:
+            raise RuntimeError(f"{op}: key missing from broadcast pass")
+        ix = idx.to_numpy(zero_copy_only=False).astype(np.int64)
+        return tuple(a[ix] for a in arrays_b)
+
+    return gather
+
+
+def _money_cents(col, scale: int = 100) -> np.ndarray:
+    """round(value * scale) as int64 — THE money-to-integer-units
+    conversion every integer-exact op and its SQL oracle share.
+    np.round is half-to-even vs SQL round's half-away, but 2-dp source
+    doubles times 100 never land exactly on .5, so parity holds; keep
+    the convention in ONE place so it can never fork."""
+    v = col.to_numpy(zero_copy_only=False).astype(np.float64)
+    return np.round(v * scale).astype(np.int64)
+
+
 def zscore_outliers(
     ds,
     *,
@@ -1919,6 +1952,7 @@ def zscore_outliers(
                     key_col: batch[key_col],
                     "s": pa.array([], pa.int64()),
                     "q": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
                 }
             )
         col = batch[val_col]
@@ -1950,16 +1984,14 @@ def zscore_outliers(
     var = (Q - S * S / N) / N
     with np.errstate(invalid="ignore"):
         std = np.sqrt(np.where(var > 0, var, np.nan))  # zero-variance key -> no outliers
-    stats_ref = ray.put((pa.array(keys_list), mean, std))
+    gather = _per_key_broadcast_lookup(
+        pa.array(keys_list), (mean, std), "zscore_outliers"
+    )
 
     def _flag(batch: pa.Table) -> pa.Table:
-        keys_arr, mean_b, std_b = ray.get(stats_ref)
-        idx = pc.index_in(batch[key_col], keys_arr)
-        if idx.null_count:
-            raise RuntimeError("zscore_outliers: key missing from stats pass")
-        ix = idx.to_numpy(zero_copy_only=False).astype(np.int64)
+        mean_b, std_b = gather(batch[key_col])  # already row-aligned
         x = batch[val_col].to_numpy(zero_copy_only=False).astype(np.float64)
-        zs = np.round((x - mean_b[ix]) / std_b[ix], 6)
+        zs = np.round((x - mean_b) / std_b, 6)
         keep = np.abs(zs) > z  # NaN compares False: zero-variance keys drop
         take = pa.array(np.flatnonzero(keep))
         return pa.table(
@@ -2113,17 +2145,13 @@ def mad_by_key(
     med_rows = meds.take_all()  # O(#keys)
     med_keys = pa.array([r[key_col] for r in med_rows])
     med_vals = np.array([r["median"] for r in med_rows], np.float64)
-    med_ref = ray.put((med_keys, med_vals))
+    gather = _per_key_broadcast_lookup(med_keys, (med_vals,), "mad_by_key")
 
     def _dev(batch: pa.Table) -> pa.Table:
-        keys_arr, vals_b = ray.get(med_ref)
-        idx = pc.index_in(batch[key_col], keys_arr)
-        if idx.null_count:
-            raise RuntimeError("mad_by_key: key missing from median pass")
-        ix = idx.to_numpy(zero_copy_only=False).astype(np.int64)
+        (vals_b,) = gather(batch[key_col])  # already row-aligned
         x = batch[val_col].to_numpy(zero_copy_only=False).astype(np.float64)
         return pa.table(
-            {key_col: batch[key_col], "dev": pa.array(np.abs(x - vals_b[ix]))}
+            {key_col: batch[key_col], "dev": pa.array(np.abs(x - vals_b))}
         )
 
     devs = ds.map_batches(_dev, batch_format="pyarrow")
@@ -2158,8 +2186,7 @@ def revenue_by_nation(
     Output: (n_name, revenue_cents)."""
 
     def _fact(batch: pa.Table) -> pa.Table:
-        v = batch["o_totalprice"].to_numpy(zero_copy_only=False).astype(np.float64)
-        cents = np.round(v * 100).astype(np.int64)
+        cents = _money_cents(batch["o_totalprice"])
         t = pa.table({"o_custkey": batch["o_custkey"], "c": pa.array(cents)})
         g = t.group_by("o_custkey").aggregate([("c", "sum")])
         return g.rename_columns(["o_custkey", "cents"])
@@ -2226,18 +2253,10 @@ def pricing_summary(ds):
     n)."""
 
     def _partial(batch: pa.Table) -> pa.Table:
-        q = np.round(
-            batch["l_quantity"].to_numpy(zero_copy_only=False).astype(np.float64)
-        ).astype(np.int64)
-        pc_ = np.round(
-            batch["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
-        ).astype(np.int64)
-        dp = np.round(
-            batch["l_discount"].to_numpy(zero_copy_only=False) * 100
-        ).astype(np.int64)
-        tp = np.round(batch["l_tax"].to_numpy(zero_copy_only=False) * 100).astype(
-            np.int64
-        )
+        q = _money_cents(batch["l_quantity"], scale=1)
+        pc_ = _money_cents(batch["l_extendedprice"])
+        dp = _money_cents(batch["l_discount"])
+        tp = _money_cents(batch["l_tax"])
         disc_c2 = pc_ * (100 - dp)
         charge_c4 = disc_c2 * (100 + tp)
         t = pa.table(
@@ -2375,11 +2394,14 @@ def json_field_stats(
     it per key — sum/min/max/count and mean.
 
     The extraction is ONE vectorized RE2 kernel (pc.extract_regex) per
-    batch — no per-row json.loads; malformed or missing fields fail
-    loudly rather than silently skewing the sums.  Exact int64 partial
-    sums; one aggregate-sized groupby.
+    batch — no per-row json.loads; the field must be a BARE JSON
+    integer: missing fields AND non-integer values (floats, quoted
+    numbers) fail loudly rather than silently skewing the sums (RE2 has
+    no lookahead, so the value is captured to its delimiter and
+    validated as ^-?\\d+$ in a second vectorized match).  Exact int64
+    partial sums; one aggregate-sized groupby.
     Output: (<key_col>, sum_v, min_v, max_v, n, avg_v)."""
-    pattern = f'"{field}":\\s*(?P<v>-?\\d+)'
+    pattern = f'"{field}":\\s*(?P<v>[^,}}\\s]+)'
 
     def _partial(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -2401,7 +2423,17 @@ def json_field_stats(
                 f"json_field_stats: {st.null_count} rows in {json_col!r} lack an "
                 f"integer field {field!r} — fix or filter upstream"
             )
-        v = pc.cast(pc.struct_field(st, "v"), pa.int64())
+        raw = pc.struct_field(st, "v")
+        bad = pc.sum(
+            pc.cast(pc.invert(pc.match_substring_regex(raw, r"^-?\d+$")), pa.int64())
+        ).as_py()
+        if bad:
+            raise ValueError(
+                f"json_field_stats: {bad} rows in {json_col!r} hold a "
+                f"non-integer value for field {field!r} (float/quoted/other) "
+                "— a silent truncation would skew the sums; fix upstream"
+            )
+        v = pc.cast(raw, pa.int64())
         t = pa.table({key_col: batch[key_col], "v": v})
         g = t.group_by(key_col).aggregate(
             [("v", "sum"), ("v", "min"), ("v", "max"), ([], "count_all")]

@@ -1332,9 +1332,11 @@ def vocab_growth(
     if not fractions or any(not (0 < f <= 1.0) for f in fractions):
         raise ValueError("vocab_growth: fractions must be in (0, 1]")
     max_id = ds.max(id_col)  # tiny aggregate
-    # same double expression as the SQL floor(m * f)
-    thresholds = np.array(
-        sorted(int(np.floor(float(max_id) * f)) for f in fractions), np.int64
+    # same double expression as the SQL floor(m * f); np.unique dedups
+    # fractions that floor to the same threshold (the oracle's GROUP BY
+    # yields one row per distinct threshold)
+    thresholds = np.unique(
+        np.array([int(np.floor(float(max_id) * f)) for f in fractions], np.int64)
     )
 
     def _first_doc(batch: pa.Table) -> pa.Table:

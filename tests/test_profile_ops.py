@@ -507,3 +507,29 @@ class TestGraphDegreeStats:
         assert got[1]["out_deg"] == 2 and got[1]["in_deg"] == 0
         assert got[2]["out_deg"] == 1 and got[2]["in_deg"] == 1
         assert got[3]["out_deg"] == 0 and got[3]["in_deg"] == 2
+
+
+class TestReviewRegressions:
+    def test_json_float_value_fails_loudly(self, ray_session):
+        # review finding: a float field must raise, not silently truncate
+        from marginalia_ray.ops.relational import json_field_stats
+
+        with pytest.raises(Exception, match="non-integer value"):
+            json_field_stats(
+                _ds([{"event_type": "a", "props": '{"k": 1.5}'}])
+            ).take_all()
+
+    def test_vocab_growth_dedups_equal_thresholds(self, ray_session):
+        # review finding: fractions flooring to one threshold -> one row
+        from marginalia_ray.ops.text_ops import vocab_growth
+
+        rows = [{"doc_id": 0, "text": "a"}, {"doc_id": 1, "text": "b"}]
+        got = vocab_growth(_ds(rows), fractions=(0.25, 0.5, 1.0)).take_all()
+        assert [r["threshold"] for r in got] == [0, 1]
+        assert [r["vocab"] for r in got] == [1, 2]
+
+    def test_benford_overflow_fails_loudly(self, ray_session):
+        from marginalia_ray.ops.relational import benford_digits
+
+        with pytest.raises(Exception, match="exceeds int64"):
+            benford_digits(_ds([{"o_totalprice": 1e19}])).take_all()

@@ -36,9 +36,11 @@ def main() -> int:
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
     failures = []
+    checked = 0
     for name in qs:
         if only and name not in only:
             continue
+        checked += 1
         t0 = time.time()
         try:
             res = qs[name](sf)
@@ -53,7 +55,7 @@ def main() -> int:
         except Exception as ex:  # noqa: BLE001 - report and continue
             failures.append(name)
             print(f"FAIL {name}: {type(ex).__name__} {str(ex)[:300]}", flush=True)
-    print(f"\n{len(qs) - len(failures)}/{len(qs) if not only else len(only)} green")
+    print(f"\n{checked - len(failures)}/{checked} green")
     if failures:
         print("failures:", failures)
     ray.shutdown()

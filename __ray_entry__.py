@@ -69,6 +69,7 @@ ZSCORE_Z = 1.75  # zscore_outliers threshold (fixture max |z| ~1.97/2.04)
 SKIP_K = 2  # skipgram window
 SKIP_MIN = 3  # skipgram min corpus count
 SESS_BIN_MIN = 5  # session_duration_histogram bin width (minutes)
+GLOBAL_QS = (0.25, 0.5, 0.75, 0.9, 0.99)  # global_quantiles probe points
 
 
 def _docs(sf_dir: str):
@@ -1304,6 +1305,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return graph_degree_stats(li.map_batches(_edges, batch_format="pyarrow"))
 
+    def q_column_profile(sf_dir: str):
+        import ray.data
+
+        from marginalia_ray.ops.relational import column_profile
+
+        ev = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+        return column_profile(ev)
+
+    def q_global_quantiles(sf_dir: str):
+        import ray.data
+
+        from marginalia_ray.ops.relational import global_quantiles
+
+        docs = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["n_chars"]
+        )
+        return global_quantiles(docs, qs=GLOBAL_QS)
+
     # ordering is deliberate: the driver samples a prefix of this dict,
     # and rounds 1-3 never sampled the last ten entries (including the
     # flagship marginalia_search) — so the previously-unchecked queries
@@ -1345,6 +1364,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "json_field_stats": q_json_field_stats,
         "skipgram_counts": q_skipgram_counts,
         "graph_degree_stats": q_graph_degree_stats,
+        "column_profile": q_column_profile,
+        "global_quantiles": q_global_quantiles,
         "heavy_hitters": q_heavy_hitters,
         "heavy_ngrams": q_heavy_ngrams,
         "soft_dedup_weights": q_soft_dedup_weights,
@@ -2935,6 +2956,25 @@ def oracle_sql() -> dict[str, str]:
         COALESCE(out_deg, 0)::BIGINT AS out_deg,
         COALESCE(in_deg, 0)::BIGINT AS in_deg
  FROM o FULL JOIN i ON o.node = i.node""",
+        "column_profile": """
+ WITH p AS (
+  SELECT 'event_id' AS col, count(*) AS n, count(*) - count(event_id) AS n_null,
+         0 AS n_empty, count(DISTINCT event_id) AS n_distinct FROM events
+  UNION ALL SELECT 'ts', count(*), count(*) - count(ts), 0, count(DISTINCT ts) FROM events
+  UNION ALL SELECT 'user_id', count(*), count(*) - count(user_id), 0, count(DISTINCT user_id) FROM events
+  UNION ALL SELECT 'event_type', count(*), count(*) - count(event_type),
+         coalesce(sum(CASE WHEN event_type = '' THEN 1 ELSE 0 END), 0),
+         count(DISTINCT event_type) FROM events
+  UNION ALL SELECT 'value', count(*), count(*) - count(value), 0, count(DISTINCT value) FROM events
+  UNION ALL SELECT 'props', count(*), count(*) - count(props),
+         coalesce(sum(CASE WHEN props = '' THEN 1 ELSE 0 END), 0),
+         count(DISTINCT props) FROM events)
+ SELECT col AS "column", n::BIGINT AS n, n_null::BIGINT AS n_null,
+        n_empty::BIGINT AS n_empty, n_distinct::BIGINT AS n_distinct FROM p""",
+        "global_quantiles": f"""
+ WITH a AS (SELECT quantile_cont(n_chars, {list(GLOBAL_QS)}) AS vs FROM documents),
+ i AS (SELECT unnest(generate_series(1, {len(GLOBAL_QS)})) AS i)
+ SELECT round({list(GLOBAL_QS)}[i], 6) AS q, round(vs[i], 6) AS value FROM a, i""",
         "langid_confusion": f"""
  SELECT d.lang, p.pred_lang, count(*)::BIGINT AS n
  FROM documents d JOIN ({_lang_id_sql()}) p ON d.doc_id = p.doc_id

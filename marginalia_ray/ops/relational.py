@@ -2463,3 +2463,156 @@ def json_field_stats(
         )
 
     return agg.map_batches(_final, batch_format="pyarrow")
+
+
+def column_profile(ds, cols: list[str] | None = None):
+    """Data-quality column profiler: per column, row count, null count,
+    empty-string count and EXACT distinct count — the first pass a
+    pipeline runs on an unfamiliar table.
+
+    All columns ride ONE distinct shuffle: values are stringified per
+    batch (nulls kept separate as counters) into (column, value) pairs,
+    per-batch deduped, then globally deduped and counted per column;
+    null/empty/row counters are aggregate-sized partials.
+    Output: (column, n, n_null, n_empty, n_distinct)."""
+
+    def _pairs(batch: pa.Table) -> pa.Table:
+        names = cols or batch.column_names
+        col_out, val_out = [], []
+        meta = {"column": [], "rows": [], "nulls": [], "empties": []}
+        for name in names:
+            c = batch[name]
+            s = pc.cast(c, pa.string())
+            nn = c.null_count
+            ne = 0
+            if pa.types.is_string(c.type) or pa.types.is_large_string(c.type):
+                ne = pc.sum(
+                    pc.cast(pc.equal(c, ""), pa.int64())
+                ).as_py() or 0
+            vals = pc.drop_null(s).unique()
+            col_out.append(pa.array([name] * len(vals), pa.string()))
+            val_out.append(vals)
+            meta["column"].append(name)
+            meta["rows"].append(batch.num_rows)
+            meta["nulls"].append(nn)
+            meta["empties"].append(ne)
+        pairs = pa.table(
+            {
+                "column": pa.concat_arrays([a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in col_out]),
+                "value": pa.concat_arrays([a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in val_out]),
+                "rows": pa.array([0] * sum(len(a) for a in col_out), pa.int64()),
+                "nulls": pa.array([0] * sum(len(a) for a in col_out), pa.int64()),
+                "empties": pa.array([0] * sum(len(a) for a in col_out), pa.int64()),
+            }
+        )
+        counters = pa.table(
+            {
+                "column": pa.array(meta["column"], pa.string()),
+                "value": pa.array([""] * len(names), pa.string()),
+                "rows": pa.array(meta["rows"], pa.int64()),
+                "nulls": pa.array(meta["nulls"], pa.int64()),
+                "empties": pa.array(meta["empties"], pa.int64()),
+            }
+        )
+        # is_counter joins the group key so a real "" value can't collide
+        pairs = pairs.append_column("is_counter", pa.array([0] * pairs.num_rows, pa.int64()))
+        counters = counters.append_column("is_counter", pa.array([1] * len(names), pa.int64()))
+        return pa.concat_tables([pairs, counters])
+
+    # one shuffle: distinct (column, value) rows + summed counter rows
+    agg = (
+        ds.map_batches(_pairs, batch_format="pyarrow")
+        .groupby(["column", "value", "is_counter"])
+        .sum(["rows", "nulls", "empties"])
+    )
+
+    def _per_col(batch: pa.Table) -> pa.Table:
+        # distinct rows have value != null and zero counters; counter
+        # rows have value == null — both collapse per column here
+        is_counter = pc.equal(batch["is_counter"], 1)
+        d = pa.table(
+            {
+                "column": batch["column"],
+                "dist": pc.cast(pc.invert(is_counter), pa.int64()),
+                "n": batch["sum(rows)"].cast(pa.int64()),
+                "n_null": batch["sum(nulls)"].cast(pa.int64()),
+                "n_empty": batch["sum(empties)"].cast(pa.int64()),
+            }
+        )
+        g = d.group_by("column").aggregate(
+            [("dist", "sum"), ("n", "sum"), ("n_null", "sum"), ("n_empty", "sum")]
+        )
+        return g.rename_columns(["column", "dist", "n", "n_null", "n_empty"])
+
+    agg2 = (
+        agg.map_batches(_per_col, batch_format="pyarrow")
+        .groupby("column")
+        .sum(["dist", "n", "n_null", "n_empty"])
+    )
+
+    def _final(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "column": batch["column"],
+                "n": batch["sum(n)"].cast(pa.int64()),
+                "n_null": batch["sum(n_null)"].cast(pa.int64()),
+                "n_empty": batch["sum(n_empty)"].cast(pa.int64()),
+                "n_distinct": batch["sum(dist)"].cast(pa.int64()),
+            }
+        )
+
+    return agg2.map_batches(_final, batch_format="pyarrow")
+
+
+def global_quantiles(
+    ds,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99),
+    val_col: str = "n_chars",
+    max_distinct: int = 5_000_000,
+):
+    """Exact global interpolated quantiles (SQL quantile_cont) for a
+    column, several q at once — the threshold-picking pass behind
+    length/quality filters, done without sorting the data.
+
+    The histogram-CDF shape of quantile_by_key with a constant key: one
+    shuffle of DISTINCT values, one CDF walk emitting every requested q.
+    Output: (q, value)."""
+    if not qs or any(not (0.0 <= q <= 1.0) for q in qs):
+        raise ValueError("global_quantiles: each q must be in [0, 1]")
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        g = (
+            pa.table({"v": batch[val_col]})
+            .group_by("v")
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["v", "partial"])
+
+    counts = (
+        ds.map_batches(_partial, batch_format="pyarrow").groupby("v").sum("partial")
+    )
+    rows = counts.take_all()
+    if len(rows) > max_distinct:
+        raise RuntimeError(
+            f"global_quantiles: {len(rows)} distinct values exceeds "
+            f"max_distinct={max_distinct} — bin the column first"
+        )
+    v = np.array([r["v"] for r in rows], np.float64)
+    c = np.array([r["sum(partial)"] for r in rows], np.int64)
+    order = np.argsort(v)
+    v, c = v[order], c[order]
+    cum = np.cumsum(c)
+    n = int(cum[-1])
+    out_q, out_v = [], []
+    for q in qs:
+        pos = q * (n - 1)  # same double math as DuckDB quantile_cont
+        lo_pos, hi_pos = int(np.floor(pos)), int(np.ceil(pos))
+        lo_val = float(v[np.searchsorted(cum, lo_pos + 1)])
+        hi_val = float(v[np.searchsorted(cum, hi_pos + 1)])
+        out_q.append(round(q, 6))
+        out_v.append(round(lo_val + (hi_val - lo_val) * (pos - lo_pos), 6))
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table({"q": pa.array(out_q, pa.float64()), "value": pa.array(out_v, pa.float64())})
+    )

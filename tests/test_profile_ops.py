@@ -533,3 +533,49 @@ class TestReviewRegressions:
 
         with pytest.raises(Exception, match="exceeds int64"):
             benford_digits(_ds([{"o_totalprice": 1e19}])).take_all()
+
+
+class TestColumnProfile:
+    def test_nulls_empties_distinct(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from marginalia_ray.ops.relational import column_profile
+
+        t = pa.table(
+            {
+                "a": pa.array([1, 1, 2, None], pa.int64()),
+                "b": pa.array(["x", "", "", None], pa.string()),
+            }
+        )
+        got = {r["column"]: r for r in column_profile(ray.data.from_arrow(t)).take_all()}
+        assert got["a"]["n"] == 4 and got["a"]["n_null"] == 1
+        assert got["a"]["n_empty"] == 0 and got["a"]["n_distinct"] == 2
+        assert got["b"]["n_null"] == 1 and got["b"]["n_empty"] == 2
+        assert got["b"]["n_distinct"] == 2  # "x" and ""
+
+    def test_column_subset(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from marginalia_ray.ops.relational import column_profile
+
+        t = pa.table({"a": [1], "b": ["y"]})
+        got = column_profile(ray.data.from_arrow(t), cols=["b"]).take_all()
+        assert [r["column"] for r in got] == ["b"]
+
+
+class TestGlobalQuantiles:
+    def test_interpolation(self, ray_session):
+        from marginalia_ray.ops.relational import global_quantiles
+
+        rows = [{"n_chars": v} for v in (10, 20, 30, 40)]
+        got = {r["q"]: r["value"] for r in global_quantiles(_ds(rows), qs=(0.5, 1.0)).take_all()}
+        assert got[0.5] == 25.0  # quantile_cont midpoint
+        assert got[1.0] == 40.0
+
+    def test_invalid_q(self, ray_session):
+        from marginalia_ray.ops.relational import global_quantiles
+
+        with pytest.raises(ValueError):
+            global_quantiles(_ds([{"n_chars": 1}]), qs=(1.5,))

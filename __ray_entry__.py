@@ -1323,6 +1323,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return global_quantiles(docs, qs=GLOBAL_QS)
 
+    def q_edit_distance_pairs(sf_dir: str):
+        import ray.data
+
+        from marginalia_ray.ops.dedup import edit_distance_pairs
+
+        part = ray.data.read_parquet(f"{sf_dir}/part.parquet", columns=["p_name"])
+        return edit_distance_pairs(part, col="p_name")
+
     # ordering is deliberate: the driver samples a prefix of this dict,
     # and rounds 1-3 never sampled the last ten entries (including the
     # flagship marginalia_search) — so the previously-unchecked queries
@@ -1366,6 +1374,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_degree_stats": q_graph_degree_stats,
         "column_profile": q_column_profile,
         "global_quantiles": q_global_quantiles,
+        "edit_distance_pairs": q_edit_distance_pairs,
         "heavy_hitters": q_heavy_hitters,
         "heavy_ngrams": q_heavy_ngrams,
         "soft_dedup_weights": q_soft_dedup_weights,
@@ -2975,6 +2984,11 @@ def oracle_sql() -> dict[str, str]:
  WITH a AS (SELECT quantile_cont(n_chars, {list(GLOBAL_QS)}) AS vs FROM documents),
  i AS (SELECT unnest(generate_series(1, {len(GLOBAL_QS)})) AS i)
  SELECT round({list(GLOBAL_QS)}[i], 6) AS q, round(vs[i], 6) AS value FROM a, i""",
+        "edit_distance_pairs": """
+ WITH d AS (SELECT DISTINCT p_name AS s FROM part WHERE length(p_name) <= 128)
+ SELECT x.s AS a, y.s AS b, 1::BIGINT AS dist
+ FROM d x JOIN d y ON x.s < y.s AND abs(length(x.s) - length(y.s)) <= 1
+ WHERE levenshtein(x.s, y.s) <= 1""",
         "langid_confusion": f"""
  SELECT d.lang, p.pred_lang, count(*)::BIGINT AS n
  FROM documents d JOIN ({_lang_id_sql()}) p ON d.doc_id = p.doc_id

@@ -1703,3 +1703,178 @@ def dup_rate_by_source(
         )
 
     return agg.map_batches(_final, batch_format="pyarrow")
+
+
+def _ed_le1(a: str, b: str) -> bool:
+    """Exact check: Levenshtein(a, b) <= 1, O(len) and allocation-free.
+    Candidates arrive pre-blocked (|len(a)-len(b)| <= 1), so only the
+    substitution scan and the single-gap deletion scan are needed."""
+    la, lb = len(a), len(b)
+    if la == lb:
+        if a == b:
+            return True
+        seen = False
+        for x, y in zip(a, b):
+            if x != y:
+                if seen:
+                    return False
+                seen = True
+        return True
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    if lb - la != 1:
+        return False
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1 :]
+
+
+def edit_distance_pairs(
+    ds,
+    col: str = "p_name",
+    max_len: int = 128,
+    max_group: int = 1000,
+    num_partitions: int | None = None,
+):
+    """All pairs of DISTINCT values of a short-string column within
+    Levenshtein distance 1 — the fuzzy-key dedup primitive for titles /
+    product names / queries (SymSpell / FastSS deletion-neighborhood
+    blocking, Schulz & Mihov 2002).
+
+    Never a cross join: two strings are within distance 1 iff they share
+    a member of their deletion neighborhood {s} ∪ del1(s), so each
+    distinct value emits len(s)+1 variant hashes (vectorized: one
+    utf8_slice + binary_join pass per deletion POSITION, not per row),
+    candidates meet in a variant-hash shuffle, and survivors are verified
+    with the exact O(len) check.  Three shuffles, each strictly smaller
+    than the last: distinct values -> variants -> candidate pairs.
+    Strings longer than max_len are excluded (documented cap — long texts
+    are not short-string dedup targets; use minhash_lsh_pairs).  Variant
+    groups above max_group are dropped like stop-shingles.
+    Output: (a, b, dist) with a < b, dist = 1."""
+    if num_partitions is None:
+        num_partitions = _join_partitions()
+
+    def _distinct_batch(batch: pa.Table) -> pa.Table:
+        vals = pc.drop_null(batch[col]).unique()
+        keep = pc.less_equal(pc.utf8_length(vals), max_len)
+        return pa.table({"s": pc.cast(vals.filter(keep), pa.large_string())})
+
+    distinct = (
+        ds.map_batches(_distinct_batch, batch_format="pyarrow")
+        .groupby("s")
+        .count()
+    )
+
+    def _variants(batch: pa.Table) -> pa.Table:
+        s = batch["s"]
+        if isinstance(s, pa.ChunkedArray):
+            s = s.combine_chunks()
+        n = len(s)
+        if n == 0:
+            return pa.table(
+                {
+                    "vh": pa.array([], pa.uint64()),
+                    "s": pa.array([], pa.large_string()),
+                    "_pk": pa.array([], pa.int64()),
+                }
+            )
+        lens = pc.utf8_length(s).to_numpy(zero_copy_only=False).astype(np.int64)
+        out_v, out_s = [_token_hash_arrow(s)], [s]
+        max_l = int(lens.max())
+        for d in range(max_l):
+            alive = lens > d
+            if not alive.all():
+                sub = s.filter(pa.array(alive))
+            else:
+                sub = s
+            var = pc.binary_join_element_wise(
+                pc.utf8_slice_codeunits(sub, 0, d),
+                pc.utf8_slice_codeunits(sub, d + 1, np.iinfo(np.int32).max),
+                "",
+            )
+            out_v.append(_token_hash_arrow(var))
+            out_s.append(sub)
+        vh = np.concatenate(out_v)
+        sv = pa.concat_arrays([a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in out_s])
+        pk = (vh % U64(num_partitions)).astype(np.int64)
+        return pa.table({"vh": pa.array(vh, pa.uint64()), "s": sv, "_pk": pa.array(pk)})
+
+    variants = distinct.map_batches(_variants, batch_format="pyarrow")
+
+    def _empty_pairs() -> pa.Table:
+        return pa.table(
+            {
+                "a": pa.array([], pa.large_string()),
+                "b": pa.array([], pa.large_string()),
+                "_pk": pa.array([], pa.int64()),
+            }
+        )
+
+    def _pairs_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return _empty_pairs()
+        block = block.sort_by([("vh", "ascending"), ("s", "ascending")])
+        vh = block["vh"].to_numpy(zero_copy_only=False)
+        sv = block["s"].to_pandas().to_numpy()  # object ndarray of str
+        n = len(vh)
+        new_grp = np.r_[True, vh[1:] != vh[:-1]]
+        starts = np.flatnonzero(new_grp)
+        ends = np.append(starts[1:], n)
+        a_out, b_out = [], []
+        for st, en in zip(starts, ends):
+            g = sv[st:en]
+            keep = np.r_[True, g[1:] != g[:-1]]
+            g = g[keep]
+            if len(g) < 2 or len(g) > max_group:
+                continue
+            ia, ib = np.triu_indices(len(g), k=1)
+            a_out.append(g[ia])
+            b_out.append(g[ib])
+        if not a_out:
+            return _empty_pairs()
+        a = np.concatenate(a_out)
+        b = np.concatenate(b_out)
+        t = pa.table(
+            {"a": pa.array(a, pa.large_string()), "b": pa.array(b, pa.large_string())}
+        )
+        t = t.group_by(["a", "b"]).aggregate([])
+        ha = _token_hash_arrow(t["a"])
+        hb = _token_hash_arrow(t["b"])
+        pk = ((_fmix64_vec(ha) ^ hb) % U64(num_partitions)).astype(np.int64)
+        return t.append_column("_pk", pa.array(pk))
+
+    pairs = variants.groupby("_pk", num_partitions=num_partitions).map_groups(
+        _pairs_block, batch_format="pyarrow"
+    )
+
+    def _verify_block(block: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "a": pa.array([], pa.large_string()),
+                "b": pa.array([], pa.large_string()),
+                "dist": pa.array([], pa.int64()),
+            }
+        )
+        if block.num_rows == 0:
+            return empty
+        t = pa.table({"a": block["a"], "b": block["b"]}).group_by(["a", "b"]).aggregate([])
+        a = t["a"].to_pandas().to_numpy()
+        b = t["b"].to_pandas().to_numpy()
+        ok = np.fromiter(
+            (_ed_le1(x, y) for x, y in zip(a, b)), dtype=bool, count=len(a)
+        )
+        if not ok.any():
+            return empty
+        return pa.table(
+            {
+                "a": pa.array(a[ok], pa.large_string()),
+                "b": pa.array(b[ok], pa.large_string()),
+                "dist": pa.array(np.ones(int(ok.sum()), np.int64)),
+            }
+        )
+
+    return pairs.groupby("_pk", num_partitions=num_partitions).map_groups(
+        _verify_block, batch_format="pyarrow"
+    )

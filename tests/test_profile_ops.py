@@ -579,3 +579,40 @@ class TestGlobalQuantiles:
 
         with pytest.raises(ValueError):
             global_quantiles(_ds([{"n_chars": 1}]), qs=(1.5,))
+
+
+class TestEditDistancePairs:
+    def _run(self, names, **kw):
+        from marginalia_ray.ops.dedup import edit_distance_pairs
+
+        rows = [{"p_name": n} for n in names]
+        got = edit_distance_pairs(_ds(rows), **kw).take_all()
+        return {(r["a"], r["b"]) for r in got}
+
+    def test_sub_ins_del(self, ray_session):
+        pairs = self._run(["widget", "widgex", "widgets", "idget", "zzzzz"])
+        assert ("widget", "widgex") in pairs  # substitution
+        assert ("widget", "widgets") in pairs  # insertion
+        assert ("idget", "widget") in pairs  # deletion
+        assert not any("zzzzz" in p for p in pairs)
+
+    def test_transposition_is_distance_two(self, ray_session):
+        # "ab"/"ba" share deletion variants "a" and "b" (candidates) but
+        # levenshtein = 2 — the verify pass must reject them
+        assert self._run(["ab", "ba"]) == set()
+
+    def test_duplicates_collapse(self, ray_session):
+        # corpus duplicates of the same value never pair with themselves
+        pairs = self._run(["bolt", "bolt", "bolt", "boltz"])
+        assert pairs == {("bolt", "boltz")}
+
+    def test_long_strings_excluded(self, ray_session):
+        assert self._run(["x" * 30, "x" * 31], max_len=16) == set()
+
+    def test_hot_variant_group_capped(self, ray_session):
+        # 5 single-char strings all share the "" deletion variant; with
+        # max_group=2 that group is dropped like a stop-shingle
+        assert self._run(list("abcde"), max_group=2) == set()
+
+    def test_empty_input(self, ray_session):
+        assert self._run([]) == set()

@@ -70,6 +70,8 @@ SKIP_K = 2  # skipgram window
 SKIP_MIN = 3  # skipgram min corpus count
 SESS_BIN_MIN = 5  # session_duration_histogram bin width (minutes)
 GLOBAL_QS = (0.25, 0.5, 0.75, 0.9, 0.99)  # global_quantiles probe points
+SHUF_SHARDS = 8  # training_shuffle shard count
+SHUF_SEED = 7  # training_shuffle epoch seed
 
 
 def _docs(sf_dir: str):
@@ -1323,6 +1325,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return global_quantiles(docs, qs=GLOBAL_QS)
 
+    def q_training_shuffle(sf_dir: str):
+        import ray.data
+
+        from marginalia_ray.ops.curation import training_shuffle
+
+        docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+        return training_shuffle(docs, n_shards=SHUF_SHARDS, seed=SHUF_SEED)
+
     def q_edit_distance_pairs(sf_dir: str):
         import ray.data
 
@@ -1375,6 +1385,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "column_profile": q_column_profile,
         "global_quantiles": q_global_quantiles,
         "edit_distance_pairs": q_edit_distance_pairs,
+        "training_shuffle": q_training_shuffle,
         "heavy_hitters": q_heavy_hitters,
         "heavy_ngrams": q_heavy_ngrams,
         "soft_dedup_weights": q_soft_dedup_weights,
@@ -2646,6 +2657,36 @@ def _hash_split_sql() -> str:
  FROM s5"""
 
 
+def _training_shuffle_sql() -> str:
+    """Mirrors ops/curation.training_shuffle: key = fmix64(fmix64(doc_id)
+    ^ seed), shard = key % n_shards, pos = dense rank of (key, doc_id)
+    within the shard — same exact-uint64 multiply-mod-2^64 trick as
+    _hash_split_sql, chained twice with the seed xor between."""
+    M64 = 18446744073709551616
+    C1, C2 = 0xFF51AFD7ED558CCD, 0xC4CEB9FE1A85EC53
+
+    def mul(c: int) -> str:
+        return (
+            f"((((x // 4294967296) * {c}) % 4294967296) * 4294967296"
+            f" + (x % 4294967296) * {c}) % {M64}"
+        )
+
+    fmix = f"""
+ __P1 AS (SELECT doc_id, xor(x, x >> 33) AS x FROM __P0),
+ __P2 AS (SELECT doc_id, {mul(C1)} AS x FROM __P1),
+ __P3 AS (SELECT doc_id, xor(x, x >> 33) AS x FROM __P2),
+ __P4 AS (SELECT doc_id, {mul(C2)} AS x FROM __P3),
+ __P5 AS (SELECT doc_id, xor(x, x >> 33) AS x FROM __P4)"""
+    return f"""
+ WITH s0 AS (SELECT doc_id, ((doc_id::HUGEINT % {M64}) + {M64}) % {M64} AS x FROM documents),
+{fmix.replace("__P", "s")},
+ t0 AS (SELECT doc_id, xor(x, {SHUF_SEED}) AS x FROM s5),
+{fmix.replace("__P", "t")}
+ SELECT doc_id, (x % {SHUF_SHARDS})::BIGINT AS shard,
+   (row_number() OVER (PARTITION BY x % {SHUF_SHARDS} ORDER BY x, doc_id) - 1)::BIGINT AS pos
+ FROM t5"""
+
+
 def _tfidf_sql() -> str:
     """Mirrors ops/text_ops.tfidf_topk: score = tf * (ln(N) - ln(df))
     (exactly that float expression, so both sides round identically),
@@ -2989,6 +3030,7 @@ def oracle_sql() -> dict[str, str]:
  SELECT x.s AS a, y.s AS b, 1::BIGINT AS dist
  FROM d x JOIN d y ON x.s < y.s AND abs(length(x.s) - length(y.s)) <= 1
  WHERE levenshtein(x.s, y.s) <= 1""",
+        "training_shuffle": _training_shuffle_sql(),
         "langid_confusion": f"""
  SELECT d.lang, p.pred_lang, count(*)::BIGINT AS n
  FROM documents d JOIN ({_lang_id_sql()}) p ON d.doc_id = p.doc_id

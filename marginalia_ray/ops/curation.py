@@ -1318,3 +1318,71 @@ def ccnet_buckets(
         )
 
     return scored.map_batches(_label, batch_format="pyarrow")
+
+
+def _fmix64(x: np.ndarray) -> np.ndarray:
+    """murmur3 fmix64, vectorized (module-local copy — the import graph
+    keeps curation free of ops.dedup)."""
+    x = x.astype(np.uint64).copy()
+    x ^= x >> np.uint64(33)
+    x *= np.uint64(0xFF51AFD7ED558CCD)
+    x ^= x >> np.uint64(33)
+    x *= np.uint64(0xC4CEB9FE1A85EC53)
+    x ^= x >> np.uint64(33)
+    return x
+
+
+def training_shuffle(ds, id_col: str = "doc_id", n_shards: int = 16, seed: int = 7):
+    """Deterministic seeded global shuffle for training-data ordering:
+    every row gets a (shard, pos) address from key = fmix64(fmix64(id) ^
+    seed) — shard = key % n_shards, pos = rank of key within the shard.
+
+    This is how a 100 TB corpus is shuffled for training WITHOUT
+    random_shuffle's full materialized exchange: the key is a pure
+    function of the id, so the mapping is reproducible across runs,
+    restarts and cluster sizes (resumable: a re-run of one failed shard
+    recomputes the identical order), and changing `seed` gives an
+    independent epoch permutation.  One hash shuffle; the per-shard rank
+    is a sort WITHIN each shard only — size n_shards so a shard fits a
+    worker (corpus_rows / n_shards rows each; at real scale use
+    thousands of shards, each one training file).
+
+    Output: (id, shard, pos) with pos dense 0..shard_size-1."""
+    if n_shards < 1:
+        raise ValueError("training_shuffle: n_shards must be >= 1")
+
+    def _key(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        key = _fmix64(_fmix64(ids) ^ np.uint64(seed))
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "_key": pa.array(key, pa.uint64()),
+                "shard": pa.array((key % np.uint64(n_shards)).astype(np.int64)),
+            }
+        )
+
+    keyed = ds.map_batches(_key, batch_format="pyarrow")
+
+    def _rank(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            id_t = block[id_col].type if id_col in block.column_names else pa.int64()
+            return pa.table(
+                {
+                    id_col: pa.array([], id_t),
+                    "shard": pa.array([], pa.int64()),
+                    "pos": pa.array([], pa.int64()),
+                }
+            )
+        block = block.sort_by([("_key", "ascending"), (id_col, "ascending")])
+        return pa.table(
+            {
+                id_col: block[id_col],
+                "shard": block["shard"],
+                "pos": pa.array(np.arange(block.num_rows, dtype=np.int64)),
+            }
+        )
+
+    return keyed.groupby("shard", num_partitions=min(n_shards, 64)).map_groups(
+        _rank, batch_format="pyarrow"
+    )

@@ -616,3 +616,35 @@ class TestEditDistancePairs:
 
     def test_empty_input(self, ray_session):
         assert self._run([]) == set()
+
+
+class TestTrainingShuffle:
+    def test_dense_positions_and_determinism(self, ray_session):
+        from marginalia_ray.ops.curation import training_shuffle
+
+        rows = [{"doc_id": i} for i in range(200)]
+        a = training_shuffle(_ds(rows), n_shards=4, seed=1).take_all()
+        b = training_shuffle(_ds(rows), n_shards=4, seed=1).take_all()
+        key = lambda rs: sorted((r["doc_id"], r["shard"], r["pos"]) for r in rs)
+        assert key(a) == key(b)  # reproducible across runs
+        assert len(a) == 200
+        by_shard = {}
+        for r in a:
+            assert 0 <= r["shard"] < 4
+            by_shard.setdefault(r["shard"], []).append(r["pos"])
+        for poss in by_shard.values():
+            assert sorted(poss) == list(range(len(poss)))  # dense 0..n-1
+
+    def test_seed_changes_order(self, ray_session):
+        from marginalia_ray.ops.curation import training_shuffle
+
+        rows = [{"doc_id": i} for i in range(200)]
+        a = {r["doc_id"]: (r["shard"], r["pos"]) for r in training_shuffle(_ds(rows), n_shards=4, seed=1).take_all()}
+        b = {r["doc_id"]: (r["shard"], r["pos"]) for r in training_shuffle(_ds(rows), n_shards=4, seed=2).take_all()}
+        assert a != b
+
+    def test_bad_shards(self, ray_session):
+        from marginalia_ray.ops.curation import training_shuffle
+
+        with pytest.raises(ValueError):
+            training_shuffle(_ds([{"doc_id": 1}]), n_shards=0)

@@ -1325,6 +1325,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return global_quantiles(docs, qs=GLOBAL_QS)
 
+    def q_mutual_information(sf_dir: str):
+        import ray.data
+
+        from marginalia_ray.ops.relational import mutual_information
+
+        docs = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["source", "lang"]
+        )
+        return mutual_information(docs, x_col="source", y_col="lang")
+
     def q_training_shuffle(sf_dir: str):
         import ray.data
 
@@ -1386,6 +1396,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "global_quantiles": q_global_quantiles,
         "edit_distance_pairs": q_edit_distance_pairs,
         "training_shuffle": q_training_shuffle,
+        "mutual_information": q_mutual_information,
         "heavy_hitters": q_heavy_hitters,
         "heavy_ngrams": q_heavy_ngrams,
         "soft_dedup_weights": q_soft_dedup_weights,
@@ -3031,6 +3042,15 @@ def oracle_sql() -> dict[str, str]:
  FROM d x JOIN d y ON x.s < y.s AND abs(length(x.s) - length(y.s)) <= 1
  WHERE levenshtein(x.s, y.s) <= 1""",
         "training_shuffle": _training_shuffle_sql(),
+        "mutual_information": """
+ WITH c AS (SELECT source, lang, count(*)::BIGINT AS n FROM documents GROUP BY 1, 2),
+ m AS (SELECT sum(n)::DOUBLE AS total FROM c),
+ rx AS (SELECT source, sum(n)::DOUBLE AS nx FROM c GROUP BY 1),
+ ry AS (SELECT lang, sum(n)::DOUBLE AS ny FROM c GROUP BY 1)
+ SELECT c.source, c.lang, c.n,
+        round(ln(c.n::DOUBLE * total / (nx * ny)), 6) AS pmi,
+        round((c.n::DOUBLE / total) * ln(c.n::DOUBLE * total / (nx * ny)), 6) AS contrib
+ FROM c JOIN rx USING (source) JOIN ry USING (lang), m""",
         "langid_confusion": f"""
  SELECT d.lang, p.pred_lang, count(*)::BIGINT AS n
  FROM documents d JOIN ({_lang_id_sql()}) p ON d.doc_id = p.doc_id

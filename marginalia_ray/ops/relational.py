@@ -2616,3 +2616,80 @@ def global_quantiles(
     return ray.data.from_arrow(
         pa.table({"q": pa.array(out_q, pa.float64()), "value": pa.array(out_v, pa.float64())})
     )
+
+
+def mutual_information(
+    ds,
+    x_col: str = "source",
+    y_col: str = "lang",
+    max_cells: int = 1_000_000,
+):
+    """Pointwise and total mutual information between two CATEGORICAL
+    columns — the association test behind feature selection and
+    source-vs-language contamination checks.
+
+    One (x, y) count shuffle (per-batch partial counts first), then the
+    marginals and PMI are computed over the contingency cells alone —
+    never the rows.  The cell table is |X|x|Y|, tiny for categorical
+    inputs by definition; `max_cells` guards the single-block finalize
+    with a loud error if a high-cardinality column sneaks in.
+
+    Output: (x, y, n, pmi, contrib) where pmi = ln(n*N/(nx*ny)) and
+    contrib = (n/N)*pmi, both rounded to 6 dp; sum(contrib) is the MI."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        g = (
+            pa.table({"x": batch[x_col], "y": batch[y_col]})
+            .group_by(["x", "y"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["x", "y", "partial"])
+
+    cells = (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby(["x", "y"])
+        .sum("partial")
+        .repartition(1)
+    )
+
+    def _final(block: pa.Table) -> pa.Table:
+        if block.num_rows > max_cells:
+            raise RuntimeError(
+                f"mutual_information: {block.num_rows} contingency cells "
+                f"exceeds max_cells={max_cells} — the columns are not "
+                "categorical; bin them first"
+            )
+        if block.num_rows == 0:
+            return pa.table(
+                {
+                    x_col: pa.array([], block["x"].type),
+                    y_col: pa.array([], block["y"].type),
+                    "n": pa.array([], pa.int64()),
+                    "pmi": pa.array([], pa.float64()),
+                    "contrib": pa.array([], pa.float64()),
+                }
+            )
+        n = block["sum(partial)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        xs = block["x"]
+        ys = block["y"]
+        gx = pa.table({"x": xs, "n": pa.array(n)}).group_by("x").aggregate([("n", "sum")])
+        gy = pa.table({"y": ys, "n": pa.array(n)}).group_by("y").aggregate([("n", "sum")])
+        ix = pc.index_in(xs, gx["x"]).to_numpy(zero_copy_only=False).astype(np.int64)
+        iy = pc.index_in(ys, gy["y"]).to_numpy(zero_copy_only=False).astype(np.int64)
+        nx = gx["n_sum"].to_numpy(zero_copy_only=False).astype(np.float64)[ix]
+        ny = gy["n_sum"].to_numpy(zero_copy_only=False).astype(np.float64)[iy]
+        N = float(n.sum())
+        nf = n.astype(np.float64)
+        pmi = np.log(nf * N / (nx * ny))
+        contrib = (nf / N) * pmi
+        return pa.table(
+            {
+                x_col: xs,
+                y_col: ys,
+                "n": pa.array(n),
+                "pmi": pa.array(np.round(pmi, 6), pa.float64()),
+                "contrib": pa.array(np.round(contrib, 6), pa.float64()),
+            }
+        )
+
+    return cells.map_batches(_final, batch_format="pyarrow", batch_size=None)

@@ -648,3 +648,37 @@ class TestTrainingShuffle:
 
         with pytest.raises(ValueError):
             training_shuffle(_ds([{"doc_id": 1}]), n_shards=0)
+
+
+class TestMutualInformation:
+    def test_independent_columns_zero_mi(self, ray_session):
+        from marginalia_ray.ops.relational import mutual_information
+
+        # perfectly independent 2x2: every cell pmi = ln(1) = 0
+        rows = [
+            {"source": s, "lang": l}
+            for s in ("a", "b")
+            for l in ("en", "fr")
+        ] * 5
+        got = mutual_information(_ds(rows)).take_all()
+        assert len(got) == 4
+        assert all(r["pmi"] == 0.0 and r["contrib"] == 0.0 for r in got)
+        assert all(r["n"] == 5 for r in got)
+
+    def test_perfect_dependence(self, ray_session):
+        import math
+
+        from marginalia_ray.ops.relational import mutual_information
+
+        # x determines y: MI = ln(2) for a uniform 2-value pair
+        rows = [{"source": "a", "lang": "en"}] * 6 + [{"source": "b", "lang": "fr"}] * 6
+        got = mutual_information(_ds(rows)).take_all()
+        mi = sum(r["contrib"] for r in got)
+        assert abs(mi - math.log(2)) < 1e-5
+
+    def test_max_cells_guard(self, ray_session):
+        from marginalia_ray.ops.relational import mutual_information
+
+        rows = [{"source": str(i), "lang": str(i)} for i in range(10)]
+        with pytest.raises(Exception, match="max_cells"):
+            mutual_information(_ds(rows), max_cells=5).take_all()

@@ -1335,6 +1335,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return mutual_information(docs, x_col="source", y_col="lang")
 
+    def q_event_transitions(sf_dir: str):
+        import ray.data
+
+        from marginalia_ray.ops.relational import event_transitions
+
+        ev = ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "ts", "user_id", "event_type"],
+        )
+        return event_transitions(ev)
+
     def q_training_shuffle(sf_dir: str):
         import ray.data
 
@@ -1397,6 +1408,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edit_distance_pairs": q_edit_distance_pairs,
         "training_shuffle": q_training_shuffle,
         "mutual_information": q_mutual_information,
+        "event_transitions": q_event_transitions,
         "heavy_hitters": q_heavy_hitters,
         "heavy_ngrams": q_heavy_ngrams,
         "soft_dedup_weights": q_soft_dedup_weights,
@@ -3051,6 +3063,13 @@ def oracle_sql() -> dict[str, str]:
         round(ln(c.n::DOUBLE * total / (nx * ny)), 6) AS pmi,
         round((c.n::DOUBLE / total) * ln(c.n::DOUBLE * total / (nx * ny)), 6) AS contrib
  FROM c JOIN rx USING (source) JOIN ry USING (lang), m""",
+        "event_transitions": """
+ WITH s AS (
+   SELECT event_type,
+          lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+   FROM events)
+ SELECT prev AS prev_type, event_type AS next_type, count(*)::BIGINT AS n
+ FROM s WHERE prev IS NOT NULL GROUP BY 1, 2""",
         "langid_confusion": f"""
  SELECT d.lang, p.pred_lang, count(*)::BIGINT AS n
  FROM documents d JOIN ({_lang_id_sql()}) p ON d.doc_id = p.doc_id

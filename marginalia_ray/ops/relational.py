@@ -2693,3 +2693,67 @@ def mutual_information(
         )
 
     return cells.map_batches(_final, batch_format="pyarrow", batch_size=None)
+
+
+def event_transitions(
+    ds,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+):
+    """First-order Markov transition counts over per-key event streams:
+    how often event type A is immediately followed by type B for the
+    same key — the funnel/path-mining primitive (and the bigram model
+    over user journeys).
+
+    One shuffle co-locates each key's events (same partitioning
+    assumption as sessionize/event_deltas: one key's events fit in one
+    group); within the group a vectorized lexsort by (ts, id) and an
+    Arrow slice-shift produce the adjacent pairs, which are PRE-COUNTED
+    per group so only (prev, next, partial) rows — bounded by the
+    |types|^2 contingency size, not the event count — enter the final
+    tiny groupby.
+
+    Output: (prev_type, next_type, n), one row per observed ordered
+    pair."""
+
+    def _g(group: pa.Table) -> pa.Table:
+        us = _to_epoch_us(group[ts_col], ts_col).to_numpy(zero_copy_only=False)
+        ids = group[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, us))
+        types = group[type_col].take(pa.array(order))
+        if len(types) < 2:
+            return pa.table(
+                {
+                    "prev_type": pa.array([], types.type),
+                    "next_type": pa.array([], types.type),
+                    "partial": pa.array([], pa.int64()),
+                }
+            )
+        pairs = pa.table(
+            {"prev_type": types.slice(0, len(types) - 1), "next_type": types.slice(1)}
+        )
+        g = pairs.combine_chunks().group_by(["prev_type", "next_type"]).aggregate(
+            [([], "count_all")]
+        )
+        return g.rename_columns(["prev_type", "next_type", "partial"])
+
+    counts = (
+        ds.groupby(key_col)
+        .map_groups(_g, batch_format="pyarrow")
+        .groupby(["prev_type", "next_type"])
+        .sum("partial")
+    )
+
+    def _final(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "prev_type": batch["prev_type"],
+                "next_type": batch["next_type"],
+                "n": batch["sum(partial)"].cast(pa.int64()),
+            }
+        )
+
+    return counts.map_batches(_final, batch_format="pyarrow")

@@ -274,3 +274,31 @@ class TestFlesch:
         assert (out["n_words"], out["n_sentences"], out["n_syllables"]) == (6, 2, 6)
         expected = round(206.835 - 1.015 * (6 / 2) - 84.6 * (6 / 6), 6)
         assert out["flesch"] == pytest.approx(expected, abs=1e-9)
+
+
+class TestEventTransitions:
+    def test_basic_chain(self, ray_session):
+        from marginalia_ray.ops.relational import event_transitions
+
+        rows = [
+            {"event_id": i, "user_id": 1, "ts": _ts(i), "event_type": t}
+            for i, t in enumerate(["view", "click", "view", "click", "buy"])
+        ]
+        got = {
+            (r["prev_type"], r["next_type"]): r["n"]
+            for r in event_transitions(_ds(rows)).take_all()
+        }
+        assert got == {("view", "click"): 2, ("click", "view"): 1, ("click", "buy"): 1}
+
+    def test_single_event_user_and_tie_break(self, ray_session):
+        from marginalia_ray.ops.relational import event_transitions
+
+        rows = [
+            {"event_id": 1, "user_id": 1, "ts": _ts(0), "event_type": "solo"},
+            # same ts for user 2: order falls back to event_id
+            {"event_id": 3, "user_id": 2, "ts": _ts(1), "event_type": "b"},
+            {"event_id": 2, "user_id": 2, "ts": _ts(1), "event_type": "a"},
+        ]
+        got = event_transitions(_ds(rows)).take_all()
+        assert len(got) == 1
+        assert (got[0]["prev_type"], got[0]["next_type"], got[0]["n"]) == ("a", "b", 1)

@@ -1346,6 +1346,45 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return event_transitions(ev)
 
+    def q_correlation_matrix(sf_dir: str):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+
+        from marginalia_ray.ops.relational import correlation_matrix
+
+        li = ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_quantity", "l_discount", "l_tax", "l_linenumber"],
+        )
+
+        def _units(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "qty": pa.array(
+                        np.round(
+                            b["l_quantity"].to_numpy(zero_copy_only=False)
+                        ).astype(np.int64)
+                    ),
+                    "disc": pa.array(
+                        np.round(
+                            b["l_discount"].to_numpy(zero_copy_only=False) * 100
+                        ).astype(np.int64)
+                    ),
+                    "tax": pa.array(
+                        np.round(
+                            b["l_tax"].to_numpy(zero_copy_only=False) * 100
+                        ).astype(np.int64)
+                    ),
+                    "lineno": b["l_linenumber"].cast(pa.int64()),
+                }
+            )
+
+        return correlation_matrix(
+            li.map_batches(_units, batch_format="pyarrow"),
+            ["qty", "disc", "tax", "lineno"],
+        )
+
     def q_training_shuffle(sf_dir: str):
         import ray.data
 
@@ -1409,6 +1448,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "training_shuffle": q_training_shuffle,
         "mutual_information": q_mutual_information,
         "event_transitions": q_event_transitions,
+        "correlation_matrix": q_correlation_matrix,
         "heavy_hitters": q_heavy_hitters,
         "heavy_ngrams": q_heavy_ngrams,
         "soft_dedup_weights": q_soft_dedup_weights,
@@ -2710,6 +2750,39 @@ def _training_shuffle_sql() -> str:
  FROM t5"""
 
 
+def _corr_sql() -> str:
+    """Mirrors ops/relational.correlation_matrix over the lineitem
+    integer units (qty, disc, tax, lineno): BIGINT moment sums, then
+    the identical double expression n*qxy - sx*sy over sqrt(...) per
+    pair, rounded to 6 dp.  All moments stay far below 2^53, so the
+    doubles are exact on both sides."""
+    cols = ["qty", "disc", "tax", "lineno"]
+    k = len(cols)
+    sums = ", ".join(f"sum(x{i})::BIGINT AS s{i}" for i in range(k))
+    prods = ", ".join(
+        f"sum(x{i}*x{j})::BIGINT AS q{i}_{j}"
+        for i in range(k)
+        for j in range(i, k)
+    )
+    pair_rows = []
+    for i in range(k):
+        for j in range(i + 1, k):
+            pair_rows.append(
+                f"SELECT '{cols[i]}' AS col_x, '{cols[j]}' AS col_y, "
+                f"round((n::DOUBLE * q{i}_{j} - s{i}::DOUBLE * s{j}) / "
+                f"sqrt((n::DOUBLE * q{i}_{i} - s{i}::DOUBLE * s{i}) * "
+                f"(n::DOUBLE * q{j}_{j} - s{j}::DOUBLE * s{j})), 6) AS corr FROM m"
+            )
+    union = "\n UNION ALL ".join(pair_rows)
+    return f"""
+ WITH t AS (SELECT CAST(round(l_quantity) AS BIGINT) AS x0,
+                   CAST(round(l_discount * 100) AS BIGINT) AS x1,
+                   CAST(round(l_tax * 100) AS BIGINT) AS x2,
+                   l_linenumber::BIGINT AS x3 FROM lineitem),
+ m AS (SELECT count(*)::BIGINT AS n, {sums}, {prods} FROM t)
+ {union}"""
+
+
 def _tfidf_sql() -> str:
     """Mirrors ops/text_ops.tfidf_topk: score = tf * (ln(N) - ln(df))
     (exactly that float expression, so both sides round identically),
@@ -3070,6 +3143,7 @@ def oracle_sql() -> dict[str, str]:
    FROM events)
  SELECT prev AS prev_type, event_type AS next_type, count(*)::BIGINT AS n
  FROM s WHERE prev IS NOT NULL GROUP BY 1, 2""",
+        "correlation_matrix": _corr_sql(),
         "langid_confusion": f"""
  SELECT d.lang, p.pred_lang, count(*)::BIGINT AS n
  FROM documents d JOIN ({_lang_id_sql()}) p ON d.doc_id = p.doc_id

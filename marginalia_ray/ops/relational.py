@@ -10,6 +10,8 @@ salted by day before this stage)."""
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -2757,3 +2759,90 @@ def event_transitions(
         )
 
     return counts.map_batches(_final, batch_format="pyarrow")
+
+
+def correlation_matrix(
+    ds,
+    cols: list[str],
+    *,
+    max_abs: int = 1 << 20,
+):
+    """Pairwise Pearson correlation over INTEGER-unit columns — the
+    feature-association profile (quantity vs discount vs tax ...) a
+    curation pipeline computes before weighting or stratifying.
+
+    Exactness: one streaming map computes per-batch int64 moments
+    (count, per-column sums, and the k x k product matrix V'V via one
+    numpy matmul); blocks reduce to a single moment vector through
+    ``Dataset.sum`` (no accumulation-order drift because every partial
+    is an exact integer).  The O(k^2) correlations are then evaluated
+    in doubles with the SAME expression tree as the SQL oracle and
+    rounded to 6 dp; all intermediates stay below 2^53 for inputs
+    within `max_abs` (guarded per batch with a loud error), so the
+    doubles are exact.
+
+    Output: (col_x, col_y, corr) for each unordered pair x < y (by
+    position in `cols`)."""
+
+    if len(cols) < 2:
+        raise ValueError("correlation_matrix: need at least two columns")
+    k = len(cols)
+    s_names = [f"s{i}" for i in range(k)]
+    q_names = [f"q{i}_{j}" for i in range(k) for j in range(i, k)]
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        vs = []
+        for c in cols:
+            col = batch[c]
+            if not pa.types.is_integer(col.type):
+                raise TypeError(
+                    f"correlation_matrix: {c!r} must be integer (exact "
+                    f"moments); got {col.type} — scale to units upstream"
+                )
+            if col.null_count:
+                raise TypeError(f"correlation_matrix: {c!r} has nulls")
+            v = col.to_numpy(zero_copy_only=False).astype(np.int64)
+            if len(v) and np.abs(v).max() >= max_abs:
+                raise ValueError(
+                    f"correlation_matrix: |{c}| >= {max_abs} would risk "
+                    "int64/double overflow in the moment sums"
+                )
+            vs.append(v)
+        V = np.stack(vs, axis=1) if vs[0].size else np.zeros((0, k), np.int64)
+        Q = V.T @ V
+        out = {"n": pa.array([batch.num_rows], pa.int64())}
+        for i in range(k):
+            out[s_names[i]] = pa.array([int(V[:, i].sum())], pa.int64())
+        for i in range(k):
+            for j in range(i, k):
+                out[f"q{i}_{j}"] = pa.array([int(Q[i, j])], pa.int64())
+        return pa.table(out)
+
+    moments = ds.map_batches(_partial, batch_format="pyarrow").sum(
+        ["n", *s_names, *q_names]
+    )
+
+    n = float(moments["sum(n)"])
+    S = [float(moments[f"sum(s{i})"]) for i in range(k)]
+    Q = {
+        (i, j): float(moments[f"sum(q{i}_{j})"])
+        for i in range(k)
+        for j in range(i, k)
+    }
+    xs, ys, cs = [], [], []
+    for i in range(k):
+        for j in range(i + 1, k):
+            num = n * Q[(i, j)] - S[i] * S[j]
+            den = math.sqrt((n * Q[(i, i)] - S[i] * S[i]) * (n * Q[(j, j)] - S[j] * S[j]))
+            xs.append(cols[i])
+            ys.append(cols[j])
+            cs.append(round(num / den, 6) if den > 0 else None)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "col_x": pa.array(xs, pa.string()),
+                "col_y": pa.array(ys, pa.string()),
+                "corr": pa.array(cs, pa.float64()),
+            }
+        )
+    )

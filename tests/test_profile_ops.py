@@ -682,3 +682,38 @@ class TestMutualInformation:
         rows = [{"source": str(i), "lang": str(i)} for i in range(10)]
         with pytest.raises(Exception, match="max_cells"):
             mutual_information(_ds(rows), max_cells=5).take_all()
+
+
+class TestCorrelationMatrix:
+    def test_perfect_positive_and_negative(self, ray_session):
+        from marginalia_ray.ops.relational import correlation_matrix
+
+        rows = [{"a": i, "b": 2 * i + 3, "c": -i} for i in range(10)]
+        got = {
+            (r["col_x"], r["col_y"]): r["corr"]
+            for r in correlation_matrix(_ds(rows), ["a", "b", "c"]).take_all()
+        }
+        assert got[("a", "b")] == 1.0
+        assert got[("a", "c")] == -1.0
+        assert got[("b", "c")] == -1.0
+
+    def test_constant_column_yields_null(self, ray_session):
+        from marginalia_ray.ops.relational import correlation_matrix
+
+        rows = [{"a": i, "b": 7} for i in range(5)]
+        got = correlation_matrix(_ds(rows), ["a", "b"]).take_all()
+        assert got[0]["corr"] is None
+
+    def test_guards(self, ray_session):
+        from marginalia_ray.ops.relational import correlation_matrix
+
+        with pytest.raises(ValueError):
+            correlation_matrix(_ds([{"a": 1}]), ["a"])
+        with pytest.raises(Exception, match="integer"):
+            correlation_matrix(
+                _ds([{"a": 1.5, "b": 2}]), ["a", "b"]
+            ).take_all()
+        with pytest.raises(Exception, match="overflow"):
+            correlation_matrix(
+                _ds([{"a": 1 << 30, "b": 2}]), ["a", "b"]
+            ).take_all()

@@ -1385,6 +1385,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["qty", "disc", "tax", "lineno"],
         )
 
+    def q_ks_statistic(sf_dir: str):
+        import ray.data
+
+        from marginalia_ray.ops.relational import ks_statistic
+
+        docs = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["source", "n_chars"]
+        )
+        return ks_statistic(docs, group_a="src0", group_b="src1")
+
     def q_training_shuffle(sf_dir: str):
         import ray.data
 
@@ -1449,6 +1459,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mutual_information": q_mutual_information,
         "event_transitions": q_event_transitions,
         "correlation_matrix": q_correlation_matrix,
+        "ks_statistic": q_ks_statistic,
         "heavy_hitters": q_heavy_hitters,
         "heavy_ngrams": q_heavy_ngrams,
         "soft_dedup_weights": q_soft_dedup_weights,
@@ -3144,6 +3155,18 @@ def oracle_sql() -> dict[str, str]:
  SELECT prev AS prev_type, event_type AS next_type, count(*)::BIGINT AS n
  FROM s WHERE prev IS NOT NULL GROUP BY 1, 2""",
         "correlation_matrix": _corr_sql(),
+        "ks_statistic": """
+ WITH t AS (SELECT n_chars AS v,
+        (CASE WHEN source = 'src0' THEN 1 ELSE 0 END)::BIGINT AS ca,
+        (CASE WHEN source = 'src1' THEN 1 ELSE 0 END)::BIGINT AS cb
+   FROM documents WHERE source IN ('src0', 'src1')),
+ g AS (SELECT v, sum(ca)::BIGINT AS ca, sum(cb)::BIGINT AS cb FROM t GROUP BY 1),
+ c AS (SELECT v, sum(ca) OVER (ORDER BY v)::BIGINT AS cum_a,
+              sum(cb) OVER (ORDER BY v)::BIGINT AS cum_b FROM g),
+ n AS (SELECT sum(ca)::BIGINT AS na, sum(cb)::BIGINT AS nb FROM g)
+ SELECT 'src0' AS group_a, 'src1' AS group_b, na AS n_a, nb AS n_b,
+        round(max(abs(cum_a::DOUBLE / na::DOUBLE - cum_b::DOUBLE / nb::DOUBLE)), 6) AS ks
+ FROM c, n GROUP BY na, nb""",
         "langid_confusion": f"""
  SELECT d.lang, p.pred_lang, count(*)::BIGINT AS n
  FROM documents d JOIN ({_lang_id_sql()}) p ON d.doc_id = p.doc_id

@@ -2846,3 +2846,95 @@ def correlation_matrix(
             }
         )
     )
+
+
+def ks_statistic(
+    ds,
+    *,
+    group_col: str = "source",
+    val_col: str = "n_chars",
+    group_a: str,
+    group_b: str,
+    max_distinct: int = 5_000_000,
+):
+    """Two-sample Kolmogorov-Smirnov statistic between the value
+    distributions of two groups — the distribution-drift test a
+    curation pipeline runs between sources / snapshots before mixing.
+
+    Exact, not sampled: one streaming map pre-counts (value, group)
+    occurrences per batch, one groupby reduces to the DISTINCT-VALUE
+    contingency (the same move as global_quantiles — the shuffle moves
+    #distinct rows, never #input rows), and a single-block finalize
+    sorts the values and takes max |ECDF_a - ECDF_b| over the exact
+    integer cumulative counts.  `max_distinct` guards the finalize
+    block with a loud error for continuous-valued columns (bin first).
+
+    Output: one row (group_a, group_b, n_a, n_b, ks), ks rounded to
+    6 dp with the division/abs expression shared with the SQL oracle."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        col = batch[val_col]
+        if not pa.types.is_integer(col.type):
+            raise TypeError(
+                f"ks_statistic: {val_col!r} must be integer-valued; got "
+                f"{col.type} — bin or scale to units upstream"
+            )
+        g = batch[group_col]
+        in_a = pc.equal(g, group_a)
+        in_b = pc.equal(g, group_b)
+        keep = pc.or_kleene(in_a, in_b)
+        t = pa.table(
+            {
+                "v": col,
+                "ca": pc.cast(in_a, pa.int64()),
+                "cb": pc.cast(in_b, pa.int64()),
+            }
+        ).filter(keep)
+        agg = t.group_by("v").aggregate([("ca", "sum"), ("cb", "sum")])
+        return agg.rename_columns(["v", "ca", "cb"])
+
+    counts = (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby("v")
+        .sum(["ca", "cb"])
+        .repartition(1)
+    )
+
+    def _final(block: pa.Table) -> pa.Table:
+        if block.num_rows > max_distinct:
+            raise RuntimeError(
+                f"ks_statistic: {block.num_rows} distinct values exceeds "
+                f"max_distinct={max_distinct} — bin the column first"
+            )
+        out_schema = {
+            "group_a": pa.string(),
+            "group_b": pa.string(),
+            "n_a": pa.int64(),
+            "n_b": pa.int64(),
+            "ks": pa.float64(),
+        }
+        if block.num_rows == 0:
+            return pa.table({k: pa.array([], t) for k, t in out_schema.items()})
+        v = block["v"].to_numpy(zero_copy_only=False)
+        ca = block["sum(ca)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cb = block["sum(cb)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(v, kind="stable")
+        cum_a = np.cumsum(ca[order])
+        cum_b = np.cumsum(cb[order])
+        na, nb = int(cum_a[-1]), int(cum_b[-1])
+        if na == 0 or nb == 0:
+            raise ValueError(
+                f"ks_statistic: group {'a' if na == 0 else 'b'} has no rows"
+            )
+        d = np.abs(cum_a.astype(np.float64) / float(na) - cum_b.astype(np.float64) / float(nb))
+        return pa.table(
+            {
+                "group_a": pa.array([group_a], pa.string()),
+                "group_b": pa.array([group_b], pa.string()),
+                "n_a": pa.array([na], pa.int64()),
+                "n_b": pa.array([nb], pa.int64()),
+                "ks": pa.array([round(float(d.max()), 6)], pa.float64()),
+            }
+        )
+
+    return counts.map_batches(_final, batch_format="pyarrow", batch_size=None)

@@ -717,3 +717,44 @@ class TestCorrelationMatrix:
             correlation_matrix(
                 _ds([{"a": 1 << 30, "b": 2}]), ["a", "b"]
             ).take_all()
+
+
+class TestKsStatistic:
+    def test_identical_distributions_zero(self, ray_session):
+        from marginalia_ray.ops.relational import ks_statistic
+
+        rows = [
+            {"source": s, "n_chars": v} for s in ("a", "b") for v in (1, 2, 3, 3, 9)
+        ]
+        got = ks_statistic(_ds(rows), group_a="a", group_b="b").take_all()
+        assert got == [
+            {"group_a": "a", "group_b": "b", "n_a": 5, "n_b": 5, "ks": 0.0}
+        ]
+
+    def test_disjoint_distributions_one(self, ray_session):
+        from marginalia_ray.ops.relational import ks_statistic
+
+        rows = [{"source": "a", "n_chars": v} for v in (1, 2)] + [
+            {"source": "b", "n_chars": v} for v in (10, 11, 12)
+        ]
+        got = ks_statistic(_ds(rows), group_a="a", group_b="b").take_all()[0]
+        assert got["ks"] == 1.0 and got["n_a"] == 2 and got["n_b"] == 3
+
+    def test_known_value_and_other_groups_ignored(self, ray_session):
+        from marginalia_ray.ops.relational import ks_statistic
+
+        # a: {1,2,3,4}; b: {3,4,5,6}; max |F_a - F_b| at v=2: 2/4 - 0 = 0.5
+        rows = (
+            [{"source": "a", "n_chars": v} for v in (1, 2, 3, 4)]
+            + [{"source": "b", "n_chars": v} for v in (3, 4, 5, 6)]
+            + [{"source": "noise", "n_chars": 999}] * 7
+        )
+        got = ks_statistic(_ds(rows), group_a="a", group_b="b").take_all()[0]
+        assert got["ks"] == 0.5
+
+    def test_empty_group_raises(self, ray_session):
+        from marginalia_ray.ops.relational import ks_statistic
+
+        rows = [{"source": "a", "n_chars": 1}]
+        with pytest.raises(Exception, match="no rows"):
+            ks_statistic(_ds(rows), group_a="a", group_b="b").take_all()

@@ -1385,6 +1385,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["qty", "disc", "tax", "lineno"],
         )
 
+    def q_triangle_count(sf_dir: str):
+        # same edge convention as pagerank_scores / graph_degree_stats:
+        # supplier -> part bucket (l_suppkey, l_partkey % 100)
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+
+        from marginalia_ray.ops.graph import triangle_count
+
+        li = ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet", columns=["l_suppkey", "l_partkey"]
+        )
+
+        def _edges(b: pa.Table) -> pa.Table:
+            pk = b["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table(
+                {
+                    "src": b["l_suppkey"].cast(pa.int64()),
+                    "dst": pa.array(pk % 100, pa.int64()),
+                }
+            )
+
+        return triangle_count(li.map_batches(_edges, batch_format="pyarrow"))
+
     def q_ks_statistic(sf_dir: str):
         import ray.data
 
@@ -1460,6 +1484,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_transitions": q_event_transitions,
         "correlation_matrix": q_correlation_matrix,
         "ks_statistic": q_ks_statistic,
+        "triangle_count": q_triangle_count,
         "heavy_hitters": q_heavy_hitters,
         "heavy_ngrams": q_heavy_ngrams,
         "soft_dedup_weights": q_soft_dedup_weights,
@@ -3167,6 +3192,14 @@ def oracle_sql() -> dict[str, str]:
  SELECT 'src0' AS group_a, 'src1' AS group_b, na AS n_a, nb AS n_b,
         round(max(abs(cum_a::DOUBLE / na::DOUBLE - cum_b::DOUBLE / nb::DOUBLE)), 6) AS ks
  FROM c, n GROUP BY na, nb""",
+        "triangle_count": """
+ WITH raw AS (SELECT l_suppkey AS a, l_partkey % 100 AS b FROM lineitem),
+ e AS (SELECT DISTINCT least(a, b) AS lo, greatest(a, b) AS hi FROM raw WHERE a <> b)
+ SELECT (SELECT count(DISTINCT n) FROM (SELECT lo AS n FROM e UNION SELECT hi FROM e))::BIGINT AS n_nodes,
+        (SELECT count(*) FROM e)::BIGINT AS n_edges,
+        (SELECT count(*) FROM e e1
+           JOIN e e2 ON e1.hi = e2.lo
+           JOIN e e3 ON e3.lo = e1.lo AND e3.hi = e2.hi)::BIGINT AS n_triangles""",
         "langid_confusion": f"""
  SELECT d.lang, p.pred_lang, count(*)::BIGINT AS n
  FROM documents d JOIN ({_lang_id_sql()}) p ON d.doc_id = p.doc_id

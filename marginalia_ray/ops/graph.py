@@ -912,3 +912,377 @@ def graph_degree_stats(edges, src_col: str = "src", dst_col: str = "dst"):
         )
 
     return agg.map_batches(_final, batch_format="pyarrow")
+
+
+_GOLD = U64(0x9E3779B97F4A7C15)
+
+
+def _pair_key(v: np.ndarray, w: np.ndarray) -> np.ndarray:
+    """Pair-determined uint64 key for co-partitioning (v, w) rows;
+    _groupby_key_blocks fmixes it again, so a cheap combine suffices."""
+    return v.astype(U64) * _GOLD + w.astype(U64)
+
+
+def _wedge_pairs(dst: np.ndarray, starts: np.ndarray):
+    """All ordered within-group pairs (dst[i], dst[j]), i < j, for groups
+    delimited by `starts` over a group-sorted array — fully vectorized
+    (the np.repeat/arange segment trick, no Python over groups)."""
+    n = len(dst)
+    ends = np.r_[starts[1:], n]
+    counts = ends - starts
+    grp_end = np.repeat(ends, counts)
+    rep = grp_end - np.arange(n) - 1
+    total = int(rep.sum())
+    vi = np.repeat(np.arange(n), rep)
+    offsets = np.cumsum(rep) - rep
+    wj = np.arange(total) - np.repeat(offsets, rep) + vi + 1
+    return dst[vi], dst[wj]
+
+
+def _pair_match_counts(
+    ev: np.ndarray,
+    ew: np.ndarray,
+    qv: np.ndarray,
+    qw: np.ndarray,
+    qcnt: np.ndarray,
+) -> int:
+    """Sum qcnt over query pairs (qv, qw) present in the DISTINCT edge
+    set (ev, ew).  Lookup is by sorted pair key with an EXACT (v, w)
+    verification of every hit, so a uint64 key collision can only cause
+    a loud error (duplicate key in a distinct edge set), never a silent
+    miscount."""
+    if len(ev) == 0 or len(qv) == 0:
+        return 0
+    ek = _pair_key(ev, ew)
+    order = np.argsort(ek, kind="stable")
+    ek, ev_s, ew_s = ek[order], ev[order], ew[order]
+    if (np.diff(ek) == 0).any():
+        raise RuntimeError(
+            "triangle_count: pair-key collision between distinct edges"
+        )
+    qk = _pair_key(qv, qw)
+    pos = np.searchsorted(ek, qk)
+    pos = np.minimum(pos, len(ek) - 1)
+    hit = (ek[pos] == qk) & (ev_s[pos] == qv) & (ew_s[pos] == qw)
+    return int(qcnt[hit].sum())
+
+
+def _count_pairs(v: np.ndarray, w: np.ndarray):
+    """Collapse duplicate (v, w) rows to (v, w, count) via one lexsort."""
+    if len(v) == 0:
+        return v, w, np.array([], np.int64)
+    order = np.lexsort((w, v))
+    v, w = v[order], w[order]
+    starts = np.flatnonzero(np.r_[True, (v[1:] != v[:-1]) | (w[1:] != w[:-1])])
+    cnt = np.diff(np.r_[starts, len(v)]).astype(np.int64)
+    return v[starts], w[starts], cnt
+
+
+def _orient_by_degree(lo, hi, dlo, dhi):
+    """Orient each canonical edge from the smaller (degree, id) endpoint
+    to the larger — the Suri-Vassilvitskii trick that bounds every
+    node's out-degree by O(sqrt(m)), so wedge generation is O(m^1.5)
+    total instead of sum(deg^2) on hub nodes."""
+    swap = (dhi < dlo) | ((dhi == dlo) & (hi < lo))
+    src = np.where(swap, hi, lo)
+    dst = np.where(swap, lo, hi)
+    ddst = np.where(swap, dlo, dhi)
+    return src, dst, ddst
+
+
+def _local_tri_block(block: pa.Table) -> pa.Table:
+    """Single-task triangle count over one block of DISTINCT canonical
+    edges: in-block degrees, degree orientation, wedge generation, and
+    sorted-pair membership — the same algorithm the distributed path
+    runs per partition."""
+    if block.num_rows == 0:
+        return pa.table(
+            {
+                "n_nodes": pa.array([0], pa.int64()),
+                "n_edges": pa.array([0], pa.int64()),
+                "n_triangles": pa.array([0], pa.int64()),
+            }
+        )
+    lo = block["lo"].to_numpy(zero_copy_only=False)
+    hi = block["hi"].to_numpy(zero_copy_only=False)
+    nodes, inv = np.unique(np.concatenate([lo, hi]), return_inverse=True)
+    deg = np.bincount(inv, minlength=len(nodes))
+    dlo, dhi = deg[inv[: len(lo)]], deg[inv[len(lo):]]
+    src, dst, ddst = _orient_by_degree(lo, hi, dlo, dhi)
+    order = np.lexsort((dst, ddst, src))
+    src_s, dst_s = src[order], dst[order]
+    starts = _group_starts(src_s)
+    wv, ww = _wedge_pairs(dst_s, starts)
+    # membership: wedge (v, w) closed iff oriented edge v -> w exists
+    tris = int(_pair_match_counts(src, dst, wv, ww, np.ones(len(wv), np.int64)))
+    return pa.table(
+        {
+            "n_nodes": pa.array([len(nodes)], pa.int64()),
+            "n_edges": pa.array([block.num_rows], pa.int64()),
+            "n_triangles": pa.array([tris], pa.int64()),
+        }
+    )
+
+
+def triangle_count(
+    edges,
+    a_col: str = "src",
+    b_col: str = "dst",
+    *,
+    local_cap: int = 2_000_000,
+    max_block_wedges: int = 200_000_000,
+    num_partitions: int | None = None,
+):
+    """Global triangle census over an undirected graph given as an edge
+    Dataset (a_col, b_col) — the classic web/link-graph statistic
+    (clustering structure, spam-farm detection).
+
+    The distributed path is the MapReduce algorithm of Suri &
+    Vassilvitskii (WWW'11): canonical-dedup the edges (one pair-keyed
+    shuffle), compute degrees (one node-keyed shuffle of edge-bounded
+    partials), orient each edge from its smaller (degree, id) endpoint
+    — bounding every out-neighborhood by O(sqrt(m)) — then generate
+    wedges per center (one src-keyed shuffle; within-partition numpy
+    segment pair generation, pre-counted per (v, w)) and close them
+    against the oriented edge set (one pair-keyed shuffle).  Total
+    work O(m^1.5), every stage a keyed shuffle of edge-bounded rows;
+    no driver-side graph state.  Graphs under `local_cap` edges take a
+    single-task fast path (same algorithm, one block), mirroring
+    connected_components' hybrid.
+
+    Degrees ride WITH the edges through the orientation stages (two
+    co-partition passes) instead of a broadcast, so hub-heavy graphs
+    with billions of nodes never materialize a driver/actor-side
+    degree table.
+
+    Output: one row (n_nodes, n_edges, n_triangles)."""
+
+    def _canon(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _empty_edges()
+        a = batch[a_col].to_numpy(zero_copy_only=False)
+        b = batch[b_col].to_numpy(zero_copy_only=False)
+        keep = a != b
+        a, b = a[keep], b[keep]
+        lo, hi = _uniq_edges(np.minimum(a, b), np.maximum(a, b))
+        return _edge_table(lo, hi)
+
+    def _dedup_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return _empty_edges()
+        lo, hi = _uniq_edges(
+            block["lo"].to_numpy(zero_copy_only=False),
+            block["hi"].to_numpy(zero_copy_only=False),
+        )
+        return _edge_table(lo, hi)
+
+    e0 = edges.map_batches(_canon, batch_format="pyarrow")
+    dedup_parts = num_partitions or _join_partitions()
+    e = _groupby_key_blocks(
+        e0,
+        lambda b: _pair_key(
+            b["lo"].to_numpy(zero_copy_only=False),
+            b["hi"].to_numpy(zero_copy_only=False),
+        ),
+        _dedup_block,
+        dedup_parts,
+    ).materialize()
+    n_edges = e.count()
+    import ray
+
+    if n_edges == 0:
+        return ray.data.from_arrow(_local_tri_block(_empty_edges()))
+    if n_edges <= local_cap:
+        return e.repartition(1).map_batches(
+            _local_tri_block, batch_format="pyarrow", batch_size=None
+        )
+    # partition count scales with the edge set (~100k edges each, up to
+    # the repo-wide cap) so small graphs don't pay per-partition fixed
+    # costs — the same sizing rule as connected_components
+    if num_partitions is None:
+        num_partitions = max(1, min(_join_partitions(), -(-n_edges // 100_000)))
+
+    # -- degrees: edge-bounded partials -> one node-keyed groupby --------
+    def _deg_partial(batch: pa.Table) -> pa.Table:
+        both = np.concatenate(
+            [
+                batch["lo"].to_numpy(zero_copy_only=False),
+                batch["hi"].to_numpy(zero_copy_only=False),
+            ]
+        )
+        u, c = np.unique(both, return_counts=True)
+        return pa.table(
+            {"node": pa.array(u, pa.int64()), "partial": pa.array(c, pa.int64())}
+        )
+
+    deg = (
+        e.map_batches(_deg_partial, batch_format="pyarrow")
+        .groupby("node")
+        .sum("partial")
+        .map_batches(
+            lambda b: pa.table({"node": b["node"], "deg": b["sum(partial)"]}),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    n_nodes = deg.count()
+
+    # -- attach deg(lo), deg(hi): two union-tagged co-partition passes ---
+    def _attach(e_ds, key_col: str, carry: list[str], out_col: str):
+        def _tag_edges(b: pa.Table) -> pa.Table:
+            cols = {"k": b[key_col]}
+            for c in ("lo", "hi", *carry):
+                cols[c] = b[c]
+            cols["d"] = pa.array(np.full(b.num_rows, -1, np.int64))
+            return pa.table(cols)
+
+        def _tag_deg(b: pa.Table) -> pa.Table:
+            neg = pa.array(np.full(b.num_rows, -1, np.int64))
+            cols = {"k": b["node"], "lo": neg, "hi": neg}
+            for c in carry:
+                cols[c] = neg
+            cols["d"] = b["deg"]
+            return pa.table(cols)
+
+        tagged = e_ds.map_batches(_tag_edges, batch_format="pyarrow").union(
+            deg.map_batches(_tag_deg, batch_format="pyarrow")
+        )
+
+        def _block(block: pa.Table) -> pa.Table:
+            out_cols = ["lo", "hi", *carry, out_col]
+            if block.num_rows == 0:
+                return pa.table(
+                    {c: pa.array([], pa.int64()) for c in out_cols}
+                )
+            d = block["d"].to_numpy(zero_copy_only=False)
+            k = block["k"].to_numpy(zero_copy_only=False)
+            is_deg = d >= 0
+            nodes, degs = k[is_deg], d[is_deg]
+            o = np.argsort(nodes, kind="stable")
+            nodes, degs = nodes[o], degs[o]
+            ek = k[~is_deg]
+            idx = np.searchsorted(nodes, ek)
+            if len(ek):
+                if len(nodes) == 0:
+                    raise RuntimeError(
+                        "triangle_count: partition has edges but no degree rows"
+                    )
+                idx = np.minimum(idx, len(nodes) - 1)
+                if (nodes[idx] != ek).any():
+                    raise RuntimeError(
+                        "triangle_count: endpoint missing from degree table"
+                    )
+            vals = {c: block[c].to_numpy(zero_copy_only=False)[~is_deg] for c in ("lo", "hi", *carry)}
+            vals[out_col] = degs[idx]
+            return pa.table({c: pa.array(vals[c], pa.int64()) for c in out_cols})
+
+        return _groupby_key_blocks(
+            tagged,
+            lambda b: b["k"].to_numpy(zero_copy_only=False),
+            _block,
+            num_partitions,
+        )
+
+    with_dlo = _attach(e, "lo", [], "dlo")
+    oriented_in = _attach(with_dlo, "hi", ["dlo"], "dhi")
+
+    def _orient(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in ("src", "dst", "ddst")})
+        src, dst, ddst = _orient_by_degree(
+            b["lo"].to_numpy(zero_copy_only=False),
+            b["hi"].to_numpy(zero_copy_only=False),
+            b["dlo"].to_numpy(zero_copy_only=False),
+            b["dhi"].to_numpy(zero_copy_only=False),
+        )
+        return pa.table(
+            {
+                "src": pa.array(src, pa.int64()),
+                "dst": pa.array(dst, pa.int64()),
+                "ddst": pa.array(ddst, pa.int64()),
+            }
+        )
+
+    oriented = oriented_in.map_batches(_orient, batch_format="pyarrow").materialize()
+
+    # -- wedges: per-center ordered pairs, pre-counted per (v, w) --------
+    def _wedge_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in ("v", "w", "cnt")})
+        src = block["src"].to_numpy(zero_copy_only=False)
+        dst = block["dst"].to_numpy(zero_copy_only=False)
+        ddst = block["ddst"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((dst, ddst, src))
+        src_s, dst_s = src[order], dst[order]
+        starts = _group_starts(src_s)
+        ends = np.r_[starts[1:], len(src_s)]
+        sizes = (ends - starts).astype(np.int64)
+        n_wedges = int((sizes * (sizes - 1) // 2).sum())
+        if n_wedges > max_block_wedges:
+            raise RuntimeError(
+                f"triangle_count: {n_wedges} wedges in one partition exceeds "
+                f"max_block_wedges={max_block_wedges} — raise num_partitions "
+                "(degree orientation bounds TOTAL wedges at O(m^1.5); a "
+                "single partition this hot means extreme skew)"
+            )
+        wv, ww = _wedge_pairs(dst_s, starts)
+        v, w, cnt = _count_pairs(wv, ww)
+        return pa.table(
+            {
+                "v": pa.array(v, pa.int64()),
+                "w": pa.array(w, pa.int64()),
+                "cnt": pa.array(cnt, pa.int64()),
+            }
+        )
+
+    wedges = _groupby_key_blocks(
+        oriented,
+        lambda b: b["src"].to_numpy(zero_copy_only=False),
+        _wedge_block,
+        num_partitions,
+    )
+
+    # -- close wedges against the oriented edge set ----------------------
+    def _edge_rows(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "v": b["src"],
+                "w": b["dst"],
+                "cnt": pa.array(np.full(b.num_rows, -1, np.int64)),
+            }
+        )
+
+    unioned = wedges.union(oriented.map_batches(_edge_rows, batch_format="pyarrow"))
+
+    def _close_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return pa.table({"tri": pa.array([], pa.int64())})
+        cnt = block["cnt"].to_numpy(zero_copy_only=False)
+        v = block["v"].to_numpy(zero_copy_only=False)
+        w = block["w"].to_numpy(zero_copy_only=False)
+        is_edge = cnt < 0
+        tri = _pair_match_counts(
+            v[is_edge], w[is_edge], v[~is_edge], w[~is_edge], cnt[~is_edge]
+        )
+        return pa.table({"tri": pa.array([tri], pa.int64())})
+
+    partials = _groupby_key_blocks(
+        unioned,
+        lambda b: _pair_key(
+            b["v"].to_numpy(zero_copy_only=False),
+            b["w"].to_numpy(zero_copy_only=False),
+        ),
+        _close_block,
+        num_partitions,
+    )
+    tris = int(partials.sum("tri") or 0)
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n_nodes": pa.array([n_nodes], pa.int64()),
+                "n_edges": pa.array([n_edges], pa.int64()),
+                "n_triangles": pa.array([tris], pa.int64()),
+            }
+        )
+    )

@@ -72,6 +72,8 @@ SESS_BIN_MIN = 5  # session_duration_histogram bin width (minutes)
 GLOBAL_QS = (0.25, 0.5, 0.75, 0.9, 0.99)  # global_quantiles probe points
 SHUF_SHARDS = 8  # training_shuffle shard count
 SHUF_SEED = 7  # training_shuffle epoch seed
+WS_K = 100  # weighted_sample size
+WS_SEED = 11  # weighted_sample seed
 
 
 def _docs(sf_dir: str):
@@ -1385,6 +1387,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["qty", "disc", "tax", "lineno"],
         )
 
+    def q_weighted_sample(sf_dir: str):
+        import ray.data
+
+        from marginalia_ray.ops.curation import weighted_sample
+
+        docs = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+        )
+        return weighted_sample(docs, k=WS_K, seed=WS_SEED)
+
     def q_triangle_count(sf_dir: str):
         # same edge convention as pagerank_scores / graph_degree_stats:
         # supplier -> part bucket (l_suppkey, l_partkey % 100)
@@ -1485,6 +1497,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "correlation_matrix": q_correlation_matrix,
         "ks_statistic": q_ks_statistic,
         "triangle_count": q_triangle_count,
+        "weighted_sample": q_weighted_sample,
         "heavy_hitters": q_heavy_hitters,
         "heavy_ngrams": q_heavy_ngrams,
         "soft_dedup_weights": q_soft_dedup_weights,
@@ -2786,6 +2799,39 @@ def _training_shuffle_sql() -> str:
  FROM t5"""
 
 
+def _weighted_sample_sql() -> str:
+    """Mirrors ops/curation.weighted_sample: u = (fmix64(fmix64(doc_id)
+    ^ seed) + 0.5) / 2^64, key = -ln(u)/n_chars (A-ES, Efraimidis &
+    Spirakis), k smallest exact keys win (doc_id tie-break), key shown
+    rounded to 6 dp.  Same exact-uint64 multiply-mod-2^64 CTE chain as
+    _training_shuffle_sql."""
+    M64 = 18446744073709551616
+    C1, C2 = 0xFF51AFD7ED558CCD, 0xC4CEB9FE1A85EC53
+
+    def mul(c: int) -> str:
+        return (
+            f"((((x // 4294967296) * {c}) % 4294967296) * 4294967296"
+            f" + (x % 4294967296) * {c}) % {M64}"
+        )
+
+    fmix = f"""
+ __P1 AS (SELECT doc_id, xor(x, x >> 33) AS x FROM __P0),
+ __P2 AS (SELECT doc_id, {mul(C1)} AS x FROM __P1),
+ __P3 AS (SELECT doc_id, xor(x, x >> 33) AS x FROM __P2),
+ __P4 AS (SELECT doc_id, {mul(C2)} AS x FROM __P3),
+ __P5 AS (SELECT doc_id, xor(x, x >> 33) AS x FROM __P4)"""
+    return f"""
+ WITH s0 AS (SELECT doc_id, ((doc_id::HUGEINT % {M64}) + {M64}) % {M64} AS x FROM documents),
+{fmix.replace("__P", "s")},
+ t0 AS (SELECT doc_id, xor(x, {WS_SEED}) AS x FROM s5),
+{fmix.replace("__P", "t")},
+ keyed AS (SELECT t5.doc_id, d.n_chars::DOUBLE AS weight,
+        -ln((t5.x::DOUBLE + 0.5) / 18446744073709551616.0) / d.n_chars::DOUBLE AS key_exact
+   FROM t5 JOIN documents d ON t5.doc_id = d.doc_id)
+ SELECT doc_id, weight, round(key_exact, 6) AS key
+ FROM keyed ORDER BY key_exact, doc_id LIMIT {WS_K}"""
+
+
 def _corr_sql() -> str:
     """Mirrors ops/relational.correlation_matrix over the lineitem
     integer units (qty, disc, tax, lineno): BIGINT moment sums, then
@@ -3200,6 +3246,7 @@ def oracle_sql() -> dict[str, str]:
         (SELECT count(*) FROM e e1
            JOIN e e2 ON e1.hi = e2.lo
            JOIN e e3 ON e3.lo = e1.lo AND e3.hi = e2.hi)::BIGINT AS n_triangles""",
+        "weighted_sample": _weighted_sample_sql(),
         "langid_confusion": f"""
  SELECT d.lang, p.pred_lang, count(*)::BIGINT AS n
  FROM documents d JOIN ({_lang_id_sql()}) p ON d.doc_id = p.doc_id

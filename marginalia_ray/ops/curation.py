@@ -1386,3 +1386,84 @@ def training_shuffle(ds, id_col: str = "doc_id", n_shards: int = 16, seed: int =
     return keyed.groupby("shard", num_partitions=min(n_shards, 64)).map_groups(
         _rank, batch_format="pyarrow"
     )
+
+
+def weighted_sample(
+    ds,
+    *,
+    id_col: str = "doc_id",
+    weight_col: str = "n_chars",
+    k: int = 200,
+    seed: int = 0,
+):
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006, the A-ES scheme): each row gets key = -ln(u)/w with a
+    seeded per-id uniform u, and the k SMALLEST keys win — equivalent to
+    sequential weighted draws, but embarrassingly parallel and exactly
+    reproducible across runs/engines (u comes from fmix64, not an RNG).
+
+    One streaming pass computes keys and keeps a per-block top-k; the
+    O(k x #blocks) partials merge in a single final block — no shuffle
+    of the corpus.  The key double is built from the same expression
+    tree as the SQL oracle (uint64 -> double, +0.5, /2^64, ln), so both
+    engines select the identical sample.
+
+    Output: (<id_col>, weight, key), key rounded to 6 dp for display;
+    selection and ordering use the exact double."""
+
+    from marginalia_ray.ops.dedup import U64, _fmix64_vec
+
+    if k <= 0:
+        raise ValueError("weighted_sample: k must be positive")
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        ids_arr = batch[id_col]
+        if not pa.types.is_integer(ids_arr.type):
+            raise TypeError(f"weighted_sample: {id_col!r} must be integer")
+        ids = ids_arr.to_numpy(zero_copy_only=False).astype(np.int64)
+        w = batch[weight_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        if len(w) and w.min() <= 0:
+            raise ValueError("weighted_sample: weights must be strictly positive")
+        x = _fmix64_vec(_fmix64_vec(ids.astype(U64)) ^ U64(seed))
+        u = (x.astype(np.float64) + 0.5) / 18446744073709551616.0
+        key = -np.log(u) / w
+        if len(key) > k:
+            idx = np.argpartition(key, k)[:k]
+        else:
+            idx = np.arange(len(key))
+        take = pa.array(idx)
+        return pa.table(
+            {
+                id_col: batch[id_col].take(take),
+                "weight": pa.array(w[idx], pa.float64()),
+                "_key": pa.array(key[idx], pa.float64()),
+            }
+        )
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow").repartition(1)
+
+    def _final(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "weight": pa.array([], pa.float64()),
+                    "key": pa.array([], pa.float64()),
+                }
+            )
+        block = block.sort_by([("_key", "ascending"), (id_col, "ascending")])
+        n = min(k, block.num_rows)
+        return pa.table(
+            {
+                id_col: block[id_col].slice(0, n),
+                "weight": block["weight"].slice(0, n),
+                "key": pa.array(
+                    np.round(
+                        block["_key"].to_numpy(zero_copy_only=False)[:n], 6
+                    ),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return partials.map_batches(_final, batch_format="pyarrow", batch_size=None)

@@ -758,3 +758,39 @@ class TestKsStatistic:
         rows = [{"source": "a", "n_chars": 1}]
         with pytest.raises(Exception, match="no rows"):
             ks_statistic(_ds(rows), group_a="a", group_b="b").take_all()
+
+
+class TestWeightedSample:
+    def test_deterministic_and_k_bounded(self, ray_session):
+        from marginalia_ray.ops.curation import weighted_sample
+
+        rows = [{"doc_id": i, "n_chars": 10 + i} for i in range(50)]
+        a = weighted_sample(_ds(rows), k=10, seed=3).take_all()
+        b = weighted_sample(_ds(rows), k=10, seed=3).take_all()
+        assert a == b and len(a) == 10
+        assert len({r["doc_id"] for r in a}) == 10
+
+    def test_seed_changes_sample(self, ray_session):
+        from marginalia_ray.ops.curation import weighted_sample
+
+        rows = [{"doc_id": i, "n_chars": 10 + i} for i in range(200)]
+        a = {r["doc_id"] for r in weighted_sample(_ds(rows), k=20, seed=1).take_all()}
+        b = {r["doc_id"] for r in weighted_sample(_ds(rows), k=20, seed=2).take_all()}
+        assert a != b
+
+    def test_weight_bias(self, ray_session):
+        from marginalia_ray.ops.curation import weighted_sample
+
+        # one id with overwhelming weight is (essentially) always drawn
+        rows = [{"doc_id": i, "n_chars": 1} for i in range(100)]
+        rows.append({"doc_id": 999, "n_chars": 10_000_000})
+        got = {r["doc_id"] for r in weighted_sample(_ds(rows), k=5, seed=4).take_all()}
+        assert 999 in got
+
+    def test_positive_weight_guard(self, ray_session):
+        from marginalia_ray.ops.curation import weighted_sample
+
+        with pytest.raises(Exception, match="positive"):
+            weighted_sample(
+                _ds([{"doc_id": 1, "n_chars": 0}]), k=1
+            ).take_all()

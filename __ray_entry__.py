@@ -1387,6 +1387,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["qty", "disc", "tax", "lineno"],
         )
 
+    def q_diversity_by_key(sf_dir: str):
+        import ray.data
+
+        from marginalia_ray.ops.relational import diversity_by_key
+
+        docs = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["source", "lang"]
+        )
+        return diversity_by_key(docs)
+
     def q_weighted_sample(sf_dir: str):
         import ray.data
 
@@ -1498,6 +1508,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ks_statistic": q_ks_statistic,
         "triangle_count": q_triangle_count,
         "weighted_sample": q_weighted_sample,
+        "diversity_by_key": q_diversity_by_key,
         "heavy_hitters": q_heavy_hitters,
         "heavy_ngrams": q_heavy_ngrams,
         "soft_dedup_weights": q_soft_dedup_weights,
@@ -3247,6 +3258,18 @@ def oracle_sql() -> dict[str, str]:
            JOIN e e2 ON e1.hi = e2.lo
            JOIN e e3 ON e3.lo = e1.lo AND e3.hi = e2.hi)::BIGINT AS n_triangles""",
         "weighted_sample": _weighted_sample_sql(),
+        "diversity_by_key": """
+ WITH c AS (SELECT source, lang, count(*)::BIGINT AS n FROM documents GROUP BY 1, 2),
+ t AS (SELECT source, lang, n,
+        CAST(round(n::DOUBLE * ln(n::DOUBLE) * 1000000) AS BIGINT) AS t_us
+   FROM c),
+ g AS (SELECT source, sum(n)::BIGINT AS total, count(*)::BIGINT AS n_distinct,
+        sum(t_us)::BIGINT AS t_sum, sum(n * n)::BIGINT AS sq
+   FROM t GROUP BY 1)
+ SELECT source, total AS n, n_distinct,
+        round(ln(total::DOUBLE) - (t_sum::DOUBLE / 1000000.0) / total::DOUBLE, 6) AS entropy,
+        round(1.0 - sq::DOUBLE / (total::DOUBLE * total::DOUBLE), 6) AS simpson
+ FROM g""",
         "langid_confusion": f"""
  SELECT d.lang, p.pred_lang, count(*)::BIGINT AS n
  FROM documents d JOIN ({_lang_id_sql()}) p ON d.doc_id = p.doc_id

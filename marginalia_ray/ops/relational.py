@@ -2938,3 +2938,94 @@ def ks_statistic(
         )
 
     return counts.map_batches(_final, batch_format="pyarrow", batch_size=None)
+
+
+def diversity_by_key(
+    ds,
+    *,
+    key_col: str = "source",
+    cat_col: str = "lang",
+    max_cells: int = 5_000_000,
+):
+    """Per-key diversity profile of a categorical column: Shannon
+    entropy (nats), Simpson index (1 - sum p^2) and distinct count —
+    the per-source language/topic balance screen a mixture designer
+    reads before weighting.
+
+    One (key, category) count shuffle (per-batch partials first); the
+    finalize works over the contingency cells alone, grouped per key
+    with vectorized segment sums — never the input rows.
+
+    Exactness: float sums across cells are accumulation-ORDER-dependent,
+    so neither side sums doubles.  Simpson comes from the exact integer
+    sum of n_i^2; entropy uses ln(N) - sum(round(n_i*ln(n_i)*1e6))/1e6/N
+    — the inner terms are scaled to int64 micro-units before the sum, so
+    both engines add identical integers in any order; doubles appear
+    only per cell and in the final O(#keys) expression (shared with the
+    SQL oracle), rounded to 6 dp.
+
+    Output: (<key_col>, n, n_distinct, entropy, simpson)."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        g = (
+            pa.table({"k": batch[key_col], "c": batch[cat_col]})
+            .group_by(["k", "c"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["k", "c", "partial"])
+
+    cells = (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby(["k", "c"])
+        .sum("partial")
+        .repartition(1)
+    )
+
+    def _final(block: pa.Table) -> pa.Table:
+        if block.num_rows > max_cells:
+            raise RuntimeError(
+                f"diversity_by_key: {block.num_rows} contingency cells "
+                f"exceeds max_cells={max_cells} — the category column is "
+                "not categorical; bin it first"
+            )
+        if block.num_rows == 0:
+            return pa.table(
+                {
+                    key_col: pa.array([], block["k"].type),
+                    "n": pa.array([], pa.int64()),
+                    "n_distinct": pa.array([], pa.int64()),
+                    "entropy": pa.array([], pa.float64()),
+                    "simpson": pa.array([], pa.float64()),
+                }
+            )
+        block = block.sort_by([("k", "ascending"), ("c", "ascending")])
+        keys = block["k"]
+        n = block["sum(partial)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        kn = keys.to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, kn[1:] != kn[:-1]])
+        if int(n.max()) >= 3_000_000_000:
+            raise RuntimeError(
+                "diversity_by_key: a contingency cell exceeds 3e9 rows — "
+                "n^2 would overflow int64; shard the key upstream"
+            )
+        nf = n.astype(np.float64)
+        # int64 micro-unit entropy terms: order-independent exact sums
+        t_us = np.round(nf * np.log(nf) * 1e6).astype(np.int64)
+        T = np.add.reduceat(t_us, starts)
+        sq = np.add.reduceat(n * n, starts)
+        totals = np.add.reduceat(n, starts)
+        Nf = totals.astype(np.float64)
+        ent = np.log(Nf) - (T.astype(np.float64) / 1e6) / Nf
+        simp = 1.0 - sq.astype(np.float64) / (Nf * Nf)
+        n_dist = np.diff(np.r_[starts, len(n)]).astype(np.int64)
+        return pa.table(
+            {
+                key_col: keys.take(pa.array(starts)),
+                "n": pa.array(totals),
+                "n_distinct": pa.array(n_dist),
+                "entropy": pa.array(np.round(ent, 6), pa.float64()),
+                "simpson": pa.array(np.round(simp, 6), pa.float64()),
+            }
+        )
+
+    return cells.map_batches(_final, batch_format="pyarrow", batch_size=None)

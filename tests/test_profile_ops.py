@@ -794,3 +794,35 @@ class TestWeightedSample:
             weighted_sample(
                 _ds([{"doc_id": 1, "n_chars": 0}]), k=1
             ).take_all()
+
+
+class TestDiversityByKey:
+    def test_uniform_two_categories(self, ray_session):
+        import math
+
+        from marginalia_ray.ops.relational import diversity_by_key
+
+        rows = [{"source": "s", "lang": l} for l in ("en", "fr") for _ in range(5)]
+        got = diversity_by_key(_ds(rows)).take_all()
+        assert len(got) == 1
+        r = got[0]
+        assert r["n"] == 10 and r["n_distinct"] == 2
+        assert abs(r["entropy"] - math.log(2)) < 1e-5
+        assert r["simpson"] == 0.5
+
+    def test_single_category_zero_diversity(self, ray_session):
+        from marginalia_ray.ops.relational import diversity_by_key
+
+        rows = [{"source": "s", "lang": "en"}] * 7
+        r = diversity_by_key(_ds(rows)).take_all()[0]
+        assert r["entropy"] == 0.0 and r["simpson"] == 0.0 and r["n_distinct"] == 1
+
+    def test_keys_independent(self, ray_session):
+        from marginalia_ray.ops.relational import diversity_by_key
+
+        rows = [{"source": "a", "lang": "en"}] * 3 + [
+            {"source": "b", "lang": l} for l in ("en", "fr", "de")
+        ]
+        got = {r["source"]: r for r in diversity_by_key(_ds(rows)).take_all()}
+        assert got["a"]["n_distinct"] == 1 and got["b"]["n_distinct"] == 3
+        assert got["b"]["simpson"] > got["a"]["simpson"]

@@ -74,6 +74,7 @@ SHUF_SHARDS = 8  # training_shuffle shard count
 SHUF_SEED = 7  # training_shuffle epoch seed
 WS_K = 100  # weighted_sample size
 WS_SEED = 11  # weighted_sample seed
+BPE_TRAIN_MERGES = 10  # bpe_train rounds (tools/regen_bpe_golden.py in sync)
 
 
 def _docs(sf_dir: str):
@@ -1387,6 +1388,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["qty", "disc", "tax", "lineno"],
         )
 
+    def q_bpe_train(sf_dir: str):
+        import ray.data
+
+        from marginalia_ray.ops.bpe import bpe_train
+
+        docs = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["text"]
+        )
+        return bpe_train(docs, n_merges=BPE_TRAIN_MERGES, min_count=2)
+
     def q_diversity_by_key(sf_dir: str):
         import ray.data
 
@@ -1509,6 +1520,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_count": q_triangle_count,
         "weighted_sample": q_weighted_sample,
         "diversity_by_key": q_diversity_by_key,
+        "bpe_train": q_bpe_train,
         "heavy_hitters": q_heavy_hitters,
         "heavy_ngrams": q_heavy_ngrams,
         "soft_dedup_weights": q_soft_dedup_weights,
@@ -2810,6 +2822,46 @@ def _training_shuffle_sql() -> str:
  FROM t5"""
 
 
+def _bpe_train_sql() -> str:
+    """Golden oracle for the iterative BPE trainer: the merge loop is
+    not SQL-expressible, so the expected merge table comes from the
+    INDEPENDENT sequential reference implementation
+    (tools/bpe_reference.py — Counter + left-to-right greedy scan,
+    none of the engine's vectorized code), checked in at
+    marginalia_ray/golden/bpe_train.json by tools/regen_bpe_golden.py
+    and inlined as VALUES dispatched on the corpus content key
+    (sum(length(text)), same convention as _marginalia_search_sql)."""
+    import json
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "marginalia_ray",
+        "golden",
+        "bpe_train.json",
+    )
+    with open(path) as f:
+        golden = json.load(f)
+    parts = []
+    for key, rows in golden.items():
+        if key.startswith("_"):
+            continue
+        vals = ",".join(
+            f"({r['step']},'{r['left']}','{r['right']}','{r['merged']}',{r['n']})"
+            for r in rows
+        )
+        parts.append(
+            f"SELECT * FROM (VALUES {vals}) AS g(step, lft, rgt, merged, n)\n"
+            f" WHERE (SELECT sum(length(text)) FROM documents) = {key}"
+        )
+    return (
+        "SELECT step::BIGINT AS step, lft AS left, rgt AS right, merged,"
+        " n::BIGINT AS n FROM (\n"
+        + "\nUNION ALL\n".join(parts)
+        + "\n)"
+    )
+
+
 def _weighted_sample_sql() -> str:
     """Mirrors ops/curation.weighted_sample: u = (fmix64(fmix64(doc_id)
     ^ seed) + 0.5) / 2^64, key = -ln(u)/n_chars (A-ES, Efraimidis &
@@ -3270,6 +3322,7 @@ def oracle_sql() -> dict[str, str]:
         round(ln(total::DOUBLE) - (t_sum::DOUBLE / 1000000.0) / total::DOUBLE, 6) AS entropy,
         round(1.0 - sq::DOUBLE / (total::DOUBLE * total::DOUBLE), 6) AS simpson
  FROM g""",
+        "bpe_train": _bpe_train_sql(),
         "langid_confusion": f"""
  SELECT d.lang, p.pred_lang, count(*)::BIGINT AS n
  FROM documents d JOIN ({_lang_id_sql()}) p ON d.doc_id = p.doc_id

@@ -1420,9 +1420,15 @@ def weighted_sample(
         ids_arr = batch[id_col]
         if not pa.types.is_integer(ids_arr.type):
             raise TypeError(f"weighted_sample: {id_col!r} must be integer")
+        if ids_arr.null_count:
+            raise TypeError(f"weighted_sample: {id_col!r} has nulls")
         ids = ids_arr.to_numpy(zero_copy_only=False).astype(np.int64)
-        w = batch[weight_col].to_numpy(zero_copy_only=False).astype(np.float64)
-        if len(w) and w.min() <= 0:
+        w_arr = batch[weight_col]
+        if w_arr.null_count:
+            raise ValueError(f"weighted_sample: {weight_col!r} has nulls")
+        w = w_arr.to_numpy(zero_copy_only=False).astype(np.float64)
+        # (w > 0).all() rejects NaN too — NaN compares False
+        if len(w) and not (w > 0).all():
             raise ValueError("weighted_sample: weights must be strictly positive")
         x = _fmix64_vec(_fmix64_vec(ids.astype(U64)) ^ U64(seed))
         u = (x.astype(np.float64) + 0.5) / 18446744073709551616.0

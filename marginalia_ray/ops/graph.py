@@ -990,11 +990,14 @@ def _orient_by_degree(lo, hi, dlo, dhi):
     return src, dst, ddst
 
 
-def _local_tri_block(block: pa.Table) -> pa.Table:
+def _local_tri_block(block: pa.Table, max_wedges: int | None = None) -> pa.Table:
     """Single-task triangle count over one block of DISTINCT canonical
     edges: in-block degrees, degree orientation, wedge generation, and
     sorted-pair membership — the same algorithm the distributed path
-    runs per partition."""
+    runs per partition.  `max_wedges` applies the same loud guard as
+    the distributed path's per-partition check (a dense graph can sit
+    under the edge-count fast-path cap while its wedge set is still
+    O(m^1.5) ~ billions)."""
     if block.num_rows == 0:
         return pa.table(
             {
@@ -1012,6 +1015,16 @@ def _local_tri_block(block: pa.Table) -> pa.Table:
     order = np.lexsort((dst, ddst, src))
     src_s, dst_s = src[order], dst[order]
     starts = _group_starts(src_s)
+    if max_wedges is not None:
+        ends = np.r_[starts[1:], len(src_s)]
+        sizes = (ends - starts).astype(np.int64)
+        n_wedges = int((sizes * (sizes - 1) // 2).sum())
+        if n_wedges > max_wedges:
+            raise RuntimeError(
+                f"triangle_count: {n_wedges} wedges exceeds "
+                f"max_block_wedges={max_wedges} on the single-task fast "
+                "path — set local_cap=0 to force the distributed path"
+            )
     wv, ww = _wedge_pairs(dst_s, starts)
     # membership: wedge (v, w) closed iff oriented edge v -> w exists
     tris = int(_pair_match_counts(src, dst, wv, ww, np.ones(len(wv), np.int64)))
@@ -1094,7 +1107,9 @@ def triangle_count(
         return ray.data.from_arrow(_local_tri_block(_empty_edges()))
     if n_edges <= local_cap:
         return e.repartition(1).map_batches(
-            _local_tri_block, batch_format="pyarrow", batch_size=None
+            lambda b: _local_tri_block(b, max_block_wedges),
+            batch_format="pyarrow",
+            batch_size=None,
         )
     # partition count scales with the edge set (~100k edges each, up to
     # the repo-wide cap) so small graphs don't pay per-partition fixed

@@ -2822,6 +2822,17 @@ def correlation_matrix(
         ["n", *s_names, *q_names]
     )
 
+    # post-hoc global overflow certificate: every true |moment| is
+    # bounded by n_rows * max_abs^2, so if that bound fits in int64 the
+    # Arrow sums above cannot have wrapped; n itself (a row count)
+    # cannot overflow first
+    n_rows = int(moments["sum(n)"])
+    if n_rows * max_abs * max_abs >= (1 << 62):
+        raise ValueError(
+            f"correlation_matrix: {n_rows} rows x max_abs^2 ({max_abs}^2) "
+            "exceeds the int64-safe moment bound — lower max_abs (and "
+            "pre-scale the columns) for corpora this large"
+        )
     n = float(moments["sum(n)"])
     S = [float(moments[f"sum(s{i})"]) for i in range(k)]
     Q = {
@@ -3003,9 +3014,13 @@ def diversity_by_key(
         n = block["sum(partial)"].to_numpy(zero_copy_only=False).astype(np.int64)
         kn = keys.to_numpy(zero_copy_only=False)
         starts = np.flatnonzero(np.r_[True, kn[1:] != kn[:-1]])
-        if int(n.max()) >= 3_000_000_000:
+        totals = np.add.reduceat(n, starts)
+        # per-KEY total bound: sum(n_i^2) <= total^2, so total < 3e9
+        # certifies the int64 sums below (the entropy micro-unit sum is
+        # bounded by total * ln(total) * 1e6 ~ 6.6e16, far safer)
+        if int(totals.max()) >= 3_000_000_000:
             raise RuntimeError(
-                "diversity_by_key: a contingency cell exceeds 3e9 rows — "
+                "diversity_by_key: a key exceeds 3e9 rows — its sum of "
                 "n^2 would overflow int64; shard the key upstream"
             )
         nf = n.astype(np.float64)
@@ -3013,7 +3028,6 @@ def diversity_by_key(
         t_us = np.round(nf * np.log(nf) * 1e6).astype(np.int64)
         T = np.add.reduceat(t_us, starts)
         sq = np.add.reduceat(n * n, starts)
-        totals = np.add.reduceat(n, starts)
         Nf = totals.astype(np.float64)
         ent = np.log(Nf) - (T.astype(np.float64) / 1e6) / Nf
         simp = 1.0 - sq.astype(np.float64) / (Nf * Nf)

@@ -826,3 +826,30 @@ class TestDiversityByKey:
         got = {r["source"]: r for r in diversity_by_key(_ds(rows)).take_all()}
         assert got["a"]["n_distinct"] == 1 and got["b"]["n_distinct"] == 3
         assert got["b"]["simpson"] > got["a"]["simpson"]
+
+
+class TestGuardHardening:
+    """Regression tests for the session-5 review findings: guards must
+    cover accumulated/global quantities, not just per-batch values."""
+
+    def test_correlation_global_overflow_guard(self, ray_session):
+        from marginalia_ray.ops.relational import correlation_matrix
+
+        # per-value magnitudes pass, but rows x max_abs^2 breaches the
+        # int64-safe bound -> loud error instead of silent wraparound
+        rows = [{"a": 1000, "b": 1000}] * 10
+        with pytest.raises(Exception, match="int64-safe"):
+            correlation_matrix(_ds(rows), ["a", "b"], max_abs=1 << 31)
+
+    def test_weighted_sample_nan_and_null_weights(self, ray_session):
+        from marginalia_ray.ops.curation import weighted_sample
+
+        with pytest.raises(Exception, match="positive"):
+            weighted_sample(
+                _ds([{"doc_id": 1, "n_chars": float("nan")}]), k=1
+            ).take_all()
+        with pytest.raises(Exception, match="null"):
+            weighted_sample(
+                _ds([{"doc_id": 1, "n_chars": None}, {"doc_id": 2, "n_chars": 3}]),
+                k=1,
+            ).take_all()

@@ -94,3 +94,13 @@ def test_hub_wedge_guard(ray_session):
         triangle_count(
             _edges(k10), local_cap=0, max_block_wedges=10, num_partitions=2
         ).take_all()
+
+
+def test_local_path_wedge_guard(ray_session):
+    from marginalia_ray.ops.graph import triangle_count
+
+    # dense graph under the edge fast-path cap must still hit the wedge
+    # guard on the single-task path
+    k10 = [(a, b) for a, b in combinations(range(10), 2)]
+    with pytest.raises(Exception, match="single-task fast path"):
+        triangle_count(_edges(k10), max_block_wedges=10).take_all()

@@ -75,6 +75,8 @@ SHUF_SEED = 7  # training_shuffle epoch seed
 WS_K = 100  # weighted_sample size
 WS_SEED = 11  # weighted_sample seed
 BPE_TRAIN_MERGES = 10  # bpe_train rounds (tools/regen_bpe_golden.py in sync)
+BLOCKLIST = ("slow", "error", "broken")  # blocklist_filter fixture terms
+BLOCKLIST_MAX = 2  # blocklist_filter max_hits
 
 
 def _docs(sf_dir: str):
@@ -1388,6 +1390,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["qty", "disc", "tax", "lineno"],
         )
 
+    def q_blocklist_filter(sf_dir: str):
+        import ray.data
+
+        from marginalia_ray.ops.text_ops import blocklist_filter
+
+        docs = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        return blocklist_filter(docs, list(BLOCKLIST), max_hits=BLOCKLIST_MAX)
+
     def q_bpe_train(sf_dir: str):
         import ray.data
 
@@ -1521,6 +1533,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample": q_weighted_sample,
         "diversity_by_key": q_diversity_by_key,
         "bpe_train": q_bpe_train,
+        "blocklist_filter": q_blocklist_filter,
         "heavy_hitters": q_heavy_hitters,
         "heavy_ngrams": q_heavy_ngrams,
         "soft_dedup_weights": q_soft_dedup_weights,
@@ -2862,6 +2875,21 @@ def _bpe_train_sql() -> str:
     )
 
 
+def _blocklist_sql() -> str:
+    """Mirrors ops/text_ops.blocklist_filter: RE2 word-boundary counts
+    per term over lowercased text, summed; keep = total <= max_hits."""
+    # single literal backslash: DuckDB string literals are not
+    # backslash-escaped, so '\b...' reaches RE2 as the word boundary
+    bs = "\\" + "b"
+    hits = " + ".join(
+        f"len(regexp_extract_all(lower(text), '{bs}{t}{bs}'))" for t in BLOCKLIST
+    )
+    return f"""
+ SELECT doc_id, ({hits})::BIGINT AS n_blocked,
+        ({hits}) <= {BLOCKLIST_MAX} AS keep
+ FROM documents"""
+
+
 def _weighted_sample_sql() -> str:
     """Mirrors ops/curation.weighted_sample: u = (fmix64(fmix64(doc_id)
     ^ seed) + 0.5) / 2^64, key = -ln(u)/n_chars (A-ES, Efraimidis &
@@ -3323,6 +3351,7 @@ def oracle_sql() -> dict[str, str]:
         round(1.0 - sq::DOUBLE / (total::DOUBLE * total::DOUBLE), 6) AS simpson
  FROM g""",
         "bpe_train": _bpe_train_sql(),
+        "blocklist_filter": _blocklist_sql(),
         "langid_confusion": f"""
  SELECT d.lang, p.pred_lang, count(*)::BIGINT AS n
  FROM documents d JOIN ({_lang_id_sql()}) p ON d.doc_id = p.doc_id

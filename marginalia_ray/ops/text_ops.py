@@ -1458,3 +1458,50 @@ def skipgram_counts(
         return t.filter(pc.greater_equal(t["n"], mc))
 
     return agg.map_batches(_final, batch_format="pyarrow")
+
+
+def blocklist_filter(
+    ds,
+    terms: list[str],
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hits: int = 0,
+):
+    """Blocklist screening (the C4/Gopher "bad words" stage): count
+    word-boundary occurrences of each blocklist term per document and
+    flag documents exceeding `max_hits` total.
+
+    One streaming map; each term is an RE2 `\\b<term>\\b` pattern run
+    through Arrow's vectorized count_substring_regex over the lowercased
+    batch — no Python over rows, no shuffle.  Term lists in practice are
+    O(100s): the per-batch cost is terms x batch, all in kernels.
+
+    Output: (<id_col>, n_blocked, keep) with keep = n_blocked <= max_hits."""
+
+    import re as _re
+
+    for t in terms:
+        if not _re.fullmatch(r"[a-z0-9]+", t):
+            raise ValueError(
+                f"blocklist_filter: term {t!r} must be a lowercase "
+                "[a-z0-9]+ word (word-boundary semantics)"
+            )
+    pats = [rf"\b{t}\b" for t in terms]
+
+    def _count(batch: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(batch[text_col])
+        tot = np.zeros(batch.num_rows, np.int64)
+        for p in pats:
+            tot += pc.count_substring_regex(low, p).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_blocked": pa.array(tot),
+                "keep": pa.array(tot <= max_hits),
+            }
+        )
+
+    return ds.map_batches(_count, batch_format="pyarrow")

@@ -853,3 +853,31 @@ class TestGuardHardening:
                 _ds([{"doc_id": 1, "n_chars": None}, {"doc_id": 2, "n_chars": 3}]),
                 k=1,
             ).take_all()
+
+
+class TestBlocklistFilter:
+    def test_word_boundary_counts(self, ray_session):
+        from marginalia_ray.ops.text_ops import blocklist_filter
+
+        rows = [
+            {"doc_id": 1, "text": "slow slow slowly winslow"},
+            {"doc_id": 2, "text": "all clean here"},
+            {"doc_id": 3, "text": "Error ERROR broken"},
+        ]
+        got = {
+            r["doc_id"]: r
+            for r in blocklist_filter(
+                _ds(rows), ["slow", "error", "broken"], max_hits=2
+            ).take_all()
+        }
+        # 'slowly'/'winslow' must NOT match: word boundaries
+        assert got[1]["n_blocked"] == 2 and got[1]["keep"] is True
+        assert got[2]["n_blocked"] == 0 and got[2]["keep"] is True
+        # lowercasing applies before matching
+        assert got[3]["n_blocked"] == 3 and got[3]["keep"] is False
+
+    def test_bad_term_rejected(self, ray_session):
+        from marginalia_ray.ops.text_ops import blocklist_filter
+
+        with pytest.raises(ValueError, match="lowercase"):
+            blocklist_filter(_ds([{"doc_id": 1, "text": "x"}]), ["a b"])

@@ -1390,6 +1390,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["qty", "disc", "tax", "lineno"],
         )
 
+    def q_chi_squared(sf_dir: str):
+        import ray.data
+
+        from marginalia_ray.ops.relational import chi_squared
+
+        docs = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["source", "lang"]
+        )
+        return chi_squared(docs)
+
     def q_blocklist_filter(sf_dir: str):
         import ray.data
 
@@ -1534,6 +1544,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "diversity_by_key": q_diversity_by_key,
         "bpe_train": q_bpe_train,
         "blocklist_filter": q_blocklist_filter,
+        "chi_squared": q_chi_squared,
         "heavy_hitters": q_heavy_hitters,
         "heavy_ngrams": q_heavy_ngrams,
         "soft_dedup_weights": q_soft_dedup_weights,
@@ -3352,6 +3363,20 @@ def oracle_sql() -> dict[str, str]:
  FROM g""",
         "bpe_train": _bpe_train_sql(),
         "blocklist_filter": _blocklist_sql(),
+        "chi_squared": """
+ WITH c AS (SELECT source, lang, count(*)::BIGINT AS n FROM documents GROUP BY 1, 2),
+ m AS (SELECT sum(n)::DOUBLE AS total FROM c),
+ rx AS (SELECT source, sum(n)::DOUBLE AS nx FROM c GROUP BY 1),
+ ry AS (SELECT lang, sum(n)::DOUBLE AS ny FROM c GROUP BY 1),
+ t AS (SELECT c.n,
+        CAST(round(((c.n::DOUBLE - (nx * ny / total)) ^ 2) / (nx * ny / total) * 1000000) AS BIGINT) AS term_u,
+        CAST(round((nx * ny / total) * 1000000) AS BIGINT) AS e_u
+   FROM c JOIN rx USING (source) JOIN ry USING (lang), m)
+ SELECT round((sum(term_u) + CAST((SELECT total FROM m) AS BIGINT) * 1000000 - sum(e_u))::DOUBLE / 1000000.0, 6) AS chi2,
+        ((SELECT count(*) FROM rx) - 1) * ((SELECT count(*) FROM ry) - 1) AS dof,
+        count(*)::BIGINT AS n_cells,
+        sum(n)::BIGINT AS n
+ FROM t""",
         "langid_confusion": f"""
  SELECT d.lang, p.pred_lang, count(*)::BIGINT AS n
  FROM documents d JOIN ({_lang_id_sql()}) p ON d.doc_id = p.doc_id

@@ -3043,3 +3043,93 @@ def diversity_by_key(
         )
 
     return cells.map_batches(_final, batch_format="pyarrow", batch_size=None)
+
+
+def chi_squared(
+    ds,
+    x_col: str = "source",
+    y_col: str = "lang",
+    max_cells: int = 1_000_000,
+):
+    """Pearson chi-squared independence test between two CATEGORICAL
+    columns — the significance-test companion to mutual_information
+    (same one-contingency-shuffle plan).
+
+    Exactness: cell terms (n - e)^2 / e are doubles from exact integer
+    counts with the expression tree shared with the SQL oracle, then
+    scaled to int64 micro-units BEFORE summation so both engines add
+    identical integers in any order (no float accumulation drift).
+    UNOBSERVED cells (n = 0) contribute their expected count e each;
+    rather than materializing the full |X| x |Y| grid, the identity
+    sum_all(e) = N turns that into N - sum_observed(e), accumulated in
+    the same micro-units.
+
+    Output: one row (chi2, dof, n_cells, n), chi2 rounded to 6 dp;
+    n_cells counts OBSERVED cells."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        g = (
+            pa.table({"x": batch[x_col], "y": batch[y_col]})
+            .group_by(["x", "y"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["x", "y", "partial"])
+
+    cells = (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby(["x", "y"])
+        .sum("partial")
+        .repartition(1)
+    )
+
+    def _final(block: pa.Table) -> pa.Table:
+        if block.num_rows > max_cells:
+            raise RuntimeError(
+                f"chi_squared: {block.num_rows} contingency cells exceeds "
+                f"max_cells={max_cells} — the columns are not categorical"
+            )
+        schema = {
+            "chi2": pa.float64(),
+            "dof": pa.int64(),
+            "n_cells": pa.int64(),
+            "n": pa.int64(),
+        }
+        if block.num_rows == 0:
+            return pa.table({k: pa.array([], t) for k, t in schema.items()})
+        n = block["sum(partial)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        xs, ys = block["x"], block["y"]
+        gx = pa.table({"x": xs, "n": pa.array(n)}).group_by("x").aggregate([("n", "sum")])
+        gy = pa.table({"y": ys, "n": pa.array(n)}).group_by("y").aggregate([("n", "sum")])
+        ix = pc.index_in(xs, gx["x"]).to_numpy(zero_copy_only=False).astype(np.int64)
+        iy = pc.index_in(ys, gy["y"]).to_numpy(zero_copy_only=False).astype(np.int64)
+        nx = gx["n_sum"].to_numpy(zero_copy_only=False).astype(np.float64)[ix]
+        ny = gy["n_sum"].to_numpy(zero_copy_only=False).astype(np.float64)[iy]
+        N = float(n.sum())
+        e = nx * ny / N
+        term = (n.astype(np.float64) - e) ** 2 / e
+        term_u = np.round(term * 1e6)
+        e_u = np.round(e * 1e6)
+        if term_u.sum() + N * 1e6 >= float(1 << 62):
+            raise RuntimeError(
+                "chi_squared: micro-unit term sum would overflow int64 — "
+                "statistic too large for exact-sum mode"
+            )
+        # unobserved cells contribute sum(e) over the missing grid =
+        # N - sum_observed(e), in the same exact micro-units
+        chi2_u = (
+            int(term_u.astype(np.int64).sum())
+            + int(round(N)) * 1_000_000
+            - int(e_u.astype(np.int64).sum())
+        )
+        chi2 = float(chi2_u) / 1e6
+        dof = (len(gx) - 1) * (len(gy) - 1)
+        return pa.table(
+            {
+                "chi2": pa.array([round(chi2, 6)], pa.float64()),
+                "dof": pa.array([dof], pa.int64()),
+                "n_cells": pa.array([block.num_rows], pa.int64()),
+                "n": pa.array([int(n.sum())], pa.int64()),
+            }
+        )
+
+    return cells.map_batches(_final, batch_format="pyarrow", batch_size=None)

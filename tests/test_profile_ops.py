@@ -881,3 +881,35 @@ class TestBlocklistFilter:
 
         with pytest.raises(ValueError, match="lowercase"):
             blocklist_filter(_ds([{"doc_id": 1, "text": "x"}]), ["a b"])
+
+
+class TestChiSquared:
+    def test_independent_columns_zero(self, ray_session):
+        from marginalia_ray.ops.relational import chi_squared
+
+        rows = [
+            {"source": s, "lang": l}
+            for s in ("a", "b")
+            for l in ("en", "fr")
+        ] * 4
+        got = chi_squared(_ds(rows)).take_all()
+        assert got == [{"chi2": 0.0, "dof": 1, "n_cells": 4, "n": 16}]
+
+    def test_perfect_dependence_equals_n_times_dof(self, ray_session):
+        from marginalia_ray.ops.relational import chi_squared
+
+        # 2x2 perfect dependence: chi2 = N (the two UNOBSERVED zero
+        # cells contribute their expected counts)
+        rows = [{"source": "a", "lang": "en"}] * 6 + [
+            {"source": "b", "lang": "fr"}
+        ] * 6
+        got = chi_squared(_ds(rows)).take_all()[0]
+        assert got["chi2"] == 12.0 and got["dof"] == 1 and got["n"] == 12
+        assert got["n_cells"] == 2
+
+    def test_max_cells_guard(self, ray_session):
+        from marginalia_ray.ops.relational import chi_squared
+
+        rows = [{"source": str(i), "lang": str(i)} for i in range(9)]
+        with pytest.raises(Exception, match="max_cells"):
+            chi_squared(_ds(rows), max_cells=4).take_all()

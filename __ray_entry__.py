@@ -77,6 +77,7 @@ WS_SEED = 11  # weighted_sample seed
 BPE_TRAIN_MERGES = 10  # bpe_train rounds (tools/regen_bpe_golden.py in sync)
 BLOCKLIST = ("slow", "error", "broken")  # blocklist_filter fixture terms
 BLOCKLIST_MAX = 2  # blocklist_filter max_hits
+ZIPF_N = 500  # zipf_slope top-N terms
 
 
 def _docs(sf_dir: str):
@@ -1390,6 +1391,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["qty", "disc", "tax", "lineno"],
         )
 
+    def q_zipf_slope(sf_dir: str):
+        import ray.data
+
+        from marginalia_ray.ops.text_ops import zipf_slope
+
+        docs = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["text"]
+        )
+        return zipf_slope(docs, top_n=ZIPF_N)
+
     def q_chi_squared(sf_dir: str):
         import ray.data
 
@@ -1545,6 +1556,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_train": q_bpe_train,
         "blocklist_filter": q_blocklist_filter,
         "chi_squared": q_chi_squared,
+        "zipf_slope": q_zipf_slope,
         "heavy_hitters": q_heavy_hitters,
         "heavy_ngrams": q_heavy_ngrams,
         "soft_dedup_weights": q_soft_dedup_weights,
@@ -3363,6 +3375,26 @@ def oracle_sql() -> dict[str, str]:
  FROM g""",
         "bpe_train": _bpe_train_sql(),
         "blocklist_filter": _blocklist_sql(),
+        "zipf_slope": f"""
+ WITH tok AS (SELECT unnest({_TOK}) AS term FROM documents),
+ c AS (SELECT term, count(*)::BIGINT AS n FROM tok GROUP BY 1),
+ r AS (SELECT n, row_number() OVER (ORDER BY n DESC, term ASC) AS rnk FROM c),
+ t AS (SELECT
+        CAST(round(ln(rnk::DOUBLE) * 1000000000000.0) AS BIGINT) AS x_u,
+        CAST(round(ln(n::DOUBLE) * 1000000000000.0) AS BIGINT) AS y_u,
+        CAST(round(ln(rnk::DOUBLE) * ln(rnk::DOUBLE) * 1000000000000.0) AS BIGINT) AS xx_u,
+        CAST(round(ln(rnk::DOUBLE) * ln(n::DOUBLE) * 1000000000000.0) AS BIGINT) AS xy_u
+   FROM r WHERE rnk <= {ZIPF_N}),
+ s AS (SELECT count(*)::DOUBLE AS m,
+        sum(x_u)::DOUBLE / 1000000000000.0 AS sx,
+        sum(y_u)::DOUBLE / 1000000000000.0 AS sy,
+        sum(xx_u)::DOUBLE / 1000000000000.0 AS sxx,
+        sum(xy_u)::DOUBLE / 1000000000000.0 AS sxy
+   FROM t)
+ SELECT m::BIGINT AS n_terms,
+        round((m * sxy - sx * sy) / (m * sxx - sx * sx), 6) AS slope,
+        round((sy - ((m * sxy - sx * sy) / (m * sxx - sx * sx)) * sx) / m, 6) AS intercept
+ FROM s""",
         "chi_squared": """
  WITH c AS (SELECT source, lang, count(*)::BIGINT AS n FROM documents GROUP BY 1, 2),
  m AS (SELECT sum(n)::DOUBLE AS total FROM c),

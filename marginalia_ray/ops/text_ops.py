@@ -1505,3 +1505,103 @@ def blocklist_filter(
         )
 
     return ds.map_batches(_count, batch_format="pyarrow")
+
+
+def zipf_slope(
+    ds,
+    text_col: str = "text",
+    *,
+    top_n: int = 500,
+):
+    """Zipf's-law fit over the corpus unigram distribution: OLS slope
+    and intercept of ln(freq) against ln(rank) for the `top_n` most
+    frequent terms — the distributional-health probe (natural text sits
+    near slope -1; template/spam corpora deviate).
+
+    One token-explode count shuffle (per-batch partials first), then a
+    two-level top-N reduction (per-block prune by (n desc, term asc),
+    one tiny final block) — the corpus never reaches the driver.  The
+    OLS sums are int64 pico-units of per-rank doubles (ln products are
+    bounded by ~900, so round(x * 1e12) sums stay far below 2^62 for
+    any practical top_n), making the summation order-independent; the
+    final slope/intercept doubles share their expression tree with the
+    SQL oracle.
+
+    Output: one row (n_terms, slope, intercept), rounded to 6 dp."""
+
+    if top_n < 2:
+        raise ValueError("zipf_slope: top_n must be at least 2")
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        flat, _ = _flat_tokens_rows(batch, text_col)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        if len(flat) == 0:
+            return pa.table(
+                {
+                    "term": pa.array([], pa.large_string()),
+                    "partial": pa.array([], pa.int64()),
+                }
+            )
+        t = pa.table({"term": flat}).group_by("term").aggregate([([], "count_all")])
+        return t.rename_columns(["term", "partial"])
+
+    counts = (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby("term")
+        .sum("partial")
+    )
+
+    def _prune(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return pa.table(
+                {
+                    "term": pa.array([], pa.large_string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        ncol = block.column_names[1]
+        t = pa.table(
+            {
+                "term": block["term"].cast(pa.large_string()),
+                "n": block[ncol].cast(pa.int64()),
+            }
+        )
+        t = t.sort_by([("n", "descending"), ("term", "ascending")])
+        return t.slice(0, top_n)
+
+    def _final(block: pa.Table) -> pa.Table:
+        schema = {
+            "n_terms": pa.int64(),
+            "slope": pa.float64(),
+            "intercept": pa.float64(),
+        }
+        block = _prune(block)
+        m = block.num_rows
+        if m < 2:
+            return pa.table({k: pa.array([], t) for k, t in schema.items()})
+        n = block["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        x = np.log(np.arange(1, m + 1, dtype=np.float64))
+        y = np.log(n)
+        sx = int(np.round(x * 1e12).astype(np.int64).sum())
+        sy = int(np.round(y * 1e12).astype(np.int64).sum())
+        sxx = int(np.round(x * x * 1e12).astype(np.int64).sum())
+        sxy = int(np.round(x * y * 1e12).astype(np.int64).sum())
+        fm = float(m)
+        fsx, fsy = sx / 1e12, sy / 1e12
+        fsxx, fsxy = sxx / 1e12, sxy / 1e12
+        slope = (fm * fsxy - fsx * fsy) / (fm * fsxx - fsx * fsx)
+        intercept = (fsy - slope * fsx) / fm
+        return pa.table(
+            {
+                "n_terms": pa.array([m], pa.int64()),
+                "slope": pa.array([round(slope, 6)], pa.float64()),
+                "intercept": pa.array([round(intercept, 6)], pa.float64()),
+            }
+        )
+
+    return (
+        counts.map_batches(_prune, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(_final, batch_format="pyarrow", batch_size=None)
+    )

@@ -913,3 +913,39 @@ class TestChiSquared:
         rows = [{"source": str(i), "lang": str(i)} for i in range(9)]
         with pytest.raises(Exception, match="max_cells"):
             chi_squared(_ds(rows), max_cells=4).take_all()
+
+
+class TestZipfSlope:
+    def test_exact_power_law(self, ray_session):
+        from marginalia_ray.ops.text_ops import zipf_slope
+
+        # geometric frequencies 64/32/16/8 over ranks 1..4: log-freq vs
+        # log-rank is monotone decreasing (not exactly linear), so assert
+        # a strongly negative slope and the exact term count
+        rows = []
+        for i, (w, f) in enumerate([("aa", 64), ("bb", 32), ("cc", 16), ("dd", 8)]):
+            rows.append({"doc_id": i, "text": " ".join([w] * f)})
+        got = zipf_slope(_ds(rows), top_n=10).take_all()
+        assert len(got) == 1
+        assert got[0]["n_terms"] == 4
+        assert got[0]["slope"] < -0.5
+
+    def test_uniform_frequencies_zero_slope(self, ray_session):
+        from marginalia_ray.ops.text_ops import zipf_slope
+
+        rows = [{"doc_id": 0, "text": "aa bb cc dd " * 5}]
+        got = zipf_slope(_ds(rows), top_n=4).take_all()[0]
+        assert got["slope"] == 0.0 and got["n_terms"] == 4
+
+    def test_top_n_truncates(self, ray_session):
+        from marginalia_ray.ops.text_ops import zipf_slope
+
+        rows = [{"doc_id": 0, "text": "aa aa aa bb bb cc dd ee"}]
+        got = zipf_slope(_ds(rows), top_n=2).take_all()[0]
+        assert got["n_terms"] == 2
+
+    def test_guard(self, ray_session):
+        from marginalia_ray.ops.text_ops import zipf_slope
+
+        with pytest.raises(ValueError, match="top_n"):
+            zipf_slope(_ds([{"doc_id": 0, "text": "x"}]), top_n=1)

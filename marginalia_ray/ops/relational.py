@@ -3133,3 +3133,319 @@ def chi_squared(
         )
 
     return cells.map_batches(_final, batch_format="pyarrow", batch_size=None)
+
+
+def shipping_priority(
+    customer,
+    orders,
+    lineitem,
+    *,
+    segment: str = "BUILDING",
+    cutoff: str = "1998-07-01",
+    k: int = 10,
+):
+    """TPC-H Q3 shape — the classic three-table top-k report: revenue of
+    not-yet-shipped lineitems for orders of one market segment, top-k
+    orders by revenue.
+
+    Scale shape: the big fact table is reduced FIRST — lineitem is
+    filtered on shipdate and partially aggregated to one (l_orderkey,
+    rev_c2) row per order per batch before any exchange; the orders
+    side is filtered on orderdate and semi-joined against the segment's
+    customers (hash-partition semi join, no customer payload moves);
+    the two order-level tables then meet in ONE hash_equi_join.  The
+    top-k is a per-batch combiner (each batch keeps its k best) before
+    a driver-size final sort of ≤ k·n_blocks rows.
+
+    Exactness: revenue = Σ extendedprice·(1−discount) in cents×100
+    integer units per row (the pricing_summary convention) — no float
+    accumulation anywhere.  Ordering ties broken by (o_orderdate asc,
+    l_orderkey asc) so the result is total-ordered.
+
+    Output: (l_orderkey, revenue_c2, o_orderdate, o_orderpriority)."""
+    cutoff_ts = np.datetime64(cutoff, "us")
+
+    cust_keys = customer.filter(
+        expr=f"c_mktsegment == '{segment}'"
+    ).select_columns(["c_custkey"])
+
+    def _ord_filter(batch: pa.Table) -> pa.Table:
+        m = pc.less(batch["o_orderdate"], pa.scalar(cutoff_ts))
+        return batch.filter(m)
+
+    ord_f = orders.map_batches(_ord_filter, batch_format="pyarrow")
+    ord_f = hash_semi_join(ord_f, cust_keys, on="o_custkey", right_on="c_custkey")
+
+    def _li_partial(batch: pa.Table) -> pa.Table:
+        m = pc.greater(batch["l_shipdate"], pa.scalar(cutoff_ts))
+        b = batch.filter(m)
+        p = _money_cents(b["l_extendedprice"])
+        d = _money_cents(b["l_discount"])
+        t = pa.table(
+            {"l_orderkey": b["l_orderkey"], "r": pa.array(p * (100 - d))}
+        )
+        g = t.group_by("l_orderkey").aggregate([("r", "sum")])
+        return g.rename_columns(["l_orderkey", "rev"])
+
+    per_order = (
+        lineitem.map_batches(_li_partial, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .sum("rev")
+    )
+    joined = hash_equi_join(
+        per_order,
+        ord_f,
+        on="l_orderkey",
+        right_on="o_orderkey",
+        left_cols=["l_orderkey", "sum(rev)"],
+        right_cols=["o_orderdate", "o_orderpriority"],
+    )
+
+    def _topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows <= k:
+            return batch
+        rev = batch["sum(rev)"].to_numpy(zero_copy_only=False)
+        od = batch["o_orderdate"].to_numpy(zero_copy_only=False)
+        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ok, od, -rev))[:k]
+        return batch.take(pa.array(np.sort(order)))
+
+    trimmed = joined.map_batches(_topk, batch_format="pyarrow")
+    final = trimmed.sort(
+        ["sum(rev)", "o_orderdate", "l_orderkey"], descending=[True, False, False]
+    ).limit(k)
+
+    def _final(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": batch["l_orderkey"],
+                "revenue_c2": batch["sum(rev)"].cast(pa.int64()),
+                "o_orderdate": batch["o_orderdate"],
+                "o_orderpriority": batch["o_orderpriority"],
+            }
+        )
+
+    return final.map_batches(_final, batch_format="pyarrow")
+
+
+def promo_revenue(
+    lineitem,
+    part,
+    *,
+    promo_type: str = "PROMO",
+):
+    """TPC-H Q14 shape — promotion revenue share per ship month: the
+    fraction of discounted revenue attributable to parts of one type.
+
+    Scale shape: lineitem is partially aggregated to (l_partkey, month,
+    rev_c2) per batch BEFORE the exchange; the (partkey, month) partials
+    then hash-join the part dimension for its type flag (large-large
+    safe — no assumption that part fits in memory), and the final
+    groupby(month) moves one row per distinct (partkey, month).
+
+    Exactness: rev = Σ price·(100−discount) int64 cents×100; the ratio
+    promo/total is one double division of exact sums, rounded to 1e-6.
+
+    Output: (month, promo_c2, total_c2, promo_pct), month = 'YYYY-MM'."""
+
+    def _li_partial(batch: pa.Table) -> pa.Table:
+        p = _money_cents(batch["l_extendedprice"])
+        d = _money_cents(batch["l_discount"])
+        month = pc.strftime(batch["l_shipdate"], format="%Y-%m")
+        t = pa.table(
+            {
+                "l_partkey": batch["l_partkey"],
+                "month": month,
+                "r": pa.array(p * (100 - d)),
+            }
+        )
+        g = t.group_by(["l_partkey", "month"]).aggregate([("r", "sum")])
+        return g.rename_columns(["l_partkey", "month", "rev"])
+
+    per_pm = (
+        lineitem.map_batches(_li_partial, batch_format="pyarrow")
+        .groupby(["l_partkey", "month"])
+        .sum("rev")
+    )
+    with_type = hash_equi_join(
+        per_pm,
+        part,
+        on="l_partkey",
+        right_on="p_partkey",
+        left_cols=["l_partkey", "month", "sum(rev)"],
+        right_cols=["p_type"],
+    )
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        rev = batch["sum(rev)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        is_promo = pc.equal(batch["p_type"], promo_type).to_numpy(
+            zero_copy_only=False
+        )
+        t = pa.table(
+            {
+                "month": batch["month"],
+                "p": pa.array(np.where(is_promo, rev, 0)),
+                "t": pa.array(rev),
+            }
+        )
+        g = t.group_by("month").aggregate([("p", "sum"), ("t", "sum")])
+        return g.rename_columns(["month", "p", "t"])
+
+    agg = (
+        with_type.map_batches(_partial, batch_format="pyarrow")
+        .groupby("month")
+        .sum(["p", "t"])
+    )
+
+    def _final(batch: pa.Table) -> pa.Table:
+        p = batch["sum(p)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = batch["sum(t)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "month": batch["month"],
+                "promo_c2": pa.array(p),
+                "total_c2": pa.array(t),
+                "promo_pct": pa.array(
+                    np.round(np.where(t > 0, 100.0 * p / np.maximum(t, 1), 0.0), 6)
+                ),
+            }
+        )
+
+    return agg.map_batches(_final, batch_format="pyarrow")
+
+
+def rollup_revenue(
+    orders,
+    customer,
+    nation,
+    *,
+    max_nations: int = 5_000_000,
+    max_cells: int = 5_000_000,
+):
+    """GROUPING SETS / ROLLUP aggregation — revenue at three levels in
+    one pass: (nation, year), (nation, ALL), (ALL, ALL).
+
+    Scale shape: ONE exchange computes the finest level — orders reduced
+    per (o_custkey, year) per batch, custkey→nation via hash join +
+    broadcast nation names, groupby (n_name, year).  The coarser levels
+    are derived from the finest aggregate (|nations|·|years| rows — tiny
+    by construction), collapsed in a single final task; max_cells guards
+    the assumption loudly.  This is how a warehouse rollup should run on
+    Ray Data: never re-scan the fact table per grouping set.
+
+    Exactness: int64 cents.  ALL levels are encoded as the literal
+    'ALL' (both grouping columns are strings) so the output needs no
+    NULL-semantics agreement with SQL.
+
+    Output: (n_name, o_year, revenue_cents, n_orders)."""
+
+    def _fact(batch: pa.Table) -> pa.Table:
+        cents = _money_cents(batch["o_totalprice"])
+        year = pc.strftime(batch["o_orderdate"], format="%Y")
+        t = pa.table(
+            {
+                "o_custkey": batch["o_custkey"],
+                "o_year": year,
+                "c": pa.array(cents),
+                "one": pa.array(np.ones(batch.num_rows, np.int64)),
+            }
+        )
+        g = t.group_by(["o_custkey", "o_year"]).aggregate(
+            [("c", "sum"), ("one", "sum")]
+        )
+        return g.rename_columns(["o_custkey", "o_year", "c", "n"])
+
+    per_cy = (
+        orders.map_batches(_fact, batch_format="pyarrow")
+        .groupby(["o_custkey", "o_year"])
+        .sum(["c", "n"])
+    )
+    cust_nat = hash_equi_join(
+        per_cy,
+        customer,
+        on="o_custkey",
+        right_on="c_custkey",
+        left_cols=["o_custkey", "o_year", "sum(c)", "sum(n)"],
+        right_cols=["c_nationkey"],
+    )
+    with_name = broadcast_join(
+        cust_nat,
+        nation,
+        on="c_nationkey",
+        small_on="n_nationkey",
+        small_cols=["n_name"],
+        max_small_rows=max_nations,
+    )
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "n_name": batch["n_name"],
+                "o_year": batch["o_year"],
+                "c": batch["sum(c)"],
+                "n": batch["sum(n)"],
+            }
+        )
+        g = t.group_by(["n_name", "o_year"]).aggregate([("c", "sum"), ("n", "sum")])
+        return g.rename_columns(["n_name", "o_year", "c", "n"])
+
+    finest = (
+        with_name.map_batches(_partial, batch_format="pyarrow")
+        .groupby(["n_name", "o_year"])
+        .sum(["c", "n"])
+        .repartition(1)
+    )
+
+    def _levels(batch: pa.Table) -> pa.Table:
+        if batch.num_rows > max_cells:
+            raise RuntimeError(
+                f"rollup_revenue: {batch.num_rows} finest-level cells exceed "
+                f"max_cells={max_cells} — the grouping keys are not low-card"
+            )
+        names = batch["n_name"]
+        years = batch["o_year"]
+        c = batch["sum(c)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = batch["sum(n)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "n_name": pa.array([], pa.string()),
+                    "o_year": pa.array([], pa.string()),
+                    "revenue_cents": pa.array([], pa.int64()),
+                    "n_orders": pa.array([], pa.int64()),
+                }
+            )
+        lvl1 = (
+            pa.table({"n_name": names, "c": pa.array(c), "n": pa.array(n)})
+            .group_by("n_name")
+            .aggregate([("c", "sum"), ("n", "sum")])
+        )
+        parts = [
+            pa.table(
+                {
+                    "n_name": names.combine_chunks() if isinstance(names, pa.ChunkedArray) else names,
+                    "o_year": years.combine_chunks() if isinstance(years, pa.ChunkedArray) else years,
+                    "revenue_cents": pa.array(c),
+                    "n_orders": pa.array(n),
+                }
+            ),
+            pa.table(
+                {
+                    "n_name": lvl1["n_name"],
+                    "o_year": pa.array(["ALL"] * len(lvl1), pa.string()),
+                    "revenue_cents": lvl1["c_sum"].cast(pa.int64()),
+                    "n_orders": lvl1["n_sum"].cast(pa.int64()),
+                }
+            ),
+            pa.table(
+                {
+                    "n_name": pa.array(["ALL"], pa.string()),
+                    "o_year": pa.array(["ALL"], pa.string()),
+                    "revenue_cents": pa.array([int(c.sum())], pa.int64()),
+                    "n_orders": pa.array([int(n.sum())], pa.int64()),
+                }
+            ),
+        ]
+        return pa.concat_tables([p.cast(parts[0].schema) for p in parts])
+
+    return finest.map_batches(_levels, batch_format="pyarrow", batch_size=None)

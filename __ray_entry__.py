@@ -1313,6 +1313,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return graph_degree_stats(li.map_batches(_edges, batch_format="pyarrow"))
 
+    def q_hits_scores(sf_dir: str):
+        # same supplier -> part-bucket edge convention as graph_degree_stats
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+
+        from marginalia_ray.ops.graph import hits_scores
+
+        li = ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet", columns=["l_suppkey", "l_partkey"]
+        )
+
+        def _edges(batch: pa.Table) -> pa.Table:
+            pk = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table(
+                {
+                    "src": batch["l_suppkey"].cast(pa.int64()),
+                    "dst": pa.array(pk % 100),
+                }
+            )
+
+        return hits_scores(li.map_batches(_edges, batch_format="pyarrow"))
+
     def q_column_profile(sf_dir: str):
         import ray.data
 
@@ -1560,6 +1583,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shipping_priority": q_shipping_priority,
         "promo_revenue": q_promo_revenue,
         "rollup_revenue": q_rollup_revenue,
+        "hits_scores": q_hits_scores,
         "semi_join": q_semi_join,
         "anti_join": q_anti_join,
         "event_deltas": q_event_deltas,
@@ -3354,6 +3378,17 @@ def oracle_sql() -> dict[str, str]:
        FROM orders JOIN customer ON o_custkey = c_custkey
                    JOIN nation ON c_nationkey = n_nationkey)
  GROUP BY ROLLUP(n_name, y)""",
+        "hits_scores": """
+ WITH e AS (SELECT DISTINCT l_suppkey::BIGINT AS src, (l_partkey % 100)::BIGINT AS dst
+            FROM lineitem),
+ a1 AS (SELECT dst AS node, count(*)::BIGINT AS s FROM e GROUP BY 1),
+ h1 AS (SELECT src AS node, sum(a1.s)::BIGINT AS s FROM e JOIN a1 ON e.dst = a1.node GROUP BY 1),
+ a2 AS (SELECT dst AS node, sum(h1.s)::BIGINT AS s FROM e JOIN h1 ON e.src = h1.node GROUP BY 1),
+ h2 AS (SELECT src AS node, sum(a2.s)::BIGINT AS s FROM e JOIN a2 ON e.dst = a2.node GROUP BY 1),
+ n AS (SELECT src AS node FROM e UNION SELECT dst FROM e)
+ SELECT n.node::BIGINT AS node, COALESCE(h2.s, 0)::BIGINT AS hub,
+        COALESCE(a2.s, 0)::BIGINT AS auth
+ FROM n LEFT JOIN h2 ON n.node = h2.node LEFT JOIN a2 ON n.node = a2.node""",
         "ship_delay_histogram": """
  SELECT ((epoch_us(l_shipdate) - epoch_us(o_orderdate)) // 86400000000)::BIGINT AS delay_days,
         count(*)::BIGINT AS n

@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from marginalia_ray.ops.dedup import U64, _fmix64_vec, _join_partitions
 
@@ -1300,4 +1301,195 @@ def triangle_count(
                 "n_triangles": pa.array([tris], pa.int64()),
             }
         )
+    )
+
+
+def hits_scores(
+    edges,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 2,
+    broadcast_nodes_max: int = 5_000_000,
+):
+    """HITS hub/authority scores (Kleinberg 1999, "Authoritative sources
+    in a hyperlinked environment") after a fixed number of unnormalized
+    iterations — the link-analysis complement to PageRank for a search
+    engine's domain graph (SURVEY G6 family).
+
+    auth_k(v) = sum over u->v of hub_{k-1}(u); hub_k(u) = sum over u->v
+    of auth_k(v); hub_0 = 1.  Skipping the per-iteration normalization
+    keeps every score an EXACT int64 (the repo's oracle convention —
+    float normalization is one driver-side division away); overflow is
+    bounded UP FRONT from the max in/out degrees ((d_in*d_out)^k < 2^62
+    or a loud error) so a wrapped sum can never masquerade as a result.
+
+    Scale shape: one groupby-shuffle global-distincts the edge list and
+    a second computes per-node (out, in) degrees — auth_1 IS the
+    in-degree column, and the degree maxima give the overflow bound for
+    free.  Each remaining half-iteration broadcasts the (node, score)
+    table (ray.put once, searchsorted per edge batch — node tables are
+    graph-sized, not corpus-sized) and reduces with one groupby; above
+    broadcast_nodes_max it degrades to the hash_equi_join path instead
+    of failing.  The exchange only ever moves the edge list.
+
+    Output: (node, hub, auth) over every node of the graph, 0 where a
+    node has no out-edges (hub) / in-edges (auth)."""
+    from marginalia_ray.ops.relational import broadcast_join, hash_equi_join
+
+    if iterations < 1:
+        raise ValueError("hits_scores: iterations must be >= 1")
+
+    def _dedup(batch: pa.Table) -> pa.Table:
+        return (
+            pa.table({src_col: batch[src_col], dst_col: batch[dst_col]})
+            .group_by([src_col, dst_col])
+            .aggregate([])
+        )
+
+    distinct = (
+        edges.map_batches(_dedup, batch_format="pyarrow")
+        .groupby([src_col, dst_col])
+        .count()
+        .drop_columns(["count()"])
+        .materialize()
+    )
+
+    def _deg_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "node": pa.array([], pa.int64()),
+                    "o": pa.array([], pa.int64()),
+                    "i": pa.array([], pa.int64()),
+                }
+            )
+        src = batch[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        dst = batch[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        su, sc = np.unique(src, return_counts=True)
+        du, dc = np.unique(dst, return_counts=True)
+        return pa.table(
+            {
+                "node": pa.array(np.concatenate([su, du])),
+                "o": pa.array(np.concatenate([sc, np.zeros(len(du), np.int64)])),
+                "i": pa.array(np.concatenate([np.zeros(len(su), np.int64), dc])),
+            }
+        )
+
+    degrees = (
+        distinct.map_batches(_deg_partial, batch_format="pyarrow")
+        .groupby("node")
+        .sum(["o", "i"])
+        .materialize()
+    )
+    from ray.data.aggregate import Max
+
+    maxes = degrees.aggregate(Max("sum(o)"), Max("sum(i)"))
+    d_out = int(maxes.get("max(sum(o))") or 0)
+    d_in = int(maxes.get("max(sum(i))") or 0)
+    if d_in and d_out and (d_in * d_out) ** iterations >= (1 << 62):
+        raise RuntimeError(
+            f"hits_scores: bound (d_in*d_out)^k = ({d_in}*{d_out})^"
+            f"{iterations} would overflow int64 — normalize per iteration "
+            "(float mode) or lower iterations"
+        )
+
+    # auth_1 = in-degree (hub_0 = 1): rides the degree shuffle for free
+    def _auth1(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "node": batch["node"].cast(pa.int64()),
+                "s": batch["sum(i)"].cast(pa.int64()),
+            }
+        )
+        return t.filter(pc.greater(t["s"], 0))
+
+    auth = degrees.map_batches(_auth1, batch_format="pyarrow")
+
+    def _sum_partial(batch: pa.Table, key: str) -> pa.Table:
+        t = pa.table({"node": batch[key], "s": batch["s"]})
+        g = t.group_by("node").aggregate([("s", "sum")])
+        return g.rename_columns(["node", "s"])
+
+    def _strip(ds_):
+        return ds_.map_batches(
+            lambda b: pa.table(
+                {
+                    "node": b["node"].cast(pa.int64()),
+                    "s": b["sum(s)"].cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+    def _propagate(score_ds, join_key: str, group_key: str):
+        """Score table joined onto the edges at join_key, summed per
+        group_key — broadcast when the node table fits, hash join
+        fallback above the cap."""
+        try:
+            j = broadcast_join(
+                distinct,
+                score_ds,
+                on=join_key,
+                small_on="node",
+                small_cols=["s"],
+                max_small_rows=broadcast_nodes_max,
+            )
+        except RuntimeError:
+            j = hash_equi_join(
+                distinct,
+                score_ds,
+                on=join_key,
+                right_on="node",
+                left_cols=[src_col, dst_col],
+                right_cols=["s"],
+            )
+        return _strip(
+            j.map_batches(
+                lambda b: _sum_partial(b, group_key), batch_format="pyarrow"
+            )
+            .groupby("node")
+            .sum("s")
+        )
+
+    hub = _propagate(auth, dst_col, src_col)  # hub_1
+    for _ in range(iterations - 1):
+        auth = _propagate(hub, src_col, dst_col)
+        hub = _propagate(auth, dst_col, src_col)
+
+    # full outer merge over the node universe via a tagged union groupby:
+    # (node, hub, 0) + (node, 0, auth) + (node, 0, 0) for every endpoint.
+    def _tag(col: str):
+        def _f(batch: pa.Table) -> pa.Table:
+            z = pa.array(np.zeros(batch.num_rows, np.int64))
+            return pa.table(
+                {
+                    "node": batch["node"],
+                    "hub": batch["s"] if col == "hub" else z,
+                    "auth": batch["s"] if col == "auth" else z,
+                }
+            )
+
+        return _f
+
+    def _nodes(batch: pa.Table) -> pa.Table:
+        z = pa.array(np.zeros(batch.num_rows, np.int64))
+        return pa.table(
+            {"node": batch["node"].cast(pa.int64()), "hub": z, "auth": z}
+        )
+
+    union = (
+        hub.map_batches(_tag("hub"), batch_format="pyarrow")
+        .union(auth.map_batches(_tag("auth"), batch_format="pyarrow"))
+        .union(degrees.map_batches(_nodes, batch_format="pyarrow"))
+    )
+    agg = union.groupby("node").sum(["hub", "auth"])
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "node": b["node"].cast(pa.int64()),
+                "hub": b["sum(hub)"].cast(pa.int64()),
+                "auth": b["sum(auth)"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
     )

@@ -1336,6 +1336,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return hits_scores(li.map_batches(_edges, batch_format="pyarrow"))
 
+    def q_gini_by_key(sf_dir: str):
+        import ray.data
+
+        from marginalia_ray.ops.relational import gini_by_key
+
+        docs = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["source", "n_chars"]
+        )
+        return gini_by_key(docs)
+
+    def q_spearman_by_key(sf_dir: str):
+        import ray.data
+
+        from marginalia_ray.ops.relational import spearman_by_key
+
+        ev = ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+        )
+        return spearman_by_key(ev)
+
     def q_column_profile(sf_dir: str):
         import ray.data
 
@@ -1584,6 +1604,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "promo_revenue": q_promo_revenue,
         "rollup_revenue": q_rollup_revenue,
         "hits_scores": q_hits_scores,
+        "gini_by_key": q_gini_by_key,
+        "spearman_by_key": q_spearman_by_key,
         "semi_join": q_semi_join,
         "anti_join": q_anti_join,
         "event_deltas": q_event_deltas,
@@ -3389,6 +3411,32 @@ def oracle_sql() -> dict[str, str]:
  SELECT n.node::BIGINT AS node, COALESCE(h2.s, 0)::BIGINT AS hub,
         COALESCE(a2.s, 0)::BIGINT AS auth
  FROM n LEFT JOIN h2 ON n.node = h2.node LEFT JOIN a2 ON n.node = a2.node""",
+        "gini_by_key": """
+ WITH r AS (SELECT source, n_chars AS x,
+            row_number() OVER (PARTITION BY source ORDER BY n_chars) AS i
+            FROM documents)
+ SELECT source, count(*)::BIGINT AS n,
+        (2 * sum(i * x) - (count(*) + 1) * sum(x))::BIGINT AS gini_num,
+        (count(*) * sum(x))::BIGINT AS gini_den,
+        round((2 * sum(i * x) - (count(*) + 1) * sum(x))::DOUBLE
+              / (count(*) * sum(x)), 6) AS gini
+ FROM r GROUP BY 1""",
+        "spearman_by_key": """
+ WITH r AS (SELECT user_id,
+    2 * rank() OVER (PARTITION BY user_id ORDER BY ts)
+      + count(*) OVER (PARTITION BY user_id, ts) - 1 AS u,
+    2 * rank() OVER (PARTITION BY user_id ORDER BY value)
+      + count(*) OVER (PARTITION BY user_id, value) - 1 AS w
+  FROM events),
+ m AS (SELECT user_id, count(*)::BIGINT AS n, sum(u)::BIGINT AS su,
+              sum(w)::BIGINT AS sw, sum(u * u)::BIGINT AS suu,
+              sum(w * w)::BIGINT AS sww, sum(u * w)::BIGINT AS suw
+       FROM r GROUP BY 1)
+ SELECT user_id, n,
+        round((n * suw - su * sw)::DOUBLE
+              / sqrt((n * suu - su * su)::DOUBLE * (n * sww - sw * sw)::DOUBLE),
+              6) AS rho
+ FROM m WHERE n >= 2 AND (n * suu - su * su) > 0 AND (n * sww - sw * sw) > 0""",
         "ship_delay_histogram": """
  SELECT ((epoch_us(l_shipdate) - epoch_us(o_orderdate)) // 86400000000)::BIGINT AS delay_days,
         count(*)::BIGINT AS n

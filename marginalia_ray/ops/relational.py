@@ -3449,3 +3449,147 @@ def rollup_revenue(
         return pa.concat_tables([p.cast(parts[0].schema) for p in parts])
 
     return finest.map_batches(_levels, batch_format="pyarrow", batch_size=None)
+
+
+def gini_by_key(
+    ds,
+    key_col: str = "source",
+    val_col: str = "n_chars",
+    max_distinct_per_key: int = 5_000_000,
+):
+    """Exact per-key Gini coefficient of a non-negative integer value —
+    the inequality profile of document lengths / token counts per
+    source, a corpus-skew diagnostic (is one template dominating a
+    crawl?).
+
+    Same scale shape as median_by_key: ONE groupby shuffle of the
+    distinct (key, value) histogram, then a per-key vectorized walk.
+    Gini via the order-statistic identity G = (2·Σ i·x_(i) − (n+1)·Σx)
+    / (n·Σx) with 1-based ranks i — computed from the histogram without
+    expanding rows: a run of c equal values x starting after p rows
+    contributes x·(c·p + c(c+1)/2) to Σ i·x, which is permutation-
+    invariant within ties, so no tie-break agreement with SQL is
+    needed.  Exactness: the numerator/denominator are emitted as int64
+    (loud overflow guard at 2·n²·v_max ≥ 2^62); gini is one rounded
+    double division.
+
+    Output: (<key_col>, n, gini_num, gini_den, gini)."""
+
+    counts = _per_key_value_counts(ds, key_col, val_col)
+
+    def _gini(group: pa.Table) -> pa.Table:
+        if group.num_rows > max_distinct_per_key:
+            raise RuntimeError(
+                f"gini_by_key: >{max_distinct_per_key} distinct values for "
+                "one key — bin the value column first."
+            )
+        key = group[key_col][0]
+        v = group["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = group["sum(partial)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(v)
+        v, c = v[order], c[order]
+        n = int(c.sum())
+        v_max = int(v[-1]) if len(v) else 0
+        if v_max < 0 or int(v[0]) < 0:
+            raise ValueError("gini_by_key: negative values are not defined")
+        if 2 * n * n * max(v_max, 1) >= (1 << 62):
+            raise RuntimeError(
+                "gini_by_key: 2·n²·v_max would overflow int64 — exact mode "
+                "needs a smaller key group or scaled-down values"
+            )
+        p = np.cumsum(c) - c  # rows strictly before each run
+        six = int((v * (c * p + c * (c + 1) // 2)).sum())  # Σ i·x
+        sx = int((v * c).sum())
+        num = 2 * six - (n + 1) * sx
+        den = n * sx
+        return pa.table(
+            {
+                key_col: pa.array([key.as_py()], group[key_col].type),
+                "n": pa.array([n], pa.int64()),
+                "gini_num": pa.array([num], pa.int64()),
+                "gini_den": pa.array([den], pa.int64()),
+                "gini": pa.array(
+                    [round(num / den, 6) if den else 0.0], pa.float64()
+                ),
+            }
+        )
+
+    return counts.groupby(key_col).map_groups(_gini, batch_format="pyarrow")
+
+
+def spearman_by_key(
+    ds,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    max_group_rows: int = 30_000,
+):
+    """Per-key Spearman rank correlation between event time and value —
+    "is this user's metric trending?", the rank-robust alternative to
+    Pearson (exact under ties via average ranks, where the textbook
+    1 − 6Σd²/… shortcut breaks).
+
+    One groupby(key) shuffle (the sessionize partitioning assumption:
+    one key's rows fit in one group).  Ranks are DOUBLED average ranks
+    (2r is integer even for .5 average ranks), all five moment sums are
+    exact int64 (n capped at 30k so n·Σuw < 2^62 — loud error above),
+    and rho is the Pearson-on-ranks formula evaluated from those
+    integers with the identical double ops the SQL oracle runs:
+    (n·Suw − Su·Sw) / sqrt((n·Suu − Su²)·(n·Sww − Sw²)), rounded 1e-6.
+    Zero-variance keys (all ts or all values tied) are dropped, not
+    NaN-filled.
+
+    Output: (<key_col>, n, rho)."""
+
+    def _avg2_ranks(a: np.ndarray) -> np.ndarray:
+        """Doubled average ranks: 2·rank_min + (tie_count − 1)."""
+        order = np.argsort(a, kind="stable")
+        s = a[order]
+        starts = np.r_[0, np.nonzero(s[1:] != s[:-1])[0] + 1]
+        run_of = np.cumsum(np.r_[0, (s[1:] != s[:-1]).astype(np.int64)])
+        counts = np.r_[starts[1:], len(s)] - starts
+        two_r = 2 * (starts + 1) + (counts - 1)  # per run
+        out = np.empty(len(a), np.int64)
+        out[order] = two_r[run_of]
+        return out
+
+    def _group(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                key_col: pa.array([], group[key_col].type),
+                "n": pa.array([], pa.int64()),
+                "rho": pa.array([], pa.float64()),
+            }
+        )
+        n = group.num_rows
+        if n > max_group_rows:
+            raise RuntimeError(
+                f"spearman_by_key: key group of {n} rows exceeds "
+                f"{max_group_rows} — int64-exact moments would overflow; "
+                "pre-aggregate per (key, coarser time bucket) first"
+            )
+        if n < 2:
+            return empty
+        ts = group[ts_col].to_numpy(zero_copy_only=False)
+        ts_i = ts.astype("datetime64[us]").astype(np.int64)
+        vals = group[val_col].to_numpy(zero_copy_only=False)
+        u = _avg2_ranks(ts_i)
+        w = _avg2_ranks(vals)
+        su, sw = int(u.sum()), int(w.sum())
+        suu = int((u * u).sum())
+        sww = int((w * w).sum())
+        suw = int((u * w).sum())
+        a = n * suu - su * su
+        b = n * sww - sw * sw
+        if a == 0 or b == 0:
+            return empty
+        rho = (n * suw - su * sw) / math.sqrt(float(a) * float(b))
+        return pa.table(
+            {
+                key_col: pa.array([group[key_col][0].as_py()], group[key_col].type),
+                "n": pa.array([n], pa.int64()),
+                "rho": pa.array([round(rho, 6)], pa.float64()),
+            }
+        )
+
+    return ds.groupby(key_col).map_groups(_group, batch_format="pyarrow")

@@ -1356,6 +1356,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return spearman_by_key(ev)
 
+    def q_max_concurrent_sessions(sf_dir: str):
+        import ray.data
+
+        from marginalia_ray.ops.relational import max_concurrent_sessions
+
+        ev = ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+        )
+        return max_concurrent_sessions(ev)
+
     def q_column_profile(sf_dir: str):
         import ray.data
 
@@ -1606,6 +1616,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hits_scores": q_hits_scores,
         "gini_by_key": q_gini_by_key,
         "spearman_by_key": q_spearman_by_key,
+        "max_concurrent_sessions": q_max_concurrent_sessions,
         "semi_join": q_semi_join,
         "anti_join": q_anti_join,
         "event_deltas": q_event_deltas,
@@ -3437,6 +3448,23 @@ def oracle_sql() -> dict[str, str]:
               / sqrt((n * suu - su * su)::DOUBLE * (n * sww - sw * sw)::DOUBLE),
               6) AS rho
  FROM m WHERE n >= 2 AND (n * suu - su * su) > 0 AND (n * sww - sw * sw) > 0""",
+        "max_concurrent_sessions": """
+ WITH o AS (SELECT user_id, epoch_us(ts) AS us,
+            CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 30*60*1000000
+                 OR lag(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+       FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+ s0 AS (SELECT user_id, us, sum(new_s) OVER
+          (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS sno
+        FROM o),
+ s AS (SELECT user_id, sno, min(us) AS start_us, max(us) AS end_us
+       FROM s0 GROUP BY 1, 2),
+ pts AS (SELECT start_us AS us, 1 AS d FROM s
+         UNION ALL SELECT end_us + 1, -1 FROM s),
+ net AS (SELECT us, sum(d) AS d FROM pts GROUP BY 1),
+ run AS (SELECT us, sum(d) OVER (ORDER BY us ROWS UNBOUNDED PRECEDING) AS c
+         FROM net)
+ SELECT c::BIGINT AS peak_concurrency, us::BIGINT AS peak_ts_us
+ FROM run WHERE c = (SELECT max(c) FROM run) ORDER BY us LIMIT 1""",
         "ship_delay_histogram": """
  SELECT ((epoch_us(l_shipdate) - epoch_us(o_orderdate)) // 86400000000)::BIGINT AS delay_days,
         count(*)::BIGINT AS n

@@ -3593,3 +3593,135 @@ def spearman_by_key(
         )
 
     return ds.groupby(key_col).map_groups(_group, batch_format="pyarrow")
+
+
+def max_concurrent_sessions(
+    ds,
+    gap_minutes: int = 30,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    n_buckets: int = 4096,
+    max_bucket_points: int = 5_000_000,
+):
+    """Peak concurrency: the maximum number of sessions active at one
+    instant, and the first instant it is reached — the capacity-planning
+    query over an event log (sessions = gap-based, sessionize semantics,
+    active on the CLOSED interval [start, end]).
+
+    A global sweep line is inherently a prefix scan; done scalably with
+    the token_budget_pack shape: (ts, ±1) boundary points are netted per
+    distinct ts in one groupby shuffle, bucketed into uniform time
+    ranges, and each bucket reduces ITSELF to three scalars (net total,
+    internal running max, first ts achieving it) in one vectorized
+    pass.  The driver combines only the n_buckets summaries: the peak
+    is max over buckets of (entering offset + internal max), entering
+    offsets being the exclusive prefix sum of bucket totals.  No stage
+    ever sees more than one bucket's distinct timestamps
+    (max_bucket_points guards the assumption loudly).
+
+    Output: one row (peak_concurrency, peak_ts_us)."""
+    sessions = sessionize(
+        ds, gap_minutes=gap_minutes, user_col=user_col, ts_col=ts_col
+    )
+
+    def _points(batch: pa.Table) -> pa.Table:
+        s = batch["start_us"].to_numpy(zero_copy_only=False).astype(np.int64)
+        e = batch["end_us"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "us": pa.array(np.concatenate([s, e + 1])),
+                "d": pa.array(
+                    np.concatenate(
+                        [np.ones(len(s), np.int64), -np.ones(len(e), np.int64)]
+                    )
+                ),
+            }
+        )
+
+    def _net_partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("us").aggregate([("d", "sum")])
+        return g.rename_columns(["us", "d"])
+
+    net = (
+        sessions.map_batches(_points, batch_format="pyarrow")
+        .map_batches(_net_partial, batch_format="pyarrow")
+        .groupby("us")
+        .sum("d")
+        .materialize()
+    )
+    from ray.data.aggregate import Max, Min
+
+    lohi = net.aggregate(Min("us"), Max("us"))
+    empty = pa.table(
+        {
+            "peak_concurrency": pa.array([], pa.int64()),
+            "peak_ts_us": pa.array([], pa.int64()),
+        }
+    )
+    if not lohi or lohi.get("min(us)") is None:
+        import ray.data as _rd
+
+        return _rd.from_arrow(empty)
+    lo, hi = int(lohi["min(us)"]), int(lohi["max(us)"])
+    width = max((hi - lo + n_buckets) // n_buckets, 1)
+
+    def _bucketed(batch: pa.Table) -> pa.Table:
+        us = batch["us"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array((us - lo) // width),
+                "us": batch["us"],
+                "d": batch["sum(d)"].cast(pa.int64()),
+            }
+        )
+
+    def _summary(group: pa.Table) -> pa.Table:
+        if group.num_rows > max_bucket_points:
+            raise RuntimeError(
+                "max_concurrent_sessions: one time bucket holds "
+                f">{max_bucket_points} distinct timestamps; raise n_buckets"
+            )
+        us = group["us"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = group["d"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(us, kind="stable")
+        us, d = us[order], d[order]
+        run = np.cumsum(d)
+        imax = int(np.argmax(run))
+        return pa.table(
+            {
+                "bucket": pa.array([int(group["bucket"][0].as_py())], pa.int64()),
+                "total": pa.array([int(run[-1])], pa.int64()),
+                "bmax": pa.array([int(run[imax])], pa.int64()),
+                "bmax_ts": pa.array([int(us[imax])], pa.int64()),
+            }
+        )
+
+    summaries = (
+        net.map_batches(_bucketed, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_summary, batch_format="pyarrow")
+        .sort("bucket")
+        .take_all()  # n_buckets rows max — driver-size by construction
+    )
+    if not summaries:
+        import ray.data as _rd
+
+        return _rd.from_arrow(empty)
+    offset = 0
+    peak = None
+    peak_ts = None
+    for row in summaries:
+        cand = offset + int(row["bmax"])
+        if peak is None or cand > peak:
+            peak, peak_ts = cand, int(row["bmax_ts"])
+        offset += int(row["total"])
+    import ray.data as _rd
+
+    return _rd.from_arrow(
+        pa.table(
+            {
+                "peak_concurrency": pa.array([peak], pa.int64()),
+                "peak_ts_us": pa.array([peak_ts], pa.int64()),
+            }
+        )
+    )

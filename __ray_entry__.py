@@ -59,6 +59,12 @@ GRPQ_MIN_MEAN = -1.707  # splits the fixture's per-source quality means
 HH_NUM, HH_DEN = 1, 50  # heavy-hitter threshold: tokens with >= 2% of corpus mass
 CHUNK_TOKENS = 32  # chunk_documents window (overlap=0 for the SQL oracle)
 HH3_NUM, HH3_DEN = 1, 5000  # heavy 3-gram threshold (boilerplate mining)
+SUGGEST_PREFIXES = ["co", "s", "qu", "ba", "the", "win"]  # typeahead probes
+SUGGEST_COUNT = 5
+SPELL_PROBES = [
+    "custmer", "windoe", "colum", "quary", "tabel", "jion", "strem", "xyzzy", "agg",
+]  # misspelled typeahead inputs (xyzzy: no candidate within distance 2)
+SPELL_K = 3
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")  # pivot domain
 HIST_BIN_WIDTH = 5.0  # value_histogram bin width
 SEMI_STATUS = "F"  # semi/anti join: customers with(out) an F-status order
@@ -907,6 +913,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return ccnet_buckets(ds)
 
+    def q_suggest_terms(sf_dir: str):
+        from marginalia_ray.ops.suggest import suggest_terms
+
+        return suggest_terms(_docs(sf_dir), SUGGEST_PREFIXES, count=SUGGEST_COUNT)
+
+    def q_spell_correct(sf_dir: str):
+        from marginalia_ray.ops.suggest import spell_correct
+
+        return spell_correct(_docs(sf_dir), SPELL_PROBES, k=SPELL_K)
+
     def q_heavy_hitters(sf_dir: str):
         from marginalia_ray.ops.sketch import heavy_hitters
 
@@ -1610,6 +1626,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "marginalia_search": q_index_search,
         "marginalia_search_merged": q_index_search_merged,
+        "suggest_terms": q_suggest_terms,
+        "spell_correct": q_spell_correct,
         "shipping_priority": q_shipping_priority,
         "promo_revenue": q_promo_revenue,
         "rollup_revenue": q_rollup_revenue,
@@ -3205,6 +3223,36 @@ def oracle_sql() -> dict[str, str]:
         "domain_stats": """
  SELECT source AS domain, count(*)::BIGINT AS n_docs, round(avg(length(text)),6) AS avg_chars
  FROM documents GROUP BY source""",
+        # assistant-service typeahead (Suggestions.java:128-150): first-256
+        # lexicographic window per prefix, then (freq desc, length, term)
+        "suggest_terms": f"""
+ WITH toks AS (SELECT unnest({_TOK}) AS term FROM documents),
+ vocab AS (SELECT term, count(*)::BIGINT AS freq FROM toks
+           WHERE length(term) < 32 GROUP BY term),
+ prefixes(prefix) AS (VALUES {', '.join(f"('{p}')" for p in SUGGEST_PREFIXES)}),
+ lex AS (SELECT p.prefix, v.term, v.freq,
+         row_number() OVER (PARTITION BY p.prefix ORDER BY v.term) AS lexrank
+         FROM prefixes p JOIN vocab v ON starts_with(v.term, p.prefix)),
+ ranked AS (SELECT prefix, term, freq,
+         row_number() OVER (PARTITION BY prefix
+                            ORDER BY freq DESC, length(term), term) AS rank
+         FROM lex WHERE lexrank <= 256)
+ SELECT prefix, rank::BIGINT AS rank, term, freq
+ FROM ranked WHERE rank <= {SUGGEST_COUNT}""",
+        # assistant-service SpellChecker (SymSpell semantics + deterministic
+        # freq/lexicographic tiebreak)
+        "spell_correct": f"""
+ WITH toks AS (SELECT unnest({_TOK}) AS term FROM documents),
+ vocab AS (SELECT term, count(*)::BIGINT AS freq FROM toks
+           WHERE length(term) < 32 GROUP BY term),
+ probes(probe) AS (VALUES {', '.join(f"('{p}')" for p in SPELL_PROBES)}),
+ cand AS (SELECT p.probe, v.term, levenshtein(p.probe, v.term)::BIGINT AS dist, v.freq
+          FROM probes p CROSS JOIN vocab v WHERE levenshtein(p.probe, v.term) <= 2),
+ ranked AS (SELECT probe, term, dist, freq,
+         row_number() OVER (PARTITION BY probe
+                            ORDER BY dist, freq DESC, term) AS rank FROM cand)
+ SELECT probe, rank::BIGINT AS rank, term, dist, freq
+ FROM ranked WHERE rank <= {SPELL_K}""",
         "semi_join": f"""
  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer
  WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = '{SEMI_STATUS}')""",

@@ -250,7 +250,14 @@ def overwrite_merge(
     """Re-crawl ingestion with the reference's loader-overwrite semantics:
     every url present in `new_build` replaces its version in `old_build`;
     everything else in `old_build` survives.  delete + k-way merge, both
-    per-shard passes with no shuffle.  Returns the merged manifest."""
+    per-shard passes with no shuffle.  Returns the merged manifest.
+
+    The tombstoned intermediate (old_build minus the re-crawled urls —
+    nearly a full build) lives at ``scratch_dir`` (default
+    ``<out_dir>_tombstoned``) while the merge runs, which is where a
+    crashed run resumes from (per-shard ``_DONE`` markers on both
+    passes).  It is REMOVED once the merge succeeds — one re-crawl
+    would otherwise leak a dead build-sized directory per cycle."""
     from marginalia_ray.index.merge import merge_builds
 
     old_build, new_build = str(old_build), str(new_build)
@@ -265,4 +272,6 @@ def overwrite_merge(
         Path(out_dir).name + "_tombstoned"
     )
     delete_docs(old_build, scratch, new_urls, max_tombstones=max_tombstones)
-    return merge_builds([str(scratch), new_build], out_dir)
+    merged = merge_builds([str(scratch), new_build], out_dir)
+    shutil.rmtree(scratch, ignore_errors=True)
+    return merged

@@ -46,6 +46,24 @@ _MERGE_SCHEMA = {
 }
 
 
+def _register_merged(seen: set[str], merged: str, step: int) -> None:
+    """Loud guard against a symbol-STRING collision: the engine
+    identifies symbols by integer id while Sennrich semantics (and
+    tools/bpe_reference.py) identify them by string, so two merge paths
+    producing the same string ('a'+'bc' vs 'ab'+'c') would silently
+    split pair counts here but conflate them in the reference.  Greedy
+    all-positions apply makes this unreachable on normal corpora; if it
+    ever fires, the corpus needs string-identified BPE."""
+    if merged in seen:
+        raise RuntimeError(
+            f"bpe_train: step {step} merge produces symbol string "
+            f"{merged!r} already learned via a different merge path — "
+            "id-identified symbols diverge from string-identified "
+            "Sennrich semantics on this corpus"
+        )
+    seen.add(merged)
+
+
 def _syms_arrays(batch: pa.Table):
     """(values int64 np, offsets int64 np, freq int64 np) views of one
     vocabulary block."""
@@ -138,6 +156,7 @@ def _merge_loop_local(vals, off, freq, n_merges: int, min_count: int):
     """The full merge loop over in-memory arrays — used by the
     single-task fast path; identical kernels to the distributed path."""
     strings: dict[int, str] = {i: chr(i) for i in range(256)}
+    seen: set[str] = set(strings.values())
     next_id = 256
     merges: list[tuple[int, str, str, str, int]] = []
     for step in range(n_merges):
@@ -152,6 +171,7 @@ def _merge_loop_local(vals, off, freq, n_merges: int, min_count: int):
         new_id = next_id
         next_id += 1
         strings[new_id] = strings[a] + strings[b]
+        _register_merged(seen, strings[new_id], step)
         merges.append((step, strings[a], strings[b], strings[new_id], n_best))
         vals, off = _apply_merge(vals, off, a, b, new_id)
     return merges
@@ -229,6 +249,7 @@ def bpe_train(
         )
 
     strings: dict[int, str] = {i: chr(i) for i in range(256)}
+    seen: set[str] = set(strings.values())
     next_id = 256
     merges: list[tuple[int, str, str, str, int]] = []
 
@@ -274,6 +295,7 @@ def bpe_train(
         new_id = next_id
         next_id += 1
         strings[new_id] = strings[a] + strings[b]
+        _register_merged(seen, strings[new_id], step)
         merges.append((step, strings[a], strings[b], strings[new_id], n_best))
 
         def _apply(batch: pa.Table, a=a, b=b, new_id=new_id) -> pa.Table:

@@ -1320,18 +1320,6 @@ def ccnet_buckets(
     return scored.map_batches(_label, batch_format="pyarrow")
 
 
-def _fmix64(x: np.ndarray) -> np.ndarray:
-    """murmur3 fmix64, vectorized (module-local copy — the import graph
-    keeps curation free of ops.dedup)."""
-    x = x.astype(np.uint64).copy()
-    x ^= x >> np.uint64(33)
-    x *= np.uint64(0xFF51AFD7ED558CCD)
-    x ^= x >> np.uint64(33)
-    x *= np.uint64(0xC4CEB9FE1A85EC53)
-    x ^= x >> np.uint64(33)
-    return x
-
-
 def training_shuffle(ds, id_col: str = "doc_id", n_shards: int = 16, seed: int = 7):
     """Deterministic seeded global shuffle for training-data ordering:
     every row gets a (shard, pos) address from key = fmix64(fmix64(id) ^
@@ -1348,12 +1336,14 @@ def training_shuffle(ds, id_col: str = "doc_id", n_shards: int = 16, seed: int =
     thousands of shards, each one training file).
 
     Output: (id, shard, pos) with pos dense 0..shard_size-1."""
+    from marginalia_ray.ops.dedup import _fmix64_vec
+
     if n_shards < 1:
         raise ValueError("training_shuffle: n_shards must be >= 1")
 
     def _key(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
-        key = _fmix64(_fmix64(ids) ^ np.uint64(seed))
+        key = _fmix64_vec(_fmix64_vec(ids) ^ np.uint64(seed))
         return pa.table(
             {
                 id_col: batch[id_col],

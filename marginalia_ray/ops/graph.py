@@ -1386,6 +1386,20 @@ def hits_scores(
     maxes = degrees.aggregate(Max("sum(o)"), Max("sum(i)"))
     d_out = int(maxes.get("max(sum(o))") or 0)
     d_in = int(maxes.get("max(sum(i))") or 0)
+    if d_out == 0:
+        # no edges at all (every edge carries an out-degree): empty
+        # result with the output schema, like triangle_count's guard
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array([], pa.int64()),
+                    "hub": pa.array([], pa.int64()),
+                    "auth": pa.array([], pa.int64()),
+                }
+            )
+        )
     if d_in and d_out and (d_in * d_out) ** iterations >= (1 << 62):
         raise RuntimeError(
             f"hits_scores: bound (d_in*d_out)^k = ({d_in}*{d_out})^"

@@ -2593,27 +2593,48 @@ def global_quantiles(
     counts = (
         ds.map_batches(_partial, batch_format="pyarrow").groupby("v").sum("partial")
     )
-    rows = counts.take_all()
-    if len(rows) > max_distinct:
-        raise RuntimeError(
-            f"global_quantiles: {len(rows)} distinct values exceeds "
-            f"max_distinct={max_distinct} — bin the column first"
+    # enforce the distinct cap WHILE collecting (like broadcast_join's
+    # small-side cap): the driver never holds more than max_distinct
+    # rows + one batch, instead of materializing first and checking after
+    v_parts, c_parts, total = [], [], 0
+    for b in counts.iter_batches(batch_format="pyarrow"):
+        total += b.num_rows
+        if total > max_distinct:
+            raise RuntimeError(
+                f"global_quantiles: > {max_distinct} distinct values "
+                "(max_distinct) — bin the column first"
+            )
+        v_parts.append(b["v"].to_numpy(zero_copy_only=False))
+        c_parts.append(b["sum(partial)"].to_numpy(zero_copy_only=False))
+    import ray.data
+
+    if total == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {"q": pa.array([], pa.float64()), "value": pa.array([], pa.float64())}
+            )
         )
-    v = np.array([r["v"] for r in rows], np.float64)
-    c = np.array([r["sum(partial)"] for r in rows], np.int64)
+    # keep v in its NATIVE dtype (int64 > 2^53 would lose exactness in a
+    # float64 roundtrip); interpolation goes through float only at the end
+    v = np.concatenate(v_parts)
+    c = np.concatenate(c_parts).astype(np.int64)
     order = np.argsort(v)
     v, c = v[order], c[order]
     cum = np.cumsum(c)
     n = int(cum[-1])
+    integral = np.issubdtype(v.dtype, np.integer)
     out_q, out_v = [], []
     for q in qs:
         pos = q * (n - 1)  # same double math as DuckDB quantile_cont
         lo_pos, hi_pos = int(np.floor(pos)), int(np.ceil(pos))
-        lo_val = float(v[np.searchsorted(cum, lo_pos + 1)])
-        hi_val = float(v[np.searchsorted(cum, hi_pos + 1)])
+        lo_val = v[np.searchsorted(cum, lo_pos + 1)]
+        hi_val = v[np.searchsorted(cum, hi_pos + 1)]
+        if integral:
+            lo_val, hi_val = int(lo_val), int(hi_val)  # exact int subtract
+        else:
+            lo_val, hi_val = float(lo_val), float(hi_val)
         out_q.append(round(q, 6))
         out_v.append(round(lo_val + (hi_val - lo_val) * (pos - lo_pos), 6))
-    import ray.data
 
     return ray.data.from_arrow(
         pa.table({"q": pa.array(out_q, pa.float64()), "value": pa.array(out_v, pa.float64())})

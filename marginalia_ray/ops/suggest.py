@@ -45,7 +45,7 @@ import pyarrow.compute as pc
 
 from marginalia_ray.ops.text_ops import explode_tokens
 
-_ALPHABET = 36  # [a-z0-9] — everything the tokenizer can emit
+_ALPHABET = 37  # [a-z0-9] + one shared bucket for any other byte
 
 
 def _vocab(ds, text_col: str, id_col: str, max_len: int):
@@ -92,9 +92,20 @@ def _char_matrix(terms: pa.Array):
 
 
 def _char_codes(chars: np.ndarray) -> np.ndarray:
-    """Map ASCII [a-z0-9] bytes to [0, 36); padding (0) maps to 0 but is
-    always masked by lens before use."""
-    return np.where(chars >= ord("a"), chars - ord("a") + 10, chars - ord("0"))
+    """Map bytes to [0, _ALPHABET): [a-z] -> 10..35, [0-9] -> 0..9, and
+    EVERY other byte (space, punctuation, UTF-8 continuation bytes) to
+    the shared bucket 36.  Collapsing the out-of-alphabet classes keeps
+    the bag bound a true LOWER bound (merging symbol classes can only
+    shrink a multiset difference), so the exact DP afterwards stays
+    correct even for terms the tokenizer alphabet doesn't cover.
+    Padding (0) also maps to 36 but is always masked by lens before use."""
+    c = chars.astype(np.int64)
+    codes = np.full(c.shape, _ALPHABET - 1, np.int64)
+    lower = (c >= ord("a")) & (c <= ord("z"))
+    digit = (c >= ord("0")) & (c <= ord("9"))
+    codes[lower] = c[lower] - ord("a") + 10
+    codes[digit] = c[digit] - ord("0")
+    return codes
 
 
 def _bag_lower_bound(chars, lens, probe_counts, probe_len):
@@ -254,6 +265,11 @@ def spell_correct(
         raise ValueError("probes must be a non-empty list of distinct strings")
     if k < 1 or max_dist < 0:
         raise ValueError("need k >= 1 and max_dist >= 0")
+    bad = [p for p in probes if not p or not p.isascii()]
+    if bad:
+        # the DP runs over BYTES; non-ASCII probes would measure UTF-8
+        # byte edits, not character edits, and diverge from levenshtein()
+        raise ValueError(f"probes must be non-empty ASCII strings: {bad!r}")
     vocab = _vocab(ds, text_col, id_col, max_len)
     plist = list(probes)
     pmats = []

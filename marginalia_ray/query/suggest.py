@@ -81,16 +81,25 @@ class SpellChecker:
     """
 
     def __init__(self, terms, freqs, max_dist: int = 2):
-        order = np.argsort(np.asarray(terms, dtype=object), kind="stable")
-        self.terms = np.asarray(terms, dtype=object)[order]
-        self.freqs = np.asarray(freqs, dtype=np.int64)[order]
+        terms = np.asarray(terms, dtype=object)
+        freqs = np.asarray(freqs, dtype=np.int64)
+        # the DP kernels run over BYTES: keep the dictionary ASCII so
+        # byte edits == character edits (the SymSpell dictionary is
+        # plain words; anything else is dropped, not mis-measured)
+        keep = np.asarray([bool(t) and t.isascii() for t in terms], dtype=bool)
+        terms, freqs = terms[keep], freqs[keep]
+        order = np.argsort(terms, kind="stable")
+        self.terms = terms[order]
+        self.freqs = freqs[order]
         self.max_dist = max_dist
         arr = pa.array(self.terms, pa.large_string())
         self._chars, self._lens = _char_matrix(arr)
 
     def correct(self, word: str) -> list[str]:
         word = word.lower()
-        if not word or not _SUGGESTION_PATTERN.match(word):
+        # single plain words only (the SymSpell dictionary unit); also
+        # keeps the byte-DP exact — non-ASCII would measure byte edits
+        if not word or not re.fullmatch(r"[a-z0-9]+", word):
             return []
         band = np.abs(self._lens - len(word)) <= self.max_dist
         idx = np.flatnonzero(band)
@@ -129,8 +138,11 @@ class Suggestions:
         self.terms = np.asarray(sorted(vocab), dtype=object)
         self.freqs = np.asarray([vocab[t] for t in self.terms], dtype=np.int64)
         # spell checker over the plain-word subset (SymSpell dictionary)
+        # spell checker over SINGLE plain words only (the SymSpell
+        # dictionary unit — multi-word suggestion phrases stay in the
+        # trie but are not correction targets)
         plain = np.asarray(
-            [bool(_SUGGESTION_PATTERN.match(t)) for t in self.terms], dtype=bool
+            [bool(re.fullmatch(r"[a-z0-9]+", t)) for t in self.terms], dtype=bool
         )
         self.spell = SpellChecker(self.terms[plain], self.freqs[plain])
 

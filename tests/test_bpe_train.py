@@ -70,3 +70,16 @@ class TestBpeTrain:
     def test_no_pairs_empty_result(self, ray_session, local_cap):
         got = _run(["a b c", "d e"], 3, local_cap=local_cap)
         assert got == []
+
+
+class TestSymbolCollisionGuard:
+    def test_register_merged_raises_on_string_collision(self):
+        # the engine identifies symbols by int id, the oracle by string:
+        # a duplicate string must fail LOUDLY on both sides, not diverge
+        from marginalia_ray.ops.bpe import _register_merged
+
+        seen = {"a", "b", "ab"}
+        _register_merged(seen, "abc", 3)
+        assert "abc" in seen
+        with pytest.raises(RuntimeError, match="different merge path"):
+            _register_merged(seen, "ab", 4)

@@ -124,6 +124,9 @@ class TestOverwriteMerge:
 
         out_dir = tmp_path_factory.mktemp("overwritten")
         overwrite_merge(old_dir, new_dir, out_dir)
+        # the tombstoned intermediate is cleaned up after a successful
+        # merge (one leak per re-crawl cycle would double storage)
+        assert not (Path(str(out_dir) + "_tombstoned")).exists()
 
         # reference result: fresh build over (old minus slice) + v2
         expect_tbl = pa.concat_tables(

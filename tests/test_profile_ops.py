@@ -580,6 +580,33 @@ class TestGlobalQuantiles:
         with pytest.raises(ValueError):
             global_quantiles(_ds([{"n_chars": 1}]), qs=(1.5,))
 
+    def test_empty_input_returns_empty(self, ray_session):
+        # regression: used to IndexError on cum[-1]
+        import pyarrow as pa
+        import ray.data
+
+        from marginalia_ray.ops.relational import global_quantiles
+
+        empty = ray.data.from_arrow(pa.table({"n_chars": pa.array([], pa.int64())}))
+        assert global_quantiles(empty).take_all() == []
+
+    def test_distinct_cap_enforced_during_collection(self, ray_session):
+        from marginalia_ray.ops.relational import global_quantiles
+
+        rows = [{"n_chars": v} for v in range(10)]
+        with pytest.raises(RuntimeError, match="max_distinct"):
+            global_quantiles(_ds(rows), max_distinct=5).take_all()
+
+    def test_int64_above_2_53_exact(self, ray_session):
+        # regression: a float64 roundtrip of the values used to round
+        # big int64s before interpolation
+        from marginalia_ray.ops.relational import global_quantiles
+
+        lo = (1 << 60) + 1
+        rows = [{"n_chars": lo}, {"n_chars": lo}]
+        got = global_quantiles(_ds(rows), qs=(0.5,)).take_all()
+        assert got[0]["value"] == float(lo) or int(got[0]["value"]) == lo
+
 
 class TestEditDistancePairs:
     def _run(self, names, **kw):

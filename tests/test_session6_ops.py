@@ -20,6 +20,18 @@ class TestHitsScores:
     def _edges(self, pairs):
         return _ds([{"src": a, "dst": b} for a, b in pairs])
 
+    def test_empty_edges_returns_empty(self, ray_session):
+        # regression: used to die in broadcast_join("empty small side")
+        import ray.data
+
+        from marginalia_ray.ops.graph import hits_scores
+
+        empty = ray.data.from_arrow(
+            pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
+        )
+        out = hits_scores(empty).take_all()
+        assert out == []
+
     def test_tiny_graph_hand_computed(self, ray_session):
         from marginalia_ray.ops.graph import hits_scores
 

@@ -52,6 +52,21 @@ class TestSpellChecker:
         sc = SpellChecker(["table"], [1], max_dist=1)
         assert sc.correct("tle") == []
 
+    def test_multiword_vocab_does_not_crash_bag_bound(self):
+        # regression: a space byte used to overflow the 36-symbol
+        # bincount in _bag_lower_bound (reshape ValueError / silent
+        # cross-row corruption); multi-word terms now collapse into the
+        # shared out-of-alphabet bucket
+        svc = Suggestions(["ab cd", "abcd", "abce", "abcf"], [5, 10, 3, 2])
+        assert svc.spell.correct("abcd") == ["abcd", "abce", "abcf"]
+        sc = SpellChecker(["ab cd", "abcd"], [5, 10])
+        assert sc.correct("abcd")[0] == "abcd"
+
+    def test_non_ascii_vocab_dropped_not_mismeasured(self):
+        sc = SpellChecker(["naïve", "table"], [9, 1])
+        assert sc.correct("tble") == ["table"]
+        assert sc.correct("naïve") == []  # non-word input -> no correction
+
 
 class TestSuggestions:
     @pytest.fixture(scope="class")
@@ -183,3 +198,5 @@ class TestSuggestOps:
             suggest_terms(_corpus_ds(), ["a"], count=300, lex_window=256)
         with pytest.raises(ValueError):
             spell_correct(_corpus_ds(), ["x"], k=0)
+        with pytest.raises(ValueError):
+            spell_correct(_corpus_ds(), ["café"])  # non-ASCII probe

@@ -50,6 +50,14 @@ def ref_bpe(
         if n < min_count:
             break
         merged = best[0] + best[1]
+        if merged in ids:
+            # mirror ops/bpe._register_merged: a string collision between
+            # merge paths would silently conflate symbols here (the ids
+            # dict overwrite) while the engine keeps them distinct
+            raise RuntimeError(
+                f"ref_bpe: step {step} merge produces already-known "
+                f"symbol string {merged!r}"
+            )
         ids[merged] = next_id
         next_id += 1
         merges.append(

@@ -38,6 +38,42 @@ class TestLevenshteinKernel:
             np.testing.assert_array_equal(got, want)
 
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_words = st.text(alphabet="ab1", min_size=0, max_size=8)
+
+
+class TestLevenshteinProperty:
+    @given(st.lists(_words, min_size=1, max_size=20), _words)
+    @settings(max_examples=150, deadline=None)
+    def test_vectorized_dp_equals_scalar(self, words, probe):
+        # small alphabet forces dense collisions/near-misses
+        arr = pa.array(words, pa.large_string())
+        chars, lens = _char_matrix(arr)
+        got = _levenshtein_vec(chars, lens, probe)
+        np.testing.assert_array_equal(got, [_lev_py(w, probe) for w in words])
+
+    @given(st.lists(_words, min_size=1, max_size=20), _words)
+    @settings(max_examples=100, deadline=None)
+    def test_spellchecker_equals_bruteforce(self, words, probe):
+        import re as _re
+
+        vocab = sorted(set(w for w in words if w))  # "" is dropped by init too
+        if not vocab:
+            return
+        freqs = [len(w) + 1 for w in vocab]
+        sc = SpellChecker(vocab, freqs)
+        got = sc.correct(probe)
+        if not _re.fullmatch(r"[a-z0-9]+", probe):
+            assert got == []
+            return
+        fq = dict(zip(vocab, freqs))
+        cand = [(w, _lev_py(probe, w)) for w in vocab if _lev_py(probe, w) <= 2]
+        want = [w for w, d in sorted(cand, key=lambda x: (x[1], -fq[x[0]], x[0]))]
+        assert got == want
+
+
 class TestSpellChecker:
     def test_ranks_by_distance_then_freq(self):
         sc = SpellChecker(["table", "cable", "tables", "tale"], [5, 100, 7, 1])

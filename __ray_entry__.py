@@ -1628,6 +1628,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "marginalia_search_merged": q_index_search_merged,
         "suggest_terms": q_suggest_terms,
         "spell_correct": q_spell_correct,
+        # the 9 ops below (plus the flagship above) had never been included
+        # in the driver's CORRECTNESS sample through round 3 — keep them in
+        # the front window (VERDICT r3 task #1)
+        "fuzzy_dedup_components": q_fuzzy_components,
+        "near_dedup_apply": q_near_dedup_apply,
+        "similarity_join": q_similarity_join,
+        "semantic_dedup": q_semantic_dedup,
+        "stratified_sample_n": q_stratified_sample,
+        "mixture_sample": q_mixture_sample,
+        "linear_classifier": q_linear_classifier,
+        "bloom_membership": q_bloom_membership,
+        "group_quality_filter": q_group_quality_filter,
         "shipping_priority": q_shipping_priority,
         "promo_revenue": q_promo_revenue,
         "rollup_revenue": q_rollup_revenue,
@@ -1688,17 +1700,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_ngrams": q_heavy_ngrams,
         "soft_dedup_weights": q_soft_dedup_weights,
         "substring_dedup_apply": q_substring_dedup_apply,
-        "fuzzy_dedup_components": q_fuzzy_components,
         "domain_adjacencies": q_domain_adjacencies,
         "dsir_weights": q_dsir_weights,
-        "near_dedup_apply": q_near_dedup_apply,
-        "similarity_join": q_similarity_join,
-        "semantic_dedup": q_semantic_dedup,
-        "stratified_sample_n": q_stratified_sample,
-        "mixture_sample": q_mixture_sample,
-        "linear_classifier": q_linear_classifier,
-        "bloom_membership": q_bloom_membership,
-        "group_quality_filter": q_group_quality_filter,
         "ccnet_buckets": q_ccnet_buckets,
         "containment_pairs": lambda sf: containment_pairs(
             _docs(sf), threshold=CONTAINMENT_THRESHOLD

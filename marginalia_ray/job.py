@@ -25,6 +25,21 @@ def main(argv: list[str] | None = None) -> int:
         help="instead of building from pages: k-way-merge >=2 existing "
         "build dirs (doc-disjoint, same --shards layout) into --out",
     )
+    p.add_argument(
+        "--delete-from", metavar="BUILD_DIR",
+        help="instead of building: rewrite BUILD_DIR into --out minus the "
+        "url_ids listed in --tombstones (one task per (kind, shard))",
+    )
+    p.add_argument(
+        "--tombstones", metavar="PARQUET_OR_IDS",
+        help="with --delete-from: a parquet file/dir with a url_id column, "
+        "or a comma-separated id list",
+    )
+    p.add_argument(
+        "--overwrite", nargs=2, metavar=("OLD_BUILD", "NEW_BUILD"),
+        help="re-crawl ingestion: every url in NEW_BUILD replaces its "
+        "version in OLD_BUILD; result in --out (delete + k-way merge)",
+    )
     p.add_argument("--out", required=True, help="output index root")
     p.add_argument("--build-id", default="build-0")
     p.add_argument("--shards", type=int, default=32)
@@ -60,8 +75,28 @@ def main(argv: list[str] | None = None) -> int:
             )
             print(json.dumps({k: v for k, v in manifest.items() if k != "runs"}))
             return 0
+        if args.delete_from:
+            if not args.tombstones:
+                p.error("--delete-from requires --tombstones")
+            from marginalia_ray.index.delete import delete_docs
+
+            if args.tombstones.replace(",", "").replace("-", "").isdigit():
+                tombs = [int(t) for t in args.tombstones.split(",") if t]
+            else:
+                import ray.data
+
+                tombs = ray.data.read_parquet(args.tombstones, columns=["url_id"])
+            manifest = delete_docs(args.delete_from, args.out, tombs)
+            print(json.dumps({k: v for k, v in manifest.items() if k != "runs"}))
+            return 0
+        if args.overwrite:
+            from marginalia_ray.index.delete import overwrite_merge
+
+            manifest = overwrite_merge(args.overwrite[0], args.overwrite[1], args.out)
+            print(json.dumps({k: v for k, v in manifest.items() if k != "runs"}))
+            return 0
         if not args.pages:
-            p.error("either --pages or --merge is required")
+            p.error("either --pages, --merge, --delete-from or --overwrite is required")
         from marginalia_ray.pipelines.index_pipeline import run_index_pipeline
 
         manifest = run_index_pipeline(

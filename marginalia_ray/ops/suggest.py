@@ -48,8 +48,13 @@ from marginalia_ray.ops.text_ops import explode_tokens
 _ALPHABET = 37  # [a-z0-9] + one shared bucket for any other byte
 
 
-def _vocab(ds, text_col: str, id_col: str, max_len: int):
-    """(term, freq) vocabulary Dataset with per-batch partial counts.
+def term_frequencies(ds, text_col: str = "text", id_col: str = "doc_id", max_len: int = 32):
+    """(term, freq) vocabulary Dataset with per-batch partial counts —
+    the OFFLINE artifact behind the online typeahead service: write it
+    with ``.write_parquet(path)`` and load it driver-side with
+    ``query.suggest.Suggestions.from_parquet(path)`` (the Ray-native
+    replacement for the reference's suggestions.txt + tfreq-data.bin
+    pair, Suggestions.java:44-70).
 
     Mirrors the reference's suggestion-file filters (Suggestions.java:
     52-55): lowercase (tokenizer already lowers), alnum-only (tokenizer
@@ -172,7 +177,7 @@ def suggest_terms(
         raise ValueError("prefixes must be a non-empty list of distinct strings")
     if count < 1 or lex_window < count:
         raise ValueError("need 1 <= count <= lex_window")
-    vocab = _vocab(ds, text_col, id_col, max_len)
+    vocab = term_frequencies(ds, text_col, id_col, max_len)
     plist = list(prefixes)
 
     def _empty() -> pa.Table:
@@ -270,7 +275,7 @@ def spell_correct(
         # the DP runs over BYTES; non-ASCII probes would measure UTF-8
         # byte edits, not character edits, and diverge from levenshtein()
         raise ValueError(f"probes must be non-empty ASCII strings: {bad!r}")
-    vocab = _vocab(ds, text_col, id_col, max_len)
+    vocab = term_frequencies(ds, text_col, id_col, max_len)
     plist = list(probes)
     pmats = []
     for p in plist:

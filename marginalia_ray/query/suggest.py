@@ -121,6 +121,17 @@ class SpellChecker:
 class Suggestions:
     """Typeahead completion service (Suggestions.java)."""
 
+    @classmethod
+    def from_parquet(cls, path, **kwargs) -> "Suggestions":
+        """Load the (term, freq) vocabulary artifact written by
+        ``ops.suggest.term_frequencies(...).write_parquet(path)`` — the
+        Ray-native stand-in for the reference's suggestions.txt +
+        tfreq-data.bin pair (Suggestions.java:44-70)."""
+        import pyarrow.dataset as pads
+
+        t = pads.dataset(str(path)).to_table(columns=["term", "freq"])
+        return cls(t["term"].to_pylist(), t["freq"].to_pylist(), **kwargs)
+
     def __init__(self, terms, freqs, extra_keywords=FEATURE_KEYWORDS):
         terms = [str(t).lower() for t in terms]
         freqs = list(freqs)

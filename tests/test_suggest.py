@@ -225,6 +225,19 @@ class TestSuggestOps:
             assert list(sub["term"]) == [t for t, _, _ in want], p
             assert list(sub["dist"]) == [d for _, d, _ in want]
 
+    def test_vocab_artifact_roundtrip(self, ray_session, tmp_path):
+        # offline term_frequencies -> parquet -> online Suggestions
+        from marginalia_ray.ops.suggest import term_frequencies
+
+        out = str(tmp_path / "vocab")
+        term_frequencies(_corpus_ds()).write_parquet(out)
+        svc = Suggestions.from_parquet(out, extra_keywords=())
+        vocab = _vocab_py()
+        cand = sorted(t for t in vocab if t.startswith("tab"))[:256]
+        want = sorted(cand, key=lambda t: (-vocab[t], len(t), t))[:5]
+        assert svc.suggestions_for_keyword(5, "tab") == want
+        assert svc.spell.correct("tabel")[0] == "table"
+
     def test_guards(self, ray_session):
         with pytest.raises(ValueError):
             suggest_terms(_corpus_ds(), [])

@@ -635,16 +635,23 @@ def url_keywords(path: str, domain: str) -> tuple[set[str], set[str]]:
 
 # ---- matchesWordPattern ------------------------------------------------
 
-_WORD_PATTERN = re.compile(r"[\da-zA-Z]{1,15}([.\-_/:+*][\da-zA-Z]{1,10}){0,4}")
+# NOT the regex in the reference's comment: the unrolled Java loop
+# (DocumentKeywordExtractor.java:127-164) allows an EMPTY alnum run after
+# each separator (so "c++" and "std::vector" match, per its own test
+# vectors, DocumentKeywordExtractorTest.java:21-35), and accepts at most
+# 4 COMPLETED separator groups (the return-true checkpoints sit at the
+# top of j=0..4, so a fifth group is consumed but never accepted).
+_WORD_PATTERN = re.compile(r"[\da-zA-Z]{1,15}([.\-_/:+*][\da-zA-Z]{0,10}){0,4}")
 
 
 _WORD_PATTERN_MEMO: dict[str, bool] = {}
 
 
 def matches_word_pattern(s: str) -> bool:
-    """DocumentKeywordExtractor.matchesWordPattern (full-match of the
-    documented regex the unrolled Java loop implements).  Memoized globally:
-    words repeat Zipfian across documents and the match is pure."""
+    """DocumentKeywordExtractor.matchesWordPattern (full-match equivalent
+    of the unrolled Java loop — see _WORD_PATTERN note).  Memoized
+    globally: words repeat Zipfian across documents and the match is
+    pure."""
     v = _WORD_PATTERN_MEMO.get(s)
     if v is None:
         if len(_WORD_PATTERN_MEMO) > 1_000_000:

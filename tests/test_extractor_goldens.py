@@ -298,3 +298,32 @@ class TestIPv6HostClassification:
         # internal cap is 250, external 100: all 120 survive only if they
         # classify as internal (bracket conventions agree on both sides)
         assert len(out) == 120
+
+
+class TestMatchesWordPattern:
+    """DocumentKeywordExtractorTest.java:21-35 — the reference's own
+    assertion vectors for matchesWordPattern, including the two cases
+    (std::vector, c++) where the unrolled Java loop diverges from the
+    regex in its comment (empty alnum run after a separator is legal)."""
+
+    def test_reference_vectors(self):
+        from marginalia_ray.stages.keywords import matches_word_pattern as m
+
+        assert m("test")
+        assert m("1234567890abcde")
+        assert not m("1234567890abcdef")
+        assert m("test-test-test-test-test")
+        assert not m("test-test-test-test-test-test")
+        assert m("192.168.1.100/24")
+        assert m("std::vector")
+        assert m("c++")
+        assert m("m*a*s*h")
+        assert not m("Stulpnagelstrasse")
+
+    def test_loop_quirks(self):
+        from marginalia_ray.stages.keywords import matches_word_pattern as m
+
+        assert m("test-")  # trailing separator: the loop accepts it
+        assert m("a..b")  # empty run between separators
+        assert not m("-test")  # must start with >=1 alnum
+        assert not m("")

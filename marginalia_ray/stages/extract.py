@@ -756,6 +756,12 @@ def extract_document(
 
     text = body_text(root)
     title = extract_title(root)
+    # length here is len(body_text); the reference's "best effort"
+    # MeasureLengthVisitor (MeasureLengthVisitor.java:22-51) collapses
+    # whitespace per TEXT NODE and — its own quirk — never counts the
+    # final non-ws char of each node.  Both are approximations of the
+    # same quantity feeding the log-ratio; the visitor's quirk is not
+    # reproduced.
     q = quality(len(text), len(html), standard, s_pen)
 
     return ExtractedDocument(

@@ -100,6 +100,11 @@ class TestLineSplit:
         assert first_n_lines("a\nb\nc", 10) == ["a", "b"]
         assert first_n_lines("a\r\nb\r\nc", 10) == ["a", "b"]
         assert first_n_lines("a\n\rb\n\rc", 10) == ["a", "b"]
+        # LineUtilsTest.java:11-16 — the reference's exact mixed-
+        # terminator vector (LF, CRLF, CR CR, LFCR, LF LF)
+        assert first_n_lines("a\nb\r\ncd\r\re\n\rffgg\n\n", 10) == [
+            "a", "b", "cd", "", "e", "ffgg", "",
+        ]
         assert first_n_lines("a\rb\rc", 10) == ["a", "b"]
 
     def test_preserves_empties_and_caps(self):

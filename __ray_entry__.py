@@ -58,6 +58,17 @@ BLOOM_K = 2
 GRPQ_MIN_MEAN = -1.707  # splits the fixture's per-source quality means
 HH_NUM, HH_DEN = 1, 50  # heavy-hitter threshold: tokens with >= 2% of corpus mass
 CHUNK_TOKENS = 32  # chunk_documents window (overlap=0 for the SQL oracle)
+# browse/explore family (ops/browse.py): EC_DOMAIN fixture is derived from
+# part (see the dom CTE in the oracles); constants shared by Ray and SQL
+BROWSE_RANDOM_COUNT = 8
+BROWSE_RANDOM_SEED = 7
+BROWSE_RANDOM_BLACKLIST = (21, 70)  # set-0 members that pass STATE<2
+SIM_PROBES = (0, 50, 100)  # probe domains present at every sf
+SIM_BLACKLIST = (30,)  # a screenshot-bearing neighbor, so the filter bites
+SIM_COUNT = 10
+EXPLORER_PROBE = "http://d110.example.com/"  # id 110, aliased to 100
+URL_BROWSE_MOD = 97  # browse_url_ids picks o_orderkey % 97 == 0
+URL_BROWSE_MAX_KNOWN = 10  # ~ the per-domain mean url count at every sf
 HH3_NUM, HH3_DEN = 1, 5000  # heavy 3-gram threshold (boilerplate mining)
 SUGGEST_PREFIXES = ["co", "s", "qu", "ba", "the", "win"]  # typeahead probes
 SUGGEST_COUNT = 5
@@ -817,6 +828,157 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).map_batches(_mod10, batch_format="pyarrow")
         return domain_adjacencies(
             edges, source_col="l_suppkey", dest_col="l_partkey"
+        )
+
+    def _browse_domains(sf_dir: str):
+        """EC_DOMAIN fixture for the browse/explore family (ops/browse.py):
+        deterministic name/state/indexed/alias columns derived from part —
+        mirrored by the `dom` CTE in the browse oracles."""
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+
+        def _mk(b: "pa.Table") -> "pa.Table":
+            pk = b["p_partkey"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            ps = b["p_size"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            ids_u = pk.astype("U")
+            name = np.where(
+                pk % 13 == 0,
+                np.char.add("nodot", ids_u),
+                np.char.add(np.char.add("d", ids_u), ".example.com"),
+            )
+            alias_ok = (pk % 110 == 0) & (pk > 0)
+            return pa.table(
+                {
+                    "domain_id": pa.array(pk),
+                    "domain_name": pa.array(name.tolist(), pa.string()),
+                    "state": pa.array(pk % 5),
+                    "indexed": pa.array(ps % 3),
+                    "domain_alias": pa.array(
+                        np.where(alias_ok, pk - 10, 0), mask=~alias_ok
+                    ),
+                }
+            )
+
+        return ray.data.read_parquet(
+            f"{sf_dir}/part.parquet", columns=["p_partkey", "p_size"]
+        ).map_batches(_mk, batch_format="pyarrow")
+
+    def q_random_domains(sf_dir: str):
+        # DbBrowseDomainsRandom.getRandomDomains with deterministic RAND():
+        # EC_RANDOM_DOMAINS membership = p_partkey % 7 in (0, 1), set = % 7
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data
+
+        from marginalia_ray.ops.browse import random_domains
+
+        def _sets(b: "pa.Table") -> "pa.Table":
+            pk = b["p_partkey"].cast(pa.int64())
+            t = pa.table(
+                {
+                    "domain_id": pk,
+                    "domain_set": pc.subtract(
+                        pk, pc.multiply(pc.divide(pk, 7), 7)
+                    ),
+                }
+            )
+            return t.filter(pc.less(t["domain_set"], 2))
+
+        sets = ray.data.read_parquet(
+            f"{sf_dir}/part.parquet", columns=["p_partkey"]
+        ).map_batches(_sets, batch_format="pyarrow")
+        return random_domains(
+            _browse_domains(sf_dir),
+            sets,
+            count=BROWSE_RANDOM_COUNT,
+            domain_set=0,
+            blacklist=BROWSE_RANDOM_BLACKLIST,
+            seed=BROWSE_RANDOM_SEED,
+        )
+
+    def q_similar_domains(sf_dir: str):
+        # DbBrowseDomainsSimilarCosine: top-N neighbors of each probe with
+        # screenshots (domain_id % 3 != 1), blacklist-filtered
+        import pyarrow as pa
+        import ray.data
+
+        from marginalia_ray.ops.browse import similar_domains
+
+        def _shots(b: "pa.Table") -> "pa.Table":
+            import numpy as np
+
+            pk = b["p_partkey"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            return pa.table({"domain_id": pa.array(pk[pk % 3 != 1])})
+
+        shots = ray.data.read_parquet(
+            f"{sf_dir}/part.parquet", columns=["p_partkey"]
+        ).map_batches(_shots, batch_format="pyarrow")
+        return similar_domains(
+            q_domain_adjacencies(sf_dir),
+            _browse_domains(sf_dir),
+            probes=SIM_PROBES,
+            screenshots=shots,
+            blacklist=SIM_BLACKLIST,
+            count=SIM_COUNT,
+        )
+
+    def q_explorer_related(sf_dir: str):
+        # ExplorerService.getRelatedDomains for one probe (alias-following);
+        # the adjacency table is materialized because the op scans it twice
+        # and in the reference it is a STORED table (EC_DOMAIN_NEIGHBORS_2,
+        # filled by the adjacencies batch job)
+        from marginalia_ray.ops.browse import explorer_related
+
+        adj = q_domain_adjacencies(sf_dir).materialize()
+        return explorer_related(adj, _browse_domains(sf_dir), EXPLORER_PROBE)
+
+    def q_browse_url_ids(sf_dir: str):
+        # getBrowseResultFromUrlIds: EC_URL_VIEW from orders (quality =
+        # o_orderkey % 25 - 12), DOMAIN_METADATA.KNOWN_URLS = per-customer
+        # order count, probe ids = multiples of 97
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+
+        from marginalia_ray.ops.browse import browse_url_ids
+
+        def _urls(b: "pa.Table") -> "pa.Table":
+            ok = b["o_orderkey"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            ck = b["o_custkey"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            name = np.char.add(np.char.add("c", ck.astype("U")), ".example.org")
+            return pa.table(
+                {
+                    "url_id": pa.array(ok),
+                    "domain_id": pa.array(ck),
+                    "domain_name": pa.array(name.tolist(), pa.string()),
+                    "quality": pa.array((ok % 25).astype(np.float64) - 12.0),
+                }
+            )
+
+        urls = ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+        ).map_batches(_urls, batch_format="pyarrow")
+
+        def _meta(b: "pa.Table") -> "pa.Table":
+            return pa.table(
+                {
+                    "domain_id": b["o_custkey"].cast(pa.int64()),
+                    "known_urls": b["count()"].cast(pa.int64()),
+                }
+            )
+
+        meta = (
+            ray.data.read_parquet(
+                f"{sf_dir}/orders.parquet", columns=["o_custkey"]
+            )
+            .groupby("o_custkey")
+            .count()
+            .map_batches(_meta, batch_format="pyarrow")
+        )
+        ids = np.arange(0, 1_000_000, URL_BROWSE_MOD)
+        return browse_url_ids(
+            urls, meta, url_ids=ids, max_known=URL_BROWSE_MAX_KNOWN
         )
 
     def q_semantic_dedup(sf_dir: str):
@@ -1640,6 +1802,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "linear_classifier": q_linear_classifier,
         "bloom_membership": q_bloom_membership,
         "group_quality_filter": q_group_quality_filter,
+        # browse/explore family (new this round -> never driver-checked:
+        # keep in the front window too)
+        "random_domains": q_random_domains,
+        "similar_domains": q_similar_domains,
+        "explorer_related": q_explorer_related,
+        "browse_url_ids": q_browse_url_ids,
         "shipping_priority": q_shipping_priority,
         "promo_revenue": q_promo_revenue,
         "rollup_revenue": q_rollup_revenue,
@@ -2932,6 +3100,165 @@ def _pii_sql() -> str:
  FROM dec"""
 
 
+# website-adjacencies oracle (shared: domain_adjacencies itself plus the
+# browse/explorer oracles that embed it as a CTE subquery)
+_ADJ_SQL = """
+ WITH edges AS (
+   SELECT DISTINCT l_suppkey AS s, l_partkey AS d FROM lineitem WHERE l_partkey % 10 = 0
+   UNION
+   SELECT DISTINCT l_partkey, l_partkey FROM lineitem WHERE l_partkey % 10 = 0
+ ),
+ dto AS (SELECT d, count(*) AS card FROM edges GROUP BY d),
+ elig AS (SELECT d, card, 1.0/ln(2+card) AS w FROM dto WHERE card < 10000),
+ sw AS (SELECT e.s, e.d FROM edges e JOIN elig el ON el.d = e.d),
+ pairs AS (
+   SELECT a.d AS da, b.d AS db, count(*) AS cnt,
+          sum(coalesce(ws.w, 0.0)) AS wsum
+   FROM sw a JOIN sw b ON a.s = b.s AND a.d < b.d
+   LEFT JOIN elig ws ON ws.d = a.s
+   GROUP BY a.d, b.d
+ ),
+ wnorms AS (
+   SELECT e.d, sum(coalesce(el2.w, 0.0)) AS wnorm
+   FROM sw e LEFT JOIN elig el2 ON el2.d = e.s
+   GROUP BY e.d
+ ),
+ stats AS (SELECT el.d, el.card, wn.wnorm FROM elig el JOIN wnorms wn ON wn.d = el.d),
+ mirrored AS (
+   SELECT da AS a, db AS b, cnt, wsum FROM pairs
+   UNION ALL
+   SELECT db, da, cnt, wsum FROM pairs
+ ),
+ scored AS (
+   SELECT p.a AS domain_id, p.b AS neighbor_id,
+          round(p.wsum / sqrt(sa.wnorm * sb.wnorm), 6) AS relatedness
+   FROM mirrored p JOIN stats sa ON sa.d = p.a JOIN stats sb ON sb.d = p.b
+   WHERE sa.card >= 10
+     AND sb.card >= greatest(2, cast(floor(0.01*sa.card) AS bigint))
+     AND 100*p.cnt*p.cnt > sa.card*sb.card
+     AND p.wsum*p.wsum > 0.01*sa.wnorm*sb.wnorm
+ ),
+ ranked AS (
+   SELECT *, row_number() OVER (PARTITION BY domain_id
+             ORDER BY relatedness DESC, neighbor_id) AS rn
+   FROM scored
+ )
+ SELECT domain_id, neighbor_id, relatedness FROM ranked WHERE rn <= 128"""
+
+
+# shared browse/explore fixture: the EC_DOMAIN stand-in derived from part
+# (mirrors __ray_entry__._browse_domains)
+_BROWSE_DOM_CTE = """dom AS (
+  SELECT CAST(p_partkey AS BIGINT) AS domain_id,
+         CASE WHEN p_partkey % 13 = 0 THEN 'nodot' || CAST(p_partkey AS VARCHAR)
+              ELSE 'd' || CAST(p_partkey AS VARCHAR) || '.example.com' END AS domain_name,
+         CAST(p_partkey % 5 AS BIGINT) AS state,
+         CAST(p_size % 3 AS BIGINT) AS indexed,
+         CASE WHEN p_partkey % 110 = 0 AND p_partkey > 0
+              THEN CAST(p_partkey - 10 AS BIGINT) END AS domain_alias
+  FROM part)"""
+
+# EC_NEIGHBORS_VIEW (07-neighbors.sql:25-33): adjacency + both names,
+# relatedness as ROUND(100 * cosine) — integer percent
+_BROWSE_VIEW_CTE = f"""adj AS ({_ADJ_SQL}),
+ {_BROWSE_DOM_CTE},
+ v AS (SELECT a.domain_id, da.domain_name, a.neighbor_id,
+              db.domain_name AS neighbor_name,
+              CAST(floor(100 * a.relatedness + 0.5) AS BIGINT) AS relatedness
+       FROM adj a JOIN dom da ON da.domain_id = a.domain_id
+                  JOIN dom db ON db.domain_id = a.neighbor_id)"""
+
+
+def _random_domains_sql() -> str:
+    """Mirrors ops/browse.random_domains over the part fixture: the
+    _hash_split_sql exact-uint64 fmix64 chain over domain_id ^ seed
+    orders the eligible set-0 members; STATE < 2, alias null,
+    blacklist-filtered, first BROWSE_RANDOM_COUNT."""
+    M64 = 18446744073709551616
+    C1, C2 = 0xFF51AFD7ED558CCD, 0xC4CEB9FE1A85EC53
+
+    def mul(c: int) -> str:
+        return (
+            f"((((x // 4294967296) * {c}) % 4294967296) * 4294967296"
+            f" + (x % 4294967296) * {c}) % {M64}"
+        )
+
+    bl = ", ".join(str(i) for i in BROWSE_RANDOM_BLACKLIST)
+    keep = "domain_id, domain_name"
+    return f"""
+ WITH {_BROWSE_DOM_CTE},
+ rs AS (SELECT CAST(p_partkey AS BIGINT) AS domain_id FROM part WHERE p_partkey % 7 = 0),
+ elig AS (SELECT d.domain_id, d.domain_name FROM rs JOIN dom d USING (domain_id)
+          WHERE d.state < 2 AND d.domain_alias IS NULL AND d.domain_id NOT IN ({bl})),
+ s0 AS (SELECT {keep}, ((xor(domain_id, {BROWSE_RANDOM_SEED})::HUGEINT % {M64}) + {M64}) % {M64} AS x FROM elig),
+ s1 AS (SELECT {keep}, xor(x, x >> 33) AS x FROM s0),
+ s2 AS (SELECT {keep}, {mul(C1)} AS x FROM s1),
+ s3 AS (SELECT {keep}, xor(x, x >> 33) AS x FROM s2),
+ s4 AS (SELECT {keep}, {mul(C2)} AS x FROM s3),
+ s5 AS (SELECT {keep}, xor(x, x >> 33) AS x FROM s4)
+ SELECT domain_id, domain_name FROM s5 ORDER BY x, domain_id LIMIT {BROWSE_RANDOM_COUNT}"""
+
+
+def _similar_domains_sql() -> str:
+    """Mirrors ops/browse.similar_domains: probe neighbors from the view,
+    screenshot set = domain_id % 3 != 1, blacklist, top SIM_COUNT per
+    probe by (integer-percent relatedness desc, neighbor_id)."""
+    pr = ", ".join(str(i) for i in SIM_PROBES)
+    bl = ", ".join(str(i) for i in SIM_BLACKLIST)
+    return f"""
+ WITH {_BROWSE_VIEW_CTE},
+ cand AS (SELECT v.domain_id, v.neighbor_id, v.neighbor_name, v.relatedness FROM v
+          WHERE v.domain_id IN ({pr}) AND v.neighbor_id NOT IN ({bl})
+            AND v.neighbor_id % 3 <> 1),
+ ranked AS (SELECT *, row_number() OVER (PARTITION BY domain_id
+            ORDER BY relatedness DESC, neighbor_id) AS rn FROM cand)
+ SELECT domain_id, neighbor_id, neighbor_name, relatedness FROM ranked WHERE rn <= {SIM_COUNT}"""
+
+
+def _explorer_related_sql() -> str:
+    """Mirrors ops/browse.explorer_related: alias-following probe, forward
+    + reverse union with forward-first name dedup, the reference's
+    asymmetric has-more joins, name-shape filter, active/indexed flags."""
+    from marginalia_ray.ops.browse import trim_url_junk
+
+    name = trim_url_junk(EXPLORER_PROBE)
+    return f"""
+ WITH {_BROWSE_VIEW_CTE},
+ probe AS (SELECT domain_id AS did, coalesce(domain_alias, domain_id) AS aid
+           FROM dom WHERE domain_name = '{name}'),
+ fwd AS (SELECT v.neighbor_id AS id, v.neighbor_name AS name, max(v.relatedness) AS pct
+         FROM v, probe WHERE v.domain_id IN (probe.did, probe.aid)
+         GROUP BY v.neighbor_id, v.neighbor_name),
+ rev0 AS (SELECT v.domain_id AS id, v.domain_name AS name, max(v.relatedness) AS pct
+          FROM v, probe WHERE v.neighbor_id IN (probe.did, probe.aid)
+          GROUP BY v.domain_id, v.domain_name),
+ rev AS (SELECT * FROM rev0 WHERE name NOT IN (SELECT name FROM fwd)),
+ allc AS (SELECT id, name, pct, TRUE AS is_fwd FROM fwd
+          UNION ALL SELECT id, name, pct, FALSE FROM rev)
+ SELECT c.name AS domain, 'http://' || c.name || '/' AS url, c.pct AS relatedness,
+        CASE WHEN c.is_fwd THEN c.id IN (SELECT DISTINCT domain_id FROM v)
+             ELSE c.id IN (SELECT DISTINCT neighbor_id FROM v) END AS has_more,
+        d.state IN (0, 1, 2) AS active, d.indexed > 0 AS indexed
+ FROM allc c JOIN dom d ON d.domain_id = c.id
+ WHERE length(c.name) < 48 AND contains(c.name, '.')"""
+
+
+def _browse_url_ids_sql() -> str:
+    """Mirrors ops/browse.browse_url_ids over the orders fixture."""
+    return f"""
+ WITH urls AS (SELECT CAST(o_orderkey AS BIGINT) AS url_id,
+                      CAST(o_custkey AS BIGINT) AS domain_id,
+                      'c' || CAST(o_custkey AS VARCHAR) || '.example.org' AS domain_name,
+                      CAST(o_orderkey % 25 AS DOUBLE) - 12 AS quality
+               FROM orders),
+ meta AS (SELECT CAST(o_custkey AS BIGINT) AS domain_id, count(*) AS known_urls
+          FROM orders GROUP BY o_custkey)
+ SELECT u.url_id, u.domain_id, u.domain_name
+ FROM urls u JOIN meta m USING (domain_id)
+ WHERE u.url_id % {URL_BROWSE_MOD} = 0 AND u.quality > -10
+   AND m.known_urls < {URL_BROWSE_MAX_KNOWN}"""
+
+
 def _hash_split_sql() -> str:
     """Mirrors ops/text_ops.hash_split: fmix64(doc_id) % 100 in exact
     uint64 arithmetic — HUGEINT (int128) can't hold x*C for x,C < 2^64,
@@ -3778,48 +4105,11 @@ def oracle_sql() -> dict[str, str]:
  SELECT d.doc_id, coalesce(n_feats, 0)::BIGINT AS n_feats,
         coalesce(logw, 0.0) AS logw
  FROM documents d LEFT JOIN agg USING(doc_id)""",
-        "domain_adjacencies": """
- WITH edges AS (
-   SELECT DISTINCT l_suppkey AS s, l_partkey AS d FROM lineitem WHERE l_partkey % 10 = 0
-   UNION
-   SELECT DISTINCT l_partkey, l_partkey FROM lineitem WHERE l_partkey % 10 = 0
- ),
- dto AS (SELECT d, count(*) AS card FROM edges GROUP BY d),
- elig AS (SELECT d, card, 1.0/ln(2+card) AS w FROM dto WHERE card < 10000),
- sw AS (SELECT e.s, e.d FROM edges e JOIN elig el ON el.d = e.d),
- pairs AS (
-   SELECT a.d AS da, b.d AS db, count(*) AS cnt,
-          sum(coalesce(ws.w, 0.0)) AS wsum
-   FROM sw a JOIN sw b ON a.s = b.s AND a.d < b.d
-   LEFT JOIN elig ws ON ws.d = a.s
-   GROUP BY a.d, b.d
- ),
- wnorms AS (
-   SELECT e.d, sum(coalesce(el2.w, 0.0)) AS wnorm
-   FROM sw e LEFT JOIN elig el2 ON el2.d = e.s
-   GROUP BY e.d
- ),
- stats AS (SELECT el.d, el.card, wn.wnorm FROM elig el JOIN wnorms wn ON wn.d = el.d),
- mirrored AS (
-   SELECT da AS a, db AS b, cnt, wsum FROM pairs
-   UNION ALL
-   SELECT db, da, cnt, wsum FROM pairs
- ),
- scored AS (
-   SELECT p.a AS domain_id, p.b AS neighbor_id,
-          round(p.wsum / sqrt(sa.wnorm * sb.wnorm), 6) AS relatedness
-   FROM mirrored p JOIN stats sa ON sa.d = p.a JOIN stats sb ON sb.d = p.b
-   WHERE sa.card >= 10
-     AND sb.card >= greatest(2, cast(floor(0.01*sa.card) AS bigint))
-     AND 100*p.cnt*p.cnt > sa.card*sb.card
-     AND p.wsum*p.wsum > 0.01*sa.wnorm*sb.wnorm
- ),
- ranked AS (
-   SELECT *, row_number() OVER (PARTITION BY domain_id
-             ORDER BY relatedness DESC, neighbor_id) AS rn
-   FROM scored
- )
- SELECT domain_id, neighbor_id, relatedness FROM ranked WHERE rn <= 128""",
+        "domain_adjacencies": _ADJ_SQL,
+        "random_domains": _random_domains_sql(),
+        "similar_domains": _similar_domains_sql(),
+        "explorer_related": _explorer_related_sql(),
+        "browse_url_ids": _browse_url_ids_sql(),
         "jaccard_pairs": jaccard,
         "containment_pairs": containment,
         "winnow_fingerprints": _winnow_sql(),

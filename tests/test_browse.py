@@ -1,0 +1,308 @@
+"""Browse/explore family: random domains, neighbors view, similar
+domains, explorer related-domains, url-id browse, dating session.
+
+Reference semantics: DbBrowseDomainsRandom.java, DbBrowseDomainsSimilar
+Cosine.java, ExplorerService.java, DatingSessionObject.java (see
+ops/browse.py and query/dating.py docstrings for line cites).  The
+oracle parity for the four dataset ops is covered by tests/test_oracle.py
+via __ray_entry__; these tests pin the unit-level semantics."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray
+
+from marginalia_ray.ops.browse import (
+    browse_url_ids,
+    explorer_related,
+    neighbors_view,
+    random_domains,
+    similar_domains,
+    trim_url_junk,
+)
+from marginalia_ray.ops.dedup import _fmix64_vec
+from marginalia_ray.query.dating import (
+    BrowseResult,
+    DatingSession,
+    find_viable_domain,
+)
+
+
+def _domains(rows):
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "domain_id": pa.array([r[0] for r in rows], pa.int64()),
+                "domain_name": pa.array([r[1] for r in rows], pa.string()),
+                "state": pa.array([r[2] for r in rows], pa.int64()),
+                "indexed": pa.array([r[3] for r in rows], pa.int64()),
+                "domain_alias": pa.array([r[4] for r in rows], pa.int64()),
+            }
+        )
+    )
+
+
+DOMS = [
+    # id, name, state, indexed, alias
+    (1, "a.example", 0, 1, None),
+    (2, "b.example", 1, 0, None),
+    (3, "c.example", 2, 1, None),  # state >= 2: excluded from random
+    (4, "d.example", 0, 2, 1),  # aliased: excluded from random
+    (5, "e.example", 0, 0, None),
+    (6, "nodotname", 0, 1, None),  # explorer name filter drops it
+    (7, "g.example", 3, 1, None),  # inactive for explorer
+]
+
+
+class TestRandomDomains:
+    def test_filters_and_deterministic_order(self, ray_session):
+        domains = _domains(DOMS)
+        sets = ray.data.from_arrow(
+            pa.table(
+                {
+                    "domain_id": pa.array([1, 2, 3, 4, 5, 6, 7], pa.int64()),
+                    "domain_set": pa.array([0, 0, 0, 0, 0, 1, 0], pa.int64()),
+                }
+            )
+        )
+        got = random_domains(
+            domains, sets, count=3, domain_set=0, blacklist=(5,), seed=9
+        ).to_pandas()
+        # eligible: 1, 2 (3 and 7 state>=2, 4 aliased, 5 blacklisted, 6 set 1)
+        elig = np.array([1, 2], np.uint64)
+        order = np.argsort(_fmix64_vec(elig ^ np.uint64(9)))
+        expect = elig[order].astype(np.int64)
+        assert got["domain_id"].tolist() == expect.tolist()
+
+    def test_count_cap(self, ray_session):
+        domains = _domains(DOMS)
+        sets = ray.data.from_arrow(
+            pa.table(
+                {
+                    "domain_id": pa.array([1, 2, 5], pa.int64()),
+                    "domain_set": pa.array([0, 0, 0], pa.int64()),
+                }
+            )
+        )
+        got = random_domains(domains, sets, count=2, domain_set=0).to_pandas()
+        assert len(got) == 2
+
+
+def _adj(ray_session):
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "domain_id": pa.array([1, 1, 1, 2, 5], pa.int64()),
+                "neighbor_id": pa.array([2, 5, 7, 1, 1], pa.int64()),
+                "relatedness": pa.array([0.505, 0.504999, 0.9, 0.505, 0.2], pa.float64()),
+            }
+        )
+    )
+
+
+def _view(ray_session):
+    return neighbors_view(_adj(ray_session), _domains(DOMS))
+
+
+class TestNeighborsView:
+    def test_names_and_integer_percent(self, ray_session):
+        v = _view(ray_session).to_pandas().sort_values(
+            ["domain_id", "neighbor_id"]
+        )
+        row = v[(v.domain_id == 1) & (v.neighbor_id == 2)].iloc[0]
+        assert row["domain_name"] == "a.example"
+        assert row["neighbor_name"] == "b.example"
+        # ROUND(100 * 0.505) = 51 (half away from zero), 0.504999 -> 50
+        assert row["relatedness"] == 51
+        assert v[(v.domain_id == 1) & (v.neighbor_id == 5)].iloc[0][
+            "relatedness"
+        ] == 50
+        assert str(v["relatedness"].dtype) == "int64"
+
+
+class TestSimilarDomains:
+    def test_screenshot_blacklist_topk(self, ray_session):
+        shots = ray.data.from_arrow(
+            pa.table({"domain_id": pa.array([2, 5, 7], pa.int64())})
+        )
+        got = (
+            similar_domains(
+                _adj(ray_session), _domains(DOMS), probes=[1],
+                screenshots=shots, blacklist=(7,), count=1,
+            )
+            .to_pandas()
+            .sort_values("neighbor_id")
+        )
+        # neighbors of 1: 2 (51), 5 (50), 7 (90, blacklisted) -> top-1 = 2
+        assert got["neighbor_id"].tolist() == [2]
+        assert got["neighbor_name"].tolist() == ["b.example"]
+        assert got["relatedness"].tolist() == [51]
+
+    def test_screenshotless_neighbor_skipped(self, ray_session):
+        shots = ray.data.from_arrow(
+            pa.table({"domain_id": pa.array([5], pa.int64())})
+        )
+        got = similar_domains(
+            _adj(ray_session), _domains(DOMS), probes=[1],
+            screenshots=shots, count=5,
+        ).to_pandas()
+        assert got["neighbor_id"].tolist() == [5]
+
+
+class TestExplorer:
+    def test_trim_url_junk(self):
+        # ExplorerService.trimUrlJunk
+        assert trim_url_junk("https://x.com/path/y") == "x.com"
+        assert trim_url_junk("http://x.com") == "x.com"
+        assert trim_url_junk("x.com/") == "x.com"
+        assert trim_url_junk("/rooted") == "/rooted"  # indexOf('/') == 0 kept
+
+    def test_forward_reverse_union(self, ray_session):
+        v = _adj(ray_session).materialize()
+        got = explorer_related(v, _domains(DOMS), "http://a.example/x").to_pandas()
+        # forward: 2, 5, 7; reverse: 2 (dup name, skipped), 5 (dup, skipped)
+        assert got["domain"].tolist() == ["g.example", "b.example", "e.example"]
+        assert got["relatedness"].tolist() == [90, 51, 50]
+        # has_more fwd: does the neighbor appear as a probe side? 2 yes, 5 yes, 7 no
+        by = got.set_index("domain")
+        assert bool(by.loc["b.example", "has_more"])
+        assert bool(by.loc["e.example", "has_more"])
+        assert not bool(by.loc["g.example", "has_more"])
+        # active: state in (0,1,2); g.example has state 3
+        assert not bool(by.loc["g.example", "active"])
+        assert bool(by.loc["b.example", "active"])
+        # indexed > 0: e.example has indexed 0
+        assert not bool(by.loc["e.example", "indexed"])
+
+    def test_alias_following_and_name_filter(self, ray_session):
+        # d.example aliases to 1, so probing it pulls 1's neighbors too;
+        # nodotname (6) would be filtered had it appeared
+        adj = ray.data.from_arrow(
+            pa.table(
+                {
+                    "domain_id": pa.array([4, 1], pa.int64()),
+                    "neighbor_id": pa.array([6, 5], pa.int64()),
+                    "relatedness": pa.array([0.8, 0.3], pa.float64()),
+                }
+            )
+        ).materialize()
+        got = explorer_related(adj, _domains(DOMS), "d.example").to_pandas()
+        # probes {4, 1}: fwd neighbors 6 (no dot, dropped) and 5
+        assert got["domain"].tolist() == ["e.example"]
+
+    def test_unknown_domain_empty(self, ray_session):
+        v = _adj(ray_session).materialize()
+        got = explorer_related(v, _domains(DOMS), "zzz.example").to_pandas()
+        assert len(got) == 0
+        assert list(got.columns) == [
+            "domain", "url", "relatedness", "has_more", "active", "indexed",
+        ]
+
+
+class TestBrowseUrlIds:
+    def test_quality_and_known_urls_gates(self, ray_session):
+        urls = ray.data.from_arrow(
+            pa.table(
+                {
+                    "url_id": pa.array([10, 11, 12, 13], pa.int64()),
+                    "domain_id": pa.array([1, 1, 2, 3], pa.int64()),
+                    "domain_name": pa.array(
+                        ["a.example", "a.example", "b.example", "c.example"],
+                        pa.string(),
+                    ),
+                    "quality": pa.array([-5.0, -11.0, 0.0, 1.0], pa.float64()),
+                }
+            )
+        )
+        meta = ray.data.from_arrow(
+            pa.table(
+                {
+                    "domain_id": pa.array([1, 2, 3], pa.int64()),
+                    "known_urls": pa.array([10, 6000, 3], pa.int64()),
+                }
+            )
+        )
+        got = (
+            browse_url_ids(urls, meta, url_ids=[10, 11, 12], max_known=5000)
+            .to_pandas()
+            .sort_values("url_id")
+        )
+        # 11 fails quality > -10; 12's domain fails known_urls < 5000;
+        # 13 not requested
+        assert got["url_id"].tolist() == [10]
+        assert got["domain_name"].tolist() == ["a.example"]
+
+
+class TestDatingSession:
+    def r(self, i):
+        return BrowseResult(f"http://d{i}/", i)
+
+    def test_next_refills_25_and_pops_head(self):
+        calls = []
+
+        def provider(n):
+            calls.append(n)
+            return [self.r(i) for i in range(n)]
+
+        s = DatingSession()
+        first = s.next(provider)
+        assert calls == [25]
+        assert first == self.r(0)
+        assert len(s.queue) == 24
+        s.next(provider)
+        assert calls == [25]  # no refill while non-empty
+
+    def test_next_similar_prepends_and_trims(self):
+        s = DatingSession()
+        for i in range(100, 200):
+            s.add_to_queue(self.r(i))  # addFirst each -> 199..100, cap 100
+        assert len(s.queue) == 100
+
+        def similar(domain_id, n):
+            return [self.r(i) for i in range(n)]
+
+        got = s.next_similar(1, similar)
+        # each addFirst: last similar row (24) ends at the head
+        assert got == self.r(24)
+        # tail trimmed to MAX_QUEUE_SIZE before the poll
+        assert len(s.queue) == 99
+
+    def test_browse_forward_backward_history(self):
+        s = DatingSession()
+        a, b, c = self.r(1), self.r(2), self.r(3)
+        s.browse_forward(a)
+        assert s.current == a and not s.has_history()
+        s.browse_forward(b)
+        assert s.has_history() and s.recently_viewed[0] == a
+        s.browse_backward(c)
+        # current b pushed back onto the queue head
+        assert s.queue[0] == b and s.current == c
+        assert s.is_recent(a) and s.is_recent(c) and not s.is_recent(b)
+        assert s.take_from_history() == a
+        assert not s.has_history()
+
+    def test_history_cap(self):
+        s = DatingSession()
+        for i in range(150):
+            s.add_to_history(self.r(i))
+        assert len(s.recently_viewed) == 100
+        assert s.recently_viewed[0] == self.r(149)
+
+    def test_find_viable_domain_skips(self):
+        s = DatingSession()
+        draws = iter([self.r(2), self.r(3)])
+
+        def provider(n):
+            return list(draws)
+
+        shots = {3}
+        got = find_viable_domain(
+            s, self.r(1), provider, lambda d: d in shots
+        )
+        assert got == self.r(3)
+
+    def test_find_viable_domain_exhausted_raises(self):
+        s = DatingSession()
+        with pytest.raises(RuntimeError):
+            find_viable_domain(s, self.r(1), lambda n: [], lambda d: False)

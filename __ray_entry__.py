@@ -69,6 +69,10 @@ SIM_COUNT = 10
 EXPLORER_PROBE = "http://d110.example.com/"  # id 110, aliased to 100
 URL_BROWSE_MOD = 97  # browse_url_ids picks o_orderkey % 97 == 0
 URL_BROWSE_MAX_KNOWN = 10  # ~ the per-domain mean url count at every sf
+OLD_ALGO_PROBE = 50
+OLD_ALGO_COUNT = 25  # the reference's supplement pull (count/2 = 12 gate)
+OLD_ALGO_MAX_KNOWN = 30  # ~ per-part lineitem mean, so the gate bites
+OLD_ALGO_BLACKLIST = (20,)
 HH3_NUM, HH3_DEN = 1, 5000  # heavy 3-gram threshold (boilerplate mining)
 SUGGEST_PREFIXES = ["co", "s", "qu", "ba", "the", "win"]  # typeahead probes
 SUGGEST_COUNT = 5
@@ -981,6 +985,87 @@ def queries() -> dict[str, Callable[[str], Any]]:
             urls, meta, url_ids=ids, max_known=URL_BROWSE_MAX_KNOWN
         )
 
+    def q_old_algo_neighbors(sf_dir: str):
+        # DbBrowseDomainsSimilarOldAlgo three-stage cascade; EC_DOMAIN_LINK
+        # fixture: supplier->part edges plus part->(10*supplier) edges so
+        # probes have outlinks; EC_DOMAIN_NEIGHBORS adj_idx = per-domain
+        # relatedness rank of the adjacency output
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+
+        from marginalia_ray.ops.browse import old_algo_neighbors
+
+        def _rn(g: "pa.Table") -> "pa.Table":
+            r = g["relatedness"].to_numpy(zero_copy_only=False)
+            n = g["neighbor_id"].to_numpy(zero_copy_only=False)
+            order = np.lexsort((n, -r))
+            idx = np.empty(len(order), np.int64)
+            idx[order] = np.arange(1, len(order) + 1)
+            return g.append_column("adj_idx", pa.array(idx))
+
+        nb = q_domain_adjacencies(sf_dir).groupby("domain_id").map_groups(
+            _rn, batch_format="pyarrow"
+        )
+
+        def _links(b: "pa.Table") -> "pa.Table":
+            pk = b["l_partkey"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            sk = b["l_suppkey"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            m = pk % 10 == 0
+            return pa.table(
+                {
+                    "src": pa.array(np.concatenate([sk[m], pk[m]])),
+                    "dst": pa.array(np.concatenate([pk[m], sk[m] * 10])),
+                }
+            )
+
+        def _uniq(g: "pa.Table") -> "pa.Table":
+            d = np.unique(g["dst"].to_numpy(zero_copy_only=False))
+            s = np.full(len(d), g["src"][0].as_py(), np.int64)
+            return pa.table({"src": pa.array(s), "dst": pa.array(d)})
+
+        # the op scans links twice (probe edges, inlink counts): distinct
+        # + materialize once, the stored-link-table semantics
+        links = (
+            ray.data.read_parquet(
+                f"{sf_dir}/lineitem.parquet", columns=["l_suppkey", "l_partkey"]
+            )
+            .map_batches(_links, batch_format="pyarrow")
+            .groupby("src")
+            .map_groups(_uniq, batch_format="pyarrow")
+            .materialize()
+        )
+
+        def _meta_mk(b: "pa.Table") -> "pa.Table":
+            pk = b["l_partkey"].cast(pa.int64())
+            ids = pk.to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "domain_id": pk,
+                    "known_urls": b["count()"].cast(pa.int64()),
+                    "rank": pa.array((ids * 7919) % 997),
+                }
+            )
+
+        meta = (
+            ray.data.read_parquet(
+                f"{sf_dir}/lineitem.parquet", columns=["l_partkey"]
+            )
+            .groupby("l_partkey")
+            .count()
+            .map_batches(_meta_mk, batch_format="pyarrow")
+        )
+        return old_algo_neighbors(
+            nb,
+            links,
+            _browse_domains(sf_dir),
+            meta,
+            OLD_ALGO_PROBE,
+            count=OLD_ALGO_COUNT,
+            blacklist=OLD_ALGO_BLACKLIST,
+            max_known=OLD_ALGO_MAX_KNOWN,
+        )
+
     def q_semantic_dedup(sf_dir: str):
         # seeded centroids (the knn_cosine_ivf convention) so the op is a
         # pure function of the data and the DuckDB oracle can mirror it
@@ -1808,6 +1893,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "similar_domains": q_similar_domains,
         "explorer_related": q_explorer_related,
         "browse_url_ids": q_browse_url_ids,
+        "old_algo_neighbors": q_old_algo_neighbors,
         "shipping_priority": q_shipping_priority,
         "promo_revenue": q_promo_revenue,
         "rollup_revenue": q_rollup_revenue,
@@ -3243,6 +3329,56 @@ def _explorer_related_sql() -> str:
  WHERE length(c.name) < 48 AND contains(c.name, '.')"""
 
 
+def _old_algo_sql() -> str:
+    """Mirrors ops/browse.old_algo_neighbors: the three-stage cascade with
+    post-LIMIT blacklist skips and set-dedup between stages (the HashSet).
+    Stage limits consume rows regardless of dedup/blacklist hits, exactly
+    like the reference's read loop."""
+    bl = ", ".join(str(i) for i in OLD_ALGO_BLACKLIST)
+    half = OLD_ALGO_COUNT // 2
+    return f"""
+ WITH adj AS ({_ADJ_SQL}),
+ {_BROWSE_DOM_CTE},
+ nb AS (SELECT domain_id, neighbor_id, row_number() OVER (PARTITION BY domain_id
+        ORDER BY relatedness DESC, neighbor_id) AS adj_idx FROM adj),
+ links AS (
+   SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src, CAST(l_partkey AS BIGINT) AS dst
+   FROM lineitem WHERE l_partkey % 10 = 0
+   UNION
+   SELECT DISTINCT CAST(l_partkey AS BIGINT), CAST(l_suppkey * 10 AS BIGINT)
+   FROM lineitem WHERE l_partkey % 10 = 0
+ ),
+ meta AS (SELECT CAST(l_partkey AS BIGINT) AS domain_id, count(*) AS known_urls,
+          (CAST(l_partkey AS BIGINT) * 7919) % 997 AS rank
+          FROM lineitem GROUP BY l_partkey),
+ inl AS (SELECT dst, count(*) AS cnt FROM links GROUP BY dst),
+ elig AS (SELECT d.domain_id, d.domain_name, m.rank FROM dom d
+          JOIN meta m USING (domain_id) JOIN inl ON inl.dst = d.domain_id
+          WHERE d.state < 2 AND d.domain_alias IS NULL
+            AND m.known_urls < {OLD_ALGO_MAX_KNOWN} AND inl.cnt < 100),
+ q1 AS (SELECT e.domain_id, e.domain_name FROM nb JOIN elig e ON e.domain_id = nb.neighbor_id
+        WHERE nb.domain_id = {OLD_ALGO_PROBE}
+        ORDER BY nb.adj_idx, nb.neighbor_id LIMIT {OLD_ALGO_COUNT}),
+ q1k AS (SELECT * FROM q1 WHERE domain_id NOT IN ({bl})),
+ n1 AS (SELECT count(*) AS c FROM q1k),
+ q2c AS (SELECT e.domain_id, e.domain_name,
+         row_number() OVER (ORDER BY e.rank, e.domain_id) AS rn
+         FROM elig e JOIN links b ON b.dst = e.domain_id AND b.src = {OLD_ALGO_PROBE}),
+ q2k AS (SELECT q2c.domain_id, q2c.domain_name FROM q2c, n1
+         WHERE n1.c < {half} AND q2c.rn <= {half} - n1.c
+           AND q2c.domain_id NOT IN ({bl})),
+ s2 AS (SELECT DISTINCT * FROM (SELECT * FROM q1k UNION ALL SELECT * FROM q2k)),
+ n2 AS (SELECT count(*) AS c FROM s2),
+ q3c AS (SELECT e.domain_id, e.domain_name,
+         row_number() OVER (ORDER BY e.rank, e.domain_id) AS rn
+         FROM elig e JOIN links b ON b.src = e.domain_id AND b.dst = {OLD_ALGO_PROBE}),
+ q3k AS (SELECT q3c.domain_id, q3c.domain_name FROM q3c, n2
+         WHERE n2.c < {half} AND q3c.rn <= {half} - n2.c
+           AND q3c.domain_id NOT IN ({bl}))
+ SELECT DISTINCT domain_id, domain_name
+ FROM (SELECT * FROM s2 UNION ALL SELECT * FROM q3k)"""
+
+
 def _browse_url_ids_sql() -> str:
     """Mirrors ops/browse.browse_url_ids over the orders fixture."""
     return f"""
@@ -4110,6 +4246,7 @@ def oracle_sql() -> dict[str, str]:
         "similar_domains": _similar_domains_sql(),
         "explorer_related": _explorer_related_sql(),
         "browse_url_ids": _browse_url_ids_sql(),
+        "old_algo_neighbors": _old_algo_sql(),
         "jaccard_pairs": jaccard,
         "containment_pairs": containment,
         "winnow_fingerprints": _winnow_sql(),

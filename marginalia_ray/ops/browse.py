@@ -608,6 +608,207 @@ def explorer_related(
     )
 
 
+def old_algo_neighbors(
+    neighbors,
+    links,
+    domains,
+    meta,
+    probe_id: int,
+    *,
+    count: int = 25,
+    blacklist=(),
+    max_known: int = 1000,
+    max_inlinks: int = 100,
+    max_candidates: int = 1_000_000,
+    id_col: str = "domain_id",
+    name_col: str = "domain_name",
+    state_col: str = "state",
+    alias_col: str = "domain_alias",
+) -> pa.Table:
+    """DbBrowseDomainsSimilarOldAlgo.getDomainNeighborsAdjacent
+    (DbBrowseDomainsSimilarOldAlgo.java:29-134): the three-stage fallback
+    cascade BrowseCommand uses to supplement thin cosine results —
+
+      1. stored neighbors of the probe (EC_DOMAIN_NEIGHBORS, ADJ_IDX
+         order, LIMIT ``count``);
+      2. if the result set holds fewer than ``count // 2`` domains:
+         domains the probe LINKS TO, by rank asc, LIMIT the shortfall;
+      3. if still short: domains LINKING TO the probe, same shape.
+
+    Every stage requires state < 2, no alias, a DOMAIN_METADATA row with
+    KNOWN_URLS < ``max_known``, and at least one but fewer than
+    ``max_inlinks`` inbound links (the reference's inner LINK join +
+    ``HAVING CNT < 100``).  The blacklist is applied AFTER each stage's
+    LIMIT (the reference skips rows client-side), and stages dedup into
+    one result set (its HashSet).  MySQL's arbitrary rank/ADJ_IDX tie
+    order is made deterministic with an id tie-break.
+
+    Inputs: ``neighbors`` (domain_id, neighbor_id, adj_idx), ``links``
+    (src, dst — DISTINCT edges), ``domains`` (id/name/state/alias),
+    ``meta`` (domain_id, known_urls, rank).  SERVING-query shape: four
+    streaming scans with broadcast-bounded id sets (probe edges, then
+    candidate info), driver assembly capped at ``max_candidates``.
+
+    Output pa.Table: (domain_id, domain_name) — the deduped union.
+    """
+    bl = set(int(i) for i in _as_small_ids(blacklist, "blacklist"))
+    probe = int(probe_id)
+    half = int(count) // 2
+
+    # stage-candidate pull: probe's stored neighbors + probe's edges
+    def _cands(batch: pa.Table) -> pa.Table:
+        d = batch["domain_id"].to_numpy(zero_copy_only=False)
+        m = pa.array(d == probe)
+        return pa.table(
+            {
+                "id": batch["neighbor_id"].cast(pa.int64()).filter(m),
+                "adj_idx": batch["adj_idx"].cast(pa.int64()).filter(m),
+            }
+        )
+
+    nb = _collect_capped(
+        neighbors.map_batches(_cands, batch_format="pyarrow"),
+        max_candidates,
+        "old_algo_neighbors(neighbors)",
+    )
+    q1_ids = nb["id"].to_numpy(zero_copy_only=False) if nb is not None else np.array([], np.int64)
+    q1_idx = nb["adj_idx"].to_numpy(zero_copy_only=False) if nb is not None else np.array([], np.int64)
+
+    def _edges(batch: pa.Table) -> pa.Table:
+        s = batch["src"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        d = batch["dst"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keep = (s == probe) | (d == probe)
+        m = pa.array(keep)
+        return pa.table(
+            {"src": pa.array(s[keep]), "dst": pa.array(d[keep])}
+        )
+
+    pe = _collect_capped(
+        links.map_batches(_edges, batch_format="pyarrow"),
+        max_candidates,
+        "old_algo_neighbors(probe edges)",
+    )
+    if pe is not None:
+        ps = pe["src"].to_numpy(zero_copy_only=False)
+        pd_ = pe["dst"].to_numpy(zero_copy_only=False)
+        q2_ids = np.unique(pd_[ps == probe])  # probe links to them
+        q3_ids = np.unique(ps[pd_ == probe])  # they link to probe
+    else:
+        q2_ids = q3_ids = np.array([], np.int64)
+
+    cand = np.unique(np.concatenate([q1_ids, q2_ids, q3_ids])).astype(np.int64)
+    if not len(cand):
+        return pa.table(
+            {
+                "domain_id": pa.array([], pa.int64()),
+                "domain_name": pa.array([], pa.string()),
+            }
+        )
+
+    # one links pass: inbound-link counts for the bounded candidate set
+    inlinks: dict[int, int] = {}
+
+    def _inl(batch: pa.Table) -> pa.Table:
+        d = batch["dst"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        d = d[np.isin(d, cand)]
+        u, c = np.unique(d, return_counts=True)
+        return pa.table({"id": pa.array(u), "n": pa.array(c.astype(np.int64))})
+
+    for b in links.map_batches(_inl, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for i, n in zip(b["id"].to_pylist(), b["n"].to_pylist()):
+            inlinks[int(i)] = inlinks.get(int(i), 0) + int(n)
+
+    # one domains pass + one meta pass for the candidate set
+    dom_info: dict[int, tuple[str, int, bool]] = {}
+
+    def _dom(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        m = pa.array(np.isin(ids, cand))
+        return pa.table(
+            {
+                "id": batch[id_col].cast(pa.int64()).filter(m),
+                "name": batch[name_col].filter(m),
+                "state": batch[state_col].cast(pa.int64()).filter(m),
+                "alias_null": pc.is_null(batch[alias_col]).filter(m),
+            }
+        )
+
+    for b in domains.map_batches(_dom, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for i, nm, st, an in zip(
+            b["id"].to_pylist(), b["name"].to_pylist(),
+            b["state"].to_pylist(), b["alias_null"].to_pylist(),
+        ):
+            dom_info[int(i)] = (nm, int(st), bool(an))
+
+    meta_info: dict[int, tuple[int, int]] = {}
+
+    def _meta(batch: pa.Table) -> pa.Table:
+        ids = batch["domain_id"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        m = pa.array(np.isin(ids, cand))
+        return pa.table(
+            {
+                "id": batch["domain_id"].cast(pa.int64()).filter(m),
+                "known": batch["known_urls"].cast(pa.int64()).filter(m),
+                "rank": batch["rank"].cast(pa.int64()).filter(m),
+            }
+        )
+
+    for b in meta.map_batches(_meta, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for i, k, r in zip(
+            b["id"].to_pylist(), b["known"].to_pylist(), b["rank"].to_pylist()
+        ):
+            meta_info[int(i)] = (int(k), int(r))
+
+    def _eligible(i: int) -> bool:
+        if i not in dom_info or i not in meta_info:
+            return False  # inner joins against EC_DOMAIN / DOMAIN_METADATA
+        nm, st, alias_null = dom_info[i]
+        known, _rank = meta_info[i]
+        il = inlinks.get(i, 0)
+        return (
+            st < 2
+            and alias_null
+            and known < max_known
+            and 1 <= il < max_inlinks
+        )
+
+    result: dict[int, str] = {}  # insertion-ordered result set (the HashSet)
+
+    # stage 1: ADJ_IDX order, LIMIT count, blacklist skipped post-limit
+    order = np.lexsort((q1_ids, q1_idx))
+    stage1 = [int(q1_ids[j]) for j in order if _eligible(int(q1_ids[j]))][: int(count)]
+    for i in stage1:
+        if i not in bl:
+            result[i] = dom_info[i][0]
+
+    def _rank_stage(ids: np.ndarray, shortfall: int) -> None:
+        elig = [int(i) for i in ids if _eligible(int(i))]
+        elig.sort(key=lambda i: (meta_info[i][1], i))
+        for i in elig[:shortfall]:
+            if i not in bl:
+                result[i] = dom_info[i][0]
+
+    # stages 2/3 fire only while the set holds fewer than count // 2
+    if len(result) < half:
+        _rank_stage(q2_ids, half - len(result))
+    if len(result) < half:
+        _rank_stage(q3_ids, half - len(result))
+
+    ids = list(result)
+    return pa.table(
+        {
+            "domain_id": pa.array(ids, pa.int64()),
+            "domain_name": pa.array([result[i] for i in ids], pa.string()),
+        }
+    )
+
+
 def browse_url_ids(
     urls,
     domain_meta,

@@ -306,3 +306,158 @@ class TestDatingSession:
         s = DatingSession()
         with pytest.raises(RuntimeError):
             find_viable_domain(s, self.r(1), lambda n: [], lambda d: False)
+
+
+class TestOldAlgoCascade:
+    """Hand-built fixture driving all three stages deterministically
+    (DbBrowseDomainsSimilarOldAlgo.java:29-134 semantics)."""
+
+    def _run(self, ray_session, **kw):
+        from marginalia_ray.ops.browse import old_algo_neighbors
+
+        nb = ray.data.from_arrow(
+            pa.table(
+                {
+                    "domain_id": pa.array([1, 1, 1], pa.int64()),
+                    "neighbor_id": pa.array([2, 3, 4], pa.int64()),
+                    "adj_idx": pa.array([1, 2, 3], pa.int64()),
+                }
+            )
+        )
+        links = ray.data.from_arrow(
+            pa.table(
+                {
+                    # probe 1 links to 5, 6; 7, 8 link to probe 1; 9 gives
+                    # every candidate except 4 one inbound link
+                    "src": pa.array([1, 1, 7, 8, 9, 9, 9, 9, 9, 9], pa.int64()),
+                    "dst": pa.array([5, 6, 1, 1, 2, 3, 5, 6, 7, 8], pa.int64()),
+                }
+            )
+        )
+        doms = _domains(
+            [(i, f"d{i}.example", 0, 1, None) for i in range(1, 10)]
+        )
+        meta = ray.data.from_arrow(
+            pa.table(
+                {
+                    "domain_id": pa.array([1, 2, 3, 4, 5, 6, 7, 8], pa.int64()),
+                    "known_urls": pa.array([1, 1, 1, 1, 1, 1, 1, 99], pa.int64()),
+                    # rank: 6 beats 5 so the blacklisted row consumes the slot
+                    "rank": pa.array([9, 9, 9, 9, 2, 1, 5, 9], pa.int64()),
+                }
+            )
+        )
+        return old_algo_neighbors(
+            nb, links, doms, meta, probe_id=1, count=6, max_known=50, **kw
+        ).to_pandas()
+
+    def test_all_stages_and_slot_consumption(self, ray_session):
+        got = self._run(ray_session, blacklist=(6,))
+        # q1: 2, 3 eligible (4 has no inbound link) -> n=2 < 6//2=3.
+        # q2 shortfall 1: rank order [6, 5]; 6 is read (consumes the one
+        # slot) but blacklisted -> nothing added, 5 never reached.
+        # q3 shortfall 1: candidates {7 (ok), 8 (known_urls over cap)} -> 7.
+        assert sorted(got["domain_id"].tolist()) == [2, 3, 7]
+
+    def test_stage1_fills_no_fallback(self, ray_session):
+        got = self._run(ray_session, blacklist=())
+        # without the blacklist q2's slot admits 6; set reaches 3 = half,
+        # so q3 never fires
+        assert sorted(got["domain_id"].tolist()) == [2, 3, 6]
+
+
+class TestCommands:
+    def _r(self, i, url=None):
+        return BrowseResult(url or f"http://d{i}.example/", i)
+
+    def _browse(self, **kw):
+        from marginalia_ray.query.commands import BrowseCommand
+
+        defaults = dict(
+            random_provider=lambda n, s: [self._r(i) for i in range(s * 10, s * 10 + 5)],
+            similar_provider=lambda d, n: [self._r(d + 1), self._r(d + 2)],
+            old_algo_provider=lambda d, n: [self._r(d + 2), self._r(d + 3)],
+            domain_id_lookup=lambda w: 10 if w == "known.example" else None,
+            has_screenshot=lambda i: True,
+        )
+        defaults.update(kw)
+        return BrowseCommand(**defaults)
+
+    def test_browse_random_and_sets(self):
+        cmd = self._browse()
+        got = cmd.process("browse:random")
+        assert got.kind == "browse"
+        assert [r.domain_id for r in got.payload] == [0, 1, 2, 3, 4]
+        got2 = cmd.process("browse:random:2")
+        assert [r.domain_id for r in got2.payload] == [20, 21, 22, 23, 24]
+
+    def test_browse_related_supplements_and_dedups(self):
+        cmd = self._browse()
+        got = cmd.process("browse:known.example")
+        # cosine gives 11, 12; thin (<25) -> union with old-algo {12, 13}
+        assert [r.domain_id for r in got.payload] == [11, 12, 13]
+
+    def test_browse_unknown_falls_through(self):
+        assert self._browse().process("browse:nope.example") is None
+
+    def test_browse_pattern_rejects(self):
+        assert self._browse().process("browse me") is None
+        assert self._browse().process("browse:bad_char!") is None
+
+    def test_cleaner_screenshot_and_www_hash(self):
+        from marginalia_ray.query.commands import browse_result_cleaner
+
+        remove = browse_result_cleaner(lambda i: i != 3)
+        a = BrowseResult("http://www.x.example/", 1)
+        b = BrowseResult("http://x.example/", 2)  # same hash as a
+        c = BrowseResult("http://sub.x.example/", 4)  # distinct hash
+        d = BrowseResult("http://y.example/", 3)  # no screenshot
+        assert not remove(a)
+        assert remove(b)
+        assert not remove(c)
+        assert remove(d)
+
+    def test_conversion_patterns(self):
+        from marginalia_ray.query.commands import SearchUnitConversion
+
+        c = SearchUnitConversion()
+        assert c.try_conversion("3 kg in g") == "3,000 g"  # DecimalFormat grouping
+        assert c.try_conversion("what is love") is None
+        # eval: digits-only short-circuits, expressions evaluate
+        assert c.try_eval("123") is None
+        assert c.try_eval("2+3") == "5"
+        assert c.try_eval("define:word") is None
+
+    def test_evaluator_priority_and_fallback(self):
+        from marginalia_ray.query.commands import (
+            BangCommandAdapter,
+            CommandEvaluator,
+            ConvertCommand,
+            DefinitionCommand,
+            SiteListCommand,
+        )
+
+        ev = CommandEvaluator(
+            browse=self._browse(),
+            convert=ConvertCommand(),
+            define=DefinitionCommand(lambda w: [f"def of {w}"]),
+            site=SiteListCommand(
+                domain_info_provider=lambda w: {"domain": w}
+                if w == "known.example"
+                else None,
+                site_search_provider=lambda q: ["hit"],
+                domain_id_lookup=lambda w: 7,
+            ),
+            search=lambda q: {"q": q},
+        )
+        assert ev.eval("browse:random").kind == "browse"
+        assert ev.eval("3 kg in g").kind == "convert"
+        assert ev.eval("define:word").kind == "define"
+        site = ev.eval("site:known.example")
+        assert site.kind == "site"
+        assert site.payload["screenshot"] == "/screenshot/7"
+        unknown = ev.eval("site:other.example")
+        assert unknown.payload["info"]["suggest_for_crawling"]
+        assert ev.eval("!g kittens").kind == "bang"
+        fallback = ev.eval("plain words")
+        assert fallback.kind == "search" and fallback.payload == {"q": "plain words"}

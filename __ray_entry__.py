@@ -73,6 +73,7 @@ OLD_ALGO_PROBE = 50
 OLD_ALGO_COUNT = 25  # the reference's supplement pull (count/2 = 12 gate)
 OLD_ALGO_MAX_KNOWN = 30  # ~ per-part lineitem mean, so the gate bites
 OLD_ALGO_BLACKLIST = (20,)
+SITE_INFO_PROBE = "d50.example.com"  # site: info card probe
 HH3_NUM, HH3_DEN = 1, 5000  # heavy 3-gram threshold (boilerplate mining)
 SUGGEST_PREFIXES = ["co", "s", "qu", "ba", "the", "win"]  # typeahead probes
 SUGGEST_COUNT = 5
@@ -861,6 +862,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                     "domain_alias": pa.array(
                         np.where(alias_ok, pk - 10, 0), mask=~alias_ok
                     ),
+                    "rank_d": pa.array(((pk * 7919) % 997) / 997.0),
                 }
             )
 
@@ -1064,6 +1066,81 @@ def queries() -> dict[str, Callable[[str], Any]]:
             count=OLD_ALGO_COUNT,
             blacklist=OLD_ALGO_BLACKLIST,
             max_known=OLD_ALGO_MAX_KNOWN,
+        )
+
+    def q_site_info(sf_dir: str):
+        # DomainInformationService site: info card; DOMAIN_METADATA from
+        # per-part lineitem aggregates (known = rows, visited = distinct
+        # orders, good = distinct suppliers); crawl queue = id % 9 == 0,
+        # name blacklist = id % 31 == 0; links as in old_algo_neighbors
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data
+
+        from marginalia_ray.ops.browse import site_info
+
+        def _links(b: "pa.Table") -> "pa.Table":
+            pk = b["l_partkey"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            sk = b["l_suppkey"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            m = pk % 10 == 0
+            return pa.table(
+                {
+                    "src": pa.array(np.concatenate([sk[m], pk[m]])),
+                    "dst": pa.array(np.concatenate([pk[m], sk[m] * 10])),
+                }
+            )
+
+        def _uniq(g: "pa.Table") -> "pa.Table":
+            d = np.unique(g["dst"].to_numpy(zero_copy_only=False))
+            s = np.full(len(d), g["src"][0].as_py(), np.int64)
+            return pa.table({"src": pa.array(s), "dst": pa.array(d)})
+
+        links = (
+            ray.data.read_parquet(
+                f"{sf_dir}/lineitem.parquet", columns=["l_suppkey", "l_partkey"]
+            )
+            .map_batches(_links, batch_format="pyarrow")
+            .groupby("src")
+            .map_groups(_uniq, batch_format="pyarrow")
+        )
+
+        def _meta_grp(g: "pa.Table") -> "pa.Table":
+            pk = g["l_partkey"][0].as_py()
+            ok = g["l_orderkey"].to_numpy(zero_copy_only=False)
+            sk = g["l_suppkey"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "domain_id": pa.array([int(pk)], pa.int64()),
+                    "known_urls": pa.array([g.num_rows], pa.int64()),
+                    "visited_urls": pa.array([len(np.unique(ok))], pa.int64()),
+                    "good_urls": pa.array([len(np.unique(sk))], pa.int64()),
+                }
+            )
+
+        meta = (
+            ray.data.read_parquet(
+                f"{sf_dir}/lineitem.parquet",
+                columns=["l_partkey", "l_orderkey", "l_suppkey"],
+            )
+            .groupby("l_partkey")
+            .map_groups(_meta_grp, batch_format="pyarrow")
+        )
+        doms = _browse_domains(sf_dir)
+
+        def _mod_names(mod: int):
+            def _f(t: "pa.Table") -> "pa.Table":
+                ids = t["domain_id"].to_numpy(zero_copy_only=False)
+                return pa.table(
+                    {"domain_name": t["domain_name"].filter(pa.array(ids % mod == 0))}
+                )
+
+            return _f
+
+        crawl_queue = doms.map_batches(_mod_names(9), batch_format="pyarrow")
+        blacklist = doms.map_batches(_mod_names(31), batch_format="pyarrow")
+        return site_info(
+            doms, meta, links, crawl_queue, blacklist, SITE_INFO_PROBE
         )
 
     def q_semantic_dedup(sf_dir: str):
@@ -1894,6 +1971,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "explorer_related": q_explorer_related,
         "browse_url_ids": q_browse_url_ids,
         "old_algo_neighbors": q_old_algo_neighbors,
+        "site_info": q_site_info,
         "shipping_priority": q_shipping_priority,
         "promo_revenue": q_promo_revenue,
         "rollup_revenue": q_rollup_revenue,
@@ -3241,7 +3319,8 @@ _BROWSE_DOM_CTE = """dom AS (
          CAST(p_partkey % 5 AS BIGINT) AS state,
          CAST(p_size % 3 AS BIGINT) AS indexed,
          CASE WHEN p_partkey % 110 = 0 AND p_partkey > 0
-              THEN CAST(p_partkey - 10 AS BIGINT) END AS domain_alias
+              THEN CAST(p_partkey - 10 AS BIGINT) END AS domain_alias,
+         ((CAST(p_partkey AS BIGINT) * 7919) % 997) / 997.0 AS rank_d
   FROM part)"""
 
 # EC_NEIGHBORS_VIEW (07-neighbors.sql:25-33): adjacency + both names,
@@ -3377,6 +3456,42 @@ def _old_algo_sql() -> str:
            AND q3c.domain_id NOT IN ({bl}))
  SELECT DISTINCT domain_id, domain_name
  FROM (SELECT * FROM s2 UNION ALL SELECT * FROM q3k)"""
+
+
+def _site_info_sql() -> str:
+    """Mirrors ops/browse.site_info for the d50 probe: DOMAIN_METADATA
+    aggregates, link degrees, the Math.round rank display transform, and
+    the first-25-by-source-id linking list as one comma-joined column."""
+    return f"""
+ WITH {_BROWSE_DOM_CTE},
+ links AS (
+   SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src, CAST(l_partkey AS BIGINT) AS dst
+   FROM lineitem WHERE l_partkey % 10 = 0
+   UNION
+   SELECT DISTINCT CAST(l_partkey AS BIGINT), CAST(l_suppkey * 10 AS BIGINT)
+   FROM lineitem WHERE l_partkey % 10 = 0
+ ),
+ meta AS (SELECT CAST(l_partkey AS BIGINT) AS domain_id, count(*) AS known_urls,
+          count(DISTINCT l_orderkey) AS visited_urls,
+          count(DISTINCT l_suppkey) AS good_urls
+          FROM lineitem GROUP BY l_partkey),
+ probe AS (SELECT * FROM dom WHERE domain_name = '{SITE_INFO_PROBE}'),
+ linking AS (SELECT d2.domain_name AS nm, l.src FROM links l
+             JOIN dom d2 ON d2.domain_id = l.src, probe
+             WHERE l.dst = probe.domain_id ORDER BY l.src LIMIT 25)
+ SELECT probe.domain_name AS domain,
+        probe.domain_id % 31 = 0 AS blacklisted,
+        coalesce(m.known_urls, 0) AS pages_known,
+        coalesce(m.visited_urls, 0) AS pages_fetched,
+        coalesce(m.good_urls, 0) AS pages_indexed,
+        (SELECT count(*) FROM links l, probe p WHERE l.dst = p.domain_id) AS incoming_links,
+        (SELECT count(*) FROM links l, probe p WHERE l.src = p.domain_id) AS outgoing_links,
+        floor(10000 * (1 - probe.rank_d) + 0.5) / 100 AS ranking,
+        probe.state AS state,
+        probe.domain_id % 9 = 0 AS in_crawl_queue,
+        (coalesce(m.visited_urls, 0) = 0 AND probe.domain_id % 9 <> 0) AS suggest_for_crawling,
+        coalesce((SELECT string_agg(nm, ',' ORDER BY src) FROM linking), '') AS linking_domains
+ FROM probe LEFT JOIN meta m ON m.domain_id = probe.domain_id"""
 
 
 def _browse_url_ids_sql() -> str:
@@ -4247,6 +4362,7 @@ def oracle_sql() -> dict[str, str]:
         "explorer_related": _explorer_related_sql(),
         "browse_url_ids": _browse_url_ids_sql(),
         "old_algo_neighbors": _old_algo_sql(),
+        "site_info": _site_info_sql(),
         "jaccard_pairs": jaccard,
         "containment_pairs": containment,
         "winnow_fingerprints": _winnow_sql(),

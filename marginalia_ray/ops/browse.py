@@ -809,6 +809,180 @@ def old_algo_neighbors(
     )
 
 
+def site_info(
+    domains,
+    meta,
+    links,
+    crawl_queue,
+    blacklist_names,
+    site: str,
+    *,
+    id_col: str = "domain_id",
+    name_col: str = "domain_name",
+    state_col: str = "state",
+    rank_col: str = "rank_d",
+    max_candidates: int = 1_000_000,
+) -> pa.Table:
+    """DomainInformationService.domainInfo (search-service/siteinfo/
+    DomainInformationService.java:44-90 plus its per-field queries):
+    the ``site:`` info card — page counts from DOMAIN_METADATA,
+    inbound/outbound link-counts, the rank display transform
+    ``Math.round(10000 (1 - rank)) / 100``, blacklist and crawl-queue
+    membership, ``suggestForCrawling = pagesVisited == 0 && !inQueue``,
+    and the first 25 linking domains by source id
+    (EC_RELATED_LINKS_VIEW ... ORDER BY SOURCE_DOMAIN_ID LIMIT 25,
+    emitted as one comma-joined column so the row stays flat).
+
+    Inputs: ``domains`` (id/name/state/rank_d), ``meta`` (domain_id,
+    known_urls, visited_urls, good_urls), ``links`` (src, dst — DISTINCT
+    edges), ``crawl_queue`` (domain_name), ``blacklist_names``
+    (domain_name — EC_DOMAIN_BLACKLIST.URL_DOMAIN, the bare domain).
+    SERVING-query shape: streaming scans with the probe id/name
+    broadcast; the only unbounded collection (inbound sources) keeps a
+    running smallest-25 per batch, so driver state is O(25).  The
+    reference's missing-metadata default (0 counts) is kept.  ``state``
+    stays the fixture's int code (the reference renders the enum's
+    description string).
+
+    Output: one-row pa.Table (domain, blacklisted, pages_known,
+    pages_fetched, pages_indexed, incoming_links, outgoing_links,
+    ranking, state, in_crawl_queue, suggest_for_crawling,
+    linking_domains); zero rows when the domain is unknown.
+    """
+
+    def _empty() -> pa.Table:
+        return pa.table(
+            {
+                "domain": pa.array([], pa.string()),
+                "blacklisted": pa.array([], pa.bool_()),
+                "pages_known": pa.array([], pa.int64()),
+                "pages_fetched": pa.array([], pa.int64()),
+                "pages_indexed": pa.array([], pa.int64()),
+                "incoming_links": pa.array([], pa.int64()),
+                "outgoing_links": pa.array([], pa.int64()),
+                "ranking": pa.array([], pa.float64()),
+                "state": pa.array([], pa.int64()),
+                "in_crawl_queue": pa.array([], pa.bool_()),
+                "suggest_for_crawling": pa.array([], pa.bool_()),
+                "linking_domains": pa.array([], pa.string()),
+            }
+        )
+
+    probe_rows = (
+        domains.map_batches(
+            lambda t: t.filter(
+                pc.fill_null(pc.equal(t[name_col], pa.scalar(site)), False)
+            ),
+            batch_format="pyarrow",
+        )
+        .limit(1)
+        .take_all()
+    )
+    if not probe_rows:
+        return _empty()
+    row = probe_rows[0]
+    did = int(row[id_col])
+    name = row[name_col]
+    state = int(row[state_col])
+    rank = row.get(rank_col)
+    rank = 1.0 if rank is None else float(rank)  # IFNULL(RANK, 1)
+    ranking = np.floor(10000.0 * (1.0 - rank) + 0.5) / 100.0  # Math.round
+
+    # one meta scan (0 defaults when the row is absent)
+    known = fetched = indexed = 0
+    for b in meta.map_batches(
+        lambda t: t.filter(
+            pc.fill_null(pc.equal(t["domain_id"], pa.scalar(did)), False)
+        ),
+        batch_format="pyarrow",
+    ).iter_batches(batch_format="pyarrow"):
+        if b.num_rows:
+            known = int(b["known_urls"][0].as_py())
+            fetched = int(b["visited_urls"][0].as_py())
+            indexed = int(b["good_urls"][0].as_py())
+
+    # one links scan: degree counts + running smallest-25 inbound sources
+    incoming = outgoing = 0
+    in_srcs = np.array([], np.int64)
+
+    def _deg(batch: pa.Table) -> pa.Table:
+        s = batch["src"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        d = batch["dst"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        srcs = np.sort(s[d == did])[:25]
+        return pa.table(
+            {
+                "n_out": pa.array([int((s == did).sum())]),
+                "n_in": pa.array([int((d == did).sum())]),
+                "srcs": pa.array([srcs.tolist()], pa.list_(pa.int64())),
+            }
+        )
+
+    for b in links.map_batches(_deg, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for i in range(b.num_rows):
+            outgoing += int(b["n_out"][i].as_py())
+            incoming += int(b["n_in"][i].as_py())
+            in_srcs = np.sort(
+                np.concatenate([in_srcs, np.array(b["srcs"][i].as_py(), np.int64)])
+            )[:25]
+
+    def _name_member(ds, target: str) -> bool:
+        for b in ds.map_batches(
+            lambda t: t.filter(
+                pc.fill_null(pc.equal(t[name_col], pa.scalar(target)), False)
+            ),
+            batch_format="pyarrow",
+        ).iter_batches(batch_format="pyarrow"):
+            if b.num_rows:
+                return True
+        return False
+
+    in_queue = _name_member(crawl_queue, name)
+    blacklisted = _name_member(blacklist_names, name)
+
+    # one domains scan names the (<= 25) linking sources
+    src_names: dict[int, str] = {}
+    if len(in_srcs):
+        srcs_arr = in_srcs
+
+        def _nm(batch: pa.Table) -> pa.Table:
+            ids = batch[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            m = pa.array(np.isin(ids, srcs_arr))
+            return pa.table(
+                {"id": batch[id_col].cast(pa.int64()).filter(m),
+                 "name": batch[name_col].filter(m)}
+            )
+
+        for b in domains.map_batches(_nm, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        ):
+            for i, nm in zip(b["id"].to_pylist(), b["name"].to_pylist()):
+                src_names[int(i)] = nm
+    linking = ",".join(
+        src_names[int(i)] for i in in_srcs if int(i) in src_names
+    )
+
+    return pa.table(
+        {
+            "domain": pa.array([name], pa.string()),
+            "blacklisted": pa.array([blacklisted], pa.bool_()),
+            "pages_known": pa.array([known], pa.int64()),
+            "pages_fetched": pa.array([fetched], pa.int64()),
+            "pages_indexed": pa.array([indexed], pa.int64()),
+            "incoming_links": pa.array([incoming], pa.int64()),
+            "outgoing_links": pa.array([outgoing], pa.int64()),
+            "ranking": pa.array([ranking], pa.float64()),
+            "state": pa.array([state], pa.int64()),
+            "in_crawl_queue": pa.array([in_queue], pa.bool_()),
+            "suggest_for_crawling": pa.array(
+                [fetched == 0 and not in_queue], pa.bool_()
+            ),
+            "linking_domains": pa.array([linking], pa.string()),
+        }
+    )
+
+
 def browse_url_ids(
     urls,
     domain_meta,

@@ -461,3 +461,76 @@ class TestCommands:
         assert ev.eval("!g kittens").kind == "bang"
         fallback = ev.eval("plain words")
         assert fallback.kind == "search" and fallback.payload == {"q": "plain words"}
+
+
+class TestSiteInfo:
+    def _fixture(self, ray_session):
+        from marginalia_ray.ops.browse import site_info
+
+        doms = ray.data.from_arrow(
+            pa.table(
+                {
+                    "domain_id": pa.array([1, 2, 3, 4], pa.int64()),
+                    "domain_name": pa.array(
+                        ["a.example", "b.example", "c.example", "d.example"],
+                        pa.string(),
+                    ),
+                    "state": pa.array([0, 1, 2, 0], pa.int64()),
+                    "rank_d": pa.array([0.5, 0.25, None, 0.0], pa.float64()),
+                }
+            )
+        )
+        meta = ray.data.from_arrow(
+            pa.table(
+                {
+                    "domain_id": pa.array([1, 2], pa.int64()),
+                    "known_urls": pa.array([10, 5], pa.int64()),
+                    "visited_urls": pa.array([8, 0], pa.int64()),
+                    "good_urls": pa.array([6, 0], pa.int64()),
+                }
+            )
+        )
+        links = ray.data.from_arrow(
+            pa.table(
+                {
+                    "src": pa.array([2, 3, 4, 1, 1], pa.int64()),
+                    "dst": pa.array([1, 1, 1, 2, 3], pa.int64()),
+                }
+            )
+        )
+        cq = ray.data.from_arrow(
+            pa.table({"domain_name": pa.array(["b.example"], pa.string())})
+        )
+        bl = ray.data.from_arrow(
+            pa.table({"domain_name": pa.array(["c.example"], pa.string())})
+        )
+        return lambda site: site_info(doms, meta, links, cq, bl, site)
+
+    def test_counts_rank_and_linking_order(self, ray_session):
+        got = self._fixture(ray_session)("a.example").to_pandas()
+        r = got.iloc[0]
+        assert r["pages_known"] == 10 and r["pages_fetched"] == 8
+        assert r["incoming_links"] == 3 and r["outgoing_links"] == 2
+        # Math.round(10000 * (1 - 0.5)) / 100 = 50.0
+        assert r["ranking"] == 50.0
+        # linking domains by source id asc
+        assert r["linking_domains"] == "b.example,c.example,d.example"
+        assert not r["blacklisted"] and not r["in_crawl_queue"]
+        assert not r["suggest_for_crawling"]  # visited > 0
+
+    def test_queue_and_suggest_gate(self, ray_session):
+        r = self._fixture(ray_session)("b.example").to_pandas().iloc[0]
+        # visited == 0 but in the crawl queue -> no suggestion
+        assert bool(r["in_crawl_queue"]) and not r["suggest_for_crawling"]
+
+    def test_blacklist_null_rank_and_meta_defaults(self, ray_session):
+        r = self._fixture(ray_session)("c.example").to_pandas().iloc[0]
+        assert bool(r["blacklisted"])
+        # IFNULL(RANK, 1) -> ranking 0.0; no metadata row -> 0 defaults
+        assert r["ranking"] == 0.0
+        assert r["pages_known"] == 0 and r["pages_fetched"] == 0
+        assert bool(r["suggest_for_crawling"])  # 0 visited, not queued
+
+    def test_unknown_domain(self, ray_session):
+        got = self._fixture(ray_session)("zzz.example").to_pandas()
+        assert len(got) == 0

@@ -74,6 +74,8 @@ OLD_ALGO_COUNT = 25  # the reference's supplement pull (count/2 = 12 gate)
 OLD_ALGO_MAX_KNOWN = 30  # ~ per-part lineitem mean, so the gate bites
 OLD_ALGO_BLACKLIST = (20,)
 SITE_INFO_PROBE = "d50.example.com"  # site: info card probe
+CRAWL_BLACKLIST = (30,)
+CRAWL_QUEUE_NEW = "queued-new.example.com"  # unknown queue name -> id -1
 HH3_NUM, HH3_DEN = 1, 5000  # heavy 3-gram threshold (boilerplate mining)
 SUGGEST_PREFIXES = ["co", "s", "qu", "ba", "the", "win"]  # typeahead probes
 SUGGEST_COUNT = 5
@@ -1143,6 +1145,57 @@ def queries() -> dict[str, Callable[[str], Any]]:
             doms, meta, links, crawl_queue, blacklist, SITE_INFO_PROBE
         )
 
+    def q_crawl_specs(sf_dir: str):
+        # CrawlJobDomainExtractor: EC_URL from lineitem rows (url_id =
+        # 10*orderkey + linenumber so rows are unique without a distinct
+        # pass), visited = uid % 3 != 0, data-hash present = uid % 2 == 0;
+        # crawl queue = domains with id % 9 == 0 plus one unknown name
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+
+        from marginalia_ray.ops.crawlspec import crawl_specs
+
+        def _urls(b: "pa.Table") -> "pa.Table":
+            pk = b["l_partkey"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            ok = b["l_orderkey"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            ln = b["l_linenumber"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            uid = ok * 10 + ln
+            url = np.char.add(
+                np.char.add(
+                    np.char.add("https://d", pk.astype("U")), "/p"
+                ),
+                uid.astype("U"),
+            )
+            return pa.table(
+                {
+                    "domain_id": pa.array(pk),
+                    "url": pa.array(url.tolist(), pa.string()),
+                    "visited": pa.array(uid % 3 != 0),
+                    "has_hash": pa.array(uid % 2 == 0),
+                    "url_id": pa.array(uid),
+                }
+            )
+
+        urls = ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_orderkey", "l_linenumber"],
+        ).map_batches(_urls, batch_format="pyarrow")
+        doms = _browse_domains(sf_dir)
+
+        def _qnames(t: "pa.Table") -> "pa.Table":
+            ids = t["domain_id"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {"domain_name": t["domain_name"].filter(pa.array(ids % 9 == 0))}
+            )
+
+        cq = doms.map_batches(_qnames, batch_format="pyarrow").union(
+            ray.data.from_arrow(
+                pa.table({"domain_name": pa.array([CRAWL_QUEUE_NEW], pa.string())})
+            )
+        )
+        return crawl_specs(doms, urls, cq, blacklist=CRAWL_BLACKLIST)
+
     def q_semantic_dedup(sf_dir: str):
         # seeded centroids (the knn_cosine_ivf convention) so the op is a
         # pure function of the data and the DuckDB oracle can mirror it
@@ -1972,6 +2025,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "browse_url_ids": q_browse_url_ids,
         "old_algo_neighbors": q_old_algo_neighbors,
         "site_info": q_site_info,
+        "crawl_specs": q_crawl_specs,
         "shipping_priority": q_shipping_priority,
         "promo_revenue": q_promo_revenue,
         "rollup_revenue": q_rollup_revenue,
@@ -3494,6 +3548,49 @@ def _site_info_sql() -> str:
  FROM probe LEFT JOIN meta m ON m.domain_id = probe.domain_id"""
 
 
+def _crawl_specs_sql() -> str:
+    """Mirrors ops/crawlspec.crawl_specs, including the reference SQL's
+    AND/OR precedence quirk in the eligibility predicate."""
+    bl = ", ".join(str(i) for i in CRAWL_BLACKLIST)
+    return f"""
+ WITH {_BROWSE_DOM_CTE},
+ elig AS (SELECT lower(domain_name) AS name, domain_id AS did FROM dom
+          WHERE (indexed > 0 AND state = 0) OR state = 1),
+ q0 AS (SELECT lower(domain_name) AS qname FROM dom WHERE domain_id % 9 = 0
+        UNION ALL SELECT '{CRAWL_QUEUE_NEW}'),
+ queue AS (SELECT lower(q.qname) AS name, coalesce(d.domain_id, -1) AS did
+           FROM q0 q LEFT JOIN dom d ON lower(d.domain_name) = q.qname),
+ cand AS (SELECT DISTINCT name, did
+          FROM (SELECT * FROM elig UNION ALL SELECT * FROM queue)
+          WHERE did NOT IN ({bl})),
+ urls AS (SELECT CAST(l_partkey AS BIGINT) AS did,
+                 'https://d' || CAST(l_partkey AS VARCHAR) || '/p'
+                   || CAST(l_orderkey * 10 + l_linenumber AS VARCHAR) AS url,
+                 (l_orderkey * 10 + l_linenumber) % 3 <> 0 AS visited,
+                 (l_orderkey * 10 + l_linenumber) % 2 = 0 AS has_hash,
+                 CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS uid
+          FROM lineitem),
+ sel AS (SELECT did, url FROM (
+           SELECT did, url, row_number() OVER (PARTITION BY did
+                  ORDER BY visited DESC, has_hash DESC, uid) AS rn FROM urls)
+         WHERE rn <= 25000),
+ nat AS (SELECT did, url, row_number() OVER (PARTITION BY did ORDER BY url) AS rn2
+         FROM sel),
+ firsts AS (SELECT did, string_agg(url, ',' ORDER BY url) AS first_urls
+            FROM nat WHERE rn2 <= 5 GROUP BY did),
+ counts AS (SELECT did, count(*) AS url_count FROM sel GROUP BY did),
+ vis AS (SELECT did, count(*) AS vc FROM urls WHERE visited GROUP BY did)
+ SELECT c.name AS domain_name, c.did AS domain_id,
+        least(CASE WHEN coalesce(v.vc, 0) < 100 THEN 200
+              ELSE coalesce(v.vc, 0) + 1000 + coalesce(v.vc, 0) // 4 END,
+              100000) AS crawl_depth,
+        coalesce(ct.url_count, 0) AS url_count,
+        coalesce(f.first_urls, '') AS first_urls
+ FROM cand c LEFT JOIN counts ct ON ct.did = c.did
+             LEFT JOIN firsts f ON f.did = c.did
+             LEFT JOIN vis v ON v.did = c.did"""
+
+
 def _browse_url_ids_sql() -> str:
     """Mirrors ops/browse.browse_url_ids over the orders fixture."""
     return f"""
@@ -4363,6 +4460,7 @@ def oracle_sql() -> dict[str, str]:
         "browse_url_ids": _browse_url_ids_sql(),
         "old_algo_neighbors": _old_algo_sql(),
         "site_info": _site_info_sql(),
+        "crawl_specs": _crawl_specs_sql(),
         "jaccard_pairs": jaccard,
         "containment_pairs": containment,
         "winnow_fingerprints": _winnow_sql(),

@@ -662,6 +662,16 @@ def extract_links(root: Node, base_url: str) -> list[str]:
         scheme_end = head.find("://") + 3
         if scheme_end >= 3 and head.find("/", scheme_end) < 0:
             head += "/"
+        if query:
+            # EdgeUrl(URI) sanitizes EVERY query (EdgeUrl.java:112 →
+            # QueryParams.queryParamsSanitizer): whitelisted params only,
+            # sorted, else dropped entirely
+            from marginalia_ray.functions.link_parser import query_params_sanitizer
+
+            slash = head.find("/", scheme_end)
+            path = head[slash:] if slash >= 0 else "/"
+            sq = query_params_sanitizer(path, query[1:])
+            query = f"?{sq}" if sq else ""
         url = head + query
         if url not in seen:
             seen.add(url)

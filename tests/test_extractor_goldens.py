@@ -256,22 +256,38 @@ class TestLinkRenormQueryAndHost:
         return extract_links(parse_html(html), base)
 
     def test_query_not_treated_as_path_segments(self):
+        # URI.normalize never touches the query; EdgeUrl(URI) then runs
+        # queryParamsSanitizer, so a non-whitelisted param is DROPPED
+        # rather than dot-normalized (EdgeUrl.java:112)
         out = self._links(
             "<a href='http://h.example/p?back=/..'>x</a>", "http://h.example/"
         )
-        assert out == ["http://h.example/p?back=/.."]
+        assert out == ["http://h.example/p"]
+        # a whitelisted param survives verbatim, dot segments and all
+        out = self._links(
+            "<a href='http://h.example/p?id=/..'>x</a>", "http://h.example/"
+        )
+        assert out == ["http://h.example/p?id=/.."]
 
     def test_dot_segments_in_path_still_resolve_with_query(self):
         out = self._links(
-            "<a href='http://h.example/a/../b?x=/./y'>x</a>", "http://h.example/"
+            "<a href='http://h.example/a/../b?t=/./y'>x</a>", "http://h.example/"
         )
-        assert out == ["http://h.example/b?x=/./y"]
+        assert out == ["http://h.example/b?t=/./y"]
+
+    def test_query_params_sanitized_and_sorted(self):
+        # EdgeUrl sanitizer: whitelist filter + natural sort of survivors
+        out = self._links(
+            "<a href='http://h.example/p?utm_source=x&t=2&id=1'>x</a>",
+            "http://h.example/",
+        )
+        assert out == ["http://h.example/p?id=1&t=2"]
 
     def test_empty_path_slash_inserted_before_query(self):
         out = self._links(
-            "<a href='http://h.example?x=1'>x</a>", "http://other.example/"
+            "<a href='http://h.example?id=1'>x</a>", "http://other.example/"
         )
-        assert out == ["http://h.example/?x=1"]
+        assert out == ["http://h.example/?id=1"]
 
     def test_base_href_does_not_flip_internal_classification(self):
         # 260 same-site links under a cross-domain <base href>: the

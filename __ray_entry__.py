@@ -868,8 +868,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 }
             )
 
+        # a small dimension table: don't let Ray split it into 64
+        # per-cpu micro-blocks per consumption (3 consumers here)
         return ray.data.read_parquet(
-            f"{sf_dir}/part.parquet", columns=["p_partkey", "p_size"]
+            f"{sf_dir}/part.parquet",
+            columns=["p_partkey", "p_size"],
+            override_num_blocks=8,
         ).map_batches(_mk, batch_format="pyarrow")
 
     def q_random_domains(sf_dir: str):
@@ -1000,16 +1004,46 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         from marginalia_ray.ops.browse import old_algo_neighbors
 
-        def _rn(g: "pa.Table") -> "pa.Table":
-            r = g["relatedness"].to_numpy(zero_copy_only=False)
-            n = g["neighbor_id"].to_numpy(zero_copy_only=False)
-            order = np.lexsort((n, -r))
-            idx = np.empty(len(order), np.int64)
-            idx[order] = np.arange(1, len(order) + 1)
-            return g.append_column("adj_idx", pa.array(idx))
+        from marginalia_ray.ops.dedup import _fmix64_vec
 
-        nb = q_domain_adjacencies(sf_dir).groupby("domain_id").map_groups(
-            _rn, batch_format="pyarrow"
+        def _rn_key(b: "pa.Table") -> "pa.Table":
+            d = b["domain_id"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            pk = (_fmix64_vec(d.astype(np.uint64)) % np.uint64(64)).view(np.int64)
+            return b.append_column("_pk", pa.array(pk))
+
+        def _rn_part(part: "pa.Table") -> "pa.Table":
+            # vectorized per-domain rank within the bucket partition (a
+            # per-domain map_groups = one Python task per domain)
+            empty = pa.table(
+                {
+                    "domain_id": pa.array([], pa.int64()),
+                    "neighbor_id": pa.array([], pa.int64()),
+                    "adj_idx": pa.array([], pa.int64()),
+                }
+            )
+            if part.num_rows == 0:
+                return empty
+            d = part["domain_id"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            n = part["neighbor_id"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            r = part["relatedness"].to_numpy(zero_copy_only=False)
+            order = np.lexsort((n, -r, d))
+            d_s = d[order]
+            starts = np.flatnonzero(np.r_[True, d_s[1:] != d_s[:-1]])
+            seg = np.repeat(np.arange(len(starts)), np.diff(np.r_[starts, len(d_s)]))
+            idx = np.arange(len(d_s)) - starts[seg] + 1
+            return pa.table(
+                {
+                    "domain_id": pa.array(d_s),
+                    "neighbor_id": pa.array(n[order]),
+                    "adj_idx": pa.array(idx),
+                }
+            )
+
+        nb = (
+            q_domain_adjacencies(sf_dir)
+            .map_batches(_rn_key, batch_format="pyarrow")
+            .groupby("_pk")
+            .map_groups(_rn_part, batch_format="pyarrow")
         )
 
         def _links(b: "pa.Table") -> "pa.Table":
@@ -1023,10 +1057,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 }
             )
 
-        def _uniq(g: "pa.Table") -> "pa.Table":
-            d = np.unique(g["dst"].to_numpy(zero_copy_only=False))
-            s = np.full(len(d), g["src"][0].as_py(), np.int64)
-            return pa.table({"src": pa.array(s), "dst": pa.array(d)})
+        def _uniq_key(b: "pa.Table") -> "pa.Table":
+            from marginalia_ray.ops.dedup import _fmix64_vec as _fx
+
+            s = b["src"].to_numpy(zero_copy_only=False)
+            pk = (_fx(s.astype(np.uint64)) % np.uint64(64)).view(np.int64)
+            return b.append_column("_pk", pa.array(pk))
+
+        def _uniq(part: "pa.Table") -> "pa.Table":
+            # vectorized distinct (src, dst) within the src-bucket partition
+            if part.num_rows == 0:
+                return pa.table(
+                    {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}
+                )
+            s = part["src"].to_numpy(zero_copy_only=False)
+            d = part["dst"].to_numpy(zero_copy_only=False)
+            order = np.lexsort((d, s))
+            s, d = s[order], d[order]
+            keep = np.r_[True, (s[1:] != s[:-1]) | (d[1:] != d[:-1])]
+            return pa.table({"src": pa.array(s[keep]), "dst": pa.array(d[keep])})
 
         # the op scans links twice (probe edges, inlink counts): distinct
         # + materialize once, the stored-link-table semantics
@@ -1035,7 +1084,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 f"{sf_dir}/lineitem.parquet", columns=["l_suppkey", "l_partkey"]
             )
             .map_batches(_links, batch_format="pyarrow")
-            .groupby("src")
+            .map_batches(_uniq_key, batch_format="pyarrow")
+            .groupby("_pk")
             .map_groups(_uniq, batch_format="pyarrow")
             .materialize()
         )
@@ -1093,30 +1143,78 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 }
             )
 
-        def _uniq(g: "pa.Table") -> "pa.Table":
-            d = np.unique(g["dst"].to_numpy(zero_copy_only=False))
-            s = np.full(len(d), g["src"][0].as_py(), np.int64)
-            return pa.table({"src": pa.array(s), "dst": pa.array(d)})
+        def _uniq_key(b: "pa.Table") -> "pa.Table":
+            from marginalia_ray.ops.dedup import _fmix64_vec as _fx
+
+            s = b["src"].to_numpy(zero_copy_only=False)
+            pk = (_fx(s.astype(np.uint64)) % np.uint64(64)).view(np.int64)
+            return b.append_column("_pk", pa.array(pk))
+
+        def _uniq(part: "pa.Table") -> "pa.Table":
+            # vectorized distinct (src, dst) within the src-bucket partition
+            if part.num_rows == 0:
+                return pa.table(
+                    {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}
+                )
+            s = part["src"].to_numpy(zero_copy_only=False)
+            d = part["dst"].to_numpy(zero_copy_only=False)
+            order = np.lexsort((d, s))
+            s, d = s[order], d[order]
+            keep = np.r_[True, (s[1:] != s[:-1]) | (d[1:] != d[:-1])]
+            return pa.table({"src": pa.array(s[keep]), "dst": pa.array(d[keep])})
 
         links = (
             ray.data.read_parquet(
                 f"{sf_dir}/lineitem.parquet", columns=["l_suppkey", "l_partkey"]
             )
             .map_batches(_links, batch_format="pyarrow")
-            .groupby("src")
+            .map_batches(_uniq_key, batch_format="pyarrow")
+            .groupby("_pk")
             .map_groups(_uniq, batch_format="pyarrow")
         )
 
-        def _meta_grp(g: "pa.Table") -> "pa.Table":
-            pk = g["l_partkey"][0].as_py()
-            ok = g["l_orderkey"].to_numpy(zero_copy_only=False)
-            sk = g["l_suppkey"].to_numpy(zero_copy_only=False)
+        def _meta_key(b: "pa.Table") -> "pa.Table":
+            from marginalia_ray.ops.dedup import _fmix64_vec as _fx
+
+            pk = b["l_partkey"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            bk = (_fx(pk.astype(np.uint64)) % np.uint64(64)).view(np.int64)
+            return b.append_column("_pk", pa.array(bk))
+
+        def _meta_part(part: "pa.Table") -> "pa.Table":
+            # vectorized per-domain counts within the bucket partition:
+            # known = rows, visited = distinct orders, good = distinct
+            # suppliers
+            empty = pa.table(
+                {
+                    "domain_id": pa.array([], pa.int64()),
+                    "known_urls": pa.array([], pa.int64()),
+                    "visited_urls": pa.array([], pa.int64()),
+                    "good_urls": pa.array([], pa.int64()),
+                }
+            )
+            if part.num_rows == 0:
+                return empty
+            pk = part["l_partkey"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            ok = part["l_orderkey"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            sk = part["l_suppkey"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            order = np.lexsort((ok, pk))
+            p_s, o_s = pk[order], ok[order]
+            starts = np.flatnonzero(np.r_[True, p_s[1:] != p_s[:-1]])
+            seg = np.repeat(np.arange(len(starts)), np.diff(np.r_[starts, len(p_s)]))
+            known = np.bincount(seg)
+            new_ok = np.r_[True, (p_s[1:] != p_s[:-1]) | (o_s[1:] != o_s[:-1])]
+            visited = np.bincount(seg, weights=new_ok).astype(np.int64)
+            order2 = np.lexsort((sk, pk))
+            p2, s2 = pk[order2], sk[order2]
+            seg2 = np.repeat(np.arange(len(starts)), np.diff(np.r_[starts, len(p_s)]))
+            new_sk = np.r_[True, (p2[1:] != p2[:-1]) | (s2[1:] != s2[:-1])]
+            good = np.bincount(seg2, weights=new_sk).astype(np.int64)
             return pa.table(
                 {
-                    "domain_id": pa.array([int(pk)], pa.int64()),
-                    "known_urls": pa.array([g.num_rows], pa.int64()),
-                    "visited_urls": pa.array([len(np.unique(ok))], pa.int64()),
-                    "good_urls": pa.array([len(np.unique(sk))], pa.int64()),
+                    "domain_id": pa.array(p_s[starts]),
+                    "known_urls": pa.array(known.astype(np.int64)),
+                    "visited_urls": pa.array(visited),
+                    "good_urls": pa.array(good),
                 }
             )
 
@@ -1125,8 +1223,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 f"{sf_dir}/lineitem.parquet",
                 columns=["l_partkey", "l_orderkey", "l_suppkey"],
             )
-            .groupby("l_partkey")
-            .map_groups(_meta_grp, batch_format="pyarrow")
+            .map_batches(_meta_key, batch_format="pyarrow")
+            .groupby("_pk")
+            .map_groups(_meta_part, batch_format="pyarrow")
         )
         doms = _browse_domains(sf_dir)
 

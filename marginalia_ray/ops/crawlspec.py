@@ -39,6 +39,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..functions.hashing import murmur3_128
+from .dedup import _fmix64_vec as _fmix_u64
 from .dedup import _token_hash_arrow
 from .relational import hash_equi_join
 
@@ -176,134 +177,221 @@ def crawl_specs(
 
     queue_resolved = qjoin.map_batches(_qresolve, batch_format="pyarrow")
 
-    # (name, id) HashSet dedup across the union — one bucketed shuffle,
-    # vectorized distinct within each partition (same pair -> same bucket)
+    # the (name, id) HashSet dedup and the final spec assembly share ONE
+    # co-grouped barrier below: candidates are keyed by fmix(did) when the
+    # id is known (same id -> same partition as its url aggregate) and by
+    # the name hash for unknown queue names (-1 ids spread instead of
+    # skewing one partition); dedup happens vectorized inside the merge
     n_buckets = 256
-
-    def _pair_key(batch: pa.Table) -> pa.Table:
-        h = _token_hash_arrow(batch["name"])
-        did = batch["did"].to_numpy(zero_copy_only=False).astype(np.int64)
-        k = (h ^ did.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)).view(
-            np.int64
-        )
-        return pa.table(
-            {
-                "name": batch["name"],
-                "did": pa.array(did),
-                "_h": pa.array(k),
-                "_pk": pa.array((k.view(np.uint64) % np.uint64(n_buckets)).view(np.int64)),
-            }
-        )
-
-    def _dedup_part(part: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        empty = pa.table(
-            {"name": pa.array([], pa.string()), "did": pa.array([], pa.int64())}
-        )
-        if part.num_rows == 0:
-            return empty
-        h = part["_h"].to_numpy(zero_copy_only=False)
-        did = part["did"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((did, h))
-        take = pa.array(order)
-        h_s, did_s = h[order], did[order]
-        names_s = part["name"].take(take)
-        if isinstance(names_s, pa.ChunkedArray):
-            names_s = names_s.combine_chunks()
-        same = np.r_[False, (h_s[1:] == h_s[:-1]) & (did_s[1:] == did_s[:-1])]
-        if same.any():
-            # hash-equal runs must be name-equal too, else the pair hash
-            # collided across distinct names — fail loud
-            eq = pc.equal(names_s.slice(1), names_s.slice(0, len(names_s) - 1))
-            eq = pc.fill_null(eq, False).to_numpy(zero_copy_only=False)
-            if (same[1:] & ~eq).any():
-                raise ValueError(
-                    "crawl_specs: (name,id) pair-hash collision — widen the hash"
-                )
-        keep = ~same
-        if len(bl):
-            keep &= ~np.isin(did_s, bl)
-        m = pa.array(keep)
-        return pa.table(
-            {"name": names_s.filter(m), "did": pa.array(did_s[keep])}
-        )
-
-    cand = (
-        elig.union(queue_resolved)
-        .map_batches(_pair_key, batch_format="pyarrow")
-        .groupby("_pk")
-        .map_groups(_dedup_part, batch_format="pyarrow")
-    )
+    cand = elig.union(queue_resolved)
 
     # per-domain url aggregation: top url_limit by (visited desc,
     # has_hash desc, url_id), natural-sorted, first_k head + count +
-    # visited count — one groupby(domain) shuffle
-    def _url_group(group: pa.Table) -> pa.Table:
-        did = int(group["domain_id"][0].as_py())
-        visited = group["visited"].to_numpy(zero_copy_only=False).astype(bool)
-        has_hash = group["has_hash"].to_numpy(zero_copy_only=False).astype(bool)
-        uid = group["url_id"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((uid, ~has_hash, ~visited))[:url_limit]
-        sel_urls = sorted(
-            group["url"].take(pa.array(order)).to_pylist()
-        )  # spec.urls.sort(naturalOrder)
-        return pa.table(
-            {
-                "did": pa.array([did], pa.int64()),
-                "url_count": pa.array([len(sel_urls)], pa.int64()),
-                "first_urls": pa.array(
-                    [",".join(sel_urls[:first_k])], pa.string()
-                ),
-                "visited_count": pa.array([int(visited.sum())], pa.int64()),
-            }
-        )
-
+    # visited count.  ONE bucketed shuffle (same domain -> same bucket),
+    # then fully VECTORIZED per-domain segments within each partition —
+    # a per-domain map_groups here costs one Python task per domain,
+    # which at 1e8 domains is the scheduler, not the work.
     def _uslim(batch: pa.Table) -> pa.Table:
+        did = batch[id_col].cast(pa.int64())
+        pk = (
+            _fmix_u64(did.to_numpy(zero_copy_only=False).astype(np.uint64))
+            % np.uint64(n_buckets)
+        ).view(np.int64)
         return pa.table(
             {
-                "domain_id": batch[id_col].cast(pa.int64()),
+                "domain_id": did,
                 "url": batch["url"],
                 "visited": batch["visited"].cast(pa.bool_()),
                 "has_hash": batch["has_hash"].cast(pa.bool_()),
                 "url_id": batch["url_id"].cast(pa.int64()),
+                "_upk": pa.array(pk),
+            }
+        )
+
+    def _url_part(part: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "did": pa.array([], pa.int64()),
+                "url_count": pa.array([], pa.int64()),
+                "first_urls": pa.array([], pa.string()),
+                "visited_count": pa.array([], pa.int64()),
+            }
+        )
+        if part.num_rows == 0:
+            return empty
+        d = part["domain_id"].to_numpy(zero_copy_only=False)
+        v = part["visited"].to_numpy(zero_copy_only=False).astype(bool)
+        h = part["has_hash"].to_numpy(zero_copy_only=False).astype(bool)
+        uid = part["url_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((uid, ~h, ~v, d))
+        d_s, v_s = d[order], v[order]
+        starts = np.flatnonzero(np.r_[True, d_s[1:] != d_s[:-1]])
+        seg_len = np.diff(np.r_[starts, len(d_s)])
+        seg = np.repeat(np.arange(len(starts)), seg_len)
+        pos = np.arange(len(d_s)) - starts[seg]
+        keep = pos < url_limit
+        dids = d_s[starts]
+        url_count = np.bincount(seg[keep], minlength=len(starts))
+        visited_count = np.bincount(seg, weights=v_s, minlength=len(starts))
+        # natural-order head: re-sort the kept rows by (domain, url)
+        urls_col = part["url"].take(pa.array(order[keep]))
+        if isinstance(urls_col, pa.ChunkedArray):
+            urls_col = urls_col.combine_chunks()
+        urls_np = np.asarray(urls_col.to_pylist(), dtype=object)
+        kd = d_s[keep]
+        order2 = np.lexsort((urls_np, kd))
+        kd2, u2 = kd[order2], urls_np[order2]
+        starts2 = np.flatnonzero(np.r_[True, kd2[1:] != kd2[:-1]])
+        seg2 = np.repeat(
+            np.arange(len(starts2)), np.diff(np.r_[starts2, len(kd2)])
+        )
+        pos2 = np.arange(len(kd2)) - starts2[seg2]
+        head = pos2 < first_k
+        firsts: list[str] = []
+        hseg, hurl = seg2[head], u2[head]
+        j = 0
+        for i in range(len(starts2)):
+            parts_ = []
+            while j < len(hseg) and hseg[j] == i:
+                parts_.append(hurl[j])
+                j += 1
+            firsts.append(",".join(parts_))
+        # starts2 segments are in the same domain order as starts (both
+        # sorted by domain id)
+        return pa.table(
+            {
+                "did": pa.array(dids.astype(np.int64)),
+                "url_count": pa.array(url_count.astype(np.int64)),
+                "first_urls": pa.array(firsts, pa.string()),
+                "visited_count": pa.array(visited_count.astype(np.int64)),
             }
         )
 
     url_agg = (
         urls.map_batches(_uslim, batch_format="pyarrow")
-        .groupby("domain_id")
-        .map_groups(_url_group, batch_format="pyarrow")
+        .groupby("_upk")
+        .map_groups(_url_part, batch_format="pyarrow")
     )
 
-    joined = hash_equi_join(
-        cand,
-        url_agg,
-        on="did",
-        right_cols=["url_count", "first_urls", "visited_count"],
-        how="left",
-    )
+    # --- merged barrier: dedup candidates + attach url aggregates -------
+    def _union_schema(n: int) -> dict:
+        return {
+            "name": pa.nulls(n, pa.string()),
+            "did": pa.nulls(n, pa.int64()),
+            "url_count": pa.nulls(n, pa.int64()),
+            "first_urls": pa.nulls(n, pa.string()),
+            "visited_count": pa.nulls(n, pa.int64()),
+        }
 
-    def _final(batch: pa.Table) -> pa.Table:
-        vc = batch["visited_count"].to_numpy(zero_copy_only=False)
-        vc = np.nan_to_num(vc, nan=0.0).astype(np.int64)
+    def _tag_cand(batch: pa.Table) -> pa.Table:
+        did = batch["did"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nh = _token_hash_arrow(batch["name"])
+        key = np.where(
+            did >= 0, _fmix_u64(did.astype(np.uint64)), nh
+        ).astype(np.uint64)
+        cols = _union_schema(len(did))
+        cols["name"] = batch["name"]
+        cols["did"] = pa.array(did)
+        cols["_src"] = pa.array(np.zeros(len(did), np.int8))
+        cols["_pk"] = pa.array((key % np.uint64(n_buckets)).view(np.int64))
+        return pa.table(cols)
+
+    def _tag_agg(batch: pa.Table) -> pa.Table:
+        did = batch["did"].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = _fmix_u64(did.astype(np.uint64))
+        cols = _union_schema(len(did))
+        cols["did"] = pa.array(did)
+        cols["url_count"] = batch["url_count"].cast(pa.int64())
+        cols["first_urls"] = batch["first_urls"]
+        cols["visited_count"] = batch["visited_count"].cast(pa.int64())
+        cols["_src"] = pa.array(np.ones(len(did), np.int8))
+        cols["_pk"] = pa.array((key % np.uint64(n_buckets)).view(np.int64))
+        return pa.table(cols)
+
+    def _merge_part(part: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        empty = pa.table(
+            {
+                "domain_name": pa.array([], pa.string()),
+                "domain_id": pa.array([], pa.int64()),
+                "crawl_depth": pa.array([], pa.int64()),
+                "url_count": pa.array([], pa.int64()),
+                "first_urls": pa.array([], pa.string()),
+            }
+        )
+        if part.num_rows == 0:
+            return empty
+        src = part["_src"].to_numpy(zero_copy_only=False)
+        ci = np.flatnonzero(src == 0)
+        if len(ci) == 0:
+            return empty  # url aggregates with no surviving candidate
+        # candidate dedup by (name, did): sort by (name-hash, did), verify
+        # equal-hash runs are name-equal (loud on collision)
+        cnames = part["name"].take(pa.array(ci))
+        if isinstance(cnames, pa.ChunkedArray):
+            cnames = cnames.combine_chunks()
+        cdid = part["did"].to_numpy(zero_copy_only=False)[ci].astype(np.int64)
+        nh = _token_hash_arrow(cnames)
+        order = np.lexsort((cdid, nh))
+        nh_s, did_s = nh[order], cdid[order]
+        names_s = cnames.take(pa.array(order))
+        if isinstance(names_s, pa.ChunkedArray):
+            names_s = names_s.combine_chunks()
+        same = np.r_[False, (nh_s[1:] == nh_s[:-1]) & (did_s[1:] == did_s[:-1])]
+        if same.any():
+            eq = pc.fill_null(
+                pc.equal(names_s.slice(1), names_s.slice(0, len(names_s) - 1)),
+                False,
+            ).to_numpy(zero_copy_only=False)
+            if (same[1:] & ~eq).any():
+                raise ValueError(
+                    "crawl_specs: (name,id) hash collision — widen the hash"
+                )
+        keep = ~same
+        if len(bl):
+            keep &= ~np.isin(did_s, bl)
+        did_k = did_s[keep]
+        names_k = names_s.filter(pa.array(keep))
+        # url aggregates in this partition, sorted by did for searchsorted
+        ai = np.flatnonzero(src == 1)
+        adid = part["did"].to_numpy(zero_copy_only=False)[ai].astype(np.int64)
+        aorder = np.argsort(adid)
+        adid_s = adid[aorder]
+        pos = np.searchsorted(adid_s, did_k)
+        pos_c = np.minimum(pos, max(len(adid_s) - 1, 0))
+        hit = (
+            (adid_s[pos_c] == did_k) & (did_k >= 0)
+            if len(adid_s)
+            else np.zeros(len(did_k), bool)
+        )
+        take_agg = pa.array(ai[aorder][pos_c[hit]]) if hit.any() else None
+        uc = np.zeros(len(did_k), np.int64)
+        vc = np.zeros(len(did_k), np.int64)
+        firsts = np.full(len(did_k), "", dtype=object)
+        if take_agg is not None:
+            uc[hit] = part["url_count"].take(take_agg).to_numpy(zero_copy_only=False)
+            vc[hit] = part["visited_count"].take(take_agg).to_numpy(zero_copy_only=False)
+            firsts[hit] = np.asarray(
+                part["first_urls"].take(take_agg).to_pylist(), dtype=object
+            )
         depth = np.minimum(
             np.where(vc < min_visit // 2, min_visit, vc + 1000 + vc // 4),
             max_visit,
         ).astype(np.int64)
-        uc = np.nan_to_num(
-            batch["url_count"].to_numpy(zero_copy_only=False), nan=0.0
-        ).astype(np.int64)
-        import pyarrow.compute as pc
-
         return pa.table(
             {
-                "domain_name": batch["name"],
-                "domain_id": batch["did"].cast(pa.int64()),
+                "domain_name": names_k,
+                "domain_id": pa.array(did_k),
                 "crawl_depth": pa.array(depth),
                 "url_count": pa.array(uc),
-                "first_urls": pc.fill_null(batch["first_urls"], ""),
+                "first_urls": pa.array(firsts.tolist(), pa.string()),
             }
         )
 
-    return joined.map_batches(_final, batch_format="pyarrow")
+    return (
+        cand.map_batches(_tag_cand, batch_format="pyarrow")
+        .union(url_agg.map_batches(_tag_agg, batch_format="pyarrow"))
+        .groupby("_pk")
+        .map_groups(_merge_part, batch_format="pyarrow")
+    )

@@ -736,16 +736,40 @@ def domain_adjacencies(
 
     scored = agg.map_batches(_score, batch_format="pyarrow")
 
-    def _topk(group: pa.Table) -> pa.Table:
-        if group.num_rows == 0:
-            return pa.table({"domain_id": pa.array([], pa.int64()),
-                             "neighbor_id": pa.array([], pa.int64()),
-                             "relatedness": pa.array([], pa.float64())})
-        g = group.sort_by([("relatedness", "descending"),
-                           ("neighbor_id", "ascending")])
-        return g.slice(0, top_k)
+    # per-domain top-k: bucketed partitions with vectorized segment ranks
+    # (a per-domain map_groups costs one Python task per domain — at 1e8
+    # domains that is the scheduler, not the work)
+    def _topk_key(batch: pa.Table) -> pa.Table:
+        d = batch["domain_id"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        pk = (_fmix64_vec(d.astype(np.uint64)) % U64(num_partitions)).astype(
+            np.int64
+        )
+        return batch.append_column("_tk", pa.array(pk))
 
-    return scored.groupby("domain_id").map_groups(_topk, batch_format="pyarrow")
+    def _topk_part(part: pa.Table) -> pa.Table:
+        empty = pa.table({"domain_id": pa.array([], pa.int64()),
+                          "neighbor_id": pa.array([], pa.int64()),
+                          "relatedness": pa.array([], pa.float64())})
+        if part.num_rows == 0:
+            return empty
+        d = part["domain_id"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        n = part["neighbor_id"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        r = part["relatedness"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((n, -r, d))
+        d_s = d[order]
+        starts = np.flatnonzero(np.r_[True, d_s[1:] != d_s[:-1]])
+        seg = np.repeat(np.arange(len(starts)), np.diff(np.r_[starts, len(d_s)]))
+        pos = np.arange(len(d_s)) - starts[seg]
+        keep = order[pos < top_k]
+        return pa.table({"domain_id": pa.array(d[keep]),
+                         "neighbor_id": pa.array(n[keep]),
+                         "relatedness": pa.array(r[keep].astype(np.float64))})
+
+    return (
+        scored.map_batches(_topk_key, batch_format="pyarrow")
+        .groupby("_tk")
+        .map_groups(_topk_part, batch_format="pyarrow")
+    )
 
 
 def pagerank_scores(

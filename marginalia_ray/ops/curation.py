@@ -364,8 +364,10 @@ def sentence_dedup(
 
     hot_parts = []
     n_hot = 0
-    counts = (
-        ds.map_batches(_partial, batch_format="pyarrow").groupby("sent").sum("partial")
+    from marginalia_ray.ops.relational import bucketed_group_agg
+
+    counts = bucketed_group_agg(
+        ds.map_batches(_partial, batch_format="pyarrow"), ["sent"], ["partial"]
     )
     for b in counts.iter_batches(batch_format="pyarrow"):
         if b.num_rows:
@@ -500,10 +502,13 @@ def bigram_perplexity(
     V = len(counts)
 
     bi_keys_parts, bi_cnt_parts, n_bi = [], [], 0
+    from marginalia_ray.ops.relational import bucketed_group_agg
+
     for b in (
-        ds.map_batches(_bi_partial, batch_format="pyarrow")
-        .groupby(["w1", "w2"])
-        .sum("partial")
+        bucketed_group_agg(
+            ds.map_batches(_bi_partial, batch_format="pyarrow"),
+            ["w1", "w2"], ["partial"],
+        )
         .iter_batches(batch_format="pyarrow")
     ):
         if b.num_rows:
@@ -941,10 +946,13 @@ def pmi_collocations(
         )
         return g.rename_columns(["w1", "w2", "partial"])
 
+    from marginalia_ray.ops.relational import bucketed_group_agg
+
     counts = (
-        ds.map_batches(_partial, batch_format="pyarrow")
-        .groupby(["w1", "w2"])
-        .sum("partial")
+        bucketed_group_agg(
+            ds.map_batches(_partial, batch_format="pyarrow"),
+            ["w1", "w2"], ["partial"],
+        )
         .rename_columns({"sum(partial)": "c"})
         .materialize()  # vocab+bigram-table sized (<< corpus), read 4x below
     )

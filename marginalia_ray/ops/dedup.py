@@ -923,9 +923,10 @@ def simhash_pairs(ds, max_hamming: int = 3, text_col: str = "text", id_col: str 
         _emit_pairs_per_key(chunked, ["chunk_no", "chunk"], extra_col="simhash",
                             max_group=max_docs_per_chunk)
         .map_batches(_hamming, batch_format="pyarrow")
-        .groupby(["doc_a", "doc_b"])
-        .min("hamming")
     )
+    from marginalia_ray.ops.relational import bucketed_group_agg
+
+    pairs = bucketed_group_agg(pairs, ["doc_a", "doc_b"], ["hamming"], "min")
     return pairs.rename_columns({"min(hamming)": "hamming"})
 
 
@@ -1287,10 +1288,11 @@ def substring_dedup_apply(
     # set, and the over-cap fallback reuses it as a dataset — without
     # this, that reuse would re-execute the whole-corpus window-hash pass
     # and gram shuffle (the most expensive stage) a second time
-    counts = (
-        ds.map_batches(_gram_doc_partial, batch_format="pyarrow")
-        .groupby("gram")
-        .sum("partial")
+    from marginalia_ray.ops.relational import bucketed_group_agg
+
+    counts = bucketed_group_agg(
+        ds.map_batches(_gram_doc_partial, batch_format="pyarrow"),
+        ["gram"], ["partial"],
     ).materialize()
 
     dup_parts: list[np.ndarray] = [np.empty(0, np.int64)]
@@ -1467,8 +1469,10 @@ def dup_cluster_sizes(ds, text_col: str = "text"):
         )
         return g.rename_columns(["h", "partial"])
 
-    per_hash = (
-        ds.map_batches(_partial, batch_format="pyarrow").groupby("h").sum("partial")
+    from marginalia_ray.ops.relational import bucketed_group_agg
+
+    per_hash = bucketed_group_agg(
+        ds.map_batches(_partial, batch_format="pyarrow"), ["h"], ["partial"]
     )
 
     def _sizes(batch: pa.Table) -> pa.Table:

@@ -272,7 +272,9 @@ def components_apply(node_ds, star_edges, id_col: str = "doc_id"):
     labeled = node_ds.map_batches(_ident, batch_format="pyarrow").union(
         star_edges.map_batches(_from_edges, batch_format="pyarrow")
     )
-    out = labeled.groupby(id_col).min("component")
+    from marginalia_ray.ops.relational import bucketed_group_agg
+
+    out = bucketed_group_agg(labeled, [id_col], ["component"], "min")
     return out.rename_columns({"min(component)": "component"})
 
 
@@ -612,7 +614,11 @@ def domain_adjacencies(
         s = batch["s"].to_numpy(zero_copy_only=False)
         return pa.table({"d": batch["d"], "w": pa.array(_w_of_bcast(s))})
 
-    wn = dedup.map_batches(_with_w, batch_format="pyarrow").groupby("d").sum("w")
+    from marginalia_ray.ops.relational import bucketed_group_agg
+
+    wn = bucketed_group_agg(
+        dedup.map_batches(_with_w, batch_format="pyarrow"), ["d"], ["w"]
+    )
     wnorm = np.zeros(len(dvals), dtype=np.float64)
     for b in wn.iter_batches(batch_format="pyarrow"):
         if b.num_rows == 0:
@@ -1520,7 +1526,9 @@ def hits_scores(
         .union(auth.map_batches(_tag("auth"), batch_format="pyarrow"))
         .union(degrees.map_batches(_nodes, batch_format="pyarrow"))
     )
-    agg = union.groupby("node").sum(["hub", "auth"])
+    from marginalia_ray.ops.relational import bucketed_group_agg
+
+    agg = bucketed_group_agg(union, ["node"], ["hub", "auth"])
     return agg.map_batches(
         lambda b: pa.table(
             {

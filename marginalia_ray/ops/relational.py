@@ -372,8 +372,10 @@ def bucketed_group_agg(
 
     def _hash_col(col) -> np.ndarray:
         if pa.types.is_integer(col.type):
+            # no Arrow cast: uint64 values above 2^63 must not overflow;
+            # numpy astype wraps deterministically for signed inputs
             return _fmix64(
-                col.cast(pa.int64()).to_numpy(zero_copy_only=False).astype(np.uint64)
+                col.to_numpy(zero_copy_only=False).astype(np.uint64)
             )
         return _token_hash_arrow(col)
 

@@ -645,7 +645,9 @@ def semi_join_ids(ds, ids_ds, id_col: str, anti: bool = False,
     are rejected loudly (NaN -> garbage hash otherwise)."""
     if num_partitions is None:
         num_partitions = _join_partitions()
-    sch = ds.schema()
+    from .relational import schema_no_reexec
+
+    sch, ds = schema_no_reexec(ds)
     out_fields = list(zip(sch.names, sch.types))
     id_type = dict(out_fields)[id_col]
 

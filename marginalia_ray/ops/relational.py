@@ -18,6 +18,51 @@ import pyarrow.compute as pc
 import ray
 
 
+def _lineage_has_shuffle(ds) -> bool:
+    """True when the Dataset's logical plan contains an all-to-all stage
+    (groupby / sort / repartition-shuffle).  Internal-API probe with a
+    conservative False fallback."""
+    try:
+        from ray.data._internal.logical.operators.all_to_all_operator import (
+            AbstractAllToAll,
+        )
+
+        stack = [ds._logical_plan.dag]
+    except Exception:
+        return False
+    while stack:
+        op = stack.pop()
+        if isinstance(op, AbstractAllToAll):
+            return True
+        stack.extend(getattr(op, "input_dependencies", ()))
+    return False
+
+
+def schema_no_reexec(ds):
+    """``(schema, ds)`` without paying a throwaway execution for the schema.
+
+    ``Dataset.schema()`` on a lineage whose metadata doesn't carry the
+    schema executes the plan far enough to see one block.  For map-only
+    lineages that peek is cheap and streaming is preserved — keep it.
+    But when the lineage contains an all-to-all stage, "one block" means
+    the ENTIRE upstream subplan runs and its blocks are then DISCARDED;
+    the next consumer re-executes everything (measured: the TPC-H Q3
+    shape paid ~2x wall time for joins whose inputs sit downstream of a
+    groupby).  For those lineages ``materialize()`` costs the same one
+    execution but pins the shuffle output in the object store, so the
+    caller's downstream consumption is free.  Returns the possibly
+    materialized handle alongside the schema — use it in place of the
+    original Dataset.
+    """
+    sch = ds.schema(fetch_if_missing=False)
+    if sch is not None:
+        return sch, ds
+    if _lineage_has_shuffle(ds):
+        ds = ds.materialize()
+        return ds.schema(), ds
+    return ds.schema(), ds
+
+
 def domain_stats(ds, key_col: str = "source", text_col: str = "text"):
     """Per-domain doc counts + mean length: (domain, n_docs, avg_chars).
     Partial per-batch aggregation -> tiny groupby."""
@@ -894,14 +939,15 @@ def hash_equi_join(
     if how not in ("inner", "left", "full"):
         raise ValueError(f"how must be 'inner', 'left' or 'full', got {how!r}")
     key_r = right_on or on
-    for side_name, sch, kc in (("left", left.schema(), on), ("right", right.schema(), key_r)):
+    l_schema, left = schema_no_reexec(left)
+    r_schema, right = schema_no_reexec(right)
+    for side_name, sch, kc in (("left", l_schema, on), ("right", r_schema, key_r)):
         kt = dict(zip(sch.names, sch.types)).get(kc)
         if kt is None or not pa.types.is_integer(kt):
             raise TypeError(
                 f"hash_equi_join: {side_name} key {kc!r} must be an integer "
                 f"column (got {kt}); hash string keys to int64 upstream"
             )
-    l_schema, r_schema = left.schema(), right.schema()
     l_cols = left_cols or list(l_schema.names)
     r_cols = right_cols or [c for c in r_schema.names if c != key_r]
     if on not in l_cols:
@@ -1080,14 +1126,15 @@ def hash_semi_join(
     if how not in ("semi", "anti"):
         raise ValueError(f"how must be 'semi' or 'anti', got {how!r}")
     key_r = right_on or on
-    l_schema = left.schema()
+    l_schema, left = schema_no_reexec(left)
     if l_schema is None:
         raise ValueError(
             "hash_semi_join: left schema is unknown (lazy row filter "
             "upstream?) — the output schema anchor needs it; materialize "
             "the schema or reorder the filter after the join"
         )
-    for side_name, sch, kc in (("left", l_schema, on), ("right", right.schema(), key_r)):
+    r_schema, right = schema_no_reexec(right)
+    for side_name, sch, kc in (("left", l_schema, on), ("right", r_schema, key_r)):
         if sch is None:
             continue  # lazily-unknown schema (e.g. after a row filter):
             # the runtime integer check in _keys_np still applies

@@ -94,6 +94,8 @@ SKIP_K = 2  # skipgram window
 SKIP_MIN = 3  # skipgram min corpus count
 SESS_BIN_MIN = 5  # session_duration_histogram bin width (minutes)
 GLOBAL_QS = (0.25, 0.5, 0.75, 0.9, 0.99)  # global_quantiles probe points
+AQ_K = 256  # approx_quantiles sample size (< n_docs at every sf: real sketch path)
+AQ_SEED = 5  # approx_quantiles sample seed
 SHUF_SHARDS = 8  # training_shuffle shard count
 SHUF_SEED = 7  # training_shuffle epoch seed
 WS_K = 100  # weighted_sample size
@@ -1876,6 +1878,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return global_quantiles(docs, qs=GLOBAL_QS)
 
+    def q_approx_quantiles(sf_dir: str):
+        import ray.data
+
+        from marginalia_ray.ops.sketch import approx_quantiles
+
+        docs = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+        )
+        return approx_quantiles(docs, qs=GLOBAL_QS, k=AQ_K, seed=AQ_SEED)
+
     def q_mutual_information(sf_dir: str):
         import ray.data
 
@@ -2168,6 +2180,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_degree_stats": q_graph_degree_stats,
         "column_profile": q_column_profile,
         "global_quantiles": q_global_quantiles,
+        "approx_quantiles": q_approx_quantiles,
         "edit_distance_pairs": q_edit_distance_pairs,
         "training_shuffle": q_training_shuffle,
         "mutual_information": q_mutual_information,
@@ -3850,6 +3863,47 @@ def _weighted_sample_sql() -> str:
  FROM keyed ORDER BY key_exact, doc_id LIMIT {WS_K}"""
 
 
+def _approx_quantiles_sql() -> str:
+    """Mirrors ops/sketch.approx_quantiles: u = fmix64(fmix64(doc_id) ^
+    seed) (the exact-uint64 CTE chain of _weighted_sample_sql), sample =
+    the AQ_K rows with the smallest (u, doc_id), then SQL quantile_cont
+    interpolation written out long-hand so both engines evaluate the
+    identical double expression v_lo + (v_hi - v_lo) * (pos - lo)."""
+    M64 = 18446744073709551616
+    C1, C2 = 0xFF51AFD7ED558CCD, 0xC4CEB9FE1A85EC53
+
+    def mul(c: int) -> str:
+        return (
+            f"((((x // 4294967296) * {c}) % 4294967296) * 4294967296"
+            f" + (x % 4294967296) * {c}) % {M64}"
+        )
+
+    fmix = f"""
+ __P1 AS (SELECT doc_id, xor(x, x >> 33) AS x FROM __P0),
+ __P2 AS (SELECT doc_id, {mul(C1)} AS x FROM __P1),
+ __P3 AS (SELECT doc_id, xor(x, x >> 33) AS x FROM __P2),
+ __P4 AS (SELECT doc_id, {mul(C2)} AS x FROM __P3),
+ __P5 AS (SELECT doc_id, xor(x, x >> 33) AS x FROM __P4)"""
+    qs_l = "[" + ",".join(repr(float(q)) for q in sorted(GLOBAL_QS)) + "]::DOUBLE[]"
+    return f"""
+ WITH s0 AS (SELECT doc_id, ((doc_id::HUGEINT % {M64}) + {M64}) % {M64} AS x FROM documents),
+{fmix.replace("__P", "s")},
+ t0 AS (SELECT doc_id, xor(x, {AQ_SEED}) AS x FROM s5),
+{fmix.replace("__P", "t")},
+ samp AS (SELECT d.n_chars::DOUBLE AS v
+   FROM t5 JOIN documents d ON t5.doc_id = d.doc_id
+   ORDER BY t5.x, t5.doc_id LIMIT {AQ_K}),
+ r AS (SELECT v, row_number() OVER (ORDER BY v) - 1 AS rn, count(*) OVER () AS n FROM samp),
+ i AS (SELECT unnest({qs_l}) AS q),
+ p AS (SELECT q, (n - 1) * q AS pos,
+              CAST(floor((n - 1) * q) AS BIGINT) AS lo,
+              CAST(ceil((n - 1) * q) AS BIGINT) AS hi
+       FROM i, (SELECT DISTINCT n FROM r) AS nn(n))
+ SELECT p.q AS q, round(vl.v + (vh.v - vl.v) * (p.pos - p.lo), 6) AS value
+ FROM p JOIN r vl ON vl.rn = p.lo JOIN r vh ON vh.rn = p.hi
+ ORDER BY p.q"""
+
+
 def _corr_sql() -> str:
     """Mirrors ops/relational.correlation_matrix over the lineitem
     integer units (qty, disc, tax, lineno): BIGINT moment sums, then
@@ -4337,6 +4391,7 @@ def oracle_sql() -> dict[str, str]:
  WITH a AS (SELECT quantile_cont(n_chars, {list(GLOBAL_QS)}) AS vs FROM documents),
  i AS (SELECT unnest(generate_series(1, {len(GLOBAL_QS)})) AS i)
  SELECT round({list(GLOBAL_QS)}[i], 6) AS q, round(vs[i], 6) AS value FROM a, i""",
+        "approx_quantiles": _approx_quantiles_sql(),
         "edit_distance_pairs": """
  WITH d AS (SELECT DISTINCT p_name AS s FROM part WHERE length(p_name) <= 128)
  SELECT x.s AS a, y.s AS b, 1::BIGINT AS dist

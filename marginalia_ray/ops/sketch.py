@@ -404,3 +404,94 @@ def heavy_hitters(
         )
 
     return summed.map_batches(_finalize, batch_format="pyarrow")
+
+
+def approx_quantiles(
+    ds,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99),
+    val_col: str = "n_chars",
+    id_col: str = "doc_id",
+    k: int = 2048,
+    seed: int = 0,
+):
+    """Approximate global quantiles from a DETERMINISTIC bottom-k sample —
+    the scale path where ``relational.global_quantiles``'s exact
+    distinct-value histogram blows its cap (continuous values at corpus
+    scale: #distinct ~ #rows, so the histogram shuffle IS the corpus).
+
+    Sketch: u = fmix64(fmix64(id) ^ seed); the k rows with the smallest
+    (u, id) are a uniform sample without replacement (bottom-k /
+    KMV-style), EXACTLY mergeable — the global bottom-k is the bottom-k
+    of any union of per-block bottom-k partials, so the result is
+    independent of block layout and cluster size.  Quantile rank error
+    is O(sqrt(q(1-q)/k)) with high probability (Vitter's reservoir
+    bound); k=2048 gives ~1 percentile-point error.  When k >= n_rows
+    the sample is the whole column and the result is exact.
+
+    Shape: one streaming pass keeps a per-block bottom-k (np.partition,
+    never a sort of the block); the O(k x #blocks) partial rows merge in
+    one final task (the weighted_sample convention — add an intermediate
+    bottom-k level when #blocks approaches k at full scale).  The value
+    interpolation is SQL quantile_cont's: pos = (n-1)q, v = v_lo +
+    (v_hi - v_lo) * frac, every term the same double expression tree as
+    the DuckDB mirror.
+
+    Output: (q, value) — value rounded to 6 dp, one row per requested q
+    in ascending q order."""
+    from marginalia_ray.ops.dedup import U64, _fmix64_vec
+
+    if k <= 0:
+        raise ValueError("approx_quantiles: k must be positive")
+    if not qs or any(not (0.0 <= q <= 1.0) for q in qs):
+        raise ValueError("approx_quantiles: each q must be in [0, 1]")
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        ids_arr = batch[id_col]
+        if not pa.types.is_integer(ids_arr.type):
+            raise TypeError(f"approx_quantiles: {id_col!r} must be integer")
+        if ids_arr.null_count:
+            raise TypeError(f"approx_quantiles: {id_col!r} has nulls")
+        if batch[val_col].null_count:
+            raise ValueError(f"approx_quantiles: {val_col!r} has nulls")
+        ids = ids_arr.to_numpy(zero_copy_only=False).astype(np.int64)
+        v = batch[val_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        u = _fmix64_vec(_fmix64_vec(ids.astype(U64)) ^ U64(seed))
+        if len(u) > k:
+            idx = np.argpartition(u, k)[:k]
+        else:
+            idx = np.arange(len(u))
+        return pa.table(
+            {
+                "u": pa.array(u[idx].view(np.int64)),
+                "id": pa.array(ids[idx]),
+                "v": pa.array(v[idx], pa.float64()),
+            }
+        )
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow").repartition(1)
+
+    def _final(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return pa.table(
+                {"q": pa.array([], pa.float64()), "value": pa.array([], pa.float64())}
+            )
+        u = block["u"].to_numpy(zero_copy_only=False).view(np.uint64)
+        ids = block["id"].to_numpy(zero_copy_only=False)
+        v = block["v"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, u))[:k]  # global bottom-k by (u, id)
+        vals = np.sort(v[order])
+        n = len(vals)
+        out_q, out_v = [], []
+        for q in sorted(qs):
+            pos = (n - 1) * float(q)
+            lo = int(np.floor(pos))
+            hi = int(np.ceil(pos))
+            frac = pos - lo
+            val = vals[lo] + (vals[hi] - vals[lo]) * frac
+            out_q.append(float(q))
+            out_v.append(round(val, 6))
+        return pa.table(
+            {"q": pa.array(out_q, pa.float64()), "value": pa.array(out_v, pa.float64())}
+        )
+
+    return partials.map_batches(_final, batch_format="pyarrow", batch_size=None)

@@ -24,7 +24,9 @@ the ``fake=True`` deterministic pseudo-decode (seeded by content hash) so
 pipelines keep streaming, or raise with ``fake=False``.  MP3 is a hybrid:
 duration/sample-rate metadata come from a REAL frame-header walk
 (mp3_stream_info; Xing/Info + VBRI VBR headers give exact duration in
-O(1) without walking the payload); only its MFCC stays pseudo.  Full
+O(1) without walking the payload), and the feature vector is a REAL
+compressed-domain descriptor (mp3_frame_envelope: per-frame bitrate
+envelope — VBR bit allocation tracks spectral complexity).  Full
 Layer III payload decode is DATA-gated, not code-gated: the bitstream
 structure (side info, requantization, IMDCT, polyphase) is all public
 ISO 11172-3 math, but the decode is bit-defined by Annex B tables — the
@@ -595,15 +597,128 @@ def mp3_stream_info(data: bytes, max_frames: int = 200_000):
     return duration, rate_out, frames
 
 
+def mp3_frame_envelope(data: bytes, max_frames: int = 200_000):
+    """REAL compressed-domain features from an MPEG-audio stream: the
+    per-frame bitrate envelope, no payload decode.
+
+    Walks every frame header (the mp3_stream_info walk) and records each
+    frame's declared bitrate in kbps.  For VBR/ABR streams — what
+    encoders emit by default for web audio — the per-frame bit
+    allocation tracks the signal's spectral complexity, so the envelope
+    is a genuine content feature (the MIR literature's compressed-domain
+    audio descriptors); for CBR it degrades to a flat line, honestly
+    reflecting that a CBR header walk carries no per-frame signal.
+
+    Returns (duration_s, sample_rate, n_frames, kbps) with kbps a
+    float32 array of per-frame bitrates in walk order.  A first-frame
+    Xing/Info/VBRI declared count still provides the exact duration (the
+    declared count covers frames the walk cap may skip), but the walk
+    runs regardless — the envelope IS the point here, unlike
+    mp3_stream_info's O(1) fast path.  Raises ValueError when no valid
+    frame exists."""
+    pos = 0
+    if data[:3] == b"ID3" and len(data) >= 10:
+        size = ((data[6] & 0x7F) << 21) | ((data[7] & 0x7F) << 14) | \
+               ((data[8] & 0x7F) << 7) | (data[9] & 0x7F)
+        pos = 10 + size
+    n = len(data)
+    frames = 0
+    duration = 0.0
+    rate_out = 0
+    declared_dur = None
+    kbps: list[float] = []
+    first_frame_pos = 0
+    while pos + 4 <= n and frames < max_frames:
+        b0, b1 = data[pos], data[pos + 1]
+        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+            pos += 1
+            continue
+        ver_bits = (b1 >> 3) & 3
+        layer_bits = (b1 >> 1) & 3
+        if ver_bits == 1 or layer_bits == 0:
+            pos += 1
+            continue
+        b2 = data[pos + 2]
+        br_idx = (b2 >> 4) & 15
+        sr_idx = (b2 >> 2) & 3
+        padding = (b2 >> 1) & 1
+        if br_idx in (0, 15) or sr_idx == 3:
+            pos += 1
+            continue
+        layer = 4 - layer_bits
+        vgroup = 1 if ver_bits == 3 else 2
+        bitrate = _MP3_BITRATE[(vgroup, layer)][br_idx] * 1000
+        rate = _MP3_RATES[ver_bits][sr_idx]
+        if layer == 1:
+            flen = (12 * bitrate // rate + padding) * 4
+            samples = 384
+        else:
+            samples = 1152 if (layer == 2 or vgroup == 1) else 576
+            flen = samples * bitrate // (8 * rate) + padding
+        if flen <= 4:
+            pos += 1
+            continue
+        if pos + flen > n:
+            break
+        if frames == 0:
+            first_frame_pos = pos
+            chan_mode = (data[pos + 3] >> 6) & 3
+            declared = _vbr_header_frames(data, pos, flen, ver_bits, chan_mode)
+            if declared is not None and declared > 0:
+                declared_dur = declared * samples / rate
+                # the Xing/VBRI frame itself is not audio: skip it in the
+                # envelope too
+                pos += flen
+                continue
+        frames += 1
+        duration += samples / rate
+        rate_out = rate
+        kbps.append(bitrate / 1000.0)
+        pos += flen
+    if frames == 0 and declared_dur is None:
+        raise ValueError("no mpeg audio frames")
+    if declared_dur is not None:
+        duration = declared_dur
+    elif frames >= max_frames and pos < n:
+        walked = max(pos - first_frame_pos, 1)
+        duration += (n - pos) * duration / walked
+    return duration, rate_out, frames, np.asarray(kbps, np.float32)
+
+
+def _mp3_envelope_vector(kbps: np.ndarray, n_dims: int) -> np.ndarray:
+    """Fixed-length descriptor from a per-frame kbps envelope:
+    [mean/320, coeff-of-variation, then (n_dims-2) temporal segment
+    means normalized by the overall mean].  Deterministic, duration
+    invariant, defined for any frame count >= 1."""
+    if len(kbps) == 0:
+        return np.zeros(n_dims, np.float32)
+    mean = float(kbps.mean())
+    denom = max(mean, 1e-9)
+    out = np.empty(n_dims, np.float32)
+    out[0] = mean / 320.0
+    out[1] = float(kbps.std()) / denom
+    nb = n_dims - 2
+    if nb > 0:
+        segs = np.array_split(kbps, nb)
+        out[2:] = [
+            (float(s.mean()) / denom) if len(s) else 1.0 for s in segs
+        ]
+    return out
+
+
 class AudioFeatureStage:
     """binary audio column -> (id, duration_s, sample_rate, mfcc_mean).
 
     WAV payloads decode for real (_wav_features).  MP3 payloads get REAL
-    duration/sample-rate metadata from a frame-header walk
-    (mp3_stream_info — VBR-correct, no payload decode); their MFCC stays
-    a content-seeded pseudo-vector (the hybrid filterbank needs codec
-    libraries).  Other compressed formats pseudo-decode with
-    ``fake=True`` or raise with ``fake=False``."""
+    duration/sample-rate metadata AND a real compressed-domain feature
+    vector from the frame-header walk (mp3_frame_envelope: the per-frame
+    bitrate envelope — a genuine content signal for the VBR streams web
+    encoders emit; flat for CBR, honestly).  The feature rides in the
+    ``mfcc_mean`` slot with the same (n_mfcc,) float32 shape; true
+    spectral MFCCs would need the Layer III payload decode, which stays
+    DATA-gated (Annex B Huffman/window tables, see module docstring).
+    Other compressed formats pseudo-decode with ``fake=True`` or raise
+    with ``fake=False``."""
 
     def __init__(self, n_mfcc: int = 13, fake: bool = True,
                  payload_col: str = "audio", id_col: str = "doc_id"):
@@ -628,10 +743,10 @@ class AudioFeatureStage:
                     pass
             if p[:3] == b"ID3" or (len(p) > 1 and p[0] == 0xFF and (p[1] & 0xE0) == 0xE0):
                 try:
-                    d, s, _nf = mp3_stream_info(p)
+                    d, s, _nf, kbps = mp3_frame_envelope(p)
                     dur.append(float(d)); sr.append(int(s))
-                    # metadata is real; the MFCC needs the codec — seeded
-                    mfcc.append(_content_rng(p).standard_normal(self.n_mfcc).astype(np.float32))
+                    # real compressed-domain feature: bitrate envelope
+                    mfcc.append(_mp3_envelope_vector(kbps, self.n_mfcc))
                     continue
                 except ValueError:
                     pass

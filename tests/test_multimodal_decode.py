@@ -2,6 +2,7 @@
 decoded with stdlib + numpy only; fixtures are constructed in-test."""
 
 import io
+import os
 import struct
 import wave
 import zlib
@@ -717,3 +718,96 @@ class TestImageResize:
         with pytest.raises(Exception, match="natively"):
             resize_images(ds2, out_width=4, out_height=4,
                           fake=False, concurrency=2).take_all()
+
+
+def test_mp3_bitrate_envelope_is_real_signal():
+    """A VBR stream alternating 128k/320k halves must produce an envelope
+    whose temporal bins mirror the bitrate profile — a real content
+    feature, not a content-hash pseudo-vector."""
+    from marginalia_ray.ops.multimodal import (
+        AudioFeatureStage,
+        _mp3_envelope_vector,
+        mp3_frame_envelope,
+    )
+
+    def frame(br_idx, kbps):
+        hdr = bytes([0xFF, 0xFB, (br_idx << 4), 0x00])
+        flen = 1152 * kbps * 1000 // (8 * 44100)
+        return hdr + b"\x00" * (flen - 4)
+
+    lo, hi = frame(9, 128), frame(14, 320)  # br_idx 9=128k, 14=320k
+    data = lo * 20 + hi * 20
+
+    dur, rate, n, kbps = mp3_frame_envelope(data)
+    assert rate == 44100 and n == 40
+    assert kbps[:20].mean() == 128.0 and kbps[20:].mean() == 320.0
+
+    v = _mp3_envelope_vector(kbps, 13)
+    mean = (128.0 * 20 + 320.0 * 20) / 40
+    assert abs(v[0] - mean / 320.0) < 1e-6
+    assert v[1] > 0.3  # strong variation
+    # first temporal bins ~128/mean, last ~320/mean
+    assert abs(v[2] - 128.0 / mean) < 1e-5
+    assert abs(v[12] - 320.0 / mean) < 1e-5
+
+    t = pa.table({"doc_id": pa.array([1], pa.int64()),
+                  "audio": pa.array([data], pa.binary())})
+    out = AudioFeatureStage(fake=False)(t)  # real path, no gate
+    got = np.asarray(out["mfcc_mean"].to_pylist()[0], np.float32)
+    assert np.allclose(got, v)
+
+
+def test_mp3_cbr_envelope_flat_and_deterministic():
+    from marginalia_ray.ops.multimodal import (
+        _mp3_envelope_vector,
+        mp3_frame_envelope,
+    )
+
+    hdr = bytes([0xFF, 0xFB, 0x90, 0x00])
+    flen = 1152 * 128000 // (8 * 44100)
+    data = (hdr + b"\x00" * (flen - 4)) * 38
+
+    _, _, n, kbps = mp3_frame_envelope(data)
+    assert n == 38 and (kbps == 128.0).all()
+    v = _mp3_envelope_vector(kbps, 13)
+    assert abs(v[0] - 128.0 / 320.0) < 1e-6
+    assert v[1] == 0.0
+    assert np.allclose(v[2:], 1.0)
+
+
+def test_mp3_envelope_xing_duration_with_walked_envelope():
+    """Xing declared count still rules the duration, while the envelope
+    comes from the physically walked frames (the Xing frame excluded)."""
+    from marginalia_ray.ops.multimodal import mp3_frame_envelope
+
+    hdr = bytes([0xFF, 0xFB, 0x90, 0x00])  # stereo: side info 32 B
+    flen = 1152 * 128000 // (8 * 44100)
+    declared = 1234
+    body = bytearray(flen - 4)
+    body[32:36] = b"Xing"
+    body[36:40] = (1).to_bytes(4, "big")
+    body[40:44] = declared.to_bytes(4, "big")
+    data = hdr + bytes(body) + (hdr + b"\x00" * (flen - 4)) * 5
+
+    dur, rate, n, kbps = mp3_frame_envelope(data)
+    assert abs(dur - declared * 1152 / 44100) < 1e-9
+    assert n == 5 and len(kbps) == 5  # Xing frame not in the envelope
+
+
+REAL_MP3 = "/usr/lib/google-cloud-sdk/platform/gsutil/gslib/tests/test_data/test.mp3"
+
+
+@pytest.mark.skipif(not os.path.exists(REAL_MP3), reason="sandbox asset absent")
+def test_mp3_walk_on_real_world_file():
+    """Real-world encoder output (the gsutil test asset shipped in this
+    image): the walk must parse cleanly end-to-end — sane rate, positive
+    duration, envelope length == walked frames."""
+    with open(REAL_MP3, "rb") as f:
+        data = f.read()
+    from marginalia_ray.ops.multimodal import mp3_frame_envelope, mp3_stream_info
+
+    dur, rate, n, kbps = mp3_frame_envelope(data)
+    assert rate in (8000, 11025, 12000, 16000, 22050, 24000, 32000, 44100, 48000)
+    assert dur > 0 and n > 0 and len(kbps) == n
+    d2, r2, _ = mp3_stream_info(data)
+    assert r2 == rate and abs(d2 - dur) / max(dur, 1e-9) < 0.05

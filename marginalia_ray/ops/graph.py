@@ -1376,10 +1376,13 @@ def hits_scores(
             .aggregate([])
         )
 
+    from marginalia_ray.ops.relational import bucketed_group_agg
+
     distinct = (
-        edges.map_batches(_dedup, batch_format="pyarrow")
-        .groupby([src_col, dst_col])
-        .count()
+        bucketed_group_agg(
+            edges.map_batches(_dedup, batch_format="pyarrow"),
+            [src_col, dst_col], [], agg="count",
+        )
         .drop_columns(["count()"])
         .materialize()
     )
@@ -1406,9 +1409,10 @@ def hits_scores(
         )
 
     degrees = (
-        distinct.map_batches(_deg_partial, batch_format="pyarrow")
-        .groupby("node")
-        .sum(["o", "i"])
+        bucketed_group_agg(
+            distinct.map_batches(_deg_partial, batch_format="pyarrow"),
+            ["node"], ["o", "i"],
+        )
         .materialize()
     )
     from ray.data.aggregate import Max
@@ -1465,10 +1469,33 @@ def hits_scores(
             batch_format="pyarrow",
         )
 
+    def _local_sum(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return pa.table(
+                {"node": pa.array([], pa.int64()), "s": pa.array([], pa.int64())}
+            )
+        nodes = block["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = block["s"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(nodes, kind="stable")
+        nodes, s = nodes[order], s[order]
+        starts = np.flatnonzero(np.r_[True, nodes[1:] != nodes[:-1]])
+        return pa.table(
+            {
+                "node": pa.array(nodes[starts]),
+                "s": pa.array(np.add.reduceat(s, starts)),
+            }
+        )
+
     def _propagate(score_ds, join_key: str, group_key: str):
         """Score table joined onto the edges at join_key, summed per
         group_key — broadcast when the node table fits, hash join
-        fallback above the cap."""
+        fallback above the cap.  On the broadcast path the reduce is a
+        single-task local sum over the per-batch partials: the result
+        table is <= broadcast_nodes_max rows BY CONSTRUCTION (the next
+        half-iteration broadcasts it whole), so a full groupby barrier
+        would pay an all-to-all's fixed cost to shuffle a table that one
+        task folds in milliseconds."""
+        partial = None
         try:
             j = broadcast_join(
                 distinct,
@@ -1478,6 +1505,14 @@ def hits_scores(
                 small_cols=["s"],
                 max_small_rows=broadcast_nodes_max,
             )
+            partial = (
+                j.map_batches(
+                    lambda b: _sum_partial(b, group_key), batch_format="pyarrow"
+                )
+                .repartition(1)
+                .map_batches(_local_sum, batch_format="pyarrow", batch_size=None)
+            )
+            return partial
         except RuntimeError:
             j = hash_equi_join(
                 distinct,
@@ -1488,11 +1523,12 @@ def hits_scores(
                 right_cols=["s"],
             )
         return _strip(
-            j.map_batches(
-                lambda b: _sum_partial(b, group_key), batch_format="pyarrow"
+            bucketed_group_agg(
+                j.map_batches(
+                    lambda b: _sum_partial(b, group_key), batch_format="pyarrow"
+                ),
+                ["node"], ["s"],
             )
-            .groupby("node")
-            .sum("s")
         )
 
     hub = _propagate(auth, dst_col, src_col)  # hub_1

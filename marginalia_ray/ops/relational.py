@@ -2664,10 +2664,10 @@ def column_profile(ds, cols: list[str] | None = None):
         return pa.concat_tables([pairs, counters])
 
     # one shuffle: distinct (column, value) rows + summed counter rows
-    agg = (
-        ds.map_batches(_pairs, batch_format="pyarrow")
-        .groupby(["column", "value", "is_counter"])
-        .sum(["rows", "nulls", "empties"])
+    agg = bucketed_group_agg(
+        ds.map_batches(_pairs, batch_format="pyarrow"),
+        ["column", "value", "is_counter"],
+        ["rows", "nulls", "empties"],
     )
 
     def _per_col(batch: pa.Table) -> pa.Table:
@@ -2688,10 +2688,10 @@ def column_profile(ds, cols: list[str] | None = None):
         )
         return g.rename_columns(["column", "dist", "n", "n_null", "n_empty"])
 
-    agg2 = (
-        agg.map_batches(_per_col, batch_format="pyarrow")
-        .groupby("column")
-        .sum(["dist", "n", "n_null", "n_empty"])
+    agg2 = bucketed_group_agg(
+        agg.map_batches(_per_col, batch_format="pyarrow"),
+        ["column"],
+        ["dist", "n", "n_null", "n_empty"],
     )
 
     def _final(batch: pa.Table) -> pa.Table:

@@ -96,6 +96,7 @@ SESS_BIN_MIN = 5  # session_duration_histogram bin width (minutes)
 GLOBAL_QS = (0.25, 0.5, 0.75, 0.9, 0.99)  # global_quantiles probe points
 AQ_K = 256  # approx_quantiles sample size (< n_docs at every sf: real sketch path)
 AQ_SEED = 5  # approx_quantiles sample seed
+AQK_K = 16  # approx_quantiles_by_key per-key sample (< 25 docs/source: real path)
 SHUF_SHARDS = 8  # training_shuffle shard count
 SHUF_SEED = 7  # training_shuffle epoch seed
 WS_K = 100  # weighted_sample size
@@ -1888,6 +1889,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return approx_quantiles(docs, qs=GLOBAL_QS, k=AQ_K, seed=AQ_SEED)
 
+    def q_approx_quantiles_by_key(sf_dir: str):
+        import ray.data
+
+        from marginalia_ray.ops.sketch import approx_quantiles_by_key
+
+        docs = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"]
+        )
+        return approx_quantiles_by_key(
+            docs, qs=GLOBAL_QS, key_col="source", k=AQK_K, seed=AQ_SEED
+        )
+
     def q_mutual_information(sf_dir: str):
         import ray.data
 
@@ -2181,6 +2194,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "column_profile": q_column_profile,
         "global_quantiles": q_global_quantiles,
         "approx_quantiles": q_approx_quantiles,
+        "approx_quantiles_by_key": q_approx_quantiles_by_key,
         "edit_distance_pairs": q_edit_distance_pairs,
         "training_shuffle": q_training_shuffle,
         "mutual_information": q_mutual_information,
@@ -3904,6 +3918,50 @@ def _approx_quantiles_sql() -> str:
  ORDER BY p.q"""
 
 
+def _approx_quantiles_by_key_sql() -> str:
+    """Mirrors ops/sketch.approx_quantiles_by_key: per-key bottom-AQK_K
+    by (fmix64(fmix64(doc_id) ^ seed), doc_id), then the long-hand
+    quantile_cont interpolation per (key, q)."""
+    M64 = 18446744073709551616
+    C1, C2 = 0xFF51AFD7ED558CCD, 0xC4CEB9FE1A85EC53
+
+    def mul(c: int) -> str:
+        return (
+            f"((((x // 4294967296) * {c}) % 4294967296) * 4294967296"
+            f" + (x % 4294967296) * {c}) % {M64}"
+        )
+
+    fmix = f"""
+ __P1 AS (SELECT doc_id, xor(x, x >> 33) AS x FROM __P0),
+ __P2 AS (SELECT doc_id, {mul(C1)} AS x FROM __P1),
+ __P3 AS (SELECT doc_id, xor(x, x >> 33) AS x FROM __P2),
+ __P4 AS (SELECT doc_id, {mul(C2)} AS x FROM __P3),
+ __P5 AS (SELECT doc_id, xor(x, x >> 33) AS x FROM __P4)"""
+    qs_l = "[" + ",".join(repr(float(q)) for q in sorted(GLOBAL_QS)) + "]::DOUBLE[]"
+    return f"""
+ WITH s0 AS (SELECT doc_id, ((doc_id::HUGEINT % {M64}) + {M64}) % {M64} AS x FROM documents),
+{fmix.replace("__P", "s")},
+ t0 AS (SELECT doc_id, xor(x, {AQ_SEED}) AS x FROM s5),
+{fmix.replace("__P", "t")},
+ ranked0 AS (SELECT d.source, d.n_chars::DOUBLE AS v,
+        row_number() OVER (PARTITION BY d.source ORDER BY t5.x, t5.doc_id) AS rk
+   FROM t5 JOIN documents d ON t5.doc_id = d.doc_id),
+ samp AS (SELECT source, v FROM ranked0 WHERE rk <= {AQK_K}),
+ r AS (SELECT source, v, row_number() OVER (PARTITION BY source ORDER BY v) - 1 AS rn,
+              count(*) OVER (PARTITION BY source) AS m FROM samp),
+ keys AS (SELECT DISTINCT source, m FROM r),
+ i AS (SELECT unnest({qs_l}) AS q),
+ p AS (SELECT source, q, (m - 1) * q AS pos,
+              CAST(floor((m - 1) * q) AS BIGINT) AS lo,
+              CAST(ceil((m - 1) * q) AS BIGINT) AS hi
+       FROM keys, i)
+ SELECT p.source AS source, p.q AS q,
+        round(vl.v + (vh.v - vl.v) * (p.pos - p.lo), 6) AS value
+ FROM p JOIN r vl ON vl.source = p.source AND vl.rn = p.lo
+        JOIN r vh ON vh.source = p.source AND vh.rn = p.hi
+ ORDER BY p.source, p.q"""
+
+
 def _corr_sql() -> str:
     """Mirrors ops/relational.correlation_matrix over the lineitem
     integer units (qty, disc, tax, lineno): BIGINT moment sums, then
@@ -4392,6 +4450,7 @@ def oracle_sql() -> dict[str, str]:
  i AS (SELECT unnest(generate_series(1, {len(GLOBAL_QS)})) AS i)
  SELECT round({list(GLOBAL_QS)}[i], 6) AS q, round(vs[i], 6) AS value FROM a, i""",
         "approx_quantiles": _approx_quantiles_sql(),
+        "approx_quantiles_by_key": _approx_quantiles_by_key_sql(),
         "edit_distance_pairs": """
  WITH d AS (SELECT DISTINCT p_name AS s FROM part WHERE length(p_name) <= 128)
  SELECT x.s AS a, y.s AS b, 1::BIGINT AS dist

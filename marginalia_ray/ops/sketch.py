@@ -495,3 +495,131 @@ def approx_quantiles(
         )
 
     return partials.map_batches(_final, batch_format="pyarrow", batch_size=None)
+
+
+def approx_quantiles_by_key(
+    ds,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99),
+    key_col: str = "source",
+    val_col: str = "n_chars",
+    id_col: str = "doc_id",
+    k: int = 256,
+    seed: int = 0,
+    n_buckets: int = 64,
+):
+    """Per-key approximate quantiles from a deterministic per-key
+    bottom-k sample — the scale path where ``quantile_by_key``'s exact
+    per-key distinct-value histogram blows up on continuous columns.
+
+    Same sketch as approx_quantiles (u = fmix64(fmix64(id) ^ seed), the
+    k smallest (u, id) rows PER KEY are a uniform per-key sample,
+    mergeable / block-layout independent), but keyed: rows hash-bucket
+    by key in ONE exchange, each partition co-locates every row of its
+    keys, and sampling + SQL quantile_cont interpolation happen
+    vectorized inside the partition (lexsort + segment arithmetic — no
+    per-key Python calls).  The exchange moves (key, id, val, u) only —
+    never payload columns.  Exact when a key has <= k rows.
+
+    Output: (key, q, value) — value rounded to 6 dp, one row per
+    (key, requested q)."""
+    from marginalia_ray.ops.dedup import U64, _fmix64_vec, _token_hash_arrow
+
+    if k <= 0:
+        raise ValueError("approx_quantiles_by_key: k must be positive")
+    if not qs or any(not (0.0 <= q <= 1.0) for q in qs):
+        raise ValueError("approx_quantiles_by_key: each q must be in [0, 1]")
+    qs_sorted = sorted(float(q) for q in qs)
+
+    def _hash_key(col) -> np.ndarray:
+        if pa.types.is_integer(col.type):
+            return _fmix64_vec(
+                col.to_numpy(zero_copy_only=False).astype(U64)
+            )
+        return _token_hash_arrow(col)
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        ids_arr = batch[id_col]
+        if not pa.types.is_integer(ids_arr.type):
+            raise TypeError(f"approx_quantiles_by_key: {id_col!r} must be integer")
+        if ids_arr.null_count or batch[key_col].null_count:
+            raise TypeError(
+                f"approx_quantiles_by_key: nulls in {id_col!r}/{key_col!r}"
+            )
+        if batch[val_col].null_count:
+            raise ValueError(f"approx_quantiles_by_key: {val_col!r} has nulls")
+        ids = ids_arr.to_numpy(zero_copy_only=False).astype(np.int64)
+        u = _fmix64_vec(_fmix64_vec(ids.astype(U64)) ^ U64(seed))
+        kc = batch[key_col]
+        if isinstance(kc, pa.ChunkedArray):
+            kc = kc.combine_chunks()
+        pk = (_hash_key(kc) % U64(n_buckets)).view(np.int64)
+        return pa.table(
+            {
+                "key": kc,
+                "id": pa.array(ids),
+                "v": pa.array(
+                    batch[val_col].to_numpy(zero_copy_only=False).astype(np.float64)
+                ),
+                "u": pa.array(u.view(np.int64)),
+                "_pk": pa.array(pk),
+            }
+        )
+
+    tagged = ds.map_batches(_tag, batch_format="pyarrow")
+
+    def _np_key(col) -> np.ndarray:
+        if pa.types.is_integer(col.type) or pa.types.is_floating(col.type):
+            return col.to_numpy(zero_copy_only=False)
+        return np.asarray(col.to_pylist(), dtype=object)
+
+    def _part(part: pa.Table) -> pa.Table:
+        key_type = part.schema.field("key").type
+        if part.num_rows == 0:
+            return pa.table(
+                {
+                    key_col: pa.array([], key_type),
+                    "q": pa.array([], pa.float64()),
+                    "value": pa.array([], pa.float64()),
+                }
+            )
+        kc = part["key"]
+        keys = _np_key(kc.combine_chunks() if isinstance(kc, pa.ChunkedArray) else kc)
+        ids = part["id"].to_numpy(zero_copy_only=False)
+        v = part["v"].to_numpy(zero_copy_only=False)
+        u = part["u"].to_numpy(zero_copy_only=False).view(np.uint64)
+        # per-key bottom-k by (u, id): order (key, u, id), rank in segment
+        order = np.lexsort((ids, u, keys))
+        keys_s = keys[order]
+        new_seg = np.r_[True, keys_s[1:] != keys_s[:-1]]
+        starts = np.flatnonzero(new_seg)
+        seg_id = np.cumsum(new_seg) - 1
+        rank = np.arange(len(order)) - starts[seg_id]
+        keep = rank < k
+        kept_idx = order[keep]
+        keys_k, v_k = keys[kept_idx], v[kept_idx]
+        # per-key value sort for interpolation
+        o2 = np.lexsort((v_k, keys_k))
+        keys_k, v_k = keys_k[o2], v_k[o2]
+        new2 = np.r_[True, keys_k[1:] != keys_k[:-1]]
+        s2 = np.flatnonzero(new2)
+        m = np.diff(np.r_[s2, len(keys_k)])  # sample size per key
+        out_key, out_q, out_v = [], [], []
+        for q in qs_sorted:
+            pos = (m - 1) * q
+            lo = np.floor(pos).astype(np.int64)
+            hi = np.ceil(pos).astype(np.int64)
+            frac = pos - lo
+            vlo = v_k[s2 + lo]
+            vhi = v_k[s2 + hi]
+            out_key.append(keys_k[s2])
+            out_q.append(np.full(len(s2), q))
+            out_v.append(np.round(vlo + (vhi - vlo) * frac, 6))
+        return pa.table(
+            {
+                key_col: pa.array(np.concatenate(out_key).tolist(), key_type),
+                "q": pa.array(np.concatenate(out_q), pa.float64()),
+                "value": pa.array(np.concatenate(out_v), pa.float64()),
+            }
+        )
+
+    return tagged.groupby("_pk").map_groups(_part, batch_format="pyarrow")

@@ -72,3 +72,56 @@ def test_validation_errors(ray_session):
     )
     with pytest.raises(Exception):
         approx_quantiles(bad, qs=(0.5,), val_col="v").take_all()
+
+
+def _kds(keys, vals, blocks=4):
+    import ray.data
+
+    n = len(vals)
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "k": pa.array(list(keys)),
+            "v": pa.array(np.asarray(vals, np.float64)),
+        }
+    )
+    return ray.data.from_arrow(t).repartition(blocks)
+
+
+def _run_by_key(ds, **kw):
+    from marginalia_ray.ops.sketch import approx_quantiles_by_key
+
+    rows = approx_quantiles_by_key(
+        ds, qs=QS, key_col="k", val_col="v", **kw
+    ).take_all()
+    return sorted((r["k"], r["q"], r["value"]) for r in rows)
+
+
+def test_by_key_exact_when_k_covers_each_key(ray_session):
+    rng = np.random.RandomState(5)
+    keys = np.repeat(["a", "b", "c"], 60)
+    vals = rng.gamma(3.0, 50.0, size=180)
+    got = _run_by_key(_kds(keys, vals), k=100)
+    for (kk, q, v) in got:
+        assert v == round(float(np.quantile(vals[keys == kk], q)), 6)
+
+
+def test_by_key_layout_independent_and_int_keys(ray_session):
+    rng = np.random.RandomState(6)
+    keys = rng.randint(0, 7, size=3000)
+    vals = rng.normal(10, 3, size=3000)
+    a = _run_by_key(_kds(keys, vals, blocks=1), k=64, seed=2)
+    b = _run_by_key(_kds(keys, vals, blocks=13), k=64, seed=2)
+    assert a == b
+    assert len(a) == 7 * len(QS)
+
+
+def test_by_key_sample_matches_global_sketch_per_key(ray_session):
+    # one key only: by-key result must equal the global sketch's result
+    # for the same k/seed (same bottom-k rows, same interpolation)
+    rng = np.random.RandomState(8)
+    vals = rng.lognormal(3.0, 0.5, size=800)
+    by_key = _run_by_key(_kds(["x"] * 800, vals), k=32, seed=4)
+    ds = _ds(vals)
+    glob = _run(ds, k=32, seed=4)
+    assert [(q, v) for (_, q, v) in by_key] == glob

@@ -549,40 +549,79 @@ def topk_per_group(
     )
 
 
-def sessionize(ds, gap_minutes: int = 30, user_col: str = "user_id", ts_col: str = "ts"):
+def sessionize(
+    ds,
+    gap_minutes: int = 30,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    n_buckets: int = 256,
+):
     """Gap-based sessionization of an event log: one row per (user, session)
     with (user_id, session_no, n_events, start_ts, end_ts).
 
     session_no numbers a user's sessions in time order from 0; a new
     session starts when the gap from the previous event exceeds
-    `gap_minutes`.  One shuffle (groupby user)."""
+    `gap_minutes`.  One keyed exchange: events hash-bucket by
+    fmix64(user) (the bucketed_group_agg shuffle, not a full sort of the
+    log), and inside each partition EVERY user's sessions come out of a
+    single (user, ts) lexsort + boundary-flag pass — no per-user Python
+    calls, which at corpus scale would mean one call per user."""
+    from .dedup import U64, _fmix64_vec
+
     gap_us = np.int64(gap_minutes * 60 * 1_000_000)
 
-    def _sessions(group: pa.Table) -> pa.Table:
-        uid = group[user_col][0].as_py()
-        ts = group[ts_col].to_numpy(zero_copy_only=False)
+    def _key(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("_pk", pa.array([], pa.int64()))
+        u = batch[user_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        pk = (_fmix64_vec(u.astype(U64)) % U64(n_buckets)).view(np.int64)
+        return batch.append_column("_pk", pa.array(pk))
+
+    def _sessions(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.table(
+                {
+                    user_col: pa.array([], pa.int64()),
+                    "session_no": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                    "start_us": pa.array([], pa.int64()),
+                    "end_us": pa.array([], pa.int64()),
+                }
+            )
+        uid = part[user_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = part[ts_col].to_numpy(zero_copy_only=False)
         ts_i = ts.astype("datetime64[us]").astype(np.int64)
-        order = np.argsort(ts_i, kind="stable")
-        ts_i = ts_i[order]
-        new_session = np.r_[True, (ts_i[1:] - ts_i[:-1]) > gap_us]
-        sess = np.cumsum(new_session) - 1
-        n_sess = sess[-1] + 1 if len(sess) else 0
-        starts = ts_i[new_session]
-        ends = ts_i[np.r_[new_session[1:], True]]
-        counts = np.bincount(sess, minlength=n_sess)
+        order = np.lexsort((ts_i, uid))
+        uid, ts_i = uid[order], ts_i[order]
+        new_user = np.r_[True, uid[1:] != uid[:-1]]
+        new_session = new_user | np.r_[True, (ts_i[1:] - ts_i[:-1]) > gap_us]
+        sess = np.cumsum(new_session) - 1  # global session index
+        s_starts = np.flatnonzero(new_session)
+        counts = np.diff(np.r_[s_starts, len(sess)])
+        # per-user session_no: global session index minus the first global
+        # session index of the owning user's segment
+        sess_user_start = np.flatnonzero(new_user)
+        owner = np.searchsorted(sess_user_start, s_starts, side="right") - 1
+        first_sess_of_owner = sess[sess_user_start][owner]
+        session_no = sess[s_starts] - first_sess_of_owner
+        ends = ts_i[np.r_[s_starts[1:] - 1, len(ts_i) - 1]]
         # timestamps as epoch microseconds: int64 hashes identically across
         # engines (datetime dtype canonicalization does not)
         return pa.table(
             {
-                user_col: pa.array(np.full(n_sess, uid, dtype=np.int64)),
-                "session_no": pa.array(np.arange(n_sess, dtype=np.int64)),
+                user_col: pa.array(uid[s_starts]),
+                "session_no": pa.array(session_no.astype(np.int64)),
                 "n_events": pa.array(counts.astype(np.int64)),
-                "start_us": pa.array(starts),
+                "start_us": pa.array(ts_i[s_starts]),
                 "end_us": pa.array(ends),
             }
         )
 
-    return ds.groupby(user_col).map_groups(_sessions, batch_format="pyarrow")
+    return (
+        ds.map_batches(_key, batch_format="pyarrow")
+        .groupby("_pk")
+        .map_groups(_sessions, batch_format="pyarrow")
+    )
 
 
 def _per_key_value_counts(ds, key_col: str, val_col: str):

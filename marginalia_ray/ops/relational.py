@@ -566,16 +566,7 @@ def sessionize(
     log), and inside each partition EVERY user's sessions come out of a
     single (user, ts) lexsort + boundary-flag pass — no per-user Python
     calls, which at corpus scale would mean one call per user."""
-    from .dedup import U64, _fmix64_vec
-
     gap_us = np.int64(gap_minutes * 60 * 1_000_000)
-
-    def _key(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return batch.append_column("_pk", pa.array([], pa.int64()))
-        u = batch[user_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        pk = (_fmix64_vec(u.astype(U64)) % U64(n_buckets)).view(np.int64)
-        return batch.append_column("_pk", pa.array(pk))
 
     def _sessions(part: pa.Table) -> pa.Table:
         if part.num_rows == 0:
@@ -618,7 +609,7 @@ def sessionize(
         )
 
     return (
-        ds.map_batches(_key, batch_format="pyarrow")
+        _bucket_by_int_key(ds, user_col, n_buckets)
         .groupby("_pk")
         .map_groups(_sessions, batch_format="pyarrow")
     )
@@ -1261,6 +1252,23 @@ def hash_semi_join(
     return _rd.from_arrow(_mk_empty()).union(joined)
 
 
+def _bucket_by_int_key(ds, key_col: str, n_buckets: int = 256):
+    """Append ``_pk = fmix64(key) % n_buckets`` for the hash-bucketed
+    per-key ops (sessionize / event_deltas / cumsum_by_key): one hash
+    exchange instead of a full sort of the log, all keys of a bucket
+    processed vectorized in one partition."""
+    from .dedup import U64, _fmix64_vec
+
+    def _key(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("_pk", pa.array([], pa.int64()))
+        u = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        pk = (_fmix64_vec(u.astype(U64)) % U64(n_buckets)).view(np.int64)
+        return batch.append_column("_pk", pa.array(pk))
+
+    return ds.map_batches(_key, batch_format="pyarrow")
+
+
 def event_deltas(
     ds,
     *,
@@ -1272,33 +1280,46 @@ def event_deltas(
     SQL's ``ts - lag(ts) OVER (PARTITION BY key ORDER BY ts, id)``.
     The first event of a key gets a NULL delta.
 
-    One shuffle (groupby key); within each group a vectorized lexsort +
-    diff — the sessionize partitioning assumption (one key's events fit
-    in one group) applies.  Output: (<id_col>, <key_col>, ts_us,
-    delta_us), timestamps as epoch microseconds."""
+    One hash-bucket exchange (fmix64(key), not a full sort of the log);
+    inside each partition EVERY key's deltas come from a single
+    (key, ts, id) lexsort + shifted diff.  Output: (<id_col>,
+    <key_col>, ts_us, delta_us), timestamps as epoch microseconds."""
 
-    def _g(group: pa.Table) -> pa.Table:
-        us = _to_epoch_us(group[ts_col], ts_col).to_numpy(zero_copy_only=False)
-        ids = group[id_col].to_numpy(zero_copy_only=False)
-        order = np.lexsort((ids, us))
-        us_s = us[order]
+    def _part(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    key_col: pa.array([], pa.int64()),
+                    "ts_us": pa.array([], pa.int64()),
+                    "delta_us": pa.array([], pa.int64()),
+                }
+            )
+        us = _to_epoch_us(part[ts_col], ts_col).to_numpy(zero_copy_only=False)
+        ids = part[id_col].to_numpy(zero_copy_only=False)
+        keys = part[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        # every key's events vectorized in ONE (key, ts, id) lexsort —
+        # no per-key Python calls (sessionize's conversion rationale)
+        order = np.lexsort((ids, us, keys))
+        us_s, keys_s = us[order], keys[order]
+        new_key = np.r_[True, keys_s[1:] != keys_s[:-1]]
         delta = np.zeros(len(us_s), np.int64)
         if len(us_s) > 1:
             delta[1:] = us_s[1:] - us_s[:-1]
-        first = np.zeros(len(us_s), bool)
-        if len(first):
-            first[0] = True
+        delta[new_key] = 0
         take = pa.array(order)
         return pa.table(
             {
-                id_col: group[id_col].take(take),
-                key_col: group[key_col].take(take),
+                id_col: part[id_col].take(take),
+                key_col: part[key_col].take(take),
                 "ts_us": pa.array(us_s),
-                "delta_us": pa.array(delta, pa.int64(), mask=first),
+                "delta_us": pa.array(delta, pa.int64(), mask=new_key),
             }
         )
 
-    return ds.groupby(key_col).map_groups(_g, batch_format="pyarrow")
+    return _bucket_by_int_key(ds, key_col).groupby("_pk").map_groups(
+        _part, batch_format="pyarrow"
+    )
 
 
 def cumsum_by_key(
@@ -1315,28 +1336,48 @@ def cumsum_by_key(
     Values are quantized to integer micro-units BEFORE the cumulative
     sum (the hopping_window convention) so the running total is exact
     and bit-identical to the SQL oracle regardless of summation order.
-    One shuffle (groupby key), vectorized np.cumsum per group.  Output:
-    (<id_col>, <key_col>, ts_us, cum_value)."""
+    One hash-bucket exchange; inside each partition every key's running
+    total comes from ONE global cumsum re-based at key boundaries
+    (c - c[segment_start] + v[segment_start] — exact int64 arithmetic).
+    Output: (<id_col>, <key_col>, ts_us, cum_value)."""
 
-    def _g(group: pa.Table) -> pa.Table:
-        us = _to_epoch_us(group[ts_col], ts_col).to_numpy(zero_copy_only=False)
-        ids = group[id_col].to_numpy(zero_copy_only=False)
+    def _part(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    key_col: pa.array([], pa.int64()),
+                    "ts_us": pa.array([], pa.int64()),
+                    "cum_value": pa.array([], pa.float64()),
+                }
+            )
+        us = _to_epoch_us(part[ts_col], ts_col).to_numpy(zero_copy_only=False)
+        ids = part[id_col].to_numpy(zero_copy_only=False)
+        keys = part[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
         vmicro = np.round(
-            group[val_col].to_numpy(zero_copy_only=False).astype(np.float64) * 1e6
+            part[val_col].to_numpy(zero_copy_only=False).astype(np.float64) * 1e6
         ).astype(np.int64)
-        order = np.lexsort((ids, us))
-        cum = np.cumsum(vmicro[order])
+        order = np.lexsort((ids, us, keys))
+        keys_s, v_s = keys[order], vmicro[order]
+        new_key = np.r_[True, keys_s[1:] != keys_s[:-1]]
+        c = np.cumsum(v_s)
+        starts = np.flatnonzero(new_key)
+        seg = np.cumsum(new_key) - 1
+        base = (c[starts] - v_s[starts])[seg]
+        cum = c - base
         take = pa.array(order)
         return pa.table(
             {
-                id_col: group[id_col].take(take),
-                key_col: group[key_col].take(take),
+                id_col: part[id_col].take(take),
+                key_col: part[key_col].take(take),
                 "ts_us": pa.array(us[order]),
                 "cum_value": pa.array(np.round(cum / 1e6, 6), pa.float64()),
             }
         )
 
-    return ds.groupby(key_col).map_groups(_g, batch_format="pyarrow")
+    return _bucket_by_int_key(ds, key_col).groupby("_pk").map_groups(
+        _part, batch_format="pyarrow"
+    )
 
 
 def pivot_counts(

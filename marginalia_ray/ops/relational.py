@@ -351,38 +351,61 @@ def rolling_window(
     (ts, tie): SQL's AVG(val) OVER (PARTITION BY key ORDER BY ts, tie
     ROWS BETWEEN window-1 PRECEDING AND CURRENT ROW).
 
-    One shuffle (groupby key); the window never crosses keys so there is
-    no partial-combiner form — the group kernel is a vectorized sliding
-    sum (left-to-right adds, matching SQL engines' accumulation order so
-    rounded values hash-match).  Output: (tie, key, ts_us, ravg)."""
+    One hash-bucket exchange (fmix64(key), not a full sort of the log);
+    the window never crosses keys so there is no partial-combiner form —
+    inside each partition EVERY key's windows come from one
+    (key, ts, tie) lexsort with the sliding adds masked at key
+    boundaries (left-to-right adds in FRAME order, matching SQL
+    engines' accumulation order so rounded values hash-match).
+    Output: (tie, key, ts_us, ravg)."""
     w = int(window)
 
-    def _roll(group: pa.Table) -> pa.Table:
-        ts_us = _to_epoch_us(group[ts_col], ts_col).to_numpy(zero_copy_only=False)
-        tie = group[tie_col].to_numpy(zero_copy_only=False)
-        val = group[val_col].to_numpy(zero_copy_only=False).astype(np.float64)
-        order = np.lexsort((tie, ts_us))
+    def _roll(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.table(
+                {
+                    tie_col: pa.array([], pa.int64()),
+                    key_col: pa.array([], pa.int64()),
+                    "ts_us": pa.array([], pa.int64()),
+                    "ravg": pa.array([], pa.float64()),
+                }
+            )
+        ts_us = _to_epoch_us(part[ts_col], ts_col).to_numpy(zero_copy_only=False)
+        tie = part[tie_col].to_numpy(zero_copy_only=False)
+        val = part[val_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        keys = part[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((tie, ts_us, keys))
+        keys_s = keys[order]
         ts_us, tie, val = ts_us[order], tie[order], val[order]
         n = len(val)
+        new_key = np.r_[True, keys_s[1:] != keys_s[:-1]]
+        starts = np.flatnonzero(new_key)
+        seg = np.cumsum(new_key) - 1
+        rank = np.arange(n) - starts[seg]
         # sliding sum with explicit adds in FRAME order (oldest row
         # first, as a SQL engine's naive window sum walks the frame;
-        # no cumsum-diff — its cancellation error differs)
+        # no cumsum-diff — its cancellation error differs); each shifted
+        # add is masked so a frame never crosses its key's segment start
         acc = np.zeros(n, dtype=np.float64)
         for d in range(w - 1, 0, -1):
-            acc[d:] += val[:-d]
+            idx = np.flatnonzero(rank >= d)
+            acc[idx] += val[idx - d]
         acc += val
-        counts = np.minimum(np.arange(n) + 1, w)
+        counts = np.minimum(rank + 1, w)
         ravg = np.round(acc / counts, 6)
+        take = pa.array(order)
         return pa.table(
             {
                 tie_col: pa.array(tie),
-                key_col: group[key_col].take(pa.array(order)),
+                key_col: part[key_col].take(take),
                 "ts_us": pa.array(ts_us),
                 "ravg": pa.array(ravg, pa.float64()),
             }
         )
 
-    return ds.groupby(key_col).map_groups(_roll, batch_format="pyarrow")
+    return _bucket_by_int_key(ds, key_col).groupby("_pk").map_groups(
+        _roll, batch_format="pyarrow"
+    )
 
 
 def bucketed_group_agg(
@@ -1809,41 +1832,63 @@ def ntile_buckets(
     n`` (DuckDB / ANSI semantics, ties broken deterministically by
     id_col so the assignment is total-order exact).
 
-    One groupby(key) shuffle; partitioning assumption: one key's rows
-    fit in a group (same contract as rank_with_ties / sessionize —
-    per-customer order lists, not global sorts).  Output:
-    (<key_col>, <id_col>, <val_col>, bucket)."""
+    One hash-bucket exchange (fmix64(key)); partitioning assumption:
+    one key's rows fit in a partition alongside its bucket-mates (same
+    contract as rank_with_ties / sessionize — per-customer order lists,
+    not global sorts).  Output: (<key_col>, <id_col>, <val_col>,
+    bucket)."""
     nn = int(n)
     if nn <= 0:
         raise ValueError("ntile_buckets: n must be positive")
 
-    def _final(group: pa.Table) -> pa.Table:
-        val = group[val_col].to_numpy(zero_copy_only=False)
-        gid = group[id_col].to_numpy(zero_copy_only=False)
-        order = np.lexsort((gid, val))
-        cnt = len(order)
-        size, big = divmod(cnt, nn)
-        rn0 = np.empty(cnt, np.int64)
-        rn0[order] = np.arange(cnt)
+    def _final(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.table(
+                {
+                    key_col: pa.array([], pa.int64()),
+                    id_col: pa.array([], pa.int64()),
+                    val_col: pa.array([], pa.float64()),
+                    "bucket": pa.array([], pa.int64()),
+                }
+            )
+        val = part[val_col].to_numpy(zero_copy_only=False)
+        gid = part[id_col].to_numpy(zero_copy_only=False)
+        keys = part[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        # every key's ntile in ONE (key, val, id) lexsort: per-segment
+        # rank + the remainder rule evaluated with per-row segment params
+        order = np.lexsort((gid, val, keys))
+        keys_s = keys[order]
+        new_key = np.r_[True, keys_s[1:] != keys_s[:-1]]
+        starts = np.flatnonzero(new_key)
+        seg = np.cumsum(new_key) - 1
+        rn0 = np.arange(len(order)) - starts[seg]
+        cnt = np.diff(np.r_[starts, len(order)])[seg]
+        size = cnt // nn
+        big = cnt % nn
+        size_safe = np.maximum(size, 1)
         threshold = big * (size + 1)
-        if size == 0:
-            bucket0 = rn0  # cnt < n: one row per bucket
-        else:
-            bucket0 = np.where(
+        bucket0 = np.where(
+            size == 0,
+            rn0,  # cnt < n: one row per bucket
+            np.where(
                 rn0 < threshold,
                 rn0 // (size + 1),
-                big + (rn0 - threshold) // size,
-            )
+                big + (rn0 - threshold) // size_safe,
+            ),
+        )
+        take = pa.array(order)
         return pa.table(
             {
-                key_col: group[key_col],
-                id_col: group[id_col],
-                val_col: group[val_col],
+                key_col: part[key_col].take(take),
+                id_col: part[id_col].take(take),
+                val_col: part[val_col].take(take),
                 "bucket": pa.array(bucket0 + 1, pa.int64()),
             }
         )
 
-    return ds.groupby(key_col).map_groups(_final, batch_format="pyarrow")
+    return _bucket_by_int_key(ds, key_col).groupby("_pk").map_groups(
+        _final, batch_format="pyarrow"
+    )
 
 
 def window_unique_users(
@@ -1905,22 +1950,46 @@ def activity_streaks(
         t = pa.table({user_col: batch[user_col], "day": pa.array(us // day_us)})
         return t.group_by([user_col, "day"]).aggregate([])
 
-    def _final(group: pa.Table) -> pa.Table:
-        days = np.unique(group["day"].to_numpy(zero_copy_only=False))
-        breaks = np.flatnonzero(np.diff(days) != 1)
-        run_bounds = np.r_[0, breaks + 1, len(days)]
-        max_streak = int(np.max(np.diff(run_bounds)))
+    def _final(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.table(
+                {
+                    user_col: pa.array([], pa.int64()),
+                    "n_days": pa.array([], pa.int64()),
+                    "max_streak": pa.array([], pa.int64()),
+                }
+            )
+        uid = part[user_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        day = part["day"].to_numpy(zero_copy_only=False)
+        # every user's streaks in ONE (user, day) lexsort: cross-batch
+        # duplicate user-days dedup, then runs break at a user change or
+        # a day gap != 1; per-user aggregation via two reduceat levels
+        order = np.lexsort((day, uid))
+        uid, day = uid[order], day[order]
+        keep = np.r_[True, (uid[1:] != uid[:-1]) | (day[1:] != day[:-1])]
+        uid, day = uid[keep], day[keep]
+        new_user = np.r_[True, uid[1:] != uid[:-1]]
+        new_run = new_user | np.r_[True, np.diff(day) != 1]
+        run_starts = np.flatnonzero(new_run)
+        run_len = np.diff(np.r_[run_starts, len(day)])
+        user_starts = np.flatnonzero(new_user)
+        n_days = np.diff(np.r_[user_starts, len(day)])
+        # first run of each user = index of its segment start among runs
+        user_first_run = np.searchsorted(run_starts, user_starts)
+        max_streak = np.maximum.reduceat(run_len, user_first_run)
         return pa.table(
             {
-                user_col: group[user_col][:1],
-                "n_days": pa.array([len(days)], pa.int64()),
-                "max_streak": pa.array([max_streak], pa.int64()),
+                user_col: pa.array(uid[user_starts]),
+                "n_days": pa.array(n_days.astype(np.int64)),
+                "max_streak": pa.array(max_streak.astype(np.int64)),
             }
         )
 
     return (
-        ds.map_batches(_days, batch_format="pyarrow")
-        .groupby(user_col)
+        _bucket_by_int_key(
+            ds.map_batches(_days, batch_format="pyarrow"), user_col
+        )
+        .groupby("_pk")
         .map_groups(_final, batch_format="pyarrow")
     )
 
@@ -2026,38 +2095,55 @@ def percent_rank_by_key(
     RANK() tie semantics (0.0 when cnt = 1), cume_dist = #(<= val)/cnt.
 
     Both are single divisions of small exact integers rounded to 6 dp —
-    bit-reproducible against the SQL oracle.  One groupby(key) shuffle,
-    per-group vectorized rank scan (same partitioning contract as
-    rank_with_ties).  Output: (<key_col>, <id_col>, <val_col>,
-    percent_rank, cume_dist)."""
+    bit-reproducible against the SQL oracle.  One hash-bucket exchange
+    with every key's rank scan vectorized per partition (same
+    partitioning contract as rank_with_ties).  Output: (<key_col>,
+    <id_col>, <val_col>, percent_rank, cume_dist)."""
 
-    def _final(group: pa.Table) -> pa.Table:
-        val = group[val_col].to_numpy(zero_copy_only=False)
-        n = len(val)
-        order = np.argsort(val, kind="stable")
-        val_s = val[order]
-        new_run = np.r_[True, val_s[1:] != val_s[:-1]]
+    def _final(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.table(
+                {
+                    key_col: pa.array([], pa.int64()),
+                    id_col: pa.array([], pa.int64()),
+                    val_col: pa.array([], pa.float64()),
+                    "percent_rank": pa.array([], pa.float64()),
+                    "cume_dist": pa.array([], pa.float64()),
+                }
+            )
+        val = part[val_col].to_numpy(zero_copy_only=False)
+        keys = part[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        n_rows = len(val)
+        # every key's ranks in ONE (key, val) lexsort; a tie run can
+        # never cross a key segment because a key change starts a run
+        order = np.lexsort((val, keys))
+        keys_s, val_s = keys[order], val[order]
+        new_key = np.r_[True, keys_s[1:] != keys_s[:-1]]
+        starts = np.flatnonzero(new_key)
+        seg = np.cumsum(new_key) - 1
+        seg_start = starts[seg]
+        n = np.diff(np.r_[starts, n_rows])[seg]  # key size per row
+        new_run = new_key | np.r_[True, val_s[1:] != val_s[:-1]]
         run_id = np.cumsum(new_run) - 1
         run_first = np.flatnonzero(new_run)
-        run_last = np.r_[run_first[1:], n] - 1
-        rank_sorted = run_first[run_id] + 1  # min position of the tie run
-        cume_sorted = run_last[run_id] + 1  # max position of the tie run
-        rank = np.empty(n, np.int64)
-        cume = np.empty(n, np.int64)
-        rank[order] = rank_sorted
-        cume[order] = cume_sorted
-        pr = (rank - 1) / (n - 1) if n > 1 else np.zeros(n, np.float64)
+        run_last = np.r_[run_first[1:], n_rows] - 1
+        rank = run_first[run_id] - seg_start + 1  # min position of the tie run
+        cume = run_last[run_id] - seg_start + 1  # max position of the tie run
+        pr = np.where(n > 1, (rank - 1) / np.maximum(n - 1, 1), 0.0)
+        take = pa.array(order)
         return pa.table(
             {
-                key_col: group[key_col],
-                id_col: group[id_col],
-                val_col: group[val_col],
+                key_col: part[key_col].take(take),
+                id_col: part[id_col].take(take),
+                val_col: part[val_col].take(take),
                 "percent_rank": pa.array(np.round(pr, 6)),
                 "cume_dist": pa.array(np.round(cume / n, 6)),
             }
         )
 
-    return ds.groupby(key_col).map_groups(_final, batch_format="pyarrow")
+    return _bucket_by_int_key(ds, key_col).groupby("_pk").map_groups(
+        _final, batch_format="pyarrow"
+    )
 
 
 def weekly_revenue_delta(

@@ -759,35 +759,81 @@ def funnel_count(
     event of its type occurs STRICTLY after the step k-1 completion
     time).  The standard product-analytics conversion funnel.
 
-    One groupby(user) shuffle; the per-group walk is len(steps) vectorized
-    scans.  Partitioning assumption (as sessionize): one user's events fit
-    in one group — hot users would be pre-reduced to per-(user, type)
-    candidate timestamps before the shuffle.
+    One hash-bucket exchange (fmix64(user)); inside each partition the
+    greedy walk runs for ALL users simultaneously — len(steps) composite
+    (dense-user, ts-rank) searchsorted probes over the (user, ts)-sorted
+    step rows, no per-user Python calls.  Partitioning assumption (as
+    sessionize): one user's events fit in a partition alongside its
+    bucket-mates.
 
     Output: (user_id, steps_completed, converted)."""
 
-    def _walk(group: pa.Table) -> pa.Table:
-        uid = group[user_col][0].as_py()
-        ts = group[ts_col].to_numpy(zero_copy_only=False)
+    def _walk(part: pa.Table) -> pa.Table:
+        utype = part.schema.field(user_col).type
+        if part.num_rows == 0:
+            return pa.table(
+                {
+                    user_col: pa.array([], utype),
+                    "steps_completed": pa.array([], pa.int64()),
+                    "converted": pa.array([], pa.int64()),
+                }
+            )
+        uid = part[user_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = part[ts_col].to_numpy(zero_copy_only=False)
         ts_i = ts.astype("datetime64[us]").astype(np.int64)
-        types = group[type_col].to_numpy(zero_copy_only=False)
-        done = 0
-        prev = -np.inf
+        tcol = part[type_col]
+        if isinstance(tcol, pa.ChunkedArray):
+            tcol = tcol.combine_chunks()
+        enc = tcol.dictionary_encode()
+        step_code = {v: i for i, v in enumerate(enc.dictionary.to_pylist())}
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ts_i, uid))
+        uid, ts_i, codes = uid[order], ts_i[order], codes[order]
+        users, uidx = np.unique(uid, return_inverse=True)
+        nu = len(users)
+        # ts ranks (1-based) so "strictly after t_prev" is an integer
+        # probe; every t_prev is -inf or an actual ts, so ranks suffice
+        T = np.unique(ts_i)
+        M = np.int64(len(T) + 2)
+        rts = np.searchsorted(T, ts_i, side="left").astype(np.int64) + 1
+        done = np.zeros(nu, np.int64)
+        prev_rank = np.zeros(nu, np.int64)  # rank of t_prev; 0 = -inf
+        alive = np.ones(nu, bool)
         for step in steps:
-            cand = ts_i[(types == step) & (ts_i > prev)]
-            if len(cand) == 0:
+            c = step_code.get(step)
+            if c is None:
                 break
-            prev = cand.min()
-            done += 1
+            m = codes == c
+            if not m.any():
+                break
+            u_s, r_s, t_s = uidx[m], rts[m], ts_i[m]
+            comp = u_s * M + r_s  # sorted: extracted from the (uid, ts) order
+            au = np.flatnonzero(alive)
+            if len(au) == 0:
+                break
+            probes = au.astype(np.int64) * M + prev_rank[au] + 1
+            pos = np.searchsorted(comp, probes, side="left")
+            hit = (pos < len(comp)) & (u_s[np.minimum(pos, len(comp) - 1)] == au)
+            won = au[hit]
+            done[won] += 1
+            src = pos[hit]
+            prev_rank[won] = r_s[src]
+            alive[au[~hit]] = False
+            if not hit.any():
+                break
         return pa.table(
             {
-                user_col: pa.array([uid], group[user_col].type),
-                "steps_completed": pa.array([done], pa.int64()),
-                "converted": pa.array([1 if done == len(steps) else 0], pa.int64()),
+                user_col: pa.array(users.tolist(), utype),
+                "steps_completed": pa.array(done),
+                "converted": pa.array(
+                    (done == len(steps)).astype(np.int64)
+                ),
             }
         )
 
-    return ds.groupby(user_col).map_groups(_walk, batch_format="pyarrow")
+    return _bucket_by_int_key(ds, user_col).groupby("_pk").map_groups(
+        _walk, batch_format="pyarrow"
+    )
 
 
 def hopping_window(

@@ -693,3 +693,46 @@ class TestCcnetBuckets:
         for k in range(2):
             sub = df[df.source == f"s{k}"]
             assert (sub.bucket == "head").any() and (sub.bucket == "tail").any()
+
+
+def test_funnel_vectorized_walk_matches_per_user_reference(ray_session):
+    """Randomized parity: the composite-searchsorted all-users walk must
+    equal the obvious per-user greedy loop on every (user, steps) case —
+    covers dead users, ts ties, missing step types, empty buckets."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from marginalia_ray.ops.relational import funnel_count
+
+    rng = np.random.RandomState(17)
+    steps = ["a", "b", "c"]
+    types_pool = ["a", "b", "c", "x"]
+    n = 3000
+    uid = rng.randint(0, 120, n).astype(np.int64)
+    ts = rng.randint(0, 40, n).astype("datetime64[us]")
+    tp = [types_pool[i] for i in rng.randint(0, 4, n)]
+    eid = np.arange(n, dtype=np.int64)
+    t = pa.table({"user_id": pa.array(uid), "ts": pa.array(ts),
+                  "event_type": pa.array(tp), "event_id": pa.array(eid)})
+    got = {
+        r["user_id"]: (r["steps_completed"], r["converted"])
+        for r in funnel_count(
+            ray.data.from_arrow(t).repartition(7), steps=steps
+        ).take_all()
+    }
+
+    ts_i = ts.astype(np.int64)
+    want = {}
+    for u in np.unique(uid):
+        m = uid == u
+        done = 0
+        prev = -np.inf
+        for s in steps:
+            cand = ts_i[m & (np.asarray(tp, object) == s) & (ts_i > prev)]
+            if len(cand) == 0:
+                break
+            prev = cand.min()
+            done += 1
+        want[int(u)] = (done, 1 if done == len(steps) else 0)
+    assert got == want

@@ -52,24 +52,60 @@ def _md5_hex(col) -> pa.Array:
     )
 
 
+def _bucket_by_str_col(ds, col: str, n_buckets: int = 256):
+    """Append ``_pk = fmix-of-string % n_buckets`` for the hash-bucketed
+    per-content-hash ops: one hash exchange instead of a full sort of
+    the per-document hash keys, every key of a bucket processed
+    vectorized in one partition (one Python call per PARTITION, not one
+    per distinct document)."""
+
+    def _key(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("_pk", pa.array([], pa.int64()))
+        pk = (_token_hash_arrow(batch[col]) % U64(n_buckets)).view(np.int64)
+        return batch.append_column("_pk", pa.array(pk))
+
+    return ds.map_batches(_key, batch_format="pyarrow")
+
+
 def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
     """Exact dedup by content hash: (text_hash, keep_doc_id=min, n_dups).
-    md5 so the DuckDB oracle can reproduce the key."""
+    md5 so the DuckDB oracle can reproduce the key.  One hash-bucket
+    exchange of (hash, id) rows; min/count per hash fall out of a single
+    (hash, id) lexsort per partition."""
 
     def _hash(batch: pa.Table) -> pa.Table:
         return pa.table({"text_hash": _md5_hex(batch[text_col]), id_col: batch[id_col]})
 
-    g = ds.map_batches(_hash, batch_format="pyarrow").groupby("text_hash")
-    out = g.aggregate(
-        *_min_count_aggs(id_col),
+    def _part(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.table(
+                {
+                    "text_hash": pa.array([], pa.string()),
+                    "keep_doc_id": pa.array([], pa.int64()),
+                    "n_dups": pa.array([], pa.int64()),
+                }
+            )
+        h = np.asarray(part["text_hash"].to_pylist(), dtype=object)
+        ids = part[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, h))
+        h_s, ids_s = h[order], ids[order]
+        starts = np.flatnonzero(np.r_[True, h_s[1:] != h_s[:-1]])
+        return pa.table(
+            {
+                "text_hash": pa.array(h_s[starts].tolist(), pa.string()),
+                "keep_doc_id": pa.array(ids_s[starts].astype(np.int64)),
+                "n_dups": pa.array(np.diff(np.r_[starts, len(h_s)]).astype(np.int64)),
+            }
+        )
+
+    return (
+        _bucket_by_str_col(
+            ds.map_batches(_hash, batch_format="pyarrow"), "text_hash"
+        )
+        .groupby("_pk")
+        .map_groups(_part, batch_format="pyarrow")
     )
-    return out
-
-
-def _min_count_aggs(id_col: str):
-    from ray.data.aggregate import Count, Min
-
-    return [Min(id_col, alias_name="keep_doc_id"), Count(alias_name="n_dups")]
 
 
 def exact_dedup_apply(ds, text_col: str = "text", id_col: str = "doc_id"):
@@ -80,13 +116,22 @@ def exact_dedup_apply(ds, text_col: str = "text", id_col: str = "doc_id"):
     def _hash(batch: pa.Table) -> pa.Table:
         return batch.append_column("_h", _md5_hex(batch[text_col]))
 
-    def _first(group: pa.Table) -> pa.Table:
-        ids = group[id_col].to_numpy(zero_copy_only=False)
-        return group.take([int(np.argmin(ids))]).drop_columns(["_h"])
+    def _first(part: pa.Table) -> pa.Table:
+        out = part.drop_columns(
+            [c for c in ("_h", "_pk") if c in part.column_names]
+        )
+        if part.num_rows == 0:
+            return out
+        h = np.asarray(part["_h"].to_pylist(), dtype=object)
+        ids = part[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, h))
+        h_s = h[order]
+        starts = np.flatnonzero(np.r_[True, h_s[1:] != h_s[:-1]])
+        return out.take(pa.array(order[starts]))
 
     return (
-        ds.map_batches(_hash, batch_format="pyarrow")
-        .groupby("_h")
+        _bucket_by_str_col(ds.map_batches(_hash, batch_format="pyarrow"), "_h")
+        .groupby("_pk")
         .map_groups(_first, batch_format="pyarrow")
     )
 
@@ -121,23 +166,39 @@ def novel_against_corpus(
 
         return _f
 
-    def _anti(group: pa.Table) -> pa.Table:
-        side = group["_side"].to_numpy(zero_copy_only=False)
-        empty = pa.table(
+    def _anti(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "text_hash": pa.array([], pa.string()),
+                }
+            )
+        # every hash vectorized in one (hash, side) lexsort: a segment's
+        # max side is its last element, so a seen-side row anywhere in
+        # the segment drops the whole hash
+        h = np.asarray(part["_h"].to_pylist(), dtype=object)
+        side = part["_side"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((side, h))
+        h_s, side_s = h[order], side[order]
+        new_seg = np.r_[True, h_s[1:] != h_s[:-1]]
+        seg = np.cumsum(new_seg) - 1
+        last = np.r_[np.flatnonzero(new_seg)[1:], len(h_s)] - 1
+        keep = (side_s == 0) & (side_s[last][seg] == 0)
+        take = pa.array(order[keep])
+        return pa.table(
             {
-                id_col: pa.array([], group[id_col].type),
-                "text_hash": pa.array([], pa.string()),
+                id_col: part[id_col].take(take),
+                "text_hash": part["_h"].take(take),
             }
         )
-        if (side == 1).any():
-            return empty
-        keep = group.filter(pa.array(side == 0))
-        return pa.table({id_col: keep[id_col], "text_hash": keep["_h"]})
 
     tagged = new_ds.map_batches(_tag(0), batch_format="pyarrow").union(
         seen_ds.map_batches(_tag(1), batch_format="pyarrow")
     )
-    return tagged.groupby("_h").map_groups(_anti, batch_format="pyarrow")
+    return _bucket_by_str_col(tagged, "_h").groupby("_pk").map_groups(
+        _anti, batch_format="pyarrow"
+    )
 
 
 def normalized_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
@@ -156,10 +217,34 @@ def normalized_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
         t = pc.utf8_trim(t, " ")
         return pa.table({"norm_hash": _md5_hex(t), id_col: batch[id_col]})
 
+    def _part(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.table(
+                {
+                    "norm_hash": pa.array([], pa.string()),
+                    "keep_doc_id": pa.array([], pa.int64()),
+                    "n_dups": pa.array([], pa.int64()),
+                }
+            )
+        h = np.asarray(part["norm_hash"].to_pylist(), dtype=object)
+        ids = part[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, h))
+        h_s, ids_s = h[order], ids[order]
+        starts = np.flatnonzero(np.r_[True, h_s[1:] != h_s[:-1]])
+        return pa.table(
+            {
+                "norm_hash": pa.array(h_s[starts].tolist(), pa.string()),
+                "keep_doc_id": pa.array(ids_s[starts].astype(np.int64)),
+                "n_dups": pa.array(np.diff(np.r_[starts, len(h_s)]).astype(np.int64)),
+            }
+        )
+
     return (
-        ds.map_batches(_hash, batch_format="pyarrow")
-        .groupby("norm_hash")
-        .aggregate(*_min_count_aggs(id_col))
+        _bucket_by_str_col(
+            ds.map_batches(_hash, batch_format="pyarrow"), "norm_hash"
+        )
+        .groupby("_pk")
+        .map_groups(_part, batch_format="pyarrow")
     )
 
 

@@ -262,10 +262,12 @@ def length_percentile(
         return g.rename_columns(["v", "partial"])
 
     vals_parts, cnt_parts, total_distinct = [], [], 0
+    from marginalia_ray.ops.relational import bucketed_group_agg
+
     for b in (
-        ds.map_batches(_partial, batch_format="pyarrow")
-        .groupby("v")
-        .sum("partial")
+        bucketed_group_agg(
+            ds.map_batches(_partial, batch_format="pyarrow"), ["v"], ["partial"]
+        )
         .iter_batches(batch_format="pyarrow")
     ):
         if b.num_rows:
@@ -464,10 +466,12 @@ def bigram_perplexity(
         return g.rename_columns(["w1", "w2", "partial"])
 
     uni_w, uni_c, n_uni = [], [], 0
+    from marginalia_ray.ops.relational import bucketed_group_agg
+
     for b in (
-        ds.map_batches(_uni_partial, batch_format="pyarrow")
-        .groupby("w")
-        .sum("partial")
+        bucketed_group_agg(
+            ds.map_batches(_uni_partial, batch_format="pyarrow"), ["w"], ["partial"]
+        )
         .iter_batches(batch_format="pyarrow")
     ):
         if b.num_rows:

@@ -85,10 +85,10 @@ def term_doc_freq(ds, text_col: str = "text", id_col: str = "doc_id", min_df: in
         part = pairs.group_by("term").aggregate([("d", "count")])
         return part.rename_columns(["term", "partial"])
 
-    out = (
-        ds.map_batches(_partial, batch_format="pyarrow")
-        .groupby("term")
-        .sum("partial")
+    from .relational import bucketed_group_agg
+
+    out = bucketed_group_agg(
+        ds.map_batches(_partial, batch_format="pyarrow"), ["term"], ["partial"]
     )
     out = out.rename_columns({"sum(partial)": "doc_freq"})
     if min_df > 1:
@@ -1260,10 +1260,10 @@ def bpe_pair_counts(ds, text_col: str = "text"):
             }
         )
 
-    agg = (
-        ds.map_batches(_partial, batch_format="pyarrow")
-        .groupby("pair")
-        .sum("partial")
+    from .relational import bucketed_group_agg
+
+    agg = bucketed_group_agg(
+        ds.map_batches(_partial, batch_format="pyarrow"), ["pair"], ["partial"]
     )
 
     def _final(batch: pa.Table) -> pa.Table:
@@ -1345,10 +1345,11 @@ def vocab_growth(
         g = t.group_by("tok").aggregate([("fd", "min")])
         return g.rename_columns(["tok", "fd"])
 
-    first = (
-        ds.map_batches(_first_doc, batch_format="pyarrow")
-        .groupby("tok")
-        .min("fd")
+    from .relational import bucketed_group_agg
+
+    first = bucketed_group_agg(
+        ds.map_batches(_first_doc, batch_format="pyarrow"),
+        ["tok"], ["fd"], agg="min",
     )
 
     def _bucket(batch: pa.Table) -> pa.Table:
@@ -1439,10 +1440,10 @@ def skipgram_counts(
         g = t.group_by(["w1", "w2"]).aggregate([([], "count_all")])
         return g.rename_columns(["w1", "w2", "partial"])
 
-    agg = (
-        ds.map_batches(_partial, batch_format="pyarrow")
-        .groupby(["w1", "w2"])
-        .sum("partial")
+    from .relational import bucketed_group_agg
+
+    agg = bucketed_group_agg(
+        ds.map_batches(_partial, batch_format="pyarrow"), ["w1", "w2"], ["partial"]
     )
     mc = int(min_count)
 
@@ -1546,10 +1547,10 @@ def zipf_slope(
         t = pa.table({"term": flat}).group_by("term").aggregate([([], "count_all")])
         return t.rename_columns(["term", "partial"])
 
-    counts = (
-        ds.map_batches(_partial, batch_format="pyarrow")
-        .groupby("term")
-        .sum("partial")
+    from .relational import bucketed_group_agg
+
+    counts = bucketed_group_agg(
+        ds.map_batches(_partial, batch_format="pyarrow"), ["term"], ["partial"]
     )
 
     def _prune(block: pa.Table) -> pa.Table:

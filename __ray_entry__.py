@@ -2120,66 +2120,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return rollup_revenue(orders, cust, nat)
 
-    # ordering is deliberate: the driver samples a prefix of this dict,
-    # and rounds 1-3 never sampled the last ten entries (including the
-    # flagship marginalia_search) — so the previously-unchecked queries
-    # come FIRST, then the long-green remainder in its round-3 order.
+    # ordering is deliberate: the driver samples a prefix of this dict, so
+    # the 47 queries that have never appeared in any CORRECTNESS_rN.json
+    # (rounds 1-4) come FIRST; the long-green remainder follows in its
+    # round-4 order (VERDICT r4 task #1).
     return {
-        "marginalia_search": q_index_search,
-        "marginalia_search_merged": q_index_search_merged,
-        "suggest_terms": q_suggest_terms,
-        "spell_correct": q_spell_correct,
-        # the 9 ops below (plus the flagship above) had never been included
-        # in the driver's CORRECTNESS sample through round 3 — keep them in
-        # the front window (VERDICT r3 task #1)
-        "fuzzy_dedup_components": q_fuzzy_components,
-        "near_dedup_apply": q_near_dedup_apply,
-        "similarity_join": q_similarity_join,
-        "semantic_dedup": q_semantic_dedup,
-        "stratified_sample_n": q_stratified_sample,
-        "mixture_sample": q_mixture_sample,
-        "linear_classifier": q_linear_classifier,
-        "bloom_membership": q_bloom_membership,
-        "group_quality_filter": q_group_quality_filter,
-        # browse/explore family (new this round -> never driver-checked:
-        # keep in the front window too)
-        "random_domains": q_random_domains,
-        "similar_domains": q_similar_domains,
-        "explorer_related": q_explorer_related,
-        "browse_url_ids": q_browse_url_ids,
-        "old_algo_neighbors": q_old_algo_neighbors,
-        "site_info": q_site_info,
-        "crawl_specs": q_crawl_specs,
-        "shipping_priority": q_shipping_priority,
-        "promo_revenue": q_promo_revenue,
-        "rollup_revenue": q_rollup_revenue,
-        "hits_scores": q_hits_scores,
-        "gini_by_key": q_gini_by_key,
-        "spearman_by_key": q_spearman_by_key,
-        "max_concurrent_sessions": q_max_concurrent_sessions,
-        "semi_join": q_semi_join,
-        "anti_join": q_anti_join,
-        "event_deltas": q_event_deltas,
-        "cumsum_by_key": q_cumsum_by_key,
-        "pivot_counts": q_pivot_counts,
-        "value_histogram": q_value_histogram,
-        "flesch_readability": q_flesch,
-        "distinct_by_key": q_distinct_by_key,
-        "rank_with_ties": q_rank_with_ties,
-        "langid_confusion": q_langid_confusion,
-        "mode_by_key": q_mode_by_key,
-        "ntile_buckets": q_ntile_buckets,
-        "window_unique_users": q_window_unique_users,
-        "activity_streaks": q_activity_streaks,
-        "string_agg_by_key": q_string_agg_by_key,
-        "benford_digits": q_benford_digits,
-        "dup_cluster_sizes": q_dup_cluster_sizes,
-        "source_token_jaccard": q_source_token_jaccard,
-        "percent_rank_by_key": q_percent_rank,
-        "weekly_revenue_delta": q_weekly_revenue_delta,
-        "zscore_outliers": q_zscore_outliers,
-        "bpe_pair_counts": q_bpe_pair_counts,
-        "token_length_histogram": q_token_length_histogram,
         "vocab_growth": q_vocab_growth,
         "dup_rate_by_source": q_dup_rate_by_source,
         "first_last_by_key": q_first_last_by_key,
@@ -2226,16 +2171,66 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "quantile_by_key": q_quantile_by_key,
         "novel_against_corpus": q_novel_against_corpus,
-        "domain_stats": q_domain_stats,
-        "sessionize": q_sessionize,
-        "broadcast_join": q_broadcast_join,
-        "hash_join": q_hash_join,
-        "hash_left_join": q_hash_left_join,
         "hash_full_join": q_hash_full_join,
         "text_normalize": q_text_normalize,
         "pagerank_scores": q_pagerank,
         "cohort_retention": q_cohort_retention,
         "chunk_documents": q_chunk_documents,
+        "marginalia_search": q_index_search,
+        "marginalia_search_merged": q_index_search_merged,
+        "suggest_terms": q_suggest_terms,
+        "spell_correct": q_spell_correct,
+        "fuzzy_dedup_components": q_fuzzy_components,
+        "near_dedup_apply": q_near_dedup_apply,
+        "similarity_join": q_similarity_join,
+        "semantic_dedup": q_semantic_dedup,
+        "stratified_sample_n": q_stratified_sample,
+        "mixture_sample": q_mixture_sample,
+        "linear_classifier": q_linear_classifier,
+        "bloom_membership": q_bloom_membership,
+        "group_quality_filter": q_group_quality_filter,
+        "random_domains": q_random_domains,
+        "similar_domains": q_similar_domains,
+        "explorer_related": q_explorer_related,
+        "browse_url_ids": q_browse_url_ids,
+        "old_algo_neighbors": q_old_algo_neighbors,
+        "site_info": q_site_info,
+        "crawl_specs": q_crawl_specs,
+        "shipping_priority": q_shipping_priority,
+        "promo_revenue": q_promo_revenue,
+        "rollup_revenue": q_rollup_revenue,
+        "hits_scores": q_hits_scores,
+        "gini_by_key": q_gini_by_key,
+        "spearman_by_key": q_spearman_by_key,
+        "max_concurrent_sessions": q_max_concurrent_sessions,
+        "semi_join": q_semi_join,
+        "anti_join": q_anti_join,
+        "event_deltas": q_event_deltas,
+        "cumsum_by_key": q_cumsum_by_key,
+        "pivot_counts": q_pivot_counts,
+        "value_histogram": q_value_histogram,
+        "flesch_readability": q_flesch,
+        "distinct_by_key": q_distinct_by_key,
+        "rank_with_ties": q_rank_with_ties,
+        "langid_confusion": q_langid_confusion,
+        "mode_by_key": q_mode_by_key,
+        "ntile_buckets": q_ntile_buckets,
+        "window_unique_users": q_window_unique_users,
+        "activity_streaks": q_activity_streaks,
+        "string_agg_by_key": q_string_agg_by_key,
+        "benford_digits": q_benford_digits,
+        "dup_cluster_sizes": q_dup_cluster_sizes,
+        "source_token_jaccard": q_source_token_jaccard,
+        "percent_rank_by_key": q_percent_rank,
+        "weekly_revenue_delta": q_weekly_revenue_delta,
+        "zscore_outliers": q_zscore_outliers,
+        "bpe_pair_counts": q_bpe_pair_counts,
+        "token_length_histogram": q_token_length_histogram,
+        "domain_stats": q_domain_stats,
+        "sessionize": q_sessionize,
+        "broadcast_join": q_broadcast_join,
+        "hash_join": q_hash_join,
+        "hash_left_join": q_hash_left_join,
         "tumbling_window": q_tumbling_window,
         "hopping_window": q_hopping_window,
         "asof_join": q_asof,

@@ -168,10 +168,13 @@ def novel_against_corpus(
 
     def _anti(part: pa.Table) -> pa.Table:
         if part.num_rows == 0:
+            # derive the id type from the partition schema, never hardcode:
+            # a non-int64 id column must yield the same block schema as the
+            # non-empty partitions
             return pa.table(
                 {
-                    id_col: pa.array([], pa.int64()),
-                    "text_hash": pa.array([], pa.string()),
+                    id_col: pa.array([], part.schema.field(id_col).type),
+                    "text_hash": pa.array([], part.schema.field("_h").type),
                 }
             )
         # every hash vectorized in one (hash, side) lexsort: a segment's

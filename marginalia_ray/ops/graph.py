@@ -1495,7 +1495,6 @@ def hits_scores(
         half-iteration broadcasts it whole), so a full groupby barrier
         would pay an all-to-all's fixed cost to shuffle a table that one
         task folds in milliseconds."""
-        partial = None
         try:
             j = broadcast_join(
                 distinct,

@@ -667,7 +667,11 @@ def mp3_frame_envelope(data: bytes, max_frames: int = 200_000):
             if declared is not None and declared > 0:
                 declared_dur = declared * samples / rate
                 # the Xing/VBRI frame itself is not audio: skip it in the
-                # envelope too
+                # envelope too — but keep its rate as the fallback so a
+                # stream with a declared count and no walkable audio
+                # frames still reports the real sample rate (parity with
+                # mp3_stream_info's O(1) path)
+                rate_out = rate
                 pos += flen
                 continue
         frames += 1

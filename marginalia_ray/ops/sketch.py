@@ -457,7 +457,19 @@ def approx_quantiles(
         v = batch[val_col].to_numpy(zero_copy_only=False).astype(np.float64)
         u = _fmix64_vec(_fmix64_vec(ids.astype(U64)) ^ U64(seed))
         if len(u) > k:
-            idx = np.argpartition(u, k)[:k]
+            # bottom-k by (u, id), matching the final merge's tie-break:
+            # duplicate ids hash to identical u, and an argpartition on u
+            # alone would cut such ties arbitrarily at the k boundary,
+            # breaking block-layout independence.  O(n) partition on u,
+            # then an id-sort over only the boundary ties.
+            part_idx = np.argpartition(u, k - 1)
+            boundary = u[part_idx[k - 1]]
+            below = np.flatnonzero(u < boundary)
+            ties = np.flatnonzero(u == boundary)
+            need = k - len(below)
+            if len(ties) > need:
+                ties = ties[np.argsort(ids[ties], kind="stable")[:need]]
+            idx = np.concatenate([below, ties])
         else:
             idx = np.arange(len(u))
         return pa.table(

@@ -125,3 +125,16 @@ def test_by_key_sample_matches_global_sketch_per_key(ray_session):
     ds = _ds(vals)
     glob = _run(ds, k=32, seed=4)
     assert [(q, v) for (_, q, v) in by_key] == glob
+
+
+def test_duplicate_ids_block_layout_independent(ray_session):
+    """Duplicate ids hash to identical u; the per-block bottom-k must
+    tie-break by (u, id) like the final merge so the result is the same
+    for every block layout even when the k boundary falls inside a tie."""
+    rng = np.random.RandomState(11)
+    n = 600
+    ids = np.repeat(np.arange(n // 4, dtype=np.int64), 4)[:n]  # each id x4
+    vals = rng.normal(50.0, 10.0, size=n)
+    ref = _run(_ds(vals, ids=ids, blocks=1), k=64)
+    for blocks in (2, 5, 13):
+        assert _run(_ds(vals, ids=ids, blocks=blocks), k=64) == ref

@@ -811,3 +811,26 @@ def test_mp3_walk_on_real_world_file():
     assert dur > 0 and n > 0 and len(kbps) == n
     d2, r2, _ = mp3_stream_info(data)
     assert r2 == rate and abs(d2 - dur) / max(dur, 1e-9) < 0.05
+
+
+def test_mp3_envelope_declared_only_keeps_rate():
+    """A stream whose first frame carries a Xing declared count but has NO
+    walkable audio frames after it must still report the real sample rate
+    (parity with mp3_stream_info's O(1) path), not rate=0."""
+    from marginalia_ray.ops.multimodal import mp3_frame_envelope, mp3_stream_info
+
+    hdr = bytes([0xFF, 0xFB, 0x90, 0x00])  # MPEG1 L3 128k/44100, stereo
+    flen = 1152 * 128000 // (8 * 44100)
+    declared = 42
+    body = bytearray(flen - 4)
+    body[32:36] = b"Xing"
+    body[36:40] = (1).to_bytes(4, "big")
+    body[40:44] = declared.to_bytes(4, "big")
+    data = hdr + bytes(body)  # Xing frame only, zero audio frames
+
+    dur, rate, n, kbps = mp3_frame_envelope(data)
+    assert n == 0 and len(kbps) == 0
+    assert rate == 44100
+    assert abs(dur - declared * 1152 / 44100) < 1e-9
+    dur2, rate2, _ = mp3_stream_info(data)
+    assert rate2 == rate and abs(dur2 - dur) < 1e-9

@@ -184,7 +184,7 @@ def pages_parquet(n_rows: int, cache_dir: str = "/tmp/marginalia_ray_pages", see
                 [{"start": s, "end": e} for s, e in ranges]
             ).map_batches(
                 lambda b: _gen_batch(b, n_rows, seed),
-                batch_format="pandas",
+                batch_format="pyarrow",
                 batch_size=1,
             )
             ds.write_parquet(str(out))
@@ -199,11 +199,11 @@ def pages_parquet(n_rows: int, cache_dir: str = "/tmp/marginalia_ray_pages", see
     return str(out)
 
 
-def _gen_batch(batch, n_rows: int, seed: int):
-    import pandas as pd
-
+def _gen_batch(batch: pa.Table, n_rows: int, seed: int) -> pa.Table:
     tables = [
         make_pages_table(n_rows, int(s), int(e), seed)
-        for s, e in zip(batch["start"], batch["end"])
+        for s, e in zip(
+            batch["start"].to_pylist(), batch["end"].to_pylist()
+        )
     ]
-    return pa.concat_tables(tables).to_pandas()
+    return pa.concat_tables(tables)

@@ -53,6 +53,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--dedup", action="store_true", help="per-domain LSH dedup (D3)")
     p.add_argument("--rank-domains", action="store_true", help="PageRank domain ranking (G6)")
     p.add_argument("--term-freq", action="store_true", help="corpus term-frequency pass (G9)")
+    p.add_argument(
+        "--browse", action="store_true",
+        help="also build the browse serving artifact (EC_DOMAIN_NEIGHBORS /"
+        " DOMAIN_METADATA materialization) under <out>/browse",
+    )
     p.add_argument("--no-resume", action="store_true", help="rebuild from scratch")
     p.add_argument("--num-cpus", type=int, default=None, help="local-mode CPU count")
     args = p.parse_args(argv)
@@ -112,6 +117,15 @@ def main(argv: list[str] | None = None) -> int:
             journal_partitions=args.journal_partitions,
             resume=not args.no_resume,
         )
+        if args.browse:
+            from marginalia_ray.pipelines.browse_artifact import (
+                build_browse_from_journal,
+            )
+
+            browse_dir = build_browse_from_journal(
+                f"{args.out}/journal", f"{args.out}/browse"
+            )
+            manifest["browse"] = browse_dir
         print(json.dumps({k: v for k, v in manifest.items() if k != "runs"}))
         return 0
     finally:

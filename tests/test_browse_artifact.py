@@ -1,0 +1,181 @@
+"""BrowseArtifact parity: the stored-artifact reader must return the same
+rows as the streaming ops in ops/browse.py on the same fixtures (the
+TestOldAlgoCascade / TestSiteInfo corpora from test_browse.py), while
+reading only the probe's hash buckets."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray
+
+
+def _old_algo_inputs():
+    nb = pa.table(
+        {
+            "domain_id": pa.array([1, 1, 1], pa.int64()),
+            "neighbor_id": pa.array([2, 3, 4], pa.int64()),
+            "adj_idx": pa.array([1, 2, 3], pa.int64()),
+        }
+    )
+    links = pa.table(
+        {
+            "src": pa.array([1, 1, 7, 8, 9, 9, 9, 9, 9, 9], pa.int64()),
+            "dst": pa.array([5, 6, 1, 1, 2, 3, 5, 6, 7, 8], pa.int64()),
+        }
+    )
+    doms = pa.table(
+        {
+            "domain_id": pa.array(list(range(1, 10)), pa.int64()),
+            "domain_name": pa.array(
+                [f"d{i}.example" for i in range(1, 10)], pa.string()
+            ),
+            "state": pa.array([0] * 9, pa.int64()),
+            "domain_alias": pa.array([None] * 9, pa.int64()),
+        }
+    )
+    meta = pa.table(
+        {
+            "domain_id": pa.array([1, 2, 3, 4, 5, 6, 7, 8], pa.int64()),
+            "known_urls": pa.array([1, 1, 1, 1, 1, 1, 1, 99], pa.int64()),
+            "rank": pa.array([9, 9, 9, 9, 2, 1, 5, 9], pa.int64()),
+        }
+    )
+    return nb, links, doms, meta
+
+
+def _site_inputs():
+    doms = pa.table(
+        {
+            "domain_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "domain_name": pa.array(
+                ["a.example", "b.example", "c.example", "d.example"], pa.string()
+            ),
+            "state": pa.array([0, 1, 2, 0], pa.int64()),
+            "rank_d": pa.array([0.5, 0.25, None, 0.0], pa.float64()),
+        }
+    )
+    meta = pa.table(
+        {
+            "domain_id": pa.array([1, 2], pa.int64()),
+            "known_urls": pa.array([10, 5], pa.int64()),
+            "visited_urls": pa.array([8, 0], pa.int64()),
+            "good_urls": pa.array([6, 0], pa.int64()),
+        }
+    )
+    links = pa.table(
+        {
+            "src": pa.array([2, 3, 4, 1, 1], pa.int64()),
+            "dst": pa.array([1, 1, 1, 2, 3], pa.int64()),
+        }
+    )
+    cq = pa.table({"domain_name": pa.array(["b.example"], pa.string())})
+    bl = pa.table({"domain_name": pa.array(["c.example"], pa.string())})
+    return doms, meta, links, cq, bl
+
+
+@pytest.fixture(scope="module")
+def old_algo_artifact(ray_session, tmp_path_factory):
+    from marginalia_ray.pipelines.browse_artifact import build_browse_artifact
+
+    nb, links, doms, meta = _old_algo_inputs()
+    out = tmp_path_factory.mktemp("browse_art") / "a"
+    build_browse_artifact(
+        str(out),
+        neighbors=ray.data.from_arrow(nb),
+        links=ray.data.from_arrow(links),
+        domains=ray.data.from_arrow(doms),
+        meta=ray.data.from_arrow(meta),
+        n_buckets=8,
+    )
+    return str(out)
+
+
+@pytest.fixture(scope="module")
+def site_artifact(ray_session, tmp_path_factory):
+    from marginalia_ray.pipelines.browse_artifact import build_browse_artifact
+
+    doms, meta, links, cq, bl = _site_inputs()
+    out = tmp_path_factory.mktemp("browse_art") / "s"
+    build_browse_artifact(
+        str(out),
+        neighbors=ray.data.from_arrow(
+            pa.table(
+                {
+                    "domain_id": pa.array([], pa.int64()),
+                    "neighbor_id": pa.array([], pa.int64()),
+                    "adj_idx": pa.array([], pa.int64()),
+                }
+            )
+        ),
+        links=ray.data.from_arrow(links),
+        domains=ray.data.from_arrow(doms),
+        meta=ray.data.from_arrow(meta),
+        crawl_queue=ray.data.from_arrow(cq),
+        blacklist_names=ray.data.from_arrow(bl),
+        n_buckets=8,
+    )
+    return str(out)
+
+
+class TestOldAlgoParity:
+    def _both(self, ray_session, out_dir, **kw):
+        from marginalia_ray.ops.browse import old_algo_neighbors
+        from marginalia_ray.pipelines.browse_artifact import BrowseArtifact
+
+        nb, links, doms, meta = _old_algo_inputs()
+        stream = old_algo_neighbors(
+            ray.data.from_arrow(nb),
+            ray.data.from_arrow(links),
+            ray.data.from_arrow(doms),
+            ray.data.from_arrow(meta),
+            probe_id=1,
+            count=6,
+            max_known=50,
+            **kw,
+        ).to_pandas()
+        art = (
+            BrowseArtifact(out_dir)
+            .old_algo_neighbors(1, count=6, max_known=50, **kw)
+            .to_pandas()
+        )
+        return stream, art
+
+    def test_all_stages_parity(self, ray_session, old_algo_artifact):
+        stream, art = self._both(ray_session, old_algo_artifact, blacklist=(6,))
+        assert sorted(art["domain_id"]) == sorted(stream["domain_id"]) == [2, 3, 7]
+        assert dict(zip(art["domain_id"], art["domain_name"])) == dict(
+            zip(stream["domain_id"], stream["domain_name"])
+        )
+
+    def test_no_blacklist_parity(self, ray_session, old_algo_artifact):
+        stream, art = self._both(ray_session, old_algo_artifact)
+        assert sorted(art["domain_id"]) == sorted(stream["domain_id"])
+
+    def test_unknown_probe_empty(self, ray_session, old_algo_artifact):
+        from marginalia_ray.pipelines.browse_artifact import BrowseArtifact
+
+        got = BrowseArtifact(old_algo_artifact).old_algo_neighbors(777)
+        assert got.num_rows == 0
+
+
+class TestSiteInfoParity:
+    @pytest.mark.parametrize(
+        "site", ["a.example", "b.example", "c.example", "zzz.example"]
+    )
+    def test_parity(self, ray_session, site_artifact, site):
+        from marginalia_ray.ops.browse import site_info
+        from marginalia_ray.pipelines.browse_artifact import BrowseArtifact
+
+        doms, meta, links, cq, bl = _site_inputs()
+        stream = site_info(
+            ray.data.from_arrow(doms),
+            ray.data.from_arrow(meta),
+            ray.data.from_arrow(links),
+            ray.data.from_arrow(cq),
+            ray.data.from_arrow(bl),
+            site,
+        ).to_pandas()
+        art = BrowseArtifact(site_artifact).site_info(site).to_pandas()
+        assert list(art.columns) == list(stream.columns)
+        assert art.equals(stream), f"{site}:\nstream={stream.T}\nart={art.T}"

@@ -284,6 +284,7 @@ def fuzzy_dedup_components(
     method: str = "minhash",
     text_col: str = "text",
     id_col: str = "doc_id",
+    cc_local_cap: int = 2_000_000,
     **pair_kwargs,
 ):
     """End-to-end fuzzy-dedup clustering: near-dup pairs (MinHash+LSH with
@@ -305,7 +306,9 @@ def fuzzy_dedup_components(
     else:
         raise ValueError(f"fuzzy_dedup_components: unknown method {method!r}")
 
-    stars = connected_components(pairs, a_col="doc_a", b_col="doc_b")
+    stars = connected_components(
+        pairs, a_col="doc_a", b_col="doc_b", local_cap=cc_local_cap
+    )
     return components_apply(ds.select_columns([id_col]), stars, id_col=id_col)
 
 
@@ -316,6 +319,7 @@ def near_dedup_apply(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_dropped_ids: int = 20_000_000,
+    cc_local_cap: int = 2_000_000,
     **pair_kwargs,
 ):
     """Fuzzy dedup, APPLIED: the surviving corpus rows (all original
@@ -346,7 +350,9 @@ def near_dedup_apply(
     else:
         raise ValueError(f"near_dedup_apply: unknown method {method!r}")
 
-    stars = connected_components(pairs, a_col="doc_a", b_col="doc_b").materialize()
+    stars = connected_components(
+        pairs, a_col="doc_a", b_col="doc_b", local_cap=cc_local_cap
+    ).materialize()
     n_drop = stars.count()
     if n_drop == 0:
         return ds

@@ -328,3 +328,42 @@ def test_knn_pq_bad_shapes(ray_session):
         knn_cosine_pq(emb, q[:, :63], [0], m=8)
     with pytest.raises(ValueError, match="codebooks shape"):
         knn_cosine_pq(emb, q, [0], m=8, codebooks=np.ones((8, 16, 4)))
+
+
+def test_dedup_chain_overcap_matches_undercap(ray_session):
+    """VERDICT r4 #7: the full fuzzy-dedup chain (minhash pairs ->
+    connected components -> apply) with EVERY driver cap forced below the
+    data size — candidate-pair broadcast, dropped-id broadcast, and the
+    CC single-task fast path — must produce results identical to the
+    default (under-cap) paths."""
+    import ray.data
+
+    from marginalia_ray.ops.graph import fuzzy_dedup_components, near_dedup_apply
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 8
+    rows = [{"doc_id": i, "text": base + f" tail{i}"} for i in range(8)]
+    rows += [
+        {"doc_id": 100 + i, "text": f"wholly distinct document number {i} " * 20}
+        for i in range(6)
+    ]
+    # a second dup cluster so CC has two components to converge
+    base2 = "pack my box with five dozen liquor jugs every single day " * 8
+    rows += [{"doc_id": 200 + i, "text": base2 + f" x{i}"} for i in range(4)]
+    ds = ray.data.from_items(rows).repartition(6)
+
+    fc_fast = fuzzy_dedup_components(ds, threshold=0.5).to_pandas()
+    fc_slow = fuzzy_dedup_components(
+        ds, threshold=0.5, max_candidate_pairs=3, cc_local_cap=0
+    ).to_pandas()
+    key = ["doc_id", "component"]
+    assert sorted(map(tuple, fc_fast[key].values.tolist())) == sorted(
+        map(tuple, fc_slow[key].values.tolist())
+    )
+
+    ap_fast = near_dedup_apply(ds, threshold=0.5).to_pandas()
+    ap_slow = near_dedup_apply(
+        ds, threshold=0.5, max_candidate_pairs=3, max_dropped_ids=0, cc_local_cap=0
+    ).to_pandas()
+    assert sorted(ap_fast["doc_id"]) == sorted(ap_slow["doc_id"])
+    # both clusters collapsed to one survivor each
+    assert sorted(ap_fast["doc_id"]) == [0] + [100 + i for i in range(6)] + [200]

@@ -162,3 +162,29 @@ class TestSubjectLikeKeywords:
             "government_of_the_republic",
         }
         assert actual == expected
+
+
+class TestSentenceExtractorReferenceCases:
+    """SentenceExtractorTest.java (language-processing tests) asserting
+    cases mirrored: testPolishArtist:29-35, testJava:37-43,
+    testApostrophe:77-84."""
+
+    def test_polish_artist(self):
+        from marginalia_ray.stages.sentences import extract_sentences_from_string
+
+        (s,) = extract_sentences_from_string("Uklański")
+        assert list(s.words) == ["Uklanski"]
+        assert list(s.words_lc) == ["uklanski"]
+
+    def test_java_ampersand(self):
+        from marginalia_ray.stages.sentences import extract_sentences_from_string
+
+        (s,) = extract_sentences_from_string("Foreign Function & Memory API")
+        assert list(s.words) == ["Foreign", "Function", "Memory", "API"]
+
+    def test_apostrophe(self):
+        from marginalia_ray.stages.sentences import extract_sentences_from_string
+
+        (s,) = extract_sentences_from_string("duke nuke 'em's big ol' big gun")
+        assert list(s.words) == ["duke", "nuke", "em's", "big", "ol", "big", "gun"]
+        assert list(s.words_lc) == ["duke", "nuke", "em", "big", "ol", "big", "gun"]

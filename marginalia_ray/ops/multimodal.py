@@ -21,17 +21,18 @@ Decode support, container-native (no external codec libraries):
 
 Payloads in unrecognized formats (progressive JPEG, Vorbis, ...) fall back to
 the ``fake=True`` deterministic pseudo-decode (seeded by content hash) so
-pipelines keep streaming, or raise with ``fake=False``.  MP3 is a hybrid:
-duration/sample-rate metadata come from a REAL frame-header walk
-(mp3_stream_info; Xing/Info + VBRI VBR headers give exact duration in
-O(1) without walking the payload), and the feature vector is a REAL
+pipelines keep streaming, or raise with ``fake=False``.  MPEG audio:
+**Layer II payloads decode for real** (ops/mp2.py — full Annex B
+bitstream walk, dequantization, polyphase synthesis; round-trip
+validated) and feed true spectral MFCCs with NO gate.  Layer III (MP3)
+is a hybrid: duration/sample-rate metadata come from a REAL frame-header
+walk (mp3_stream_info; Xing/Info + VBRI VBR headers give exact duration
+in O(1) without walking the payload), and the feature vector is a REAL
 compressed-domain descriptor (mp3_frame_envelope: per-frame bitrate
 envelope — VBR bit allocation tracks spectral complexity).  Full
-Layer III payload decode is DATA-gated, not code-gated: the bitstream
-structure (side info, requantization, IMDCT, polyphase) is all public
-ISO 11172-3 math, but the decode is bit-defined by Annex B tables — the
-512-entry synthesis window D and 32 Huffman code tables — which are
-spec-document assets unavailable offline (same class as the reference's
+Layer III payload decode stays DATA-gated, not code-gated: its decode is
+bit-defined by 32 Huffman code tables and IMDCT window types — spec-
+document assets unavailable offline (same class as the reference's
 downloaded English.RDR model, run/setup.sh).  Guessing those tables from
 memory would produce silently wrong audio; the honest gate stays.
 
@@ -449,7 +450,12 @@ def _wav_features(data: bytes, n_mfcc: int):
     if nchan > 1:
         x = x.reshape(-1, nchan).mean(axis=1)
     duration = nframes / float(sr)
+    return duration, sr, _mfcc_from_pcm(x, sr, n_mfcc)
 
+
+def _mfcc_from_pcm(x: np.ndarray, sr: int, n_mfcc: int) -> np.ndarray:
+    """mono float PCM -> mean MFCC vector (the _wav_features chain,
+    factored out so decoded Layer II audio shares it — ops/mp2.py)."""
     frame, hop = 1024, 512
     if len(x) < frame:
         x = np.pad(x, (0, frame - len(x)))
@@ -478,7 +484,7 @@ def _wav_features(data: bytes, n_mfcc: int):
     n = np.arange(n_mels)
     dct = np.cos(np.pi / n_mels * (n[None, :] + 0.5) * np.arange(n_mfcc)[:, None])
     mfcc = (dct @ loge.T).mean(axis=1)  # (n_mfcc,)
-    return duration, sr, mfcc.astype(np.float32)
+    return mfcc.astype(np.float32)
 
 
 # MPEG-1/2/2.5 audio frame-header tables (ISO 11172-3 / 13818-3, public):
@@ -746,6 +752,17 @@ class AudioFeatureStage:
                     # through to the gated pseudo-decode path below.
                     pass
             if p[:3] == b"ID3" or (len(p) > 1 and p[0] == 0xFF and (p[1] & 0xE0) == 0xE0):
+                from marginalia_ray.ops.mp2 import mp2_mfcc, sniff_layer
+
+                if sniff_layer(p) == 2:
+                    # Layer II: REAL payload decode (ops/mp2.py) -> true
+                    # spectral MFCCs — no gate for this layer
+                    try:
+                        d, s, m = mp2_mfcc(p, self.n_mfcc)
+                        dur.append(float(d)); sr.append(int(s)); mfcc.append(m)
+                        continue
+                    except ValueError:
+                        pass
                 try:
                     d, s, _nf, kbps = mp3_frame_envelope(p)
                     dur.append(float(d)); sr.append(int(s))

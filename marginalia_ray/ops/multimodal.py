@@ -740,6 +740,8 @@ class AudioFeatureStage:
         dur, sr, mfcc = [], [], []
         import wave as _wave
 
+        from marginalia_ray.ops.mp2 import mp2_mfcc, sniff_layer
+
         for p in payloads:
             if p[:4] == b"RIFF":
                 try:
@@ -752,8 +754,6 @@ class AudioFeatureStage:
                     # through to the gated pseudo-decode path below.
                     pass
             if p[:3] == b"ID3" or (len(p) > 1 and p[0] == 0xFF and (p[1] & 0xE0) == 0xE0):
-                from marginalia_ray.ops.mp2 import mp2_mfcc, sniff_layer
-
                 if sniff_layer(p) == 2:
                     # Layer II: REAL payload decode (ops/mp2.py) -> true
                     # spectral MFCCs — no gate for this layer

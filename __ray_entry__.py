@@ -914,28 +914,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def q_similar_domains(sf_dir: str):
         # DbBrowseDomainsSimilarCosine: top-N neighbors of each probe with
-        # screenshots (domain_id % 3 != 1), blacklist-filtered
-        import pyarrow as pa
-        import ray.data
-
-        from marginalia_ray.ops.browse import similar_domains
-
-        def _shots(b: "pa.Table") -> "pa.Table":
-            import numpy as np
-
-            pk = b["p_partkey"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-            return pa.table({"domain_id": pa.array(pk[pk % 3 != 1])})
-
-        shots = ray.data.read_parquet(
-            f"{sf_dir}/part.parquet", columns=["p_partkey"]
-        ).map_batches(_shots, batch_format="pyarrow")
-        return similar_domains(
-            q_domain_adjacencies(sf_dir),
-            _browse_domains(sf_dir),
-            probes=SIM_PROBES,
-            screenshots=shots,
-            blacklist=SIM_BLACKLIST,
-            count=SIM_COUNT,
+        # screenshots (domain_id % 3 != 1), blacklist-filtered — served
+        # from the stored browse artifact (probe buckets only); parity
+        # with the streaming op pinned in tests/test_browse_artifact.py
+        return _browse_art(sf_dir).similar_domains(
+            SIM_PROBES, count=SIM_COUNT, blacklist=SIM_BLACKLIST
         )
 
     def q_explorer_related(sf_dir: str):
@@ -1066,7 +1049,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
 
         key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-        out = f"/tmp/marginalia_ray_browse/{key}_v1"
+        out = f"/tmp/marginalia_ray_browse/{key}_v2"
         if os.path.exists(f"{out}/_MANIFEST.json"):
             return BrowseArtifact(out)
 
@@ -1085,6 +1068,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                         "domain_id": pa.array([], pa.int64()),
                         "neighbor_id": pa.array([], pa.int64()),
                         "adj_idx": pa.array([], pa.int64()),
+                        "relatedness": pa.array([], pa.float64()),
                     }
                 )
             d = part["domain_id"].cast(pa.int64()).to_numpy(zero_copy_only=False)
@@ -1095,11 +1079,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             starts = np.flatnonzero(np.r_[True, d_s[1:] != d_s[:-1]])
             seg = np.repeat(np.arange(len(starts)), np.diff(np.r_[starts, len(d_s)]))
             idx = np.arange(len(d_s)) - starts[seg] + 1
+            # relatedness rides along so the artifact also serves the
+            # cosine-similar query (DbBrowseDomainsSimilarCosine)
             return pa.table(
                 {
                     "domain_id": pa.array(d_s),
                     "neighbor_id": pa.array(n[order]),
                     "adj_idx": pa.array(idx),
+                    "relatedness": pa.array(r[order]),
                 }
             )
 
@@ -1173,6 +1160,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
             return _f
 
+        def _shots(b: "pa.Table") -> "pa.Table":
+            pk = b["p_partkey"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            return pa.table({"domain_id": pa.array(pk[pk % 3 != 1])})
+
+        shots = ray.data.read_parquet(
+            f"{sf_dir}/part.parquet", columns=["p_partkey"]
+        ).map_batches(_shots, batch_format="pyarrow")
         build_browse_artifact(
             out,
             neighbors=nb,
@@ -1181,6 +1175,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             meta=meta,
             crawl_queue=doms.map_batches(_mod_names(9), batch_format="pyarrow"),
             blacklist_names=doms.map_batches(_mod_names(31), batch_format="pyarrow"),
+            screenshots=shots,
             n_buckets=16,
         )
         return BrowseArtifact(out)

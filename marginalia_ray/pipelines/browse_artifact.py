@@ -83,6 +83,7 @@ def build_browse_artifact(
     meta,
     crawl_queue=None,
     blacklist_names=None,
+    screenshots=None,
     n_buckets: int = 64,
     id_col: str = "domain_id",
     name_col: str = "domain_name",
@@ -103,6 +104,8 @@ def build_browse_artifact(
     out.mkdir(parents=True, exist_ok=True)
 
     _write_bucketed(neighbors, out / "neighbors", "domain_id", n_buckets)
+    if screenshots is not None:
+        _write_bucketed(screenshots, out / "screenshots", "domain_id", n_buckets)
     links = links.materialize()  # read 3x below: src/dst layouts + degrees
     _write_bucketed(links, out / "edges_src", "src", n_buckets)
     _write_bucketed(links, out / "edges_dst", "dst", n_buckets)
@@ -772,3 +775,93 @@ def build_browse_from_journal(
         meta=per_domain.map_batches(_meta, batch_format="pyarrow"),
         n_buckets=n_buckets,
     )
+
+
+def _similar_domains_method(self, probes, *, count: int = 25, blacklist=()):
+    """DbBrowseDomainsSimilarCosine served from the artifact: per probe,
+    read ONLY the probe's neighbors bucket (relatedness column required —
+    pass the raw adjacency output as ``neighbors`` at build time),
+    restrict to neighbors with a screenshot (screenshots buckets),
+    blacklist-filter before the count cap, top-``count`` by
+    (ROUND(100*cosine) desc, neighbor_id asc), names from domain_meta.
+    Row-identical to ops.browse.similar_domains."""
+    from marginalia_ray.ops.browse import _pct_int
+
+    pr = np.unique(np.asarray(list(probes), np.int64))
+    bl = np.asarray(list(blacklist), np.int64)
+    empty = pa.table(
+        {
+            "domain_id": pa.array([], pa.int64()),
+            "neighbor_id": pa.array([], pa.int64()),
+            "neighbor_name": pa.array([], pa.string()),
+            "relatedness": pa.array([], pa.int64()),
+        }
+    )
+    tabs = []
+    buckets = _bucket_of_int(pr, self.n_buckets)
+    for b in np.unique(buckets):
+        want = pr[buckets == b]
+        tabs.append(
+            self._table(
+                "neighbors", int(b), pads.field("domain_id").isin(want.tolist())
+            )
+        )
+    cand = pa.concat_tables(tabs) if tabs else empty
+    if cand.num_rows == 0:
+        return empty
+    did = cand["domain_id"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+    nid = cand["neighbor_id"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+    pct = _pct_int(cand["relatedness"].to_numpy(zero_copy_only=False))
+    if len(bl):
+        keep = ~np.isin(nid, bl)
+        did, nid, pct = did[keep], nid[keep], pct[keep]
+
+    # screenshot membership for the bounded candidate set
+    nids = np.unique(nid)
+    shot = np.zeros(0, np.int64)
+    if len(nids):
+        sb = _bucket_of_int(nids, self.n_buckets)
+        parts = []
+        for b in np.unique(sb):
+            want = nids[sb == b]
+            try:
+                t = self._table(
+                    "screenshots", int(b),
+                    pads.field("domain_id").isin(want.tolist()),
+                )
+            except FileNotFoundError:
+                return empty
+            parts.append(t["domain_id"].cast(pa.int64()).to_numpy(zero_copy_only=False))
+        shot = np.unique(np.concatenate(parts)) if parts else shot
+    keep = np.isin(nid, shot)
+    did, nid, pct = did[keep], nid[keep], pct[keep]
+    if not len(did):
+        return empty
+
+    order = np.lexsort((nid, -pct, did))
+    did, nid, pct = did[order], nid[order], pct[order]
+    starts = np.flatnonzero(np.r_[True, did[1:] != did[:-1]])
+    pos = np.arange(len(did)) - np.repeat(starts, np.diff(np.r_[starts, len(did)]))
+    topk = pos < int(count)
+    did, nid, pct = did[topk], nid[topk], pct[topk]
+
+    m = self._meta_rows(np.unique(nid))
+    names = dict(
+        zip(
+            m["domain_id"].to_pylist(),
+            m["domain_name"].to_pylist(),
+        )
+    )
+    return pa.table(
+        {
+            "domain_id": pa.array(did.astype(np.int64)),
+            "neighbor_id": pa.array(nid.astype(np.int64)),
+            "neighbor_name": pa.array(
+                [names[int(i)] for i in nid], pa.string()
+            ),
+            "relatedness": pa.array(pct.astype(np.int64)),
+        }
+    )
+
+
+BrowseArtifact.similar_domains = _similar_domains_method

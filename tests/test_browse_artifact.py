@@ -179,3 +179,69 @@ class TestSiteInfoParity:
         art = BrowseArtifact(site_artifact).site_info(site).to_pandas()
         assert list(art.columns) == list(stream.columns)
         assert art.equals(stream), f"{site}:\nstream={stream.T}\nart={art.T}"
+
+
+class TestSimilarDomainsParity:
+    def test_parity(self, ray_session, tmp_path):
+        """Artifact-served similar_domains == streaming op on the same
+        fixture (neighbors with relatedness, screenshot set, blacklist)."""
+        from marginalia_ray.ops.browse import similar_domains
+        from marginalia_ray.pipelines.browse_artifact import (
+            BrowseArtifact,
+            build_browse_artifact,
+        )
+
+        adj = pa.table(
+            {
+                "domain_id": pa.array([1, 1, 1, 1, 2, 2], pa.int64()),
+                "neighbor_id": pa.array([2, 3, 4, 5, 1, 3], pa.int64()),
+                "relatedness": pa.array([0.9, 0.8, 0.7, 0.95, 0.5, 0.6]),
+            }
+        )
+        doms = pa.table(
+            {
+                "domain_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                "domain_name": pa.array(
+                    [f"d{i}.example" for i in range(1, 6)], pa.string()
+                ),
+                "state": pa.array([0] * 5, pa.int64()),
+                "domain_alias": pa.array([None] * 5, pa.int64()),
+            }
+        )
+        shots = pa.table({"domain_id": pa.array([1, 2, 3, 5], pa.int64())})
+        links = pa.table(
+            {"src": pa.array([1], pa.int64()), "dst": pa.array([2], pa.int64())}
+        )
+        meta = pa.table(
+            {
+                "domain_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                "known_urls": pa.array([1] * 5, pa.int64()),
+            }
+        )
+        stream = similar_domains(
+            ray.data.from_arrow(adj),
+            ray.data.from_arrow(doms),
+            probes=(1, 2),
+            screenshots=ray.data.from_arrow(shots),
+            blacklist=(3,),
+            count=2,
+        ).to_pandas()
+        out = tmp_path / "art"
+        build_browse_artifact(
+            str(out),
+            neighbors=ray.data.from_arrow(adj),
+            links=ray.data.from_arrow(links),
+            domains=ray.data.from_arrow(doms),
+            meta=ray.data.from_arrow(meta),
+            screenshots=ray.data.from_arrow(shots),
+            n_buckets=4,
+        )
+        art = (
+            BrowseArtifact(str(out))
+            .similar_domains((1, 2), count=2, blacklist=(3,))
+            .to_pandas()
+        )
+        key = ["domain_id", "neighbor_id", "neighbor_name", "relatedness"]
+        assert sorted(map(tuple, art[key].values.tolist())) == sorted(
+            map(tuple, stream[key].values.tolist())
+        )

@@ -57,7 +57,9 @@ def _bucket_of_str(arr: pa.ChunkedArray | pa.Array, n_buckets: int) -> np.ndarra
     return (_token_hash_arrow(arr) % U64(n_buckets)).view(np.int64)
 
 
-def _write_bucketed(ds, out: Path, key_col: str, n_buckets: int, *, by_str=False):
+def _write_bucketed(
+    ds, out: Path, key_col: str, n_buckets: int, *, by_str=False, empty_schema=None
+):
     def _key(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return batch.append_column("bucket", pa.array([], pa.int64()))
@@ -69,9 +71,30 @@ def _write_bucketed(ds, out: Path, key_col: str, n_buckets: int, *, by_str=False
             )
         return batch.append_column("bucket", pa.array(bk))
 
-    ds.map_batches(_key, batch_format="pyarrow").write_parquet(
-        str(out), partition_cols=["bucket"]
-    )
+    keyed = ds.map_batches(_key, batch_format="pyarrow")
+    keyed.write_parquet(str(out), partition_cols=["bucket"])
+    # an empty input writes no files at all — materialize one typed empty
+    # file so the reader's dataset open (and its schema) always works
+    if not any(Path(out).rglob("*.parquet")):
+        import pyarrow.parquet as pq
+
+        from marginalia_ray.ops.relational import schema_no_reexec
+
+        schema, _ = schema_no_reexec(ds)
+        if schema is None:
+            schema = empty_schema
+        if schema is None:
+            raise ValueError(
+                f"_write_bucketed({out}): empty input with no derivable "
+                "schema — pass empty_schema"
+            )
+        # Ray's Schema wrapper and pa.Schema both expose names/types
+        empty = pa.table(
+            {n: pa.array([], t) for n, t in zip(schema.names, schema.types)}
+        )
+        d = Path(out) / "bucket=0"
+        d.mkdir(parents=True, exist_ok=True)
+        pq.write_table(empty, d / "empty.parquet")
 
 
 def build_browse_artifact(
@@ -103,7 +126,17 @@ def build_browse_artifact(
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
 
-    _write_bucketed(neighbors, out / "neighbors", "domain_id", n_buckets)
+    _write_bucketed(
+        neighbors, out / "neighbors", "domain_id", n_buckets,
+        empty_schema=pa.schema(
+            [
+                ("domain_id", pa.int64()),
+                ("neighbor_id", pa.int64()),
+                ("adj_idx", pa.int64()),
+                ("relatedness", pa.float64()),
+            ]
+        ),
+    )
     if screenshots is not None:
         _write_bucketed(screenshots, out / "screenshots", "domain_id", n_buckets)
     links = links.materialize()  # read 3x below: src/dst layouts + degrees

@@ -245,3 +245,48 @@ class TestSimilarDomainsParity:
         assert sorted(map(tuple, art[key].values.tolist())) == sorted(
             map(tuple, stream[key].values.tolist())
         )
+
+
+class TestJournalBuild:
+    def test_build_from_journal(self, ray_session, tmp_path):
+        """job.py --browse path: a hand-built journal (url, links) yields a
+        servable artifact — domains/meta from urls, degrees from the link
+        graph, neighbors from domain_adjacencies, site_info answerable."""
+        import pyarrow.parquet as pq
+
+        from marginalia_ray.pipelines.browse_artifact import (
+            BrowseArtifact,
+            build_browse_from_journal,
+        )
+        from marginalia_ray.pipelines.domain_rank import _id31
+
+        hosts = [f"h{i}.example" for i in range(6)]
+        rows_url, rows_links = [], []
+        for i, h in enumerate(hosts):
+            for p in range(3):
+                rows_url.append(f"https://{h}/p{p}")
+                # each page links to the next two hosts' front pages
+                rows_links.append(
+                    [f"https://{hosts[(i + 1) % 6]}/", f"https://{hosts[(i + 2) % 6]}/"]
+                )
+        j = pa.table(
+            {
+                "url": pa.array(rows_url, pa.string()),
+                "links": pa.array(rows_links, pa.list_(pa.string())),
+            }
+        )
+        jdir = tmp_path / "journal"
+        jdir.mkdir()
+        pq.write_table(j, jdir / "part-0.parquet")
+        out = build_browse_from_journal(str(jdir), str(tmp_path / "browse"), n_buckets=4)
+        art = BrowseArtifact(out)
+        si = art.site_info("h0.example").to_pandas()
+        assert len(si) == 1
+        r = si.iloc[0]
+        assert r["pages_known"] == 3 and r["pages_fetched"] == 3
+        # every host links to h0? h4 and h5 link to h0 -> 2 distinct inbound
+        assert r["incoming_links"] == 2 and r["outgoing_links"] == 2
+        assert "h4.example" in r["linking_domains"] or "h5.example" in r["linking_domains"]
+        # old_algo probe works end to end (may be empty, must not error)
+        nb = art.old_algo_neighbors(_id31("h0.example"), count=5)
+        assert set(nb.column_names) == {"domain_id", "domain_name"}

@@ -922,14 +922,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
 
     def q_explorer_related(sf_dir: str):
-        # ExplorerService.getRelatedDomains for one probe (alias-following);
-        # the adjacency table is materialized because the op scans it twice
-        # and in the reference it is a STORED table (EC_DOMAIN_NEIGHBORS_2,
-        # filled by the adjacencies batch job)
-        from marginalia_ray.ops.browse import explorer_related
-
-        adj = q_domain_adjacencies(sf_dir).materialize()
-        return explorer_related(adj, _browse_domains(sf_dir), EXPLORER_PROBE)
+        # ExplorerService.getRelatedDomains for one probe (alias-following),
+        # served from the stored browse artifact (EC_DOMAIN_NEIGHBORS_2 is
+        # a stored table in the reference); parity with the streaming op
+        # pinned in tests/test_browse_artifact.py
+        return _browse_art(sf_dir).explorer_related(EXPLORER_PROBE)
 
     def q_browse_url_ids(sf_dir: str):
         # getBrowseResultFromUrlIds: EC_URL_VIEW from orders (quality =
@@ -1049,7 +1046,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
 
         key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-        out = f"/tmp/marginalia_ray_browse/{key}_v2"
+        out = f"/tmp/marginalia_ray_browse/{key}_v3"
         if os.path.exists(f"{out}/_MANIFEST.json"):
             return BrowseArtifact(out)
 

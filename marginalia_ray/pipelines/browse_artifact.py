@@ -137,6 +137,17 @@ def build_browse_artifact(
             ]
         ),
     )
+    _write_bucketed(
+        neighbors, out / "neighbors_rev", "neighbor_id", n_buckets,
+        empty_schema=pa.schema(
+            [
+                ("domain_id", pa.int64()),
+                ("neighbor_id", pa.int64()),
+                ("adj_idx", pa.int64()),
+                ("relatedness", pa.float64()),
+            ]
+        ),
+    )
     if screenshots is not None:
         _write_bucketed(screenshots, out / "screenshots", "domain_id", n_buckets)
     links = links.materialize()  # read 3x below: src/dst layouts + degrees
@@ -314,6 +325,8 @@ def build_browse_artifact(
         ("rank", pa.int64()),
         ("n_in", pa.int64()),
         ("n_out", pa.int64()),
+        ("indexed", pa.int64()),
+        ("alias_target", pa.int64()),
         ("in_q", pa.int64()),
         ("bl", pa.int64()),
         ("linking_domains", pa.string()),
@@ -335,17 +348,20 @@ def build_browse_artifact(
             if alias_col in t.column_names
             else pa.array(np.ones(t.num_rows, np.int64))
         )
+        extra = {}
+        if rank_col in t.column_names:
+            extra["rank_d"] = t[rank_col].cast(pa.float64())
+        if "indexed" in t.column_names:
+            extra["indexed"] = t["indexed"].cast(pa.int64())
+        if alias_col in t.column_names:
+            extra["alias_target"] = t[alias_col].cast(pa.int64())
         return _shape(
             {
                 "domain_id": t[id_col].cast(pa.int64()),
                 "domain_name": t[name_col].cast(pa.string()),
                 "state": t[state_col].cast(pa.int64()),
                 "alias_null": alias_null,
-                **(
-                    {"rank_d": t[rank_col].cast(pa.float64())}
-                    if rank_col in t.column_names
-                    else {}
-                ),
+                **extra,
             },
             t.num_rows,
         )
@@ -898,3 +914,135 @@ def _similar_domains_method(self, probes, *, count: int = 25, blacklist=()):
 
 
 BrowseArtifact.similar_domains = _similar_domains_method
+
+
+def _explorer_related_method(self, query: str, *, active_states=(0, 1, 2)):
+    """ExplorerService.getRelatedDomains served from the artifact: name
+    (junk-trimmed) -> id via name_index, alias followed via domain_meta's
+    alias_target, forward candidates from the probe ids' neighbors
+    buckets, reverse candidates from neighbors_rev, both has-more
+    questions answered with filtered candidate-id reads, names/flags
+    from domain_meta.  Row-identical to ops.browse.explorer_related."""
+    from marginalia_ray.ops.browse import _pct_int, trim_url_junk
+
+    name = trim_url_junk(query)
+    empty = pa.table(
+        {
+            "domain": pa.array([], pa.string()),
+            "url": pa.array([], pa.string()),
+            "relatedness": pa.array([], pa.int64()),
+            "has_more": pa.array([], pa.bool_()),
+            "active": pa.array([], pa.bool_()),
+            "indexed": pa.array([], pa.bool_()),
+        }
+    )
+    nb = int(_bucket_of_str(pa.array([name], pa.string()), self.n_buckets)[0])
+    ni = self._table("name_index", nb, pads.field("domain_name") == name)
+    if ni.num_rows == 0:
+        return empty
+    did = int(ni["domain_id"][0].as_py())
+    row = self._meta_rows(np.array([did]))
+    alias = row["alias_target"][0].as_py() if row.num_rows else None
+    aid = did if alias is None else int(alias)
+    probe_ids = np.unique(np.array([did, aid], np.int64))
+
+    def _read_keyed(table: str, key: str, ids: np.ndarray) -> pa.Table:
+        ids = np.unique(np.asarray(ids, np.int64))
+        tabs = []
+        buckets = _bucket_of_int(ids, self.n_buckets)
+        for b in np.unique(buckets):
+            want = ids[buckets == b]
+            tabs.append(
+                self._table(table, int(b), pads.field(key).isin(want.tolist()))
+            )
+        return pa.concat_tables(tabs) if tabs else empty
+
+    fwd = _read_keyed("neighbors", "domain_id", probe_ids)
+    rev = _read_keyed("neighbors_rev", "neighbor_id", probe_ids)
+
+    def _group_max(ids, pcts):
+        if len(ids) == 0:
+            return ids.astype(np.int64), pcts.astype(np.int64)
+        order = np.lexsort((-pcts, ids))
+        ids_s, pcts_s = ids[order], pcts[order]
+        first = np.r_[True, ids_s[1:] != ids_s[:-1]]
+        return ids_s[first], pcts_s[first]
+
+    f_id, f_pct = _group_max(
+        fwd["neighbor_id"].cast(pa.int64()).to_numpy(zero_copy_only=False),
+        _pct_int(fwd["relatedness"].to_numpy(zero_copy_only=False)),
+    )
+    r_id, r_pct = _group_max(
+        rev["domain_id"].cast(pa.int64()).to_numpy(zero_copy_only=False),
+        _pct_int(rev["relatedness"].to_numpy(zero_copy_only=False)),
+    )
+    all_ids = np.unique(np.concatenate([f_id, r_id])).astype(np.int64)
+    if not len(all_ids):
+        return empty
+
+    # has-more: forward candidates that appear as a DOMAIN side anywhere,
+    # reverse candidates that appear as a NEIGHBOR side anywhere
+    hm_fwd = (
+        set(
+            _read_keyed("neighbors", "domain_id", f_id)["domain_id"]
+            .cast(pa.int64())
+            .to_pylist()
+        )
+        if len(f_id)
+        else set()
+    )
+    hm_rev = (
+        set(
+            _read_keyed("neighbors_rev", "neighbor_id", r_id)["neighbor_id"]
+            .cast(pa.int64())
+            .to_pylist()
+        )
+        if len(r_id)
+        else set()
+    )
+
+    m = self._meta_rows(all_ids)
+    flags = {}
+    for i in range(m.num_rows):
+        flags[int(m["domain_id"][i].as_py())] = (
+            m["domain_name"][i].as_py(),
+            int(m["state"][i].as_py()),
+            int(m["indexed"][i].as_py() or 0),
+        )
+
+    f_names = {flags[int(i)][0] for i in f_id if int(i) in flags}
+    rkeep = np.array(
+        [int(i) in flags and flags[int(i)][0] not in f_names for i in r_id],
+        np.bool_,
+    )
+    r_id, r_pct = r_id[rkeep], r_pct[rkeep]
+
+    active_set = frozenset(int(s) for s in active_states)
+    rows = []
+    for ids, pcts, hm in ((f_id, f_pct, hm_fwd), (r_id, r_pct, hm_rev)):
+        for i, p in zip(ids.tolist(), pcts.tolist()):
+            if int(i) not in flags:
+                continue
+            nm, st, ix = flags[int(i)]
+            if len(nm) >= 48 or "." not in nm:
+                continue
+            rows.append(
+                (nm, f"http://{nm}/", int(p), int(i) in hm, st in active_set, ix > 0)
+            )
+    rows.sort(key=lambda r: (-r[2], r[0]))
+    if not rows:
+        return empty
+    cols = list(zip(*rows))
+    return pa.table(
+        {
+            "domain": pa.array(cols[0], pa.string()),
+            "url": pa.array(cols[1], pa.string()),
+            "relatedness": pa.array(cols[2], pa.int64()),
+            "has_more": pa.array(cols[3], pa.bool_()),
+            "active": pa.array(cols[4], pa.bool_()),
+            "indexed": pa.array(cols[5], pa.bool_()),
+        }
+    )
+
+
+BrowseArtifact.explorer_related = _explorer_related_method

@@ -290,3 +290,79 @@ class TestJournalBuild:
         # old_algo probe works end to end (may be empty, must not error)
         nb = art.old_algo_neighbors(_id31("h0.example"), count=5)
         assert set(nb.column_names) == {"domain_id", "domain_name"}
+
+
+class TestExplorerRelatedParity:
+    def _doms(self):
+        rows = [
+            (1, "a.example", 0, 1, None),
+            (2, "b.example", 1, 0, None),
+            (3, "c.example", 2, 1, None),
+            (4, "d.example", 0, 2, 1),  # aliased to 1
+            (5, "e.example", 0, 0, None),
+            (6, "nodotname", 0, 1, None),
+            (7, "g.example", 3, 1, None),
+        ]
+        return pa.table(
+            {
+                "domain_id": pa.array([r[0] for r in rows], pa.int64()),
+                "domain_name": pa.array([r[1] for r in rows], pa.string()),
+                "state": pa.array([r[2] for r in rows], pa.int64()),
+                "indexed": pa.array([r[3] for r in rows], pa.int64()),
+                "domain_alias": pa.array([r[4] for r in rows], pa.int64()),
+            }
+        )
+
+    def _build(self, adj, tmp_path):
+        from marginalia_ray.pipelines.browse_artifact import (
+            BrowseArtifact,
+            build_browse_artifact,
+        )
+
+        out = tmp_path / "art"
+        build_browse_artifact(
+            str(out),
+            neighbors=ray.data.from_arrow(adj),
+            links=ray.data.from_arrow(
+                pa.table(
+                    {"src": pa.array([1], pa.int64()), "dst": pa.array([2], pa.int64())}
+                )
+            ),
+            domains=ray.data.from_arrow(self._doms()),
+            meta=ray.data.from_arrow(
+                pa.table(
+                    {
+                        "domain_id": pa.array(list(range(1, 8)), pa.int64()),
+                        "known_urls": pa.array([1] * 7, pa.int64()),
+                    }
+                )
+            ),
+            n_buckets=4,
+        )
+        return BrowseArtifact(str(out))
+
+    @pytest.mark.parametrize(
+        "query", ["http://a.example/x", "d.example", "zzz.example"]
+    )
+    def test_parity(self, ray_session, tmp_path, query):
+        from marginalia_ray.ops.browse import explorer_related
+
+        adj = pa.table(
+            {
+                "domain_id": pa.array([1, 1, 1, 2, 5, 4], pa.int64()),
+                "neighbor_id": pa.array([2, 5, 7, 1, 1, 6], pa.int64()),
+                "relatedness": pa.array(
+                    [0.505, 0.504999, 0.9, 0.505, 0.2, 0.8], pa.float64()
+                ),
+            }
+        )
+        stream = explorer_related(
+            ray.data.from_arrow(adj).materialize(),
+            ray.data.from_arrow(self._doms()),
+            query,
+        ).to_pandas()
+        art = self._build(adj, tmp_path).explorer_related(query).to_pandas()
+        assert list(art.columns) == list(stream.columns)
+        assert art.values.tolist() == stream.values.tolist(), (
+            f"{query}:\nstream=\n{stream}\nart=\n{art}"
+        )

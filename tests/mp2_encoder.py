@@ -68,20 +68,25 @@ def encode_mp2(
     n_active_sb: int = 8,
     nlevels: int = 15,
 ) -> bytes:
-    """mono float PCM in [-1, 1] -> Layer II stream.  Allocates
-    ``nlevels`` steps uniformly across the first ``n_active_sb``
-    subbands, silence elsewhere."""
-    table = _pick_table(sample_rate, kbps)
+    """float PCM in [-1, 1] -> Layer II stream.  1-D input encodes mono;
+    (n, 2) input encodes stereo (mode 0, both channels independently).
+    Allocates ``nlevels`` steps uniformly across the first
+    ``n_active_sb`` subbands, silence elsewhere."""
+    x = np.asarray(x, np.float64)
+    chans = [x] if x.ndim == 1 else [x[:, c] for c in range(x.shape[1])]
+    nch = len(chans)
+    table = _pick_table(sample_rate, kbps // nch)
     sblimit = len(table)
-    sub = analyze(np.asarray(x, np.float64))
-    n_frames = len(sub) // 36
+    subs = [analyze(c) for c in chans]  # per-channel [M, 32]
+    n_frames = min(len(s) for s in subs) // 36
     frames = []
     flen = 144 * kbps * 1000 // sample_rate
     for f in range(n_frames):
-        s = sub[f * 36 : (f + 1) * 36]  # [36, 32]
+        s = [sub[f * 36 : (f + 1) * 36] for sub in subs]  # nch x [36, 32]
         w = _BitWriter()
         # header: sync, MPEG1, Layer II, no CRC, bitrate, rate, no pad,
-        # private 0, mono, mode_ext 0, no copyright/original, no emphasis
+        # private 0, mode (mono/stereo), mode_ext 0, no copyright/
+        # original, no emphasis
         w.write(0x7FF, 11)
         w.write(3, 2)  # version MPEG1
         w.write(2, 2)  # layer II
@@ -89,10 +94,10 @@ def encode_mp2(
         w.write(_BITRATE_IDX[kbps], 4)
         w.write(_RATE_IDX[sample_rate], 2)
         w.write(0, 2)  # padding, private
-        w.write(3, 2)  # mono
+        w.write(3 if nch == 1 else 0, 2)  # mono / stereo
         w.write(0, 4)  # mode_ext, copyright, original
         w.write(0, 2)  # emphasis
-        # bit allocation
+        # bit allocation: sb-outer, ch-inner (the decoder's read order)
         allocs = []
         for sb in range(sblimit):
             nbal, steps = table[sb]
@@ -101,23 +106,25 @@ def encode_mp2(
             else:
                 a = 0
             allocs.append(a)
-            w.write(a, nbal)
+            for _ch in range(nch):
+                w.write(a, nbal)
         # scfsi: one scalefactor for the whole frame (pattern 2)
         for sb in range(sblimit):
-            if allocs[sb]:
-                w.write(2, 2)
-        # scalefactors: pick smallest sf >= max|sample| per subband
-        sf_idx = []
+            for _ch in range(nch):
+                if allocs[sb]:
+                    w.write(2, 2)
+        # scalefactors: smallest sf >= max|sample| per (subband, channel)
+        sf_idx = [[0] * nch for _ in range(sblimit)]
         for sb in range(sblimit):
-            if not allocs[sb]:
-                sf_idx.append(0)
-                continue
-            peak = np.abs(s[:, sb]).max()
-            candidates = np.flatnonzero(_SCALEFACTORS >= max(peak, 1e-9))
-            idx = int(candidates[-1]) if len(candidates) else 0
-            sf_idx.append(idx)
-            w.write(idx, 6)
-        # samples: 12 granules x 3, quantized midtread to nlevels
+            for ch in range(nch):
+                if not allocs[sb]:
+                    continue
+                peak = np.abs(s[ch][:, sb]).max()
+                candidates = np.flatnonzero(_SCALEFACTORS >= max(peak, 1e-9))
+                idx = int(candidates[-1]) if len(candidates) else 0
+                sf_idx[sb][ch] = idx
+                w.write(idx, 6)
+        # samples: 12 granules x 3, gr -> sb -> ch (decoder order)
         for gr in range(12):
             for sb in range(sblimit):
                 a = allocs[sb]
@@ -125,19 +132,20 @@ def encode_mp2(
                     continue
                 _nbal, steps = table[sb]
                 n = steps[a - 1]
-                scale = _SCALEFACTORS[sf_idx[sb]]
-                tri = []
-                for k in range(3):
-                    v = s[gr * 3 + k, sb] / scale  # in [-1, 1]
-                    c = int(np.floor((v + 1.0) * n / 2.0))
-                    tri.append(min(max(c, 0), n - 1))
-                if n in _GROUPED_BITS:
-                    code = tri[0] + n * tri[1] + n * n * tri[2]
-                    w.write(code, _GROUPED_BITS[n])
-                else:
-                    nb = _code_bits(n)
-                    for c in tri:
-                        w.write(c, nb)
+                for ch in range(nch):
+                    scale = _SCALEFACTORS[sf_idx[sb][ch]]
+                    tri = []
+                    for k in range(3):
+                        v = s[ch][gr * 3 + k, sb] / scale  # in [-1, 1]
+                        c = int(np.floor((v + 1.0) * n / 2.0))
+                        tri.append(min(max(c, 0), n - 1))
+                    if n in _GROUPED_BITS:
+                        code = tri[0] + n * tri[1] + n * n * tri[2]
+                        w.write(code, _GROUPED_BITS[n])
+                    else:
+                        nb = _code_bits(n)
+                        for c in tri:
+                            w.write(c, nb)
         assert len(w.bits) <= flen * 8, "frame overflow"
         frames.append(w.tobytes(flen))
     return b"".join(frames)

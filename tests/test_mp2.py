@@ -146,3 +146,25 @@ class TestAudioFeatureStage:
         cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9))
         assert cos > 0.9, (m_mp2, m_wav)  # MP2 quantization noise floor lifts
         # the out-of-band mel bins vs the clean WAV — 0.93 measured
+
+
+class TestStereo:
+    def test_stereo_roundtrip_distinct_channels(self):
+        """Stereo decode path: left carries 800 Hz, right 2400 Hz — each
+        decoded channel must be dominated by ITS tone."""
+        import sys
+
+        sys.path.insert(0, "tests")
+        from mp2_encoder import encode_mp2
+
+        from marginalia_ray.ops.mp2 import mp2_decode
+
+        sr = 44100
+        t = np.arange(sr) / sr
+        left = 0.5 * np.sin(2 * np.pi * 800 * t)
+        right = 0.5 * np.sin(2 * np.pi * 2400 * t)
+        data = encode_mp2(np.stack([left, right], axis=1), sr, 256)
+        pcm, rate = mp2_decode(data)
+        assert rate == sr and pcm.shape[1] == 2
+        assert abs(_dominant(pcm[:, 0], sr) - 800.0) < 10.0
+        assert abs(_dominant(pcm[:, 1], sr) - 2400.0) < 10.0

@@ -168,3 +168,43 @@ class TestStereo:
         assert rate == sr and pcm.shape[1] == 2
         assert abs(_dominant(pcm[:, 0], sr) - 800.0) < 10.0
         assert abs(_dominant(pcm[:, 1], sr) - 2400.0) < 10.0
+
+
+class TestMultiTone:
+    @pytest.mark.parametrize("seed", [1, 7, 23])
+    def test_random_tone_mix_roundtrip(self, seed):
+        """Deterministic random 3-tone mixes across the allocated band:
+        every component tone must survive the encode/decode round trip as
+        a spectral peak within 2 bins, and total in-band energy must be
+        within 25 % of the source (15-level quantization + near-PR
+        filterbank)."""
+        rng = np.random.RandomState(seed)
+        sr = 44100
+        # tones inside the 8 active subbands (< 8 * 689 Hz), well separated
+        freqs = np.sort(rng.choice(np.arange(300, 5200, 150), 3, replace=False))
+        amps = rng.uniform(0.1, 0.3, 3)
+        t = np.arange(sr) / sr
+        x = sum(a * np.sin(2 * np.pi * f * t) for f, a in zip(freqs, amps))
+
+        import sys
+
+        sys.path.insert(0, "tests")
+        from mp2_encoder import encode_mp2
+
+        from marginalia_ray.ops.mp2 import mp2_decode
+
+        pcm, rate = mp2_decode(encode_mp2(x, sr, 128))
+        y = pcm[4096:-4096, 0]
+        n = len(y)
+        spec = np.abs(np.fft.rfft(y * np.hanning(n)))
+        grid = np.fft.rfftfreq(n, 1 / rate)
+        for f, a in zip(freqs, amps):
+            k = int(round(f * n / rate))
+            window = spec[max(k - 2, 0) : k + 3]
+            # the tone must be a local spectral peak far above the floor
+            assert window.max() > 10 * np.median(spec), (seed, f)
+            peak_f = grid[max(k - 2, 0) + int(np.argmax(window))]
+            assert abs(peak_f - f) * n / rate <= 2, (seed, f, peak_f)
+        e_src = float(np.mean(x**2))
+        e_dec = float(np.mean(y**2))
+        assert abs(e_dec / e_src - 1.0) < 0.25, (seed, e_src, e_dec)

@@ -2070,6 +2070,107 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return rollup_revenue(orders, cust, nat)
 
+    def q_audio_features(sf_dir: str):
+        # Multimodal driver row (audio): deterministic 16-bit mono WAV per
+        # doc (sr 8 kHz, secs = 0.5 + (doc_id % 5)/4, freq = 200 +
+        # 100*(doc_id % 7)) through AudioFeatureStage's REAL decode with
+        # the gate OFF; output = the SQL-mirrorable metadata (the MFCC
+        # values themselves are pytest-pinned, tests/test_mp2.py and
+        # test_multimodal_decode.py)
+        import io
+        import wave
+
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+
+        from marginalia_ray.ops.multimodal import AudioFeatureStage
+
+        def _wavs(b: "pa.Table") -> "pa.Table":
+            out = []
+            for did in b["doc_id"].to_pylist():
+                sr = 8000
+                secs = 0.5 + (did % 5) * 0.25
+                freq = 200 + (did % 7) * 100
+                n = int(sr * secs)
+                x = 0.4 * np.sin(2 * np.pi * freq * np.arange(n) / sr)
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as wf:
+                    wf.setnchannels(1)
+                    wf.setsampwidth(2)
+                    wf.setframerate(sr)
+                    wf.writeframes((x * 32767).astype(np.int16).tobytes())
+                out.append(buf.getvalue())
+            return pa.table(
+                {"doc_id": b["doc_id"], "audio": pa.array(out, pa.binary())}
+            )
+
+        ds = (
+            ray.data.read_parquet(
+                f"{sf_dir}/documents.parquet", columns=["doc_id"]
+            )
+            .filter(expr="doc_id < 40")
+            .map_batches(_wavs, batch_format="pyarrow", batch_size=16)
+            .map_batches(
+                AudioFeatureStage(fake=False), batch_format="pyarrow", batch_size=16
+            )
+        )
+        return ds.select_columns(["doc_id", "duration_s", "sample_rate"])
+
+    def q_image_features(sf_dir: str):
+        # Multimodal driver row (image): deterministic RGB PNG per doc
+        # (w = 8 + doc_id % 9, h = 6 + doc_id % 5, gradient fill) through
+        # ImageDecodeStage's REAL PNG decode with the gate OFF; output =
+        # the SQL-mirrorable metadata (pixel/embedding correctness is
+        # pytest-pinned, tests/test_multimodal_decode.py)
+        import struct
+        import zlib
+
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+
+        from marginalia_ray.ops.multimodal import ImageDecodeStage
+
+        def _png(w: int, h: int, seed: int) -> bytes:
+            px = (
+                (np.arange(h)[:, None, None] * 31 + np.arange(w)[None, :, None] * 7
+                 + np.arange(3)[None, None, :] * 11 + seed) % 256
+            ).astype(np.uint8)
+            raw = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
+            def chunk(typ, data):
+                c = typ + data
+                return struct.pack(">I", len(data)) + c + struct.pack(
+                    ">I", zlib.crc32(c) & 0xFFFFFFFF
+                )
+            ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+            return (
+                b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(raw))
+                + chunk(b"IEND", b"")
+            )
+
+        def _imgs(b: "pa.Table") -> "pa.Table":
+            out = []
+            for did in b["doc_id"].to_pylist():
+                out.append(_png(8 + did % 9, 6 + did % 5, did))
+            return pa.table(
+                {"doc_id": b["doc_id"], "image": pa.array(out, pa.binary())}
+            )
+
+        ds = (
+            ray.data.read_parquet(
+                f"{sf_dir}/documents.parquet", columns=["doc_id"]
+            )
+            .filter(expr="doc_id < 40")
+            .map_batches(_imgs, batch_format="pyarrow", batch_size=16)
+            .map_batches(
+                ImageDecodeStage(fake=False), batch_format="pyarrow", batch_size=16
+            )
+        )
+        return ds.select_columns(["doc_id", "width", "height", "channels"])
+
     # ordering is deliberate: the driver samples a prefix of this dict, so
     # the 47 queries that have never appeared in any CORRECTNESS_rN.json
     # (rounds 1-4) come FIRST; the long-green remainder follows in its
@@ -2126,6 +2227,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_scores": q_pagerank,
         "cohort_retention": q_cohort_retention,
         "chunk_documents": q_chunk_documents,
+        # multimodal driver rows (round 5): REAL WAV / PNG decode with the
+        # gates OFF, metadata mirrored in SQL — never driver-checked before
+        "audio_features": q_audio_features,
+        "image_features": q_image_features,
         "marginalia_search": q_index_search,
         "marginalia_search_merged": q_index_search_merged,
         "suggest_terms": q_suggest_terms,
@@ -4751,6 +4856,17 @@ def oracle_sql() -> dict[str, str]:
  SELECT doc_id, chunk_id, string_agg(t, ' ' ORDER BY i) AS chunk_text,
         count(*)::BIGINT AS n_tokens
  FROM t GROUP BY 1, 2""",
+        "audio_features": """
+ SELECT doc_id,
+        0.5 + (doc_id % 5) * 0.25 AS duration_s,
+        CAST(8000 AS INTEGER) AS sample_rate
+ FROM documents WHERE doc_id < 40""",
+        "image_features": """
+ SELECT doc_id,
+        CAST(8 + doc_id % 9 AS INTEGER) AS width,
+        CAST(6 + doc_id % 5 AS INTEGER) AS height,
+        CAST(3 AS INTEGER) AS channels
+ FROM documents WHERE doc_id < 40""",
         "similarity_join": _similarity_join_sql(),
         "linear_classifier": _linear_classifier_sql(),
         "bloom_membership": _bloom_membership_sql(),
